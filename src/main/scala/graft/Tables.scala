@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table registry + shared numeric-determinism helpers.
+  *
+  * All testdata tables (TESTDATA.md) are one parquet file per table under a
+  * scale-factor directory. At 100 TB each of these becomes a partitioned /
+  * bucketed parquet dataset; every reader goes through [[Tables.t]] so the
+  * storage layout can change in exactly one place.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Scan a testdata table. Column pruning + predicate pushdown reach the
+    * parquet scan because this is a plain declarative read (no collect).
+    *
+    * `events.ts` is stored as parquet TIMESTAMP(NANOS), which Spark 4
+    * rejects natively; we read nanos as LONG (legacy conf, set dynamically
+    * so it also holds under a driver-provided session) and truncate to a
+    * micros TimestampType — the same truncation DuckDB's `epoch_us` does.
+    */
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case None => df
+    }
+  }
+}
+
+/** Determinism helpers shared by every oracle-checked query.
+  *
+  * Parallel summation of doubles is not associative, so a distributed
+  * `sum(double)` is run-to-run nondeterministic AND engine-to-engine
+  * different. All money/metric aggregation therefore goes through exact
+  * integer arithmetic: per-row `round(x * scale)` (pure IEEE ops, identical
+  * in Spark and DuckDB) cast to BIGINT, summed exactly, divided back at the
+  * end. This is also faster at scale: long sums stay in whole-stage codegen
+  * with no loss of map-side partial aggregation.
+  */
+object Det {
+  /** double → exact integer cents (scale 2). */
+  def cents(c: Column): Column = round(c * lit(100)).cast(LongType)
+
+  /** double → exact integer micro-units (scale 6), for unit-scale metrics. */
+  def micros(c: Column): Column = round(c * lit(1000000)).cast(LongType)
+
+  /** integer cents → double money for output. */
+  def money(sumCents: Column): Column = sumCents / lit(100.0)
+
+  /** timestamp → epoch microseconds (BIGINT), the canonical cross-engine
+    * timestamp output form (DuckDB: `epoch_us(ts)`). */
+  def tsUs(c: Column): Column = unix_micros(c)
+
+  /** SQL fragment: double expr → exact integer cents, DuckDB side. */
+  def sqlCents(expr: String): String = s"CAST(ROUND(($expr) * 100) AS BIGINT)"
+  def sqlMicros(expr: String): String = s"CAST(ROUND(($expr) * 1000000) AS BIGINT)"
+}

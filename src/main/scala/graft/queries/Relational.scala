@@ -1,0 +1,542 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.t
+import graft.Det._
+
+/** Relational operator library, one named query per SURVEY.md §2 row
+  * (filters F1-F2, projections P3-P12, union J2, joins J1-J3 generalized,
+  * aggregations A1-A2 generalized, window W1, sort/top-k O1-O2, set ops,
+  * scalar functions §2.10).
+  *
+  * Every query is deterministic (explicit full ORDER BY, exact integer
+  * aggregation via [[graft.Det]]) so the driver's DuckDB hash-compare is
+  * stable. Scale notes are per-query: the inputs here are sf0.01..0.1 but
+  * each plan is written for the 100 TB layout (broadcast the dimension,
+  * partial-agg before shuffle, push filters to the scan).
+  */
+object Relational {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------------
+  // q01: TPC-H Q1-style pricing summary. Hash partial-agg on 2 low-card
+  // keys -> tiny shuffle regardless of input size; filter pushed to scan.
+  // ---------------------------------------------------------------------
+  val q01: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        money(sum(cents($"l_quantity"))).as("sum_qty"),
+        money(sum(cents($"l_extendedprice"))).as("sum_base_price"),
+        money(sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount")))).as("sum_disc_price"),
+        money(sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")))).as("sum_charge"),
+        (sum(cents($"l_quantity")) / lit(100.0) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+  val q01Sql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  SUM(${sqlCents("l_quantity")}) / 100.0 AS sum_qty,
+       |  SUM(${sqlCents("l_extendedprice")}) / 100.0 AS sum_base_price,
+       |  SUM(${sqlCents("l_extendedprice * (1.0 - l_discount)")}) / 100.0 AS sum_disc_price,
+       |  SUM(${sqlCents("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")}) / 100.0 AS sum_charge,
+       |  SUM(${sqlCents("l_quantity")}) / 100.0 / COUNT(*) AS avg_qty,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q02: THE flagship — latest-per-key (reference weather_etl.py:145, W1).
+  // One hash shuffle on the key + in-partition sort; at 100 TB this is the
+  // minimal plan for dedup-by-key (no global sort).
+  // ---------------------------------------------------------------------
+  val q02: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    t(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_id", $"event_type", tsUs($"ts").as("ts_us"), $"value")
+      .orderBy($"user_id")
+  }
+  val q02Sql: String =
+    """SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us, value
+      |FROM (SELECT *, ROW_NUMBER() OVER
+      |        (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q03: top-k per group (O2 generalized, k=3). Same shuffle shape as q02;
+  // rank-based so skewed customers don't need a global sort.
+  // ---------------------------------------------------------------------
+  val q03: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    t(s, dir, "orders")
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 3)
+      .select($"o_custkey", $"rnk", $"o_orderkey", $"o_totalprice")
+      .orderBy($"o_custkey", $"rnk")
+  }
+  val q03Sql: String =
+    """SELECT o_custkey, rnk, o_orderkey, o_totalprice
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice, ROW_NUMBER() OVER
+      |        (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      |      FROM orders)
+      |WHERE rnk <= 3
+      |ORDER BY o_custkey, rnk""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q04: fact-fact join + agg. orders⋈lineitem shuffles on the join key;
+  // group-by keys are low-card so the final agg is a cheap second exchange.
+  // At 100 TB both sides would be bucketed on orderkey to kill the shuffle.
+  // ---------------------------------------------------------------------
+  val q04: Q = (s, dir) => {
+    import s.implicits._
+    val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem")
+    o.join(l, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(
+        money(sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount")))).as("revenue"),
+        countDistinct($"o_orderkey").as("n_orders"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"o_orderpriority")
+  }
+  val q04Sql: String =
+    s"""SELECT o_orderpriority,
+       |  SUM(${sqlCents("l_extendedprice * (1.0 - l_discount)")}) / 100.0 AS revenue,
+       |  COUNT(DISTINCT o_orderkey) AS n_orders,
+       |  COUNT(*) AS n_items
+       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q05: TPC-H Q5-style multi-join. region/nation/supplier are dimensions
+  // -> broadcast (no shuffle); only customer⋈orders⋈lineitem shuffle.
+  // ---------------------------------------------------------------------
+  val q05: Q = (s, dir) => {
+    import s.implicits._
+    val cust = t(s, dir, "customer")
+    val ord  = t(s, dir, "orders")
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+              $"o_orderdate" <  lit("1998-01-01").cast("timestamp"))
+    val li   = t(s, dir, "lineitem")
+    val sup  = broadcast(t(s, dir, "supplier"))
+    val nat  = broadcast(t(s, dir, "nation"))
+    val reg  = broadcast(t(s, dir, "region").filter($"r_name" === "ASIA"))
+    cust
+      .join(ord, $"c_custkey" === $"o_custkey")
+      .join(li, $"o_orderkey" === $"l_orderkey")
+      .join(sup, $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(nat, $"s_nationkey" === $"n_nationkey")
+      .join(reg, $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(money(sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount")))).as("revenue"))
+      .orderBy($"n_name")
+  }
+  val q05Sql: String =
+    s"""SELECT n_name,
+       |  SUM(${sqlCents("l_extendedprice * (1.0 - l_discount)")}) / 100.0 AS revenue
+       |FROM customer
+       |JOIN orders   ON c_custkey = o_custkey
+       |JOIN lineitem ON o_orderkey = l_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation   ON s_nationkey = n_nationkey
+       |JOIN region   ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+       |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+       |GROUP BY n_name
+       |ORDER BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q06: TPC-H Q6-style scan-heavy scalar agg. All three predicates push
+  // to parquet (PushedFilters), projection prunes to 4 columns; the agg is
+  // a single partial->final reduction, zero-shuffle-width.
+  // ---------------------------------------------------------------------
+  val q06: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+              $"l_shipdate" <  lit("1997-01-01").cast("timestamp") &&
+              $"l_discount" >= 0.02 && $"l_discount" <= 0.09 &&
+              $"l_quantity" < 24)
+      .agg(money(sum(cents($"l_extendedprice" * $"l_discount"))).as("revenue"),
+           count(lit(1)).as("n"))
+  }
+  val q06Sql: String =
+    s"""SELECT SUM(${sqlCents("l_extendedprice * l_discount")}) / 100.0 AS revenue,
+       |  COUNT(*) AS n
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+       |  AND l_discount >= 0.02 AND l_discount <= 0.09
+       |  AND l_quantity < 24""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q07/q08: semi / anti join (EXISTS / NOT EXISTS). left_semi/left_anti
+  // never materialize right columns -> half the shuffle of an inner join.
+  // ---------------------------------------------------------------------
+  val q07: Q = (s, dir) => {
+    import s.implicits._
+    val bigOrders = t(s, dir, "orders").filter($"o_totalprice" > 150000.0)
+    t(s, dir, "customer")
+      .join(bigOrders, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+  val q07Sql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 150000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  val q08: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+      .orderBy($"c_custkey")
+  }
+  val q08Sql: String =
+    """SELECT c_custkey, c_name, c_acctbal
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q09/q10: set operations (INTERSECT / EXCEPT). Planned as left-semi /
+  // left-anti over distinct inputs by Catalyst.
+  // ---------------------------------------------------------------------
+  val q09: Q = (s, dir) => {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+    val clicks    = ev.filter($"event_type" === "click").select($"user_id")
+    val purchases = ev.filter($"event_type" === "purchase").select($"user_id")
+    clicks.intersect(purchases).orderBy($"user_id")
+  }
+  val q09Sql: String =
+    """SELECT user_id FROM events WHERE event_type = 'click'
+      |INTERSECT
+      |SELECT user_id FROM events WHERE event_type = 'purchase'
+      |ORDER BY user_id""".stripMargin
+
+  val q10: Q = (s, dir) => {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+    ev.filter($"event_type" === "click").select($"user_id")
+      .except(ev.filter($"event_type" === "purchase").select($"user_id"))
+      .orderBy($"user_id")
+  }
+  val q10Sql: String =
+    """SELECT user_id FROM events WHERE event_type = 'click'
+      |EXCEPT
+      |SELECT user_id FROM events WHERE event_type = 'purchase'
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q11: ROLLUP with grouping id — multi-level agg in one pass (Expand +
+  // single shuffle), not one job per level.
+  // ---------------------------------------------------------------------
+  val q11: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(
+        (grouping($"l_returnflag") * 2 + grouping($"l_linestatus")).as("gid"),
+        count(lit(1)).as("n"),
+        money(sum(cents($"l_quantity"))).as("sum_qty"))
+      .select($"l_returnflag", $"l_linestatus", $"gid", $"n", $"sum_qty")
+      .orderBy($"gid", asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+  }
+  val q11Sql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+       |  COUNT(*) AS n,
+       |  SUM(${sqlCents("l_quantity")}) / 100.0 AS sum_qty
+       |FROM lineitem
+       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q12: exact distinct agg per dimension (nation⋈customer broadcast join).
+  // ---------------------------------------------------------------------
+  val q12: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(
+        countDistinct($"c_custkey").as("n_customers"),
+        countDistinct($"c_mktsegment").as("n_segments"),
+        money(sum(cents($"c_acctbal"))).as("total_acctbal"))
+      .orderBy($"n_name")
+  }
+  val q12Sql: String =
+    s"""SELECT n_name,
+       |  COUNT(DISTINCT c_custkey) AS n_customers,
+       |  COUNT(DISTINCT c_mktsegment) AS n_segments,
+       |  SUM(${sqlCents("c_acctbal")}) / 100.0 AS total_acctbal
+       |FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY n_name
+       |ORDER BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q13: CASE WHEN bucketing (conditional expression, §2.10) + agg.
+  // ---------------------------------------------------------------------
+  val q13: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "orders")
+      .withColumn("bucket",
+        when($"o_totalprice" < 50000.0, "small")
+          .when($"o_totalprice" < 150000.0, "medium")
+          .otherwise("large"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"),
+           money(sum(cents($"o_totalprice"))).as("total"))
+      .orderBy($"bucket")
+  }
+  val q13Sql: String =
+    s"""SELECT CASE WHEN o_totalprice < 50000.0 THEN 'small'
+       |            WHEN o_totalprice < 150000.0 THEN 'medium'
+       |            ELSE 'large' END AS bucket,
+       |  COUNT(*) AS n,
+       |  SUM(${sqlCents("o_totalprice")}) / 100.0 AS total
+       |FROM orders
+       |GROUP BY 1
+       |ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q14: date functions (P6/P7 family): year/month breakdown.
+  // ---------------------------------------------------------------------
+  val q14: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "orders")
+      .groupBy(year($"o_orderdate").as("yr"), month($"o_orderdate").as("mo"))
+      .agg(count(lit(1)).as("n"),
+           money(sum(cents($"o_totalprice"))).as("total"))
+      .orderBy($"yr", $"mo")
+  }
+  val q14Sql: String =
+    s"""SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+       |  CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mo,
+       |  COUNT(*) AS n,
+       |  SUM(${sqlCents("o_totalprice")}) / 100.0 AS total
+       |FROM orders
+       |GROUP BY 1, 2
+       |ORDER BY yr, mo""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q15: string functions (§2.10): LIKE filter, upper, substring, length,
+  // concat. Pure projection — stays in one codegen stage over the scan.
+  // ---------------------------------------------------------------------
+  val q15: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "part")
+      .filter($"p_name".contains("widget"))
+      .select(
+        $"p_partkey",
+        upper($"p_type").as("type_u"),
+        substring($"p_name", 1, 5).as("pfx"),
+        length($"p_name").as("name_len"),
+        concat_ws("/", $"p_brand", $"p_type").as("brand_type"))
+      .orderBy($"p_partkey")
+  }
+  val q15Sql: String =
+    """SELECT p_partkey, UPPER(p_type) AS type_u, SUBSTRING(p_name, 1, 5) AS pfx,
+      |  CAST(LENGTH(p_name) AS INT) AS name_len,
+      |  p_brand || '/' || p_type AS brand_type
+      |FROM part
+      |WHERE p_name LIKE '%widget%'
+      |ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q16: tumbling 1-day event-time window (§2.12 batch analog of the
+  // reference's daily partitioning).
+  // ---------------------------------------------------------------------
+  val q16: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy(window($"ts", "1 day").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), money(sum(cents($"value"))).as("total_value"))
+      .select(date_format($"w.start", "yyyy-MM-dd").as("day"),
+              $"event_type", $"n", $"total_value")
+      .orderBy($"day", $"event_type")
+  }
+  val q16Sql: String =
+    s"""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+       |  COUNT(*) AS n,
+       |  SUM(${sqlCents("value")}) / 100.0 AS total_value
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY day, event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q17: analytic window frame — running sum + lag per user. Exact integer
+  // running sum keeps the frame deterministic across engines.
+  // ---------------------------------------------------------------------
+  val q17: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    t(s, dir, "events")
+      .withColumn("running", (sum(cents($"value")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) / lit(100.0)))
+      .withColumn("prev_value", lag($"value", 1).over(w))
+      .select($"user_id", $"event_id", $"value", $"running", $"prev_value")
+      .orderBy($"user_id", $"event_id")
+  }
+  val q17Sql: String =
+    s"""SELECT user_id, event_id, value,
+       |  SUM(${sqlCents("value")}) OVER
+       |    (PARTITION BY user_id ORDER BY ts, event_id
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS running,
+       |  LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+       |FROM events
+       |ORDER BY user_id, event_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q18: global top-k (O1/O2): TakeOrderedAndProject, not a full sort.
+  // ---------------------------------------------------------------------
+  val q18: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "orders")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      .limit(10)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+  }
+  val q18Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC
+      |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q19: argmax per group (A1 agg form): max(struct) picks the
+  // lexicographic max — deterministic tie-break on the orderkey.
+  // ---------------------------------------------------------------------
+  val q19: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(max(struct($"o_totalprice", $"o_orderkey")).as("m"))
+      .select($"o_custkey", $"m.o_orderkey".as("best_orderkey"),
+              $"m.o_totalprice".as("best_price"))
+      .orderBy($"o_custkey")
+  }
+  val q19Sql: String =
+    """SELECT o_custkey, o_orderkey AS best_orderkey, o_totalprice AS best_price
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice, ROW_NUMBER() OVER
+      |        (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+      |      FROM orders)
+      |WHERE rn = 1
+      |ORDER BY o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q20: JSON extraction (§2.10 json family; reference json.loads).
+  // Spark parses with from_json (schema'd, codegen); the oracle uses a
+  // regex so the check doesn't depend on DuckDB's json extension.
+  // ---------------------------------------------------------------------
+  val q20: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "events")
+      .withColumn("k", from_json($"props",
+        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).getField("k"))
+      .filter($"k".isNotNull)
+      .groupBy(($"k" % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"))
+      .orderBy($"k_mod")
+  }
+  val q20Sql: String =
+    """SELECT CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT) % 10 AS k_mod,
+      |  COUNT(*) AS n,
+      |  SUM(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT)) AS sum_k
+      |FROM events
+      |WHERE regexp_extract(props, '"k": (-?\d+)', 1) <> ''
+      |GROUP BY 1
+      |ORDER BY k_mod""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q21: pivot (dictionary-encode P5 generalized): event_type -> columns.
+  // Explicit value list => single-pass pivot, no extra distinct job.
+  // ---------------------------------------------------------------------
+  val q21: Q = (s, dir) => {
+    import s.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    t(s, dir, "events")
+      .withColumn("day", date_format($"ts", "yyyy-MM-dd"))
+      .groupBy($"day")
+      .pivot("event_type", types)
+      .count()
+      .na.fill(0L, types)
+      .orderBy($"day")
+  }
+  val q21Sql: String =
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+      |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+      |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY day""".stripMargin
+
+  /** name -> query function, assembled by [[graft.SparkEntry]]. */
+  val queries: Map[String, Q] = Map(
+    "q01_pricing_summary"    -> q01,
+    "q02_latest_per_key"     -> q02,
+    "q03_topk_per_group"     -> q03,
+    "q04_join_agg"           -> q04,
+    "q05_regional_revenue"   -> q05,
+    "q06_filtered_revenue"   -> q06,
+    "q07_semi_join"          -> q07,
+    "q08_anti_join"          -> q08,
+    "q09_intersect"          -> q09,
+    "q10_except"             -> q10,
+    "q11_rollup"             -> q11,
+    "q12_distinct_agg"       -> q12,
+    "q13_case_buckets"       -> q13,
+    "q14_date_breakdown"     -> q14,
+    "q15_string_funcs"       -> q15,
+    "q16_daily_window"       -> q16,
+    "q17_running_window"     -> q17,
+    "q18_topk_global"        -> q18,
+    "q19_argmax_per_group"   -> q19,
+    "q20_json_extract"       -> q20,
+    "q21_pivot"              -> q21)
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary"    -> q01Sql,
+    "q02_latest_per_key"     -> q02Sql,
+    "q03_topk_per_group"     -> q03Sql,
+    "q04_join_agg"           -> q04Sql,
+    "q05_regional_revenue"   -> q05Sql,
+    "q06_filtered_revenue"   -> q06Sql,
+    "q07_semi_join"          -> q07Sql,
+    "q08_anti_join"          -> q08Sql,
+    "q09_intersect"          -> q09Sql,
+    "q10_except"             -> q10Sql,
+    "q11_rollup"             -> q11Sql,
+    "q12_distinct_agg"       -> q12Sql,
+    "q13_case_buckets"       -> q13Sql,
+    "q14_date_breakdown"     -> q14Sql,
+    "q15_string_funcs"       -> q15Sql,
+    "q16_daily_window"       -> q16Sql,
+    "q17_running_window"     -> q17Sql,
+    "q18_topk_global"        -> q18Sql,
+    "q19_argmax_per_group"   -> q19Sql,
+    "q20_json_extract"       -> q20Sql,
+    "q21_pivot"              -> q21Sql)
+}
