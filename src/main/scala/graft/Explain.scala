@@ -1,0 +1,29 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Plan-audit main: prints the formatted physical plan of one query (or
+  * all). Usage: tools/run.sh graft.Explain [queryName] [sfDir]
+  * Used to check scale posture: broadcast sides, PushedFilters, ReadSchema,
+  * WholeStageCodegen spans.
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("all")
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val qs =
+      if (name == "all") SparkEntry.queries.toSeq.sortBy(_._1)
+      else SparkEntry.queries.filter(_._1 == name).toSeq
+    qs.foreach { case (n, fn) =>
+      println(s"===== $n =====")
+      try fn(spark, sfDir).explain("formatted")
+      catch { case e: Throwable => println(s"ERROR: ${e.getMessage}") }
+    }
+    spark.stop()
+  }
+}

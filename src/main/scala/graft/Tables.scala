@@ -25,13 +25,19 @@ object Tables {
     * micros TimestampType — the same truncation DuckDB's `epoch_us` does.
     */
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // Every oracle compare assumes UTC day/month bucketing; pin it here so
+    // correctness doesn't depend on the driver-provided session's tz.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    // nanos→micros truncation applies ONLY to events.ts (the one
+    // TIMESTAMP(NANOS) column in the testdata) — a blanket name+type match
+    // would corrupt any future table whose LONG ts is already micros.
     df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) =>
+      case Some(_) if name == "events" =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case None => df
+      case _ => df
     }
   }
 }

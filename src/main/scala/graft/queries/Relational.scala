@@ -131,8 +131,10 @@ object Relational {
     val ord  = t(s, dir, "orders")
       .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
               $"o_orderdate" <  lit("1998-01-01").cast("timestamp"))
+    // supplier scales with SF (~SF×10k rows) — never force-broadcast it;
+    // AQE picks the strategy at runtime. nation/region are fixed-size dims.
     val li   = t(s, dir, "lineitem")
-    val sup  = broadcast(t(s, dir, "supplier"))
+    val sup  = t(s, dir, "supplier")
     val nat  = broadcast(t(s, dir, "nation"))
     val reg  = broadcast(t(s, dir, "region").filter($"r_name" === "ASIA"))
     cust
@@ -351,7 +353,8 @@ object Relational {
         upper($"p_type").as("type_u"),
         substring($"p_name", 1, 5).as("pfx"),
         length($"p_name").as("name_len"),
-        concat_ws("/", $"p_brand", $"p_type").as("brand_type"))
+        // concat (not concat_ws): null-propagating, matching SQL `||`.
+        concat($"p_brand", lit("/"), $"p_type").as("brand_type"))
       .orderBy($"p_partkey")
   }
   val q15Sql: String =
@@ -461,7 +464,7 @@ object Relational {
   val q20Sql: String =
     """SELECT CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT) % 10 AS k_mod,
       |  COUNT(*) AS n,
-      |  SUM(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT)) AS sum_k
+      |  CAST(SUM(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
       |FROM events
       |WHERE regexp_extract(props, '"k": (-?\d+)', 1) <> ''
       |GROUP BY 1

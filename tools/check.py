@@ -4,8 +4,11 @@
 Usage: python3 tools/check.py [sfDir] [outDir]
 Reads outDir/<name>/ parquet (written by graft.Verify) and
 outDir/oracle_sql.json, runs each oracle SQL in DuckDB against the sfDir
-tables, and compares: row count, column names, and values (columns sorted
-by name; exact compare for non-floats, tiny-epsilon report for floats).
+tables, and compares: row count, column names, and values. The compare is
+EXACT for all types (floats included) by design — the Det integer-cents
+aggregation makes derived doubles bit-identical across engines, and the
+driver's gate is an exact hash; a loose local check would hide real
+driver failures.
 """
 import sys, os, json, glob, math
 import duckdb
