@@ -1,0 +1,210 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** LLM-training-data pipeline operators over the `documents` /
+  * `embeddings` testdata tables: exact dedup, text analysis, similarity
+  * search, MinHash-LSH near-dedup.
+  *
+  * Cross-engine determinism strategy (everything here is hash-compared
+  * against a DuckDB oracle):
+  *  - hashes are `md5` hex STRINGS — byte-identical in Spark and DuckDB,
+  *    and lexicographic min over hex strings is a valid uniform min-hash;
+  *  - all float arithmetic is quantized to exact integers first
+  *    ([[graft.Det]] philosophy): cosine similarity is computed from
+  *    integer dot products, so the only floating ops are correctly-rounded
+  *    IEEE sqrt/divide on identical inputs → bit-identical results.
+  *
+  * Scale notes are per-query; the design rule is: never all-pairs, never
+  * collect — candidate generation is always a bucketed shuffle.
+  */
+object LlmOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------------
+  // q22: EXACT dedup — one row per distinct text, keeping the min doc_id.
+  // Hash-groupBy on md5(text): partial agg map-side, one shuffle on the
+  // 16-byte digest (not the full text — at 100 TB the shuffle moves
+  // digests + ids, not documents). Same plan as
+  // `GROUP BY md5 / ROW_NUMBER ... rn=1` but agg-form, so no sort.
+  // ---------------------------------------------------------------------
+  val q22: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "documents")
+      .groupBy(md5($"text").as("text_md5"))
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy($"keep_id")
+  }
+  val q22Sql: String =
+    """SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY keep_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q23: text analysis — per-language token counts + length stats.
+  // Tokenize with a single split (documents are single-space separated;
+  // the general form would split on \s+), aggregate exact integers; the
+  // only double is a final sum/count division of exact longs (identical
+  // IEEE division in both engines). Low-cardinality key -> tiny shuffle.
+  // ---------------------------------------------------------------------
+  val q23: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "documents")
+      .withColumn("n_tokens", size(split($"text", " ")))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("sum_tokens"),
+        min($"n_tokens").as("min_tokens"),
+        max($"n_tokens").as("max_tokens"),
+        sum($"n_chars").as("sum_chars"),
+        (sum($"n_chars") / count(lit(1))).as("avg_chars"))
+      .orderBy($"lang")
+  }
+  val q23Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+      |  CAST(MIN(len(string_split(text, ' '))) AS INT) AS min_tokens,
+      |  CAST(MAX(len(string_split(text, ' '))) AS INT) AS max_tokens,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(n_chars) AS BIGINT) / CAST(COUNT(*) AS BIGINT) AS avg_chars
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q24: similarity search — brute-force cosine top-k of `embeddings`
+  // against a probe vector (vec_id 0), via array intrinsics (zip_with +
+  // aggregate), no UDF. Embeddings are quantized to exact integer
+  // micro-units so dot products and norms are exact longs; the final
+  // sim = dot / (sqrt(na)*sqrt(nb)) is correctly-rounded IEEE ops on
+  // identical integers -> bit-identical across engines.
+  //
+  // Scale: the probe is a broadcast 1-row join (no shuffle); top-k is
+  // TakeOrderedAndProject (per-partition partial top-k, then a k-row
+  // merge on the driver — no global sort). At 100 TB the upgrade path is
+  // IVF/LSH bucketing to prune candidates, not a different topology.
+  // ---------------------------------------------------------------------
+  private def quantize(c: Column): Column =
+    transform(c, x => round(x.cast("double") * lit(1000000)).cast("long"))
+  private def sqNorm(c: Column): Column =
+    aggregate(c, lit(0L), (acc, x) => acc + x * x)
+
+  val q24: Q = (s, dir) => {
+    import s.implicits._
+    val quant = t(s, dir, "embeddings")
+      .select($"vec_id", quantize($"embedding").as("e"))
+    val probe = broadcast(quant.filter($"vec_id" === 0).select($"e".as("pe")))
+    quant.filter($"vec_id" =!= 0)
+      .crossJoin(probe)
+      .withColumn("dot",
+        aggregate(zip_with($"e", $"pe", (a, b) => a * b), lit(0L), (acc, x) => acc + x))
+      .withColumn("sim",
+        $"dot".cast("double") /
+          (sqrt(sqNorm($"e").cast("double")) * sqrt(sqNorm($"pe").cast("double"))))
+      .select($"vec_id", $"sim")
+      .orderBy($"sim".desc, $"vec_id".asc)
+      .limit(10)
+  }
+  val q24Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT)) AS e
+      |  FROM embeddings),
+      |probe AS (SELECT e AS pe FROM q WHERE vec_id = 0),
+      |scored AS (
+      |  SELECT vec_id,
+      |    CAST(list_sum(list_transform(range(1, len(e)+1), i -> e[i] * pe[i])) AS DOUBLE)
+      |      / (sqrt(CAST(list_sum(list_transform(e, x -> x*x)) AS BIGINT)::DOUBLE)
+      |       * sqrt(CAST(list_sum(list_transform(pe, x -> x*x)) AS BIGINT)::DOUBLE)) AS sim
+      |  FROM q, probe WHERE vec_id <> 0)
+      |SELECT vec_id, sim FROM scored
+      |ORDER BY sim DESC, vec_id ASC
+      |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q25: NEAR-dedup — MinHash LSH over word 3-gram shingles, banded
+  // (4 bands x 2 rows = 8 min-hashes, Jaccard threshold ~(1/4)^(1/2)=0.5).
+  // Candidate pairs come from a band-bucket groupBy — never an all-pairs
+  // cross join: rows shuffle once on (band, key), and pairs are generated
+  // inside each bucket. At 100 TB bucket sizes stay small (a hot bucket
+  // means near-identical docs, which is the signal itself); a size cap on
+  // `ids` would guard pathological skew.
+  //
+  // min-hash_h(doc) = lexicographic MIN over shingles of md5("h:"+shingle)
+  // — hex-string min is a uniform min-hash and is engine-portable, unlike
+  // murmur3/xxhash64 whose implementations differ between engines.
+  // ---------------------------------------------------------------------
+  private val B = 4 // bands
+  private val R = 2 // rows (hashes) per band
+
+  private def minhash(shingles: Column, h: Int): Column =
+    array_min(transform(shingles, x => md5(concat(lit(s"$h:"), x))))
+
+  val q25: Q = (s, dir) => {
+    import s.implicits._
+    val mh = t(s, dir, "documents")
+      .withColumn("tk", split($"text", " "))
+      .filter(size($"tk") >= 3)
+      .withColumn("s", transform(sequence(lit(1), size($"tk") - 2), i =>
+        concat_ws(" ",
+          element_at($"tk", i), element_at($"tk", i + 1), element_at($"tk", i + 2))))
+      .select($"doc_id" +: (0 until B * R).map(h => minhash($"s", h).as(s"m$h")): _*)
+    val bands = mh.select($"doc_id", explode(array((0 until B).map(b =>
+        struct(lit(b).as("band"),
+          concat(col(s"m${b * R}"), lit("|"), col(s"m${b * R + 1}")).as("key"))): _*)).as("bk"))
+      .select($"doc_id", $"bk.band".as("band"), $"bk.key".as("key"))
+    // bucketed pair generation: one shuffle on (band, key); pairs expand
+    // only within a bucket (sorted ids -> doc_a < doc_b by construction).
+    bands.groupBy($"band", $"key")
+      .agg(sort_array(collect_list($"doc_id")).as("ids"))
+      .filter(size($"ids") > 1)
+      .select(explode(flatten(transform($"ids", (x, i) =>
+        transform(slice($"ids", i + 2, size($"ids")), y =>
+          struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select($"p.doc_a".as("doc_a"), $"p.doc_b".as("doc_b"))
+      .distinct()
+      .orderBy($"doc_a", $"doc_b")
+  }
+  val q25Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT doc_id,
+      |  [array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk)-1)] AS s FROM toks),
+      |mh AS (SELECT doc_id,
+      |  list_aggregate(list_transform(s, x -> md5('0:' || x)), 'min') AS m0,
+      |  list_aggregate(list_transform(s, x -> md5('1:' || x)), 'min') AS m1,
+      |  list_aggregate(list_transform(s, x -> md5('2:' || x)), 'min') AS m2,
+      |  list_aggregate(list_transform(s, x -> md5('3:' || x)), 'min') AS m3,
+      |  list_aggregate(list_transform(s, x -> md5('4:' || x)), 'min') AS m4,
+      |  list_aggregate(list_transform(s, x -> md5('5:' || x)), 'min') AS m5,
+      |  list_aggregate(list_transform(s, x -> md5('6:' || x)), 'min') AS m6,
+      |  list_aggregate(list_transform(s, x -> md5('7:' || x)), 'min') AS m7
+      |  FROM sh),
+      |bands AS (
+      |  SELECT doc_id, 0 AS band, m0 || '|' || m1 AS key FROM mh UNION ALL
+      |  SELECT doc_id, 1, m2 || '|' || m3 FROM mh UNION ALL
+      |  SELECT doc_id, 2, m4 || '|' || m5 FROM mh UNION ALL
+      |  SELECT doc_id, 3, m6 || '|' || m7 FROM mh)
+      |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |FROM bands a JOIN bands b
+      |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q22_exact_dedup" -> q22,
+    "q23_text_stats"  -> q23,
+    "q24_cosine_topk" -> q24,
+    "q25_near_dedup"  -> q25)
+
+  val oracles: Map[String, String] = Map(
+    "q22_exact_dedup" -> q22Sql,
+    "q23_text_stats"  -> q23Sql,
+    "q24_cosine_topk" -> q24Sql,
+    "q25_near_dedup"  -> q25Sql)
+}
