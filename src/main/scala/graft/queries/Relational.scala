@@ -496,6 +496,92 @@ object Relational {
       |GROUP BY 1
       |ORDER BY day""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q26: UNION-dedup (J2 + §2.9): unionByName with deliberately swapped
+  // column order (name-resolved, not positional), then DISTINCT — planned
+  // by Catalyst as a single hash-agg over the union, one shuffle.
+  // ---------------------------------------------------------------------
+  val q26: Q = (s, dir) => {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+    val clicks    = ev.filter($"event_type" === "click").select($"user_id", $"event_type")
+    // swapped projection order: unionByName must align by name
+    val purchases = ev.filter($"event_type" === "purchase").select($"event_type", $"user_id")
+    clicks.unionByName(purchases)
+      .distinct()
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_types"))
+      .orderBy($"user_id")
+  }
+  val q26Sql: String =
+    """SELECT user_id, COUNT(*) AS n_types
+      |FROM (SELECT user_id, event_type FROM events WHERE event_type = 'click'
+      |      UNION
+      |      SELECT user_id, event_type FROM events WHERE event_type = 'purchase')
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q27: dictionary encode / reverse decode (P5/P13) via map literals —
+  // typedLit(Map) + element_at, the reference's city_map lookup
+  // (weather_etl.py:112-122,130-134) generalized. Pure projection: stays
+  // in one codegen stage; the map literal is a constant, no join/shuffle.
+  // ---------------------------------------------------------------------
+  val q27: Q = (s, dir) => {
+    import s.implicits._
+    val enc = typedLit(Map("click" -> 1, "error" -> 2, "purchase" -> 3,
+                           "signup" -> 4, "view" -> 5))
+    val dec = typedLit(Map(1 -> "click", 2 -> "error", 3 -> "purchase",
+                           4 -> "signup", 5 -> "view"))
+    t(s, dir, "events")
+      .withColumn("code", element_at(enc, $"event_type"))
+      .withColumn("decoded", element_at(dec, $"code"))
+      .groupBy($"event_type", $"code", $"decoded")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"code")
+  }
+  val q27Sql: String =
+    """SELECT event_type,
+      |  CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+      |    WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4 WHEN 'view' THEN 5 END AS code,
+      |  event_type AS decoded,
+      |  COUNT(*) AS n
+      |FROM events
+      |GROUP BY 1, 2, 3
+      |ORDER BY code""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q28: SQL entry point (S3) — the reference's one real query shape
+  // (weather_etl.py:145: CTE + ROW_NUMBER latest-per-key) run verbatim
+  // through spark.sql over a registered temp view. Same physical plan as
+  // the DataFrame form (q02): one hash shuffle + in-partition sort.
+  // ---------------------------------------------------------------------
+  val q28: Q = (s, dir) => {
+    t(s, dir, "events").createOrReplaceTempView("events_v")
+    s.sql(
+      """WITH RankedEvents AS (
+        |  SELECT event_type, event_id, user_id, value,
+        |         unix_micros(ts) AS ts_us,
+        |         ROW_NUMBER() OVER
+        |           (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events_v)
+        |SELECT event_type, event_id, user_id, ts_us, value
+        |FROM RankedEvents
+        |WHERE rn = 1
+        |ORDER BY event_type""".stripMargin)
+  }
+  val q28Sql: String =
+    """WITH RankedEvents AS (
+      |  SELECT event_type, event_id, user_id, value,
+      |         epoch_us(ts) AS ts_us,
+      |         ROW_NUMBER() OVER
+      |           (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |SELECT event_type, event_id, user_id, ts_us, value
+      |FROM RankedEvents
+      |WHERE rn = 1
+      |ORDER BY event_type""".stripMargin
+
   /** name -> query function, assembled by [[graft.SparkEntry]]. */
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary"    -> q01,
@@ -518,7 +604,10 @@ object Relational {
     "q18_topk_global"        -> q18,
     "q19_argmax_per_group"   -> q19,
     "q20_json_extract"       -> q20,
-    "q21_pivot"              -> q21)
+    "q21_pivot"              -> q21,
+    "q26_union_dedup"        -> q26,
+    "q27_map_encode"         -> q27,
+    "q28_sql_entry"          -> q28)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary"    -> q01Sql,
@@ -541,5 +630,8 @@ object Relational {
     "q18_topk_global"        -> q18Sql,
     "q19_argmax_per_group"   -> q19Sql,
     "q20_json_extract"       -> q20Sql,
-    "q21_pivot"              -> q21Sql)
+    "q21_pivot"              -> q21Sql,
+    "q26_union_dedup"        -> q26Sql,
+    "q27_map_encode"         -> q27Sql,
+    "q28_sql_entry"          -> q28Sql)
 }
