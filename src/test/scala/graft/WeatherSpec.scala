@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.weather.Weather
+
+/** Golden-fixture tests: the 27 reference weather docs (3 days × 9
+  * cities, copied under src/test/resources/weather) through the full
+  * ingest slice — scan, flatten, latest-per-city SQL. Expected values are
+  * hand-read from the fixtures (e.g. 2023-08-11/London.txt: temp_c 17.0,
+  * localtime "2023-08-11 2:46"). */
+class WeatherSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private lazy val dataDir = getClass.getResource("/weather").getPath
+
+  test("S2 scan reads all 27 docs with the declared schema and a path-derived date") {
+    val raw = Weather.readRaw(spark, dataDir)
+    assert(raw.count() === 27)
+    assert(raw.schema.fieldNames.toSet === Set("location", "current", "date"))
+    val dates = raw.select("date").distinct().collect().map(_.getString(0)).sorted
+    assert(dates === Array("2023-08-09", "2023-08-10", "2023-08-11"))
+    // no corrupt/unparsed docs: every struct is non-null
+    assert(raw.filter("location IS NULL OR current IS NULL").count() === 0)
+  }
+
+  test("P1/P2/P3/P6 flatten yields 31 data columns, city rename, parsed localtime") {
+    val flat = Weather.flatten(Weather.readRaw(spark, dataDir))
+    assert(flat.count() === 27)
+    assert(flat.columns.length === 32) // 8 location + 23 current + date
+    assert(flat.columns.contains("city") && !flat.columns.contains("name"))
+    assert(flat.schema("condition").dataType.typeName === "string")
+    assert(flat.schema("localtime").dataType.typeName === "timestamp")
+    // one row per (city, date)
+    assert(flat.select("city", "date").distinct().count() === 27)
+    assert(flat.select("city").distinct().count() === 9)
+  }
+
+  test("W1 latest-per-city returns one row per city with the 2023-08-11 values") {
+    val latest =
+      Weather.latestPerCity(spark, Weather.flatten(Weather.readRaw(spark, dataDir)))
+    assert(latest.count() === 9)
+    assert(latest.select("city").distinct().count() === 9)
+    val london = latest.filter("city = 'London'").collect()
+    assert(london.length === 1)
+    val row = london(0)
+    assert(row.getAs[Double]("temp_c") === 17.0)
+    assert(row.getAs[String]("condition") === "Partly cloudy")
+    assert(row.getAs[java.sql.Timestamp]("localtime").toString.startsWith("2023-08-11 02:46"))
+    // every city's surviving row is from the latest day
+    assert(latest.filter("date <> '2023-08-11'").count() === 0)
+  }
+}
