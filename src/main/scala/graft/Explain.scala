@@ -19,6 +19,12 @@ object Explain {
     val qs =
       if (name == "all") SparkEntry.queries.toSeq.sortBy(_._1)
       else SparkEntry.queries.filter(_._1 == name).toSeq
+    if (qs.isEmpty) {
+      System.err.println(s"unknown query '$name'; available:\n  " +
+        SparkEntry.queries.keys.toSeq.sorted.mkString("\n  "))
+      spark.stop()
+      sys.exit(1)
+    }
     qs.foreach { case (n, fn) =>
       println(s"===== $n =====")
       try fn(spark, sfDir).explain("formatted")
