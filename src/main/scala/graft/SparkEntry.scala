@@ -18,11 +18,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2 +
     * LLM-pipeline extensions. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries ++ graft.queries.LlmOps.queries
+    graft.queries.Relational.queries ++ graft.queries.LlmOps.queries ++
+      graft.queries.TextOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (driver records a weaker rows-only check). */
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracles ++ graft.queries.LlmOps.oracles
+    graft.queries.Relational.oracles ++ graft.queries.LlmOps.oracles ++
+      graft.queries.TextOps.oracles
 }

@@ -139,25 +139,35 @@ object LlmOps {
   // — hex-string min is a uniform min-hash and is engine-portable, unlike
   // murmur3/xxhash64 whose implementations differ between engines.
   // ---------------------------------------------------------------------
-  private val B = 4 // bands
-  private val R = 2 // rows (hashes) per band
+  private[queries] val B = 4 // bands
+  private[queries] val R = 2 // rows (hashes) per band
 
-  private def minhash(shingles: Column, h: Int): Column =
+  /** Word 3-gram shingles of a token array (size >= 3 required). */
+  private[queries] def shingles3(tk: Column): Column =
+    transform(sequence(lit(1), size(tk) - 2), i =>
+      concat_ws(" ", element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2)))
+
+  private[queries] def minhash(shingles: Column, h: Int): Column =
     array_min(transform(shingles, x => md5(concat(lit(s"$h:"), x))))
+
+  /** (doc_id, band, key) rows: one banded-signature row per doc per band.
+    * Shared by q25 (candidates only) and q30 (candidates + verify). */
+  private[queries] def bandRows(mh: DataFrame): DataFrame = {
+    val bandStructs = (0 until B).map(b =>
+      struct(lit(b).as("band"),
+        concat(col(s"m${b * R}"), lit("|"), col(s"m${b * R + 1}")).as("key")))
+    mh.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
 
   val q25: Q = (s, dir) => {
     import s.implicits._
     val mh = t(s, dir, "documents")
       .withColumn("tk", split($"text", " "))
       .filter(size($"tk") >= 3)
-      .withColumn("s", transform(sequence(lit(1), size($"tk") - 2), i =>
-        concat_ws(" ",
-          element_at($"tk", i), element_at($"tk", i + 1), element_at($"tk", i + 2))))
+      .withColumn("s", shingles3($"tk"))
       .select($"doc_id" +: (0 until B * R).map(h => minhash($"s", h).as(s"m$h")): _*)
-    val bands = mh.select($"doc_id", explode(array((0 until B).map(b =>
-        struct(lit(b).as("band"),
-          concat(col(s"m${b * R}"), lit("|"), col(s"m${b * R + 1}")).as("key"))): _*)).as("bk"))
-      .select($"doc_id", $"bk.band".as("band"), $"bk.key".as("key"))
+    val bands = bandRows(mh)
     // bucketed pair generation: one shuffle on (band, key); pairs expand
     // only within a bucket (sorted ids -> doc_a < doc_b by construction).
     bands.groupBy($"band", $"key")
@@ -196,15 +206,110 @@ object LlmOps {
       |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q31: ANN, the scale path — sign-LSH (4 random hyperplanes) buckets
+  // the embeddings, then exact cosine only within the probe's bucket:
+  // candidate count drops 16x vs q24's brute force, same top answers with
+  // high probability. The "random" hyperplanes are deterministic ±1
+  // vectors derived from md5("p:j") (engine-portable, like the minhash).
+  // At 100 TB: buckets are the shuffle key; multi-probe (flipping weak
+  // bits) recovers recall without widening the scan.
+  // ---------------------------------------------------------------------
+  private val Planes = 4
+
+  /** dot(e, plane_p) where plane_p[j] = ±1 from md5("p:j"). */
+  private def planeDot(e: Column, p: Int): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(63)), j =>
+        element_at(e, j + 1) *
+          when(substring(md5(concat(lit(s"$p:"), j.cast("string"))), 1, 1) >= "8", 1L)
+            .otherwise(-1L)),
+      lit(0L), (acc, x) => acc + x)
+
+  private def lshBucket(e: Column): Column =
+    (0 until Planes).map(p => when(planeDot(e, p) > 0, lit(1 << p)).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  private def cosine(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x).cast("double") /
+      (sqrt(sqNorm(a).cast("double")) * sqrt(sqNorm(b).cast("double")))
+
+  /** DuckDB fragments mirroring the Spark LSH expressions. */
+  private def sqlPlaneDot(e: String, p: Int): String =
+    s"list_sum(list_transform(range(1,65), j -> $e[j] * " +
+      s"(CASE WHEN substring(md5('$p:' || (j-1)),1,1) >= '8' THEN 1 ELSE -1 END)))"
+  private def sqlBucket(e: String): String =
+    (0 until Planes).map(p =>
+      s"(CASE WHEN ${sqlPlaneDot(e, p)} > 0 THEN ${1 << p} ELSE 0 END)").mkString(" + ")
+  private def sqlCos(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(range(1,65), j -> $a[j]*$b[j])) AS DOUBLE)" +
+      s" / (sqrt(CAST(list_sum(list_transform($a, x->x*x)) AS BIGINT)::DOUBLE)" +
+      s" * sqrt(CAST(list_sum(list_transform($b, x->x*x)) AS BIGINT)::DOUBLE))"
+
+  val q31: Q = (s, dir) => {
+    import s.implicits._
+    val bk = t(s, dir, "embeddings")
+      .select($"vec_id", quantize($"embedding").as("e"))
+      .withColumn("bucket", lshBucket($"e"))
+    val probe = broadcast(bk.filter($"vec_id" === 0).select($"e".as("pe"), $"bucket".as("pb")))
+    bk.filter($"vec_id" =!= 0)
+      .join(probe, $"bucket" === $"pb")
+      .select($"vec_id", cosine($"e", $"pe").as("sim"))
+      .orderBy($"sim".desc, $"vec_id".asc)
+      .limit(5)
+  }
+  val q31Sql: String =
+    s"""WITH q AS (SELECT vec_id,
+       |    list_transform(embedding::DOUBLE[], x -> CAST(round(x*1000000) AS BIGINT)) AS e
+       |  FROM embeddings),
+       |bk AS (SELECT vec_id, e, ${sqlBucket("e")} AS bucket FROM q),
+       |probe AS (SELECT e AS pe, bucket AS pb FROM bk WHERE vec_id = 0)
+       |SELECT vec_id, ${sqlCos("e", "pe")} AS sim
+       |FROM bk, probe WHERE bucket = pb AND vec_id <> 0
+       |ORDER BY sim DESC, vec_id ASC
+       |LIMIT 5""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q36: embedding-cosine near-dedup — all pairs WITHIN an LSH bucket
+  // (never the global cross join: 16 buckets cut candidate pairs 16x,
+  // more planes cut more), exact quantized cosine on the candidates,
+  // global top-20. The same bucket key is the shuffle key at scale.
+  // ---------------------------------------------------------------------
+  val q36: Q = (s, dir) => {
+    import s.implicits._
+    val bk = t(s, dir, "embeddings")
+      .select($"vec_id", quantize($"embedding").as("e"))
+      .withColumn("bucket", lshBucket($"e"))
+    val a = bk.select($"vec_id".as("vec_a"), $"e".as("ea"), $"bucket")
+    val b = bk.select($"vec_id".as("vec_b"), $"e".as("eb"), $"bucket".as("bucket_b"))
+    a.join(b, $"bucket" === $"bucket_b" && $"vec_a" < $"vec_b")
+      .select($"vec_a", $"vec_b", cosine($"ea", $"eb").as("sim"))
+      .orderBy($"sim".desc, $"vec_a", $"vec_b")
+      .limit(20)
+  }
+  val q36Sql: String =
+    s"""WITH q AS (SELECT vec_id,
+       |    list_transform(embedding::DOUBLE[], x -> CAST(round(x*1000000) AS BIGINT)) AS e
+       |  FROM embeddings),
+       |bk AS (SELECT vec_id, e, ${sqlBucket("e")} AS bucket FROM q)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${sqlCos("a.e", "b.e")} AS sim
+       |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |ORDER BY sim DESC, vec_a, vec_b
+       |LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
-    "q22_exact_dedup" -> q22,
-    "q23_text_stats"  -> q23,
-    "q24_cosine_topk" -> q24,
-    "q25_near_dedup"  -> q25)
+    "q22_exact_dedup"    -> q22,
+    "q23_text_stats"     -> q23,
+    "q24_cosine_topk"    -> q24,
+    "q25_near_dedup"     -> q25,
+    "q31_lsh_ann"        -> q31,
+    "q36_embed_near_dup" -> q36)
 
   val oracles: Map[String, String] = Map(
-    "q22_exact_dedup" -> q22Sql,
-    "q23_text_stats"  -> q23Sql,
-    "q24_cosine_topk" -> q24Sql,
-    "q25_near_dedup"  -> q25Sql)
+    "q22_exact_dedup"    -> q22Sql,
+    "q23_text_stats"     -> q23Sql,
+    "q24_cosine_topk"    -> q24Sql,
+    "q25_near_dedup"     -> q25Sql,
+    "q31_lsh_ann"        -> q31Sql,
+    "q36_embed_near_dup" -> q36Sql)
 }

@@ -1,0 +1,258 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Text-analysis operators for the LLM-data pipeline: SimHash
+  * near-dedup, exact n-gram Jaccard verification, language-ID heuristic,
+  * quality scoring, token counting, document fingerprinting.
+  *
+  * Same determinism contract as [[LlmOps]]: md5 hex strings are the only
+  * hash primitive; ratios are exact-integer divisions (bit-identical
+  * IEEE ops across engines). Every query is a single scan + narrow
+  * shuffle — nothing here is all-pairs or collects to the driver.
+  */
+object TextOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------------
+  // q29: SimHash — 16-bit signature over distinct tokens. Bit b is the
+  // sign of the sum over tokens of ±1 votes derived from md5("b:token")
+  // (first hex char >= '8' → +1, else -1: a uniform coin, portable
+  // across engines). Near-identical docs flip few votes, so they land in
+  // the same bucket; `bucket_n` (a window count over the signature)
+  // exposes the collision structure. One scan + one shuffle on simhash.
+  // ---------------------------------------------------------------------
+  private def simBit(tk: Column, b: Int): Column =
+    when(aggregate(
+      transform(tk, x =>
+        when(substring(md5(concat(lit(s"$b:"), x)), 1, 1) >= "8", 1).otherwise(-1)),
+      lit(0), (acc, x) => acc + x) > 0, lit(1 << b)).otherwise(lit(0))
+
+  val q29: Q = (s, dir) => {
+    import s.implicits._
+    val sh = t(s, dir, "documents")
+      .withColumn("tk", array_distinct(split($"text", " ")))
+      .select($"doc_id", (0 until 16).map(b => simBit($"tk", b)).reduce(_ + _).as("simhash"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"simhash")
+    sh.withColumn("bucket_n", count(lit(1)).over(w))
+      .orderBy($"doc_id")
+  }
+  val q29Sql: String = {
+    val bits = (0 until 16).map(b =>
+      s"CASE WHEN list_sum(list_transform(tk, x -> CASE WHEN " +
+        s"substring(md5('$b:' || x),1,1) >= '8' THEN 1 ELSE -1 END)) > 0 " +
+        s"THEN ${1 << b} ELSE 0 END").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_distinct(string_split(text,' ')) AS tk FROM documents),
+       |sh AS (SELECT doc_id, $bits AS simhash FROM toks)
+       |SELECT doc_id, simhash, COUNT(*) OVER (PARTITION BY simhash) AS bucket_n
+       |FROM sh ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q30: exact n-gram Jaccard over the MinHash candidates — the verify
+  // stage of near-dedup: LSH (q25) proposes, exact Jaccard on DISTINCT
+  // 3-gram shingle sets disposes. Only candidate pairs pay the exact
+  // set-intersection cost (the whole point of LSH at 100 TB: the
+  // quadratic step runs on thousands of pairs, not trillions).
+  // ---------------------------------------------------------------------
+  val q30: Q = (s, dir) => {
+    import s.implicits._
+    val base = t(s, dir, "documents")
+      .withColumn("tk", split($"text", " "))
+      .filter(size($"tk") >= 3)
+      .withColumn("s", array_distinct(LlmOps.shingles3($"tk")))
+    val mh = base.select(
+      $"doc_id" +: $"s" +: (0 until LlmOps.B * LlmOps.R).map(h =>
+        LlmOps.minhash($"s", h).as(s"m$h")): _*)
+    val cand = LlmOps.bandRows(mh.drop("s"))
+      .as("x").join(LlmOps.bandRows(mh.drop("s")).as("y"),
+        $"x.band" === $"y.band" && $"x.key" === $"y.key" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+      .distinct()
+    val sa = mh.select($"doc_id".as("doc_a"), $"s".as("sa"))
+    val sb = mh.select($"doc_id".as("doc_b"), $"s".as("sb"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("inter", size(array_intersect($"sa", $"sb")))
+      .select($"doc_a", $"doc_b",
+        ($"inter".cast("double") / (size($"sa") + size($"sb") - $"inter")).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+  val q30Sql: String = {
+    val mins = (0 until 8).map(h =>
+      s"list_aggregate(list_transform(s, x -> md5('$h:' || x)), 'min') AS m$h").mkString(",\n  ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |sh AS (SELECT doc_id,
+       |  list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk)-1)]) AS s
+       |  FROM toks),
+       |mh AS (SELECT doc_id, s,
+       |  $mins
+       |  FROM sh),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, m0 || '|' || m1 AS key FROM mh UNION ALL
+       |  SELECT doc_id, 1, m2 || '|' || m3 FROM mh UNION ALL
+       |  SELECT doc_id, 2, m4 || '|' || m5 FROM mh UNION ALL
+       |  SELECT doc_id, 3, m6 || '|' || m7 FROM mh),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+       |    / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
+       |FROM cand JOIN mh sa ON sa.doc_id = doc_a JOIN mh sb ON sb.doc_id = doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q32: language-ID heuristic — score each doc's distinct-token overlap
+  // against small fixed per-language lexicons, argmax with alphabetical
+  // tie-break. (On this synthetic corpus the vocabularies overlap, so
+  // accuracy is not the point — the operator shape is: N profile scores
+  // per doc in one projection, zero shuffles before the output sort.)
+  // ---------------------------------------------------------------------
+  private val profiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("join", "sort", "fast", "spark", "column", "query"),
+    "en" -> Seq("the", "a", "key", "value", "table", "row"),
+    "es" -> Seq("group", "stream", "merge", "slow", "batch", "vector"),
+    "fr" -> Seq("agg", "scan", "line", "small", "hash", "customer"),
+    "zh" -> Seq("dup", "part", "window", "filter", "order", "data"))
+
+  val q32: Q = (s, dir) => {
+    import s.implicits._
+    val scored = profiles.foldLeft(
+      t(s, dir, "documents").withColumn("tk", array_distinct(split($"text", " ")))) {
+      case (df, (l, words)) =>
+        df.withColumn(s"s_$l",
+          size(array_intersect($"tk", typedLit(words))).cast("double") / size($"tk"))
+    }
+    val best = greatest(profiles.map { case (l, _) => col(s"s_$l") }: _*)
+    val pred = profiles.init.foldRight(lit(profiles.last._1)) {
+      case ((l, _), elseCol) => when(col(s"s_$l") === best, l).otherwise(elseCol)
+    }
+    scored.select($"doc_id", $"lang", pred.as("pred_lang")).orderBy($"doc_id")
+  }
+  val q32Sql: String = {
+    def arr(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+    val scores = profiles.map { case (l, ws) =>
+      s"CAST(len(list_intersect(tk, ${arr(ws)})) AS DOUBLE) / len(tk) AS s_$l"
+    }.mkString(",\n  ")
+    val branches = profiles.init.map { case (l, _) => s"WHEN s_$l THEN '$l'" }.mkString(" ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, list_distinct(string_split(text,' ')) AS tk FROM documents),
+       |scored AS (SELECT doc_id, lang,
+       |  $scores
+       |  FROM toks)
+       |SELECT doc_id, lang,
+       |  CASE GREATEST(${profiles.map("s_" + _._1).mkString(", ")})
+       |    $branches ELSE '${profiles.last._1}' END AS pred_lang
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q33: quality scoring — per-doc token count, distinct-token ratio,
+  // stopword count, average token length. Pure projection over one scan;
+  // all ratios are exact-int divisions. The downstream use is a filter
+  // (`WHERE distinct_ratio > θ AND ...`) that pushes to the scan.
+  // ---------------------------------------------------------------------
+  private val stopwords = Seq("the", "a", "of", "and", "dup")
+
+  val q33: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "documents")
+      .withColumn("tk", split($"text", " "))
+      .select(
+        $"doc_id",
+        size($"tk").as("n_tokens"),
+        (size(array_distinct($"tk")).cast("double") / size($"tk")).as("distinct_ratio"),
+        aggregate($"tk", lit(0L),
+          (acc, x) => acc + when(x.isin(stopwords: _*), 1L).otherwise(0L)).as("n_stop"),
+        ($"n_chars".cast("double") / size($"tk")).as("avg_token_len"))
+      .orderBy($"doc_id")
+  }
+  val q33Sql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS tk, n_chars FROM documents)
+       |SELECT doc_id, len(tk) AS n_tokens,
+       |  CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS distinct_ratio,
+       |  CAST(list_sum(list_transform(tk, x -> CASE WHEN x IN
+       |    (${stopwords.map(w => s"'$w'").mkString(", ")}) THEN 1 ELSE 0 END)) AS BIGINT) AS n_stop,
+       |  CAST(n_chars AS DOUBLE) / len(tk) AS avg_token_len
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q34: token counting — whitespace tokens vs regex tokens (the BPE-ish
+  // pre-tokenizer form: maximal [a-z]+ runs), aggregated per source.
+  // Both counts come from the same scan in one pass.
+  // ---------------------------------------------------------------------
+  val q34: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "documents")
+      .withColumn("ws_n", size(split($"text", " ")))
+      .withColumn("re_n", size(expr("regexp_extract_all(text, '[a-z]+', 0)")))
+      .groupBy($"source")
+      .agg(sum($"ws_n").as("ws_tokens"),
+           sum($"re_n").as("re_tokens"),
+           sum($"n_chars").as("chars"))
+      .orderBy($"source")
+  }
+  val q34Sql: String =
+    """SELECT source,
+      |  CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS ws_tokens,
+      |  CAST(SUM(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS re_tokens,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q35: document fingerprinting — mod-sampled shingle hashes (winnowing
+  // lite): keep the ~1/16 of distinct 3-gram shingle md5s whose first hex
+  // char is '0'. Two docs share a fingerprint iff they share a sampled
+  // shingle — a containment (not just similarity) signal, and the
+  // fingerprint set is tiny and joinable at corpus scale.
+  // ---------------------------------------------------------------------
+  val q35: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "documents")
+      .withColumn("tk", split($"text", " "))
+      .filter(size($"tk") >= 3)
+      .withColumn("fps", sort_array(filter(
+        transform(array_distinct(LlmOps.shingles3($"tk")), x => md5(x)),
+        h => substring(h, 1, 1) === "0")))
+      .select($"doc_id", size($"fps").as("n_fp"),
+        when(size($"fps") === 0, lit(null)).otherwise(element_at($"fps", 1)).as("min_fp"))
+      .orderBy($"doc_id")
+  }
+  val q35Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text,' ') AS tk FROM documents
+      |  WHERE len(string_split(text,' ')) >= 3),
+      |sh AS (SELECT doc_id,
+      |  list_distinct([array_to_string(tk[i:i+2],' ') for i in range(1, len(tk)-1)]) AS s
+      |  FROM toks),
+      |fp AS (SELECT doc_id,
+      |  list_sort(list_filter(list_transform(s, x -> md5(x)),
+      |                        h -> substring(h,1,1) = '0')) AS fps FROM sh)
+      |SELECT doc_id, len(fps) AS n_fp,
+      |  CASE WHEN len(fps) = 0 THEN NULL ELSE fps[1] END AS min_fp
+      |FROM fp ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q29_simhash"        -> q29,
+    "q30_jaccard_verify" -> q30,
+    "q32_lang_id"        -> q32,
+    "q33_quality_score"  -> q33,
+    "q34_token_count"    -> q34,
+    "q35_fingerprint"    -> q35)
+
+  val oracles: Map[String, String] = Map(
+    "q29_simhash"        -> q29Sql,
+    "q30_jaccard_verify" -> q30Sql,
+    "q32_lang_id"        -> q32Sql,
+    "q33_quality_score"  -> q33Sql,
+    "q34_token_count"    -> q34Sql,
+    "q35_fingerprint"    -> q35Sql)
+}
