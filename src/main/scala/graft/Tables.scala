@@ -24,12 +24,22 @@ object Tables {
     * so it also holds under a driver-provided session) and truncate to a
     * micros TimestampType — the same truncation DuckDB's `epoch_us` does.
     */
+  /** Session settings every scan depends on. Sessions the repo builds
+    * (Bench/Verify/Explain/tests) set these at construction; this guarded
+    * fallback covers driver-provided sessions without rewriting session
+    * conf on every scan. */
+  def ensureSessionConf(spark: SparkSession): Unit =
+    Seq("spark.sql.session.timeZone" -> "UTC",
+        "spark.sql.legacy.parquet.nanosAsLong" -> "true").foreach {
+      case (k, v) =>
+        if (!spark.conf.getOption(k).contains(v)) spark.conf.set(k, v)
+    }
+
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // Every oracle compare assumes UTC day/month bucketing; pin it here so
-    // correctness doesn't depend on the driver-provided session's tz.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if (name == "events")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Every oracle compare assumes UTC day/month bucketing, and events.ts
+    // needs the nanos-as-long legacy read; pinned here (guarded) so
+    // correctness doesn't depend on the driver-provided session's conf.
+    ensureSessionConf(spark)
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     // nanos→micros truncation applies ONLY to events.ts (the one
     // TIMESTAMP(NANOS) column in the testdata) — a blanket name+type match

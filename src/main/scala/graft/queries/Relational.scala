@@ -592,6 +592,86 @@ object Relational {
       |WHERE rn = 1
       |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q37: abs / deviation math (P10, reference weather_etl.py:135's
+  // abs-error column generalized): absolute deviation of each event's
+  // value from its type's mean, aggregated per type. The window avg
+  // hash-partitions on event_type and the following groupBy reuses that
+  // exchange — ONE shuffle for both passes. Deviations are exact integer
+  // cents (the mean is floored to a long first): abs/sum/max stay in
+  // codegen'd long math, bit-identical across engines.
+  // ---------------------------------------------------------------------
+  val q37: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type")
+    t(s, dir, "events")
+      .withColumn("dev_cents",
+        abs(cents($"value") - floor(avg(cents($"value")).over(w)).cast("long")))
+      .groupBy($"event_type")
+      .agg(money(sum($"dev_cents")).as("sum_abs_dev"),
+           money(max($"dev_cents")).as("max_abs_dev"),
+           count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+  val q37Sql: String =
+    s"""WITH d AS (
+       |  SELECT event_type,
+       |    ABS(${sqlCents("value")} -
+       |        CAST(FLOOR(AVG(${sqlCents("value")})
+       |                   OVER (PARTITION BY event_type)) AS BIGINT)) AS dev_cents
+       |  FROM events)
+       |SELECT event_type,
+       |  CAST(SUM(dev_cents) AS BIGINT) / 100.0 AS sum_abs_dev,
+       |  MAX(dev_cents) / 100.0 AS max_abs_dev,
+       |  COUNT(*) AS n
+       |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q38: CUBE with grouping id (§2.6 grouping-sets surface, completing
+  // q11's rollup): all four grouping combinations in ONE pass — a single
+  // Expand + one shuffle, not four jobs.
+  // ---------------------------------------------------------------------
+  val q38: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "orders")
+      .withColumn("yr", year($"o_orderdate"))
+      .cube($"o_orderpriority", $"yr")
+      .agg(
+        (grouping($"o_orderpriority") * 2 + grouping($"yr")).as("gid"),
+        count(lit(1)).as("n"),
+        money(sum(cents($"o_totalprice"))).as("total"))
+      .select($"o_orderpriority", $"yr", $"gid", $"n", $"total")
+      .orderBy($"gid", asc_nulls_first("o_orderpriority"), asc_nulls_first("yr"))
+  }
+  val q38Sql: String =
+    s"""SELECT o_orderpriority, yr,
+       |  GROUPING(o_orderpriority) * 2 + GROUPING(yr) AS gid,
+       |  COUNT(*) AS n,
+       |  SUM(${sqlCents("o_totalprice")}) / 100.0 AS total
+       |FROM (SELECT o_orderpriority,
+       |        CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+       |        o_totalprice FROM orders)
+       |GROUP BY CUBE (o_orderpriority, yr)
+       |ORDER BY gid, o_orderpriority ASC NULLS FIRST, yr ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q39: approx_count_distinct (HLL++, §2.6) beside the exact count. The
+  // sketch is THE 100 TB cardinality path: constant memory per group,
+  // mergeable partials, no distinct expansion. No DuckDB oracle — HLL
+  // implementations differ across engines by design — so the driver
+  // records a rows-only check; the ApproxDistinctSpec test pins the
+  // semantic guarantee (relative error within the configured rsd).
+  // ---------------------------------------------------------------------
+  val q39: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(
+        approx_count_distinct($"user_id", 0.02).as("approx_users"),
+        countDistinct($"user_id").as("exact_users"))
+      .orderBy($"event_type")
+  }
+
   /** name -> query function, assembled by [[graft.SparkEntry]]. */
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary"    -> q01,
@@ -617,7 +697,10 @@ object Relational {
     "q21_pivot"              -> q21,
     "q26_union_dedup"        -> q26,
     "q27_map_encode"         -> q27,
-    "q28_sql_entry"          -> q28)
+    "q28_sql_entry"          -> q28,
+    "q37_abs_deviation"      -> q37,
+    "q38_cube"               -> q38,
+    "q39_approx_distinct"    -> q39)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary"    -> q01Sql,
@@ -643,7 +726,11 @@ object Relational {
     "q21_pivot"              -> q21Sql,
     "q26_union_dedup"        -> q26Sql,
     "q27_map_encode"         -> q27Sql,
-    "q28_sql_entry"          -> q28Sql)
+    "q28_sql_entry"          -> q28Sql,
+    "q37_abs_deviation"      -> q37Sql,
+    // q39_approx_distinct deliberately has NO oracle: HLL sketches are not
+    // cross-engine comparable (driver records a rows-only check).
+    "q38_cube"               -> q38Sql)
 
   /** Bench-time overrides: same semantics minus determinism-only global
     * sorts (which exist purely for the oracle's ordered hash-compare and

@@ -20,10 +20,19 @@ object Publish {
   def rawJson(df: DataFrame, dir: String): Unit =
     df.write.mode("overwrite").json(dir)
 
+  /** Caller-supplied names are interpolated into SQL / catalog calls:
+    * restrict to plain identifiers so a backtick or semicolon can't
+    * break out (defense in depth — these come from config, not users). */
+  private val Ident = "[A-Za-z_][A-Za-z0-9_]*".r
+  private def requireIdent(kind: String, name: String): Unit =
+    require(Ident.matches(name), s"invalid $kind identifier: '$name'")
+
   /** K5 + K4: get-or-create the database, then publish as a single
     * date-partitioned parquet table registered in the catalog. */
   def publishPartitioned(spark: SparkSession, df: DataFrame,
                          path: String, db: String, table: String): Unit = {
+    requireIdent("database", db)
+    requireIdent("table", table)
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
     df.write.mode("overwrite")
       .partitionBy("date")

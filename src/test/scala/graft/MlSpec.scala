@@ -24,6 +24,19 @@ class MlSpec extends AnyFunSuite {
     assert(fit.r2Train >= 0.9, s"r2Train=${fit.r2Train}")
   }
 
+  test("P10 abs-error column: non-negative, finite, |label - prediction|") {
+    val scored = NextDayTemp.withAbsError(fit.model.transform(flat))
+    val rows = scored.select("temp_c", "prediction", "abs_error").collect()
+    assert(rows.length === 27)
+    rows.foreach { r =>
+      val (y, p, e) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+      assert(!e.isNaN && e >= 0.0)
+      assert(e === math.abs(y - p))
+    }
+    // the R² floor implies small errors on the training-dominant frame
+    assert(rows.map(_.getDouble(2)).max < 10.0)
+  }
+
   test("M3/M5 next-day prediction: one finite row per city, shifted +86400s") {
     val preds = NextDayTemp.predictNextDay(spark, fit.model, flat)
     val rows = preds.collect()

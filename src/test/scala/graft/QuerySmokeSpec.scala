@@ -25,9 +25,14 @@ class QuerySmokeSpec extends AnyFunSuite {
     }
   }
 
+  // Queries with a DELIBERATE rows-only check (no oracle SQL): sketches
+  // aren't cross-engine comparable. Anything else missing an oracle is a
+  // bug. q39's accuracy is pinned semantically in ApproxDistinctSpec.
+  private val rowsOnly = Set("q39_approx_distinct")
+
   test("every query has either an oracle or a deliberate rows-only entry") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(missing.isEmpty, s"queries without oracle SQL: $missing")
+    assert(missing === rowsOnly, s"unexpected oracle coverage diff: $missing")
   }
 
   test("entry() flagship returns rows") {

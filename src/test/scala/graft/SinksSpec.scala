@@ -36,6 +36,16 @@ class SinksSpec extends AnyFunSuite {
     assert(spark.table("weather_db.weather_flat").count() === 27)
   }
 
+  test("publishPartitioned rejects non-identifier db/table names") {
+    val dir = Files.createTempDirectory("graft_badname").toString
+    Seq("bad;db" -> "t", "bad`db" -> "t", "db" -> "t;DROP TABLE x", "db" -> "").foreach {
+      case (db, table) =>
+        intercept[IllegalArgumentException] {
+          Publish.publishPartitioned(spark, flat, s"$dir/w", db, table)
+        }
+    }
+  }
+
   test("K1 raw JSON sink round-trips") {
     val dir = Files.createTempDirectory("graft_rawjson").toString
     Publish.rawJson(flat.select("city", "date", "temp_c"), s"$dir/raw")
