@@ -136,13 +136,22 @@ object LlmOps {
   // (4 bands x 2 rows = 8 min-hashes, Jaccard threshold ~(1/4)^(1/2)=0.5).
   // Candidate pairs come from a band-bucket groupBy — never an all-pairs
   // cross join: rows shuffle once on (band, key), and pairs are generated
-  // inside each bucket. At 100 TB bucket sizes stay small (a hot bucket
-  // means near-identical docs, which is the signal itself); a size cap on
-  // `ids` would guard pathological skew.
+  // inside each bucket, capped against skew.
   //
-  // min-hash_h(doc) = lexicographic MIN over shingles of md5("h:"+shingle)
-  // — hex-string min is a uniform min-hash and is engine-portable, unlike
-  // murmur3/xxhash64 whose implementations differ between engines.
+  // Hashing strategy (engine-portable AND codegen-resident):
+  //  - the 8 min-hashes come from TWO md5 digests per shingle ("a:"/"b:"
+  //    domains) sliced into 8-hex-char (32-bit) chunks — cryptographic
+  //    digest chunks are independent uniform hashes, so this is 8 valid
+  //    min-hash permutations for a quarter of the hash work;
+  //  - shingles are EXPLODED to rows and the mins taken by a hash
+  //    aggregate: Spark's higher-order lambdas (transform/aggregate/
+  //    array_min) are CodegenFallback — interpreted per element — while
+  //    explode + min(substring(md5)) stays inside WholeStageCodegen, and
+  //    the map-side partial min collapses the exploded rows back to one
+  //    per doc BEFORE any shuffle. At 100 TB the explode never
+  //    materializes: it streams through the partial aggregate.
+  //  - lexicographic min over fixed-width hex chunks == numeric min of
+  //    the 32-bit values, identical in Spark and DuckDB.
   // ---------------------------------------------------------------------
   private[queries] val B = 4 // bands
   private[queries] val R = 2 // rows (hashes) per band
@@ -152,8 +161,33 @@ object LlmOps {
     transform(sequence(lit(1), size(tk) - 2), i =>
       concat_ws(" ", element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2)))
 
-  private[queries] def minhash(shingles: Column, h: Int): Column =
-    array_min(transform(shingles, x => md5(concat(lit(s"$h:"), x))))
+  /** The h-th 32-bit hash of a shingle column: an 8-hex-char chunk of
+    * md5 over the "a:" (h<4) or "b:" (h>=4) domain, parsed to a LONG —
+    * min(long) hash-aggregates with a primitive buffer inside
+    * WholeStageCodegen, whereas min(string) forces a SortAggregate (and
+    * a sort of every exploded shingle row) in Spark's planner. */
+  private[queries] def chunkHash(sh: Column, h: Int): Column = {
+    val dom = if (h < B) "a" else "b"
+    conv(substring(md5(concat(lit(s"$dom:"), sh)), (h % B) * 8 + 1, 8), 16, 10)
+      .cast("long")
+  }
+
+  /** (doc_id, sh) exploded shingle rows -> (doc_id, m0..m7) signatures
+    * via codegen'd min aggregates (see strategy note above). */
+  private[queries] def minhashAgg(sh: DataFrame): DataFrame = {
+    val mins = (0 until B * R).map(h => min(chunkHash(col("sh"), h)).as(s"m$h"))
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** DuckDB mirror of [[chunkHash]] applied to a shingle list `sExpr`,
+    * aggregated to the h-th min-hash ('0x…'::BIGINT == Spark conv base
+    * 16 → 10). */
+  private[queries] def sqlMinhash(h: Int, sExpr: String): String = {
+    val dom = if (h < B) "a" else "b"
+    s"list_aggregate(list_transform($sExpr, x -> " +
+      s"CAST('0x' || substring(md5('$dom:' || x), ${(h % B) * 8 + 1}, 8) AS BIGINT))," +
+      s" 'min') AS m$h"
+  }
 
   /** (doc_id, band, key) rows: one banded-signature row per doc per band.
     * Shared by q25 (candidates only) and q30 (candidates + verify). */
@@ -202,29 +236,21 @@ object LlmOps {
 
   val q25: Q = (s, dir) => {
     import s.implicits._
-    val mh = t(s, dir, "documents")
+    val sh = t(s, dir, "documents")
       .withColumn("tk", split($"text", " "))
       .filter(size($"tk") >= 3)
-      .withColumn("s", shingles3($"tk"))
-      .select($"doc_id" +: (0 until B * R).map(h => minhash($"s", h).as(s"m$h")): _*)
-    bucketPairs(bandRows(mh))
+      .select($"doc_id", explode(shingles3($"tk")).as("sh"))
+    bucketPairs(bandRows(minhashAgg(sh)))
       .orderBy($"doc_a", $"doc_b")
   }
   val q25Sql: String =
-    """WITH toks AS (
+    s"""WITH toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
       |  WHERE len(string_split(text, ' ')) >= 3),
       |sh AS (SELECT doc_id,
       |  [array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk)-1)] AS s FROM toks),
       |mh AS (SELECT doc_id,
-      |  list_aggregate(list_transform(s, x -> md5('0:' || x)), 'min') AS m0,
-      |  list_aggregate(list_transform(s, x -> md5('1:' || x)), 'min') AS m1,
-      |  list_aggregate(list_transform(s, x -> md5('2:' || x)), 'min') AS m2,
-      |  list_aggregate(list_transform(s, x -> md5('3:' || x)), 'min') AS m3,
-      |  list_aggregate(list_transform(s, x -> md5('4:' || x)), 'min') AS m4,
-      |  list_aggregate(list_transform(s, x -> md5('5:' || x)), 'min') AS m5,
-      |  list_aggregate(list_transform(s, x -> md5('6:' || x)), 'min') AS m6,
-      |  list_aggregate(list_transform(s, x -> md5('7:' || x)), 'min') AS m7
+      |  ${(0 until B * R).map(h => sqlMinhash(h, "s")).mkString(",\n  ")}
       |  FROM sh),
       |bands AS (
       |  SELECT doc_id, 0 AS band, m0 || '|' || m1 AS key FROM mh UNION ALL

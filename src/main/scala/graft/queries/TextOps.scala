@@ -19,26 +19,31 @@ object TextOps {
 
   // ---------------------------------------------------------------------
   // q29: SimHash — 16-bit signature over distinct tokens. Bit b is the
-  // sign of the sum over tokens of ±1 votes derived from md5("b:token")
-  // (first hex char >= '8' → +1, else -1: a uniform coin, portable
-  // across engines). Near-identical docs flip few votes, so they land in
-  // the same bucket; `bucket_n` (a window count over the signature)
-  // exposes the collision structure. One scan + one shuffle on simhash.
+  // sign of the sum over tokens of ±1 votes; vote b comes from the b-th
+  // hex NIBBLE of ONE md5 per token (nibble >= '8' is the nibble's top
+  // bit — an independent uniform coin per position, portable across
+  // engines). One digest feeds all 16 bits, and the votes are summed by
+  // a codegen'd hash aggregate over EXPLODED token rows (higher-order
+  // lambdas are CodegenFallback — interpreted; explode + 16 sum(int)
+  // partials stay in WholeStageCodegen and collapse map-side before the
+  // shuffle). Near-identical docs flip few votes, so they land in the
+  // same bucket; `bucket_n` (a window count over the signature) exposes
+  // the collision structure. One scan + one shuffle on doc_id.
   // ---------------------------------------------------------------------
-  private def simBit(tk: Column, b: Int): Column =
-    when(aggregate(
-      transform(tk, x =>
-        when(substring(md5(concat(lit(s"$b:"), x)), 1, 1) >= "8", 1).otherwise(-1)),
-      lit(0), (acc, x) => acc + x) > 0, lit(1 << b)).otherwise(lit(0))
-
   // qNNBench forms here are the semantic plans; the trailing global
   // orderBy on each qNN exists only for the oracle's ordered hash-compare
   // (same bench/verify split as Relational.q17).
   val q29Bench: Q = (s, dir) => {
     import s.implicits._
-    val sh = t(s, dir, "documents")
-      .withColumn("tk", array_distinct(split($"text", " ")))
-      .select($"doc_id", (0 until 16).map(b => simBit($"tk", b)).reduce(_ + _).as("simhash"))
+    val votes = t(s, dir, "documents")
+      .select($"doc_id", explode(array_distinct(split($"text", " "))).as("tok"))
+      .withColumn("h", md5($"tok"))
+    val sums = (0 until 16).map(b =>
+      sum(when(substring($"h", b + 1, 1) >= "8", 1).otherwise(-1)).as(s"v$b"))
+    val sh = votes.groupBy($"doc_id").agg(sums.head, sums.tail: _*)
+      .select($"doc_id",
+        (0 until 16).map(b => when(col(s"v$b") > 0, 1 << b).otherwise(0))
+          .reduce(_ + _).as("simhash"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"simhash")
     sh.withColumn("bucket_n", count(lit(1)).over(w))
   }
@@ -49,7 +54,7 @@ object TextOps {
   val q29Sql: String = {
     val bits = (0 until 16).map(b =>
       s"CASE WHEN list_sum(list_transform(tk, x -> CASE WHEN " +
-        s"substring(md5('$b:' || x),1,1) >= '8' THEN 1 ELSE -1 END)) > 0 " +
+        s"substring(md5(x),${b + 1},1) >= '8' THEN 1 ELSE -1 END)) > 0 " +
         s"THEN ${1 << b} ELSE 0 END").mkString(" + ")
     s"""WITH toks AS (
        |  SELECT doc_id, list_distinct(string_split(text,' ')) AS tk FROM documents),
@@ -78,12 +83,15 @@ object TextOps {
     val sig = t(s, dir, "documents")
       .withColumn("tk", split($"text", " "))
       .filter(size($"tk") >= 3)
-      .withColumn("s", array_distinct(LlmOps.shingles3($"tk")))
-      .select($"doc_id" +: $"s" +: (0 until LlmOps.B * LlmOps.R).map(h =>
-        LlmOps.minhash($"s", h).as(s"m$h")): _*)
+      .select($"doc_id", array_distinct(LlmOps.shingles3($"tk")).as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // single-pass bucketed pair generation (q25's form, skew-capped)
-    val cand = LlmOps.bucketPairs(LlmOps.bandRows(sig.drop("s")))
+    // signatures via the codegen'd explode+min-agg form (see LlmOps q25),
+    // persisted as well: signatures are the artifact an incremental
+    // near-dedup pipeline checkpoints and reuses across runs
+    val mh = LlmOps.minhashAgg(sig.select($"doc_id", explode($"s").as("sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // single-pass bucketed pair generation (skew-capped)
+    val cand = LlmOps.bucketPairs(LlmOps.bandRows(mh))
     val sa = sig.select($"doc_id".as("doc_a"), $"s".as("sa"))
     val sb = sig.select($"doc_id".as("doc_b"), $"s".as("sb"))
     cand.join(sa, "doc_a").join(sb, "doc_b")
@@ -93,8 +101,8 @@ object TextOps {
       .orderBy($"doc_a", $"doc_b")
   }
   val q30Sql: String = {
-    val mins = (0 until 8).map(h =>
-      s"list_aggregate(list_transform(s, x -> md5('$h:' || x)), 'min') AS m$h").mkString(",\n  ")
+    val mins = (0 until LlmOps.B * LlmOps.R)
+      .map(h => LlmOps.sqlMinhash(h, "s")).mkString(",\n  ")
     s"""WITH toks AS (
        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
        |  WHERE len(string_split(text, ' ')) >= 3),

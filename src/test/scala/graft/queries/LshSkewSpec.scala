@@ -53,12 +53,10 @@ class LshSkewSpec extends AnyFunSuite {
     // BucketCap, so the capped plan is value-identical to the uncapped
     // oracle at every verified SF.
     val docs = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
-    val mh = docs
+    val mh = LlmOps.minhashAgg(docs
       .withColumn("tk", split(col("text"), " "))
       .filter(size(col("tk")) >= 3)
-      .withColumn("s", LlmOps.shingles3(col("tk")))
-      .select(col("doc_id") +: (0 until LlmOps.B * LlmOps.R).map(h =>
-        LlmOps.minhash(col("s"), h).as(s"m$h")): _*)
+      .select(col("doc_id"), explode(LlmOps.shingles3(col("tk"))).as("sh")))
     val maxBucket = LlmOps.bandRows(mh)
       .groupBy(col("band"), col("key")).count()
       .agg(max("count")).head().getLong(0)
