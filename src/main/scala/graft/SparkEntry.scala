@@ -19,12 +19,14 @@ object SparkEntry {
     * LLM-pipeline extensions. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++ graft.queries.LlmOps.queries ++
-      graft.queries.TextOps.queries
+      graft.queries.TextOps.queries ++ graft.multimodal.Multimodal.queries ++
+      graft.queries.Bucketed.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (driver records a weaker rows-only check). */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++ graft.queries.LlmOps.oracles ++
-      graft.queries.TextOps.oracles
+      graft.queries.TextOps.oracles ++ graft.multimodal.Multimodal.oracles ++
+      graft.queries.Bucketed.oracles
 }

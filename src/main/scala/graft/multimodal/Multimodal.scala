@@ -1,0 +1,124 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+
+/** Multimodal columns for the LLM-data pipeline: image/audio/video as
+  * opaque BINARY content beside typed metadata, with decode /
+  * frame-sample / feature-extract operators.
+  *
+  * The container ships no image/audio codecs and the testdata ships no
+  * media fixtures, so the DECODE step is an explicitly-marked
+  * deterministic stub ([[decodeStub]]) — what is real, tested, and
+  * oracle-checked is the Spark-side plumbing a 100 TB media pipeline
+  * needs: a BinaryType content column flowing through scans, projections
+  * and aggregates; per-asset typed metadata; frame slicing via
+  * posexplode; and codegen'd per-byte feature extraction that never
+  * leaves the executors.
+  *
+  * Scale notes: content bytes are touched by exactly one projection
+  * (hex) before features collapse to 16 counters per asset — the wide
+  * binary column prunes out of every downstream plan; frame sampling is
+  * a Generate (no shuffle); the per-kind rollup shuffles 18 longs per
+  * asset, never bytes.
+  */
+object Multimodal {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Synthetic asset corpus derived deterministically from `documents`:
+    * 32 content bytes per asset (two md5 digests, domain-separated),
+    * alternating image/audio kinds, metadata synthesized from doc stats.
+    * Stands in for a real media table the way the weather fixtures stand
+    * in for the REST source (SURVEY.md §2.1 S1). */
+  def assets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(
+      $"doc_id".as("asset_id"),
+      element_at(typedLit(Seq("image", "audio")), ($"doc_id" % 2 + 1).cast("int"))
+        .as("kind"),
+      unhex(concat(md5(concat(lit("f0:"), $"text")),
+                   md5(concat(lit("f1:"), $"text")))).as("content"),
+      struct(
+        ($"n_chars" % 640 + 1).cast("int").as("width"),
+        ($"n_chars" % 480 + 1).cast("int").as("height"),
+        lit(16000).as("sample_rate"),
+        length($"text").as("src_bytes")).as("meta"))
+  }
+
+  /** DECODE STUB — the seam where a real pipeline calls an image/audio
+    * codec (e.g. a JNI decoder or a vectorized Python UDF). Here it
+    * deterministically "decodes" content into fixed-width binary frames
+    * so downstream operators exercise the true frame shape: one row per
+    * frame, binary payload, frame index. posexplode is a Generate — rows
+    * multiply executor-side with NO shuffle, and the parent content
+    * column prunes away after the slice. */
+  def decodeStub(df: DataFrame, frameBytes: Int = 8): DataFrame = {
+    val nFrames = floor(length(col("content")) / frameBytes).cast("int")
+    df.select(col("asset_id"), col("kind"),
+        posexplode(transform(sequence(lit(0), nFrames - 1), i =>
+          substring(col("content"), (i * frameBytes + 1).cast("int"), lit(frameBytes)))))
+      .withColumnRenamed("pos", "frame_no")
+      .withColumnRenamed("col", "frame")
+  }
+
+  /** Frame sampling: keep every k-th frame (the video-pipeline op that
+    * cuts decode fan-out before feature extraction). */
+  def sampleFrames(frames: DataFrame, everyK: Int): DataFrame =
+    frames.filter(col("frame_no") % everyK === 0)
+
+  /** Per-asset feature extraction: a 16-bin nibble histogram of the
+    * content bytes — computed entirely in codegen'd expressions on the
+    * hex view of the binary (hex→binary→hex is the identity, which is
+    * what makes this binary pipeline independently verifiable). */
+  private def nibbleCount(h: Column, c: String): Column =
+    (length(h) - length(translate(h, c, ""))).cast("long")
+
+  private val Nibbles: Seq[String] = "0123456789abcdef".map(_.toString)
+
+  def nibbleFeatures(df: DataFrame): DataFrame = {
+    val h = lower(hex(col("content")))
+    df.select(
+      col("asset_id") +: col("kind") +:
+        length(col("content")).cast("long").as("n_bytes") +:
+        Nibbles.zipWithIndex.map { case (c, i) => nibbleCount(h, c).as(s"n_$i") }: _*)
+  }
+
+  // ---------------------------------------------------------------------
+  // q40: the multimodal feature pipeline end-to-end — synthesize assets,
+  // extract per-asset nibble histograms from the BINARY content, roll up
+  // per kind. The oracle rebuilds the same histogram from the md5 hex
+  // directly (hex(unhex(x)) = x), so a DuckDB hash-compare verifies the
+  // whole binary path.
+  // ---------------------------------------------------------------------
+  val q40: Q = (s, dir) => {
+    import s.implicits._
+    val aggs = count(lit(1)).as("n_assets") +:
+      sum($"n_bytes").as("bytes_total") +:
+      (0 until 16).map(i => sum(col(s"n_$i")).as(s"c_$i"))
+    nibbleFeatures(assets(s, dir))
+      .groupBy($"kind")
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy($"kind")
+  }
+  val q40Sql: String = {
+    val hexExpr = "md5('f0:' || text) || md5('f1:' || text)"
+    val counts = (0 until 16).map { i =>
+      val c = "0123456789abcdef" (i)
+      s"CAST(SUM(length(h) - length(replace(h, '$c', ''))) AS BIGINT) AS c_$i"
+    }.mkString(",\n  ")
+    s"""WITH a AS (
+       |  SELECT CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+       |         $hexExpr AS h
+       |  FROM documents)
+       |SELECT kind, COUNT(*) AS n_assets,
+       |  CAST(SUM(length(h) / 2) AS BIGINT) AS bytes_total,
+       |  $counts
+       |FROM a GROUP BY kind ORDER BY kind""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map("q40_mm_features" -> q40)
+  val oracles: Map[String, String] = Map("q40_mm_features" -> q40Sql)
+}

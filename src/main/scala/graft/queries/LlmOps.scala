@@ -211,16 +211,32 @@ object LlmOps {
     * every kept doc, and the overflow set is exactly `bucketOverflow`. */
   private[queries] val BucketCap = 1000
 
-  /** Candidate pairs from banded rows: ONE shuffle on (band, key); pairs
-    * expand only within a bucket (never a global all-pairs join), bucket
-    * contribution capped at `cap`. collect_list gathers ids only (8 B/row)
-    * — the quadratic pair expansion, not the id list, is the skew risk the
-    * cap removes. Sorted ids => doc_a < doc_b by construction. */
+  /** Salt shards for the two-phase capped collect: a hot bucket's id
+    * list is first capped PER SHARD (deterministic salt = doc_id mod
+    * shards), so no single task ever gathers more than shards × cap ids
+    * — collect_list's partial aggregation alone would still merge the
+    * full hot-bucket list in one reducer. */
+  private[queries] val SaltShards = 16
+
+  /** Candidate pairs from banded rows: pairs expand only within a
+    * bucket (never a global all-pairs join), bucket contribution capped
+    * at `cap` ids. The cap is applied in two salted phases with
+    * identical semantics to a global cap (each of the `cap` globally
+    * smallest ids is among its own shard's `cap` smallest, so the
+    * shard-capped union always contains the global answer):
+    *   1. shuffle on (band, key, salt): per-shard sorted ids, capped;
+    *   2. shuffle on (band, key): merge ≤ shards×cap ids, cap again.
+    * Phase 1 carries the full row volume (same bytes as an unsalted
+    * shuffle); phase 2 moves only capped lists. Sorted ids =>
+    * doc_a < doc_b by construction. */
   private[queries] def bucketPairs(bands: DataFrame, cap: Int = BucketCap): DataFrame =
-    bands.groupBy(col("band"), col("key"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("all_ids"))
-      .filter(size(col("all_ids")) > 1)
-      .withColumn("ids", slice(col("all_ids"), 1, cap))
+    bands
+      .groupBy(col("band"), col("key"),
+        pmod(col("doc_id"), lit(SaltShards)).as("_salt"))
+      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, cap).as("shard_ids"))
+      .groupBy(col("band"), col("key"))
+      .agg(slice(sort_array(flatten(collect_list(col("shard_ids")))), 1, cap).as("ids"))
+      .filter(size(col("ids")) > 1)
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
           struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))

@@ -1,0 +1,53 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** The bucketed layout's whole point: a fact⋈fact join on the bucket key
+  * must plan as a SortMergeJoin with NO exchange on either side. AQE and
+  * auto-broadcast are disabled inside the test so tiny test SFs can't
+  * mask the layout with a broadcast plan. */
+class BucketedJoinSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def withConf[T](pairs: (String, String)*)(body: => T): T = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("bucketed fact-fact join is exchange-free SortMergeJoin") {
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val j = Bucketed.orders(spark, sfDir)
+        .join(Bucketed.lineitem(spark, sfDir), col("o_orderkey") === col("l_orderkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(2000))
+      assert(!plan.contains("Exchange"), plan.take(2000))
+    }
+  }
+
+  test("q41 matches the plain-parquet join result") {
+    val viaBuckets = Bucketed.q41(spark, sfDir)
+    val plain = {
+      import spark.implicits._
+      import graft.Det._
+      graft.Tables.t(spark, sfDir, "orders")
+        .join(graft.Tables.t(spark, sfDir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(
+          money(sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount")))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"o_orderpriority")
+    }
+    assert(viaBuckets.collect().toSeq === plain.collect().toSeq)
+  }
+}
