@@ -94,10 +94,13 @@ object LlmOps {
   // merge on the driver — no global sort). At 100 TB the upgrade path is
   // IVF/LSH bucketing to prune candidates, not a different topology.
   // ---------------------------------------------------------------------
+  import graft.functions.GraftFunctions.dotLong
+
   private def quantize(c: Column): Column =
     transform(c, x => round(x.cast("double") * lit(1000000)).cast("long"))
-  private def sqNorm(c: Column): Column =
-    aggregate(c, lit(0L), (acc, x) => acc + x * x)
+  // norm² = dot(e, e) via the codegen'd custom expression (LongArrayDot)
+  // — the aggregate(...) lambda form is CodegenFallback/interpreted.
+  private def sqNorm(c: Column): Column = dotLong(c, c)
 
   val q24: Q = (s, dir) => {
     import s.implicits._
@@ -106,8 +109,7 @@ object LlmOps {
     val probe = broadcast(quant.filter($"vec_id" === 0).select($"e".as("pe")))
     quant.filter($"vec_id" =!= 0)
       .crossJoin(probe)
-      .withColumn("dot",
-        aggregate(zip_with($"e", $"pe", (a, b) => a * b), lit(0L), (acc, x) => acc + x))
+      .withColumn("dot", dotLong($"e", $"pe"))
       .withColumn("sim",
         $"dot".cast("double") /
           (sqrt(sqNorm($"e").cast("double")) * sqrt(sqNorm($"pe").cast("double"))))
@@ -310,17 +312,18 @@ object LlmOps {
   private def planeSigns(p: Int): Seq[Long] =
     (0 until Dim).map(j => if (md5Hex(s"$p:$j").charAt(0) >= '8') 1L else -1L)
 
-  /** dot(e, plane_p) over the precomputed ±1 literal. */
+  /** dot(e, plane_p) over the precomputed ±1 literal — the codegen'd
+    * custom expression; a width-mismatched embedding yields NULL (loud),
+    * see [[graft.functions.LongArrayDot]]. */
   private def planeDot(e: Column, p: Int): Column =
-    aggregate(zip_with(e, typedLit(planeSigns(p)), (x, sg) => x * sg),
-      lit(0L), (acc, x) => acc + x)
+    dotLong(e, typedLit(planeSigns(p)))
 
   private def lshBucket(e: Column, planes: Int): Column =
     (0 until planes).map(p => when(planeDot(e, p) > 0, lit(1 << p)).otherwise(lit(0)))
       .reduce(_ + _)
 
   private def cosine(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x).cast("double") /
+    dotLong(a, b).cast("double") /
       (sqrt(sqNorm(a).cast("double")) * sqrt(sqNorm(b).cast("double")))
 
   /** DuckDB fragments mirroring the Spark LSH expressions (md5 derivation

@@ -672,6 +672,32 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  // ---------------------------------------------------------------------
+  // q42: ranking-window family beyond row_number (§2.7 generality):
+  // dense_rank over per-customer spend and ntile(4) quartiles in the same
+  // window pass — one shuffle on the partition key serves both functions.
+  // ---------------------------------------------------------------------
+  val q42: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal".desc, $"c_custkey".asc)
+    t(s, dir, "customer")
+      .withColumn("drnk", dense_rank().over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .filter($"drnk" <= 5)
+      .select($"c_mktsegment", $"drnk", $"quartile", $"c_custkey", $"c_acctbal")
+      .orderBy($"c_mktsegment", $"drnk", $"c_custkey")
+  }
+  val q42Sql: String =
+    """SELECT c_mktsegment, drnk, quartile, c_custkey, c_acctbal
+      |FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
+      |        DENSE_RANK() OVER w AS drnk,
+      |        NTILE(4) OVER w AS quartile
+      |      FROM customer
+      |      WINDOW w AS (PARTITION BY c_mktsegment
+      |                   ORDER BY c_acctbal DESC, c_custkey ASC))
+      |WHERE drnk <= 5
+      |ORDER BY c_mktsegment, drnk, c_custkey""".stripMargin
+
   /** name -> query function, assembled by [[graft.SparkEntry]]. */
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary"    -> q01,
@@ -700,7 +726,8 @@ object Relational {
     "q28_sql_entry"          -> q28,
     "q37_abs_deviation"      -> q37,
     "q38_cube"               -> q38,
-    "q39_approx_distinct"    -> q39)
+    "q39_approx_distinct"    -> q39,
+    "q42_rank_ntile"         -> q42)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary"    -> q01Sql,
@@ -730,7 +757,8 @@ object Relational {
     "q37_abs_deviation"      -> q37Sql,
     // q39_approx_distinct deliberately has NO oracle: HLL sketches are not
     // cross-engine comparable (driver records a rows-only check).
-    "q38_cube"               -> q38Sql)
+    "q38_cube"               -> q38Sql,
+    "q42_rank_ntile"         -> q42Sql)
 
   /** Bench-time overrides: same semantics minus determinism-only global
     * sorts (which exist purely for the oracle's ordered hash-compare and
