@@ -163,22 +163,24 @@ object LlmOps {
     transform(sequence(lit(1), size(tk) - 2), i =>
       concat_ws(" ", element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2)))
 
-  /** The h-th 32-bit hash of a shingle column: an 8-hex-char chunk of
-    * md5 over the "a:" (h<4) or "b:" (h>=4) domain, parsed to a LONG —
-    * min(long) hash-aggregates with a primitive buffer inside
-    * WholeStageCodegen, whereas min(string) forces a SortAggregate (and
-    * a sort of every exploded shingle row) in Spark's planner. */
-  private[queries] def chunkHash(sh: Column, h: Int): Column = {
-    val dom = if (h < B) "a" else "b"
-    conv(substring(md5(concat(lit(s"$dom:"), sh)), (h % B) * 8 + 1, 8), 16, 10)
-      .cast("long")
-  }
-
   /** (doc_id, sh) exploded shingle rows -> (doc_id, m0..m7) signatures
-    * via codegen'd min aggregates (see strategy note above). */
+    * via codegen'd min(long) aggregates (see strategy note above —
+    * min(string) would force a SortAggregate; long chunks keep the
+    * aggregate hash-based with a primitive buffer). The two digests are
+    * computed ONCE per row by the custom [[graft.functions.Md5Chunks]]
+    * expression (thread-local MessageDigest, no hex round-trip) — chunk
+    * values are bit-identical to conv(substring(md5_hex),16,10), so the
+    * oracle SQL keeps the hex form. */
   private[queries] def minhashAgg(sh: DataFrame): DataFrame = {
-    val mins = (0 until B * R).map(h => min(chunkHash(col("sh"), h)).as(s"m$h"))
-    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    import graft.functions.Md5Chunks.md5Chunks
+    val withH = sh
+      .withColumn("ca", md5Chunks(concat(lit("a:"), col("sh"))))
+      .withColumn("cb", md5Chunks(concat(lit("b:"), col("sh"))))
+    val mins = (0 until B * R).map { h =>
+      val src = if (h < B) "ca" else "cb"
+      min(element_at(col(src), h % B + 1)).as(s"m$h")
+    }
+    withH.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
   /** DuckDB mirror of [[chunkHash]] applied to a shingle list `sExpr`,
