@@ -698,6 +698,36 @@ object Relational {
       |WHERE drnk <= 5
       |ORDER BY c_mktsegment, drnk, c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q43: exact percentiles (median / p90) per group — linear-interpolated
+  // rank statistics; Spark `percentile` and DuckDB `quantile_cont` share
+  // the (1-f)·lo + f·hi IEEE form, verified bit-identical. Exact
+  // percentile buffers each group's values (fine for bounded groups);
+  // the 100 TB path for heavy groups is approx_percentile (t-digest,
+  // mergeable, constant memory) — not oracle-comparable, same trade as
+  // q39's HLL.
+  // ---------------------------------------------------------------------
+  val q43: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(
+        expr("percentile(value, 0.5)").as("med"),
+        expr("percentile(value, 0.9)").as("p90"),
+        min($"value").as("vmin"),
+        max($"value").as("vmax"))
+      .orderBy($"event_type")
+  }
+  val q43Sql: String =
+    """SELECT event_type,
+      |  quantile_cont(value, 0.5) AS med,
+      |  quantile_cont(value, 0.9) AS p90,
+      |  MIN(value) AS vmin,
+      |  MAX(value) AS vmax
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** name -> query function, assembled by [[graft.SparkEntry]]. */
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary"    -> q01,
@@ -727,7 +757,8 @@ object Relational {
     "q37_abs_deviation"      -> q37,
     "q38_cube"               -> q38,
     "q39_approx_distinct"    -> q39,
-    "q42_rank_ntile"         -> q42)
+    "q42_rank_ntile"         -> q42,
+    "q43_percentiles"        -> q43)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary"    -> q01Sql,
@@ -758,7 +789,8 @@ object Relational {
     // q39_approx_distinct deliberately has NO oracle: HLL sketches are not
     // cross-engine comparable (driver records a rows-only check).
     "q38_cube"               -> q38Sql,
-    "q42_rank_ntile"         -> q42Sql)
+    "q42_rank_ntile"         -> q42Sql,
+    "q43_percentiles"        -> q43Sql)
 
   /** Bench-time overrides: same semantics minus determinism-only global
     * sorts (which exist purely for the oracle's ordered hash-compare and

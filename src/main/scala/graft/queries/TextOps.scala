@@ -35,11 +35,19 @@ object TextOps {
   // (same bench/verify split as Relational.q17).
   val q29Bench: Q = (s, dir) => {
     import s.implicits._
+    // one digest per token via the custom Md5Chunks expression; vote b is
+    // the top bit of hex nibble b, i.e. bit (7-b%8)*4+3 of chunk b/8 —
+    // identical to `substring(md5_hex, b+1, 1) >= '8'` (the oracle's
+    // form), but pure codegen'd long bit math instead of substring
+    // comparisons over a hex string.
     val votes = t(s, dir, "documents")
       .select($"doc_id", explode(array_distinct(split($"text", " "))).as("tok"))
-      .withColumn("h", md5($"tok"))
-    val sums = (0 until 16).map(b =>
-      sum(when(substring($"h", b + 1, 1) >= "8", 1).otherwise(-1)).as(s"v$b"))
+      .withColumn("ch", graft.functions.Md5Chunks.md5Chunks($"tok"))
+    val sums = (0 until 16).map { b =>
+      val nibble = shiftright(element_at($"ch", b / 8 + 1), (7 - b % 8) * 4)
+        .bitwiseAND(lit(15L))
+      sum(when(nibble >= 8, 1).otherwise(-1)).as(s"v$b")
+    }
     val sh = votes.groupBy($"doc_id").agg(sums.head, sums.tail: _*)
       .select($"doc_id",
         (0 until 16).map(b => when(col(s"v$b") > 0, 1 << b).otherwise(0))
