@@ -1,0 +1,30 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL surface for graft's custom expressions through the PUBLIC
+  * extension hook: build a session with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` — or set
+  * `spark.sql.extensions=graft.functions.GraftExtensions` — and
+  * `long_array_dot(a, b)` / `md5_chunks(s)` become callable from SQL.
+  *
+  * The DataFrame API path ([[GraftFunctions]] / [[Md5Chunks.md5Chunks]])
+  * does not depend on this: the driver contract hands the library
+  * arbitrary sessions, so column-level construction must not require
+  * session-creation-time registration. This class is for SQL-first
+  * deployments that own their session builder.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("long_array_dot"),
+      new ExpressionInfo(classOf[LongArrayDot].getName, "long_array_dot"),
+      (args: Seq[Expression]) => LongArrayDot(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("md5_chunks"),
+      new ExpressionInfo(classOf[Md5Chunks].getName, "md5_chunks"),
+      (args: Seq[Expression]) => Md5Chunks(args.head)))
+  }
+}

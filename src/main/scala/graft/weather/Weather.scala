@@ -74,6 +74,24 @@ object Weather {
       .withColumn("date",
         regexp_extract(input_file_name(), "/(\\d{4}-\\d{2}-\\d{2})/[^/]*$", 1))
 
+  /** S1: the REST API source (reference weather_etl.py:35-37 — one HTTP
+    * GET per city, one JSON doc per response). The transport is a plain
+    * `city => responseBody` function injected by the caller: production
+    * wires an HTTP client on the DRIVER (9 tiny fetches — per-executor
+    * fetching would multiply API quota for nothing), tests and offline
+    * runs wire fixture content. Responses parse through the SAME pinned
+    * schema as the file scan, so everything downstream of `from_json` is
+    * shared with S2; `date` mirrors the reference's per-day layout key. */
+  def fetchRaw(spark: SparkSession, fetch: String => String,
+               cities: Seq[String], date: String): DataFrame = {
+    import spark.implicits._
+    val docs = cities.map(c => fetch(c))
+    spark.createDataset(docs).toDF("raw")
+      .select(from_json($"raw", weatherSchema).as("doc"))
+      .select($"doc.location".as("location"), $"doc.current".as("current"))
+      .withColumn("date", lit(date))
+  }
+
   /** P1/P2/P3/P6: flatten both structs of the same row (the reference's
     * axis=1 concat, weather_etl.py:82, disappears — no join needed),
     * replace `condition` by its text leaf, rename name→city, parse the

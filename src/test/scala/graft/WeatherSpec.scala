@@ -22,6 +22,27 @@ class WeatherSpec extends AnyFunSuite {
     assert(raw.filter("location IS NULL OR current IS NULL").count() === 0)
   }
 
+  test("S1 fetch source: injected transport, same schema and flatten as the file scan") {
+    import java.nio.file.{Files, Paths}
+    val date = "2023-08-11"
+    val cities = new java.io.File(s"$dataDir/$date").listFiles()
+      .map(_.getName.stripSuffix(".txt")).sorted.toSeq
+    // "HTTP" transport backed by the fixture bodies — what the test
+    // injects where production injects a real client
+    val fetch: String => String =
+      city => Files.readString(Paths.get(s"$dataDir/$date/$city.txt"))
+    val raw = Weather.fetchRaw(spark, fetch, cities, date)
+    assert(raw.schema.fieldNames.toSet === Set("location", "current", "date"))
+    assert(raw.count() === 9)
+    // identical rows to the file scan restricted to that date
+    val viaFiles = Weather.flatten(Weather.readRaw(spark, dataDir))
+      .filter(org.apache.spark.sql.functions.col("date") === date)
+    val viaFetch = Weather.flatten(raw)
+    assert(viaFetch.select("city", "temp_c", "localtime_epoch").except(
+      viaFiles.select("city", "temp_c", "localtime_epoch")).isEmpty)
+    assert(viaFetch.count() === viaFiles.count())
+  }
+
   test("P1/P2/P3/P6 flatten yields 31 data columns, city rename, parsed localtime") {
     val flat = Weather.flatten(Weather.readRaw(spark, dataDir))
     assert(flat.count() === 27)

@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** The SparkSessionExtensions registration: a session built with
+  * GraftExtensions can call the custom expressions from SQL. The extra
+  * session shares the test SparkContext (never stopped here) and the
+  * shared default session is restored afterwards. */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("long_array_dot and md5_chunks are callable from SQL") {
+    val base = SparkTestSession.spark // ensure the context exists
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      assert(s ne base) // really a new session, with the extensions applied
+      assert(s.sql("SELECT long_array_dot(array(1L,2L,3L), array(4L,5L,6L)) AS d")
+        .head().getLong(0) === 32L)
+      // md5_chunks == conv(substring(md5_hex)) — same identity the specs pin
+      val r = s.sql(
+        """SELECT md5_chunks('abc')[0] AS c0,
+          |       CAST(conv(substring(md5('abc'), 1, 8), 16, 10) AS BIGINT) AS e0""".stripMargin)
+        .head()
+      assert(r.getLong(0) === r.getLong(1))
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+}
