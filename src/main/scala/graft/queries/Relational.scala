@@ -96,20 +96,28 @@ object Relational {
       |ORDER BY o_custkey, rnk""".stripMargin
 
   // ---------------------------------------------------------------------
-  // q04: fact-fact join + agg. orders⋈lineitem shuffles on the join key;
-  // group-by keys are low-card so the final agg is a cheap second exchange.
-  // At 100 TB both sides would be bucketed on orderkey to kill the shuffle.
+  // q04: fact-fact join + agg. orders⋈lineitem shuffles on the join key
+  // (bucketed layout kills even that — see Bucketed/q41); the distinct
+  // order count is computed as a TWO-PHASE aggregate — per-orderkey
+  // partials first, then the low-card rollup — instead of
+  // countDistinct: the first phase groups on the JOIN key, so under a
+  // shuffled SortMergeJoin it reuses the join's exchange (zero extra
+  // shuffle), and no Expand ever doubles the joined rows. Result-equal
+  // to the countDistinct form (every joined order has >= 1 item).
   // ---------------------------------------------------------------------
   val q04: Q = (s, dir) => {
     import s.implicits._
     val o = t(s, dir, "orders")
     val l = t(s, dir, "lineitem")
     o.join(l, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderkey", $"o_orderpriority")
+      .agg(sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("rev_c"),
+           count(lit(1)).as("ni"))
       .groupBy($"o_orderpriority")
       .agg(
-        money(sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount")))).as("revenue"),
-        countDistinct($"o_orderkey").as("n_orders"),
-        count(lit(1)).as("n_items"))
+        money(sum($"rev_c")).as("revenue"),
+        count(lit(1)).as("n_orders"),
+        sum($"ni").as("n_items"))
       .orderBy($"o_orderpriority")
   }
   val q04Sql: String =

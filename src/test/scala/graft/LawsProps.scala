@@ -64,4 +64,5 @@ object LawsProps extends Properties("graft.laws") {
     val g = df.groupBy(md5($"text")).agg(min($"id").as("keep"), count(lit(1)).as("n"))
     g.agg(sum($"n")).head.getLong(0) == rows.size
   }
+
 }

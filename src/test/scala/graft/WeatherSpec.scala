@@ -22,6 +22,22 @@ class WeatherSpec extends AnyFunSuite {
     assert(raw.filter("location IS NULL OR current IS NULL").count() === 0)
   }
 
+  test("S2 scan survives a malformed doc: null structs, no job failure") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = Files.createTempDirectory("weather_bad")
+    val day = tmp.resolve("2023-08-11"); Files.createDirectories(day)
+    new java.io.File(s"$dataDir/2023-08-11").listFiles().foreach { f =>
+      Files.copy(f.toPath, day.resolve(f.getName), StandardCopyOption.REPLACE_EXISTING)
+    }
+    Files.writeString(day.resolve("Corrupt.txt"), """{"location": {"name": 12, truncated""")
+    val raw = Weather.readRaw(spark, tmp.toString)
+    assert(raw.count() === 10) // 9 good + 1 corrupt (default PERMISSIVE mode)
+    assert(raw.filter("location IS NULL AND current IS NULL").count() === 1)
+    // the good rows flatten exactly as before; the corrupt row is droppable
+    val flat = Weather.flatten(raw).filter("city IS NOT NULL")
+    assert(flat.count() === 9)
+  }
+
   test("S1 fetch source: injected transport, same schema and flatten as the file scan") {
     import java.nio.file.{Files, Paths}
     val date = "2023-08-11"
