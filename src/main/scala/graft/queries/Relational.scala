@@ -670,13 +670,19 @@ object Relational {
   // records a rows-only check; the ApproxDistinctSpec test pins the
   // semantic guarantee (relative error within the configured rsd).
   // ---------------------------------------------------------------------
+  // Two-phase form: pre-distinct (type, user) pairs, then count + HLL
+  // over the dedup'd rows — HLL is duplicate-insensitive so the sketch
+  // is IDENTICAL to one built on raw rows, the exact count is the group
+  // size, and no Expand rewrite doubles the scan (one shuffle + a tiny
+  // low-card exchange, the same shape q04 uses for its distinct count).
   val q39: Q = (s, dir) => {
     import s.implicits._
     t(s, dir, "events")
+      .groupBy($"event_type", $"user_id").agg(count(lit(1)).as("_n"))
       .groupBy($"event_type")
       .agg(
         approx_count_distinct($"user_id", 0.02).as("approx_users"),
-        countDistinct($"user_id").as("exact_users"))
+        count(lit(1)).as("exact_users"))
       .orderBy($"event_type")
   }
 
@@ -736,6 +742,63 @@ object Relational {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q44: scalar + correlated subqueries — parts above global average
+  // retail price, with their supplier count from a correlated count.
+  // Catalyst plans the scalar subquery as a one-row broadcast and
+  // decorrelates the count into a left outer aggregate join — subquery
+  // surface a SQL-first user expects from a complete engine.
+  // ---------------------------------------------------------------------
+  // The above-average threshold is compared in EXACT integer cents
+  // (100·price_c·n > 101·sum_c ⟺ price > 1.01·avg; prices cluster within
+  // ~5% of the mean, so 1% selects a real tail at every test SF): a double AVG would be
+  // summation-order nondeterministic at the boundary.
+  val q44: Q = (s, dir) => {
+    Seq("part", "supplier").foreach(n => t(s, dir, n).createOrReplaceTempView(n + "_v"))
+    s.sql(
+      """SELECT p_partkey, p_name, p_retailprice,
+        |  (SELECT COUNT(*) FROM supplier_v WHERE s_nationkey = p_size % 25) AS nation_suppliers
+        |FROM part_v
+        |WHERE 100 * CAST(ROUND(p_retailprice * 100) AS BIGINT)
+        |        * (SELECT COUNT(*) FROM part_v)
+        |      > 101 * (SELECT SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)) FROM part_v)
+        |ORDER BY p_partkey""".stripMargin)
+  }
+  val q44Sql: String =
+    """SELECT p_partkey, p_name, p_retailprice,
+      |  (SELECT COUNT(*) FROM supplier WHERE s_nationkey = p_size % 25) AS nation_suppliers
+      |FROM part
+      |WHERE 100 * CAST(ROUND(p_retailprice * 100) AS BIGINT)
+      |        * (SELECT COUNT(*) FROM part)
+      |      > 101 * (SELECT SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)) FROM part)
+      |ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q45: RANGE window frame — sum of order values within a trailing
+  // 30-day event-time range per customer (a frame the ROWS form can't
+  // express when row counts per day vary). Exact-integer sums keep the
+  // frame arithmetic engine-portable.
+  // ---------------------------------------------------------------------
+  val q45: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy(unix_date(to_date($"o_orderdate")))
+      .rangeBetween(-30, Window.currentRow)
+    t(s, dir, "orders")
+      .withColumn("trail30",
+        (sum(cents($"o_totalprice")).over(w) / lit(100.0)))
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"trail30")
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+  val q45Sql: String =
+    s"""SELECT o_custkey, o_orderkey, o_totalprice,
+       |  SUM(${sqlCents("o_totalprice")}) OVER
+       |    (PARTITION BY o_custkey
+       |     ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+       |     RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) / 100.0 AS trail30
+       |FROM orders
+       |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   /** name -> query function, assembled by [[graft.SparkEntry]]. */
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary"    -> q01,
@@ -766,7 +829,9 @@ object Relational {
     "q38_cube"               -> q38,
     "q39_approx_distinct"    -> q39,
     "q42_rank_ntile"         -> q42,
-    "q43_percentiles"        -> q43)
+    "q43_percentiles"        -> q43,
+    "q44_subqueries"         -> q44,
+    "q45_range_frame"        -> q45)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary"    -> q01Sql,
@@ -798,7 +863,9 @@ object Relational {
     // cross-engine comparable (driver records a rows-only check).
     "q38_cube"               -> q38Sql,
     "q42_rank_ntile"         -> q42Sql,
-    "q43_percentiles"        -> q43Sql)
+    "q43_percentiles"        -> q43Sql,
+    "q44_subqueries"         -> q44Sql,
+    "q45_range_frame"        -> q45Sql)
 
   /** Bench-time overrides: same semantics minus determinism-only global
     * sorts (which exist purely for the oracle's ordered hash-compare and
