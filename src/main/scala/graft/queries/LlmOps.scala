@@ -395,13 +395,80 @@ object LlmOps {
        |ORDER BY sim DESC, vec_a, vec_b
        |LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q46: ANN, the IVF (inverted-file) family — the other classic scale
+  // path beside sign-LSH (q31). Vectors are assigned to their nearest of
+  // K fixed centroids (deterministic: the vectors with ids 1..K serve as
+  // centroids; argmax cosine, ties to the smallest centroid id); a query
+  // probes only the nProbe cells nearest ITS probe vector, paying exact
+  // cosine on that fraction of the corpus. At 100 TB: the centroid set
+  // broadcasts (K rows), assignment is one narrow shuffle-free pass
+  // (N×K broadcast products via the codegen'd dot), and `cell` becomes
+  // the partition key of the vector index — nProbe/K is the scan-cost
+  // knob, trading recall for selectivity like every IVF index.
+  // ---------------------------------------------------------------------
+  private val IvfK = 8
+  private val IvfProbe = 2
+
+  val q46: Q = (s, dir) => {
+    import s.implicits._
+    val quant = t(s, dir, "embeddings")
+      .select($"vec_id", quantize($"embedding").as("e"))
+    val cents = broadcast(quant.filter($"vec_id".between(1, IvfK))
+      .select($"vec_id".as("c_id"), $"e".as("ce")))
+    // nearest-centroid assignment: argmax cosine, smallest c_id on ties
+    val assigned = quant.filter($"vec_id" =!= 0)
+      .crossJoin(cents)
+      .withColumn("csim", cosine($"e", $"ce"))
+      .groupBy($"vec_id", $"e")
+      .agg(max(struct($"csim", (-$"c_id").as("nc"))).as("m"))
+      .select($"vec_id", $"e", (-$"m.nc").as("cell"))
+    val probe = broadcast(quant.filter($"vec_id" === 0).select($"e".as("pe")))
+    val probeCells = broadcast(cents.crossJoin(probe)
+      .select($"c_id", cosine($"ce", $"pe").as("psim"))
+      .orderBy($"psim".desc, $"c_id".asc)
+      .limit(IvfProbe)
+      .select($"c_id".as("probe_cell")))
+    assigned.join(probeCells, $"cell" === $"probe_cell")
+      .crossJoin(probe)
+      .select($"vec_id", cosine($"e", $"pe").as("sim"))
+      .orderBy($"sim".desc, $"vec_id".asc)
+      .limit(5)
+  }
+  val q46Sql: String =
+    s"""WITH q AS (SELECT vec_id,
+       |    list_transform(embedding::DOUBLE[], x -> CAST(round(x*1000000) AS BIGINT)) AS e
+       |  FROM embeddings),
+       |cents AS (SELECT vec_id AS c_id, e AS ce FROM q
+       |          WHERE vec_id BETWEEN 1 AND $IvfK),
+       |scored AS (
+       |  SELECT a.vec_id, a.e, c.c_id, ${sqlCos("a.e", "c.ce")} AS csim
+       |  FROM q a CROSS JOIN cents c WHERE a.vec_id <> 0),
+       |assigned AS (
+       |  SELECT vec_id, e, c_id AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY csim DESC, c_id ASC) AS rn FROM scored)
+       |  WHERE rn = 1),
+       |probe AS (SELECT e AS pe FROM q WHERE vec_id = 0),
+       |probe_cells AS (
+       |  SELECT c_id AS probe_cell FROM (
+       |    SELECT c.c_id, ${sqlCos("c.ce", "p.pe")} AS psim
+       |    FROM cents c CROSS JOIN probe p
+       |    ORDER BY psim DESC, c_id ASC LIMIT $IvfProbe))
+       |SELECT a.vec_id, ${sqlCos("a.e", "p.pe")} AS sim
+       |FROM assigned a JOIN probe_cells pc ON a.cell = pc.probe_cell
+       |CROSS JOIN probe p
+       |ORDER BY sim DESC, vec_id ASC
+       |LIMIT 5""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q22_exact_dedup"    -> q22,
     "q23_text_stats"     -> q23,
     "q24_cosine_topk"    -> q24,
     "q25_near_dedup"     -> q25,
     "q31_lsh_ann"        -> q31,
-    "q36_embed_near_dup" -> q36)
+    "q36_embed_near_dup" -> q36,
+    "q46_ivf_ann"        -> q46)
 
   val oracles: Map[String, String] = Map(
     "q22_exact_dedup"    -> q22Sql,
@@ -409,7 +476,8 @@ object LlmOps {
     "q24_cosine_topk"    -> q24Sql,
     "q25_near_dedup"     -> q25Sql,
     "q31_lsh_ann"        -> q31Sql,
-    "q36_embed_near_dup" -> q36Sql)
+    "q36_embed_near_dup" -> q36Sql,
+    "q46_ivf_ann"        -> q46Sql)
 
   /** Bench-time overrides minus determinism-only global sorts (see
     * [[Relational.benchVariants]]). Verify runs the sorted forms. */
