@@ -73,4 +73,14 @@ object Sessionize {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(fn)
   }
+
+  /** Streaming exact dedup at ingest (the streaming form of q22's
+    * dedup-by-digest): duplicates of `keyCols` arriving within the
+    * watermark horizon are dropped; state for a key is released once the
+    * watermark passes it — bounded state, unlike a plain
+    * `dropDuplicates` whose key set only grows. The LLM-ingest shape:
+    * key on the content digest, dedup before anything expensive runs. */
+  def dedupWithinWatermark(events: Dataset[Ev], delay: String,
+                           keyCols: Seq[String] = Seq("user_id", "value")): Dataset[Ev] =
+    events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(keyCols)
 }

@@ -48,4 +48,26 @@ class SessionizeSpec extends AnyFunSuite {
         s"timeout session missing: ${all.toSeq}")
     } finally query.stop()
   }
+
+  test("dropDuplicatesWithinWatermark drops in-horizon duplicates, keeps distinct") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[Ev]
+    val query = Sessionize.dedupWithinWatermark(input.toDS(), "1 minute")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Ev(1, ts(0), 1.0), Ev(1, ts(5), 1.0),  // duplicate (user_id, value) pair
+        Ev(1, ts(7), 2.0),                     // distinct value
+        Ev(2, ts(3), 1.0))                     // distinct user
+      query.processAllAvailable()
+      val out = s.table("dedup_out").as[Ev].collect()
+      assert(out.length === 3, s"got: ${out.toSeq}")
+      assert(out.map(e => (e.user_id, e.value)).toSet ===
+        Set((1L, 1.0), (1L, 2.0), (2L, 1.0)))
+    } finally query.stop()
+  }
 }
