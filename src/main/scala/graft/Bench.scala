@@ -21,7 +21,11 @@ import scala.util.control.NonFatal
   * output row (full plan executes, nothing is persisted or collected).
   */
 object Bench {
-  private val timedRuns = 3
+  // min-of-5: timing noise on this host is one-sided (GC, scheduling,
+  // neighbor load can only inflate) and was observed at ±30% run-to-run
+  // on unchanged sub-second queries — two extra runs per query buy a
+  // visibly more stable minimum at ~1 min of extra wall clock.
+  private val timedRuns = 5
 
   /** Execute the full physical plan, discarding rows executor-side. */
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
