@@ -69,6 +69,25 @@ object Multimodal {
   def sampleFrames(frames: DataFrame, everyK: Int): DataFrame =
     frames.filter(col("frame_no") % everyK === 0)
 
+  /** RESIZE stub: average-pool the content bytes into `bins` equal-width
+    * bins — a fixed-length numeric "thumbnail" of variable-length binary
+    * (the real pipeline resizes decoded images; the pooling shape is
+    * what downstream similarity/feature operators consume). Averages are
+    * exact-integer sums divided once at the end, so the output is
+    * deterministic; requires `bins` to divide the byte length (true for
+    * the 32-byte synthetic corpus and any fixed-frame layout). */
+  def avgPool(df: DataFrame, bins: Int = 8): DataFrame = {
+    val h = lower(hex(col("content")))
+    val n = length(col("content"))
+    val binW = (n / bins).cast("int")
+    val pooled = transform(sequence(lit(0), lit(bins - 1)), b => {
+      val byteVals = transform(sequence(b * binW, (b + 1) * binW - 1), i =>
+        conv(substring(h, i * 2 + 1, lit(2)), 16, 10).cast("long"))
+      aggregate(byteVals, lit(0L), (a, x) => a + x).cast("double") / binW
+    })
+    df.select(col("asset_id"), col("kind"), pooled.as("pooled"))
+  }
+
   /** Per-asset feature extraction: a 16-bin nibble histogram of the
     * content bytes — computed entirely in codegen'd expressions on the
     * hex view of the binary (hex→binary→hex is the identity, which is

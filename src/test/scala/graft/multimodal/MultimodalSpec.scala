@@ -62,6 +62,20 @@ class MultimodalSpec extends AnyFunSuite {
       .map(_.getInt(0)).sorted.toSeq === Seq(0, 2))
   }
 
+  test("avgPool resize: fixed-length thumbnail, pinned against JVM bytes") {
+    val pooled = Multimodal.avgPool(Multimodal.assets(spark, sfDir), bins = 8)
+    val row = pooled.filter(col("asset_id") === 0).head()
+    val vec = row.getSeq[Double](pooled.columns.indexOf("pooled"))
+    assert(vec.length === 8)
+    val doc = graft.Tables.t(spark, sfDir, "documents")
+      .filter(col("doc_id") === 0).select("text").head().getString(0)
+    val bytes = (MessageDigest.getInstance("MD5").digest(("f0:" + doc).getBytes("UTF-8")) ++
+      MessageDigest.getInstance("MD5").digest(("f1:" + doc).getBytes("UTF-8")))
+      .map(b => (b & 0xff).toLong)
+    val expected = bytes.grouped(4).map(g => g.sum.toDouble / 4).toSeq
+    assert(vec === expected)
+  }
+
   test("nibbleFeatures: 16-bin histogram sums to nibble count, pinned example") {
     val feats = Multimodal.nibbleFeatures(Multimodal.assets(spark, sfDir))
     val row = feats.filter(col("asset_id") === 0).head()
