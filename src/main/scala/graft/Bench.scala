@@ -55,11 +55,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Dev loop: SPARK_GRAFT_ONLY=q25,q30 times just the named queries
+    // (substring match). The driver sets no filter and benches everything.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val ordered = (SparkEntry.queries ++
         graft.queries.Relational.benchVariants ++
         graft.queries.LlmOps.benchVariants ++
         graft.queries.TextOps.benchVariants)
       .toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
     // Warmup: one untimed pass over every query (catches codegen + scan
     // setup; failures here are also failures in the timed pass and are
     // reported there). NonFatal only — an OOM must crash, not mis-report.
