@@ -799,6 +799,52 @@ object Relational {
        |FROM orders
        |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q47: AS-OF join — each purchase matched to the same user's most
+  // recent click at-or-before it. Spark has no native as-of join; the
+  // Spark-first composition (the brief's preference (a): compose
+  // built-ins) is the tagged-union + last-non-null-window form:
+  //   union(clicks tagged 0, purchases tagged 1)
+  //   -> window (user, ORDER BY ts, tag, id) running last(click_id)
+  //   -> keep purchases.
+  // ONE shuffle on user_id total — the same cost as the window the
+  // right side needs anyway — versus a range-join's quadratic blowup.
+  // Clicks are pre-deduped to one per (user, ts) (max event_id) so the
+  // match is unique; the DuckDB oracle is its native ASOF LEFT JOIN.
+  // ---------------------------------------------------------------------
+  val q47: Q = (s, dir) => {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter($"event_type" === "click")
+      .groupBy($"user_id", $"ts")
+      .agg(max($"event_id").as("click_id"))
+      .select($"user_id", $"ts", $"click_id", lit(0).as("tag"),
+              lit(null).cast("long").as("event_id"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", lit(null).cast("long").as("click_id"),
+              lit(1).as("tag"), $"event_id")
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts", $"tag", $"click_id".asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("asof_click", last($"click_id", ignoreNulls = true).over(w))
+      .filter($"tag" === 1)
+      .select($"user_id", $"event_id", tsUs($"ts").as("ts_us"), $"asof_click")
+      .orderBy($"user_id", $"event_id")
+  }
+  val q47Sql: String =
+    """WITH clicks AS (
+      |  SELECT user_id, ts, MAX(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click'
+      |  GROUP BY user_id, ts),
+      |purchases AS (
+      |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase')
+      |SELECT p.user_id, p.event_id, epoch_us(p.ts) AS ts_us, c.click_id AS asof_click
+      |FROM purchases p
+      |ASOF LEFT JOIN clicks c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.user_id, p.event_id""".stripMargin
+
   /** name -> query function, assembled by [[graft.SparkEntry]]. */
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary"    -> q01,
@@ -831,7 +877,8 @@ object Relational {
     "q42_rank_ntile"         -> q42,
     "q43_percentiles"        -> q43,
     "q44_subqueries"         -> q44,
-    "q45_range_frame"        -> q45)
+    "q45_range_frame"        -> q45,
+    "q47_asof_join"          -> q47)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary"    -> q01Sql,
@@ -865,7 +912,8 @@ object Relational {
     "q42_rank_ntile"         -> q42Sql,
     "q43_percentiles"        -> q43Sql,
     "q44_subqueries"         -> q44Sql,
-    "q45_range_frame"        -> q45Sql)
+    "q45_range_frame"        -> q45Sql,
+    "q47_asof_join"          -> q47Sql)
 
   /** Bench-time overrides: same semantics minus determinism-only global
     * sorts (which exist purely for the oracle's ordered hash-compare and
