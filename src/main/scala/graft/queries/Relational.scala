@@ -845,6 +845,52 @@ object Relational {
       |  ON p.user_id = c.user_id AND p.ts >= c.ts
       |ORDER BY p.user_id, p.event_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q48: RANGE join — per purchase, the count of the same user's clicks
+  // in the preceding hour. Spark would execute the raw inequality join
+  // as a nested-loop per key; the scale composition is BIN BUCKETING:
+  // clicks key on (user, hour-bin), each purchase probes its own and the
+  // previous bin (a 1-hour window spans at most 2 bins), the join is a
+  // plain equi-join on (user, bin), and the exact range predicate
+  // filters the candidates. Candidate count is O(events per 2 bins), not
+  // O(events²) per user; the bin width is the selectivity knob. All
+  // comparisons in exact epoch micros. LEFT join keeps zero-click
+  // purchases (count(cts) ignores nulls).
+  // ---------------------------------------------------------------------
+  val q48: Q = (s, dir) => {
+    import s.implicits._
+    val HourUs = 3600L * 1000000L
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), tsUs($"ts").as("c_us"))
+      .withColumn("bin", floor($"c_us" / HourUs))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", tsUs($"ts").as("p_us"))
+      .withColumn("bin0", floor($"p_us" / HourUs))
+      .withColumn("bin", explode(array($"bin0" - 1, $"bin0")))
+    purchases.join(clicks,
+        $"user_id" === $"c_user" && purchases("bin") === clicks("bin") &&
+          $"c_us" >= $"p_us" - HourUs && $"c_us" < $"p_us",
+        "left")
+      .groupBy($"user_id", $"event_id", $"p_us")
+      .agg(count($"c_us").as("n_prior_clicks"))
+      .select($"user_id", $"event_id", $"p_us".as("ts_us"), $"n_prior_clicks")
+      .orderBy($"user_id", $"event_id")
+  }
+  val q48Sql: String =
+    """WITH clicks AS (
+      |  SELECT user_id AS c_user, epoch_us(ts) AS c_us
+      |  FROM events WHERE event_type = 'click'),
+      |purchases AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS p_us
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT p.user_id, p.event_id, p.p_us AS ts_us, COUNT(c.c_us) AS n_prior_clicks
+      |FROM purchases p LEFT JOIN clicks c
+      |  ON p.user_id = c.c_user
+      | AND c.c_us >= p.p_us - 3600000000 AND c.c_us < p.p_us
+      |GROUP BY p.user_id, p.event_id, p.p_us
+      |ORDER BY p.user_id, p.event_id""".stripMargin
+
   /** name -> query function, assembled by [[graft.SparkEntry]]. */
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary"    -> q01,
@@ -878,7 +924,8 @@ object Relational {
     "q43_percentiles"        -> q43,
     "q44_subqueries"         -> q44,
     "q45_range_frame"        -> q45,
-    "q47_asof_join"          -> q47)
+    "q47_asof_join"          -> q47,
+    "q48_range_join"         -> q48)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary"    -> q01Sql,
@@ -913,7 +960,8 @@ object Relational {
     "q43_percentiles"        -> q43Sql,
     "q44_subqueries"         -> q44Sql,
     "q45_range_frame"        -> q45Sql,
-    "q47_asof_join"          -> q47Sql)
+    "q47_asof_join"          -> q47Sql,
+    "q48_range_join"         -> q48Sql)
 
   /** Bench-time overrides: same semantics minus determinism-only global
     * sorts (which exist purely for the oracle's ordered hash-compare and
