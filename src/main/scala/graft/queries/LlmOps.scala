@@ -329,15 +329,18 @@ object LlmOps {
       (sqrt(sqNorm(a).cast("double")) * sqrt(sqNorm(b).cast("double")))
 
   /** DuckDB fragments mirroring the Spark LSH expressions (md5 derivation
-    * inline — same values as the Scala-side literals by construction). */
+    * inline — same values as the Scala-side literals by construction).
+    * Dimension-generic like q24's SQL: bounds derive from len(e), so a
+    * width other than [[Dim]] diverges loudly on the Spark side (NULL via
+    * LongArrayDot) instead of silently on the oracle side. */
   private def sqlPlaneDot(e: String, p: Int): String =
-    s"list_sum(list_transform(range(1,${Dim + 1}), j -> $e[j] * " +
+    s"list_sum(list_transform(range(1,len($e)+1), j -> $e[j] * " +
       s"(CASE WHEN substring(md5('$p:' || (j-1)),1,1) >= '8' THEN 1 ELSE -1 END)))"
   private def sqlBucket(e: String, planes: Int): String =
     (0 until planes).map(p =>
       s"(CASE WHEN ${sqlPlaneDot(e, p)} > 0 THEN ${1 << p} ELSE 0 END)").mkString(" + ")
   private def sqlCos(a: String, b: String): String =
-    s"CAST(list_sum(list_transform(range(1,65), j -> $a[j]*$b[j])) AS DOUBLE)" +
+    s"CAST(list_sum(list_transform(range(1,len($a)+1), j -> $a[j]*$b[j])) AS DOUBLE)" +
       s" / (sqrt(CAST(list_sum(list_transform($a, x->x*x)) AS BIGINT)::DOUBLE)" +
       s" * sqrt(CAST(list_sum(list_transform($b, x->x*x)) AS BIGINT)::DOUBLE))"
 

@@ -96,19 +96,22 @@ object Relational {
       |ORDER BY o_custkey, rnk""".stripMargin
 
   // ---------------------------------------------------------------------
-  // q04: fact-fact join + agg. orders⋈lineitem shuffles on the join key
-  // (bucketed layout kills even that — see Bucketed/q41); the distinct
-  // order count is computed as a TWO-PHASE aggregate — per-orderkey
-  // partials first, then the low-card rollup — instead of
-  // countDistinct: the first phase groups on the JOIN key, so under a
-  // shuffled SortMergeJoin it reuses the join's exchange (zero extra
-  // shuffle), and no Expand ever doubles the joined rows. Result-equal
-  // to the countDistinct form (every joined order has >= 1 item).
+  // q04: fact-fact join + agg over the BUCKETED layout (Bucketed
+  // .ensureLayout): orders and lineitem are read co-located on the order
+  // key, so the join — and the first-phase per-orderkey aggregate — run
+  // with ZERO exchange on the facts (plan-asserted in BucketedJoinSpec);
+  // at 100 TB the layout, not every query, pays the orderkey shuffle.
+  // The distinct order count is a TWO-PHASE aggregate — per-orderkey
+  // partials first (clustering satisfied by the bucketing), then the
+  // low-card rollup — instead of countDistinct, so no Expand ever
+  // doubles the joined rows. Result-equal to the countDistinct form
+  // (every joined order has >= 1 item), and identical to the raw-parquet
+  // plan's rows (same data, different layout).
   // ---------------------------------------------------------------------
   val q04: Q = (s, dir) => {
     import s.implicits._
-    val o = t(s, dir, "orders")
-    val l = t(s, dir, "lineitem")
+    val o = Bucketed.orders(s, dir)
+    val l = Bucketed.lineitem(s, dir)
     o.join(l, $"o_orderkey" === $"l_orderkey")
       .groupBy($"o_orderkey", $"o_orderpriority")
       .agg(sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("rev_c"),
@@ -130,24 +133,29 @@ object Relational {
        |ORDER BY o_orderpriority""".stripMargin
 
   // ---------------------------------------------------------------------
-  // q05: TPC-H Q5-style multi-join. region/nation/supplier are dimensions
-  // -> broadcast (no shuffle); only customer⋈orders⋈lineitem shuffle.
+  // q05: TPC-H Q5-style multi-join, reordered for the bucketed layout:
+  // the BIG join (orders⋈lineitem) runs first over the co-located tables
+  // — zero exchange on either fact (plan-asserted in BucketedJoinSpec) —
+  // and only the date-filtered, column-pruned join OUTPUT shuffles once
+  // on custkey to meet customer. The raw-layout plan shuffled ALL of
+  // lineitem on orderkey per query; here the layout paid that once.
+  // region/nation are fixed-size dims -> broadcast (no shuffle).
   // ---------------------------------------------------------------------
   val q05: Q = (s, dir) => {
     import s.implicits._
     val cust = t(s, dir, "customer")
-    val ord  = t(s, dir, "orders")
+    val ord  = Bucketed.orders(s, dir)
       .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
               $"o_orderdate" <  lit("1998-01-01").cast("timestamp"))
     // supplier scales with SF (~SF×10k rows) — never force-broadcast it;
     // AQE picks the strategy at runtime. nation/region are fixed-size dims.
-    val li   = t(s, dir, "lineitem")
+    val li   = Bucketed.lineitem(s, dir)
     val sup  = t(s, dir, "supplier")
     val nat  = broadcast(t(s, dir, "nation"))
     val reg  = broadcast(t(s, dir, "region").filter($"r_name" === "ASIA"))
-    cust
-      .join(ord, $"c_custkey" === $"o_custkey")
+    ord
       .join(li, $"o_orderkey" === $"l_orderkey")
+      .join(cust, $"c_custkey" === $"o_custkey")
       .join(sup, $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
       .join(nat, $"s_nationkey" === $"n_nationkey")
       .join(reg, $"n_regionkey" === $"r_regionkey")

@@ -35,6 +35,33 @@ class BucketedJoinSpec extends AnyFunSuite {
     }
   }
 
+  /** The orderkey SortMergeJoin subtree of a query plan, if any. */
+  private def orderkeySmj(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.executedPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+          if j.leftKeys.exists(_.toString.contains("o_orderkey")) => j
+    }
+
+  test("q04's orderkey join runs exchange-free over the bucketed layout") {
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val smj = orderkeySmj(Relational.q04(spark, sfDir))
+      assert(smj.nonEmpty, "expected a SortMergeJoin on o_orderkey")
+      assert(!smj.head.toString.contains("Exchange"), smj.head.toString.take(2000))
+    }
+  }
+
+  test("q05's orderkey join runs exchange-free over the bucketed layout") {
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val smj = orderkeySmj(Relational.q05(spark, sfDir))
+      assert(smj.nonEmpty, "expected a SortMergeJoin on o_orderkey")
+      assert(!smj.head.toString.contains("Exchange"), smj.head.toString.take(2000))
+    }
+  }
+
   test("q41 matches the plain-parquet join result") {
     val viaBuckets = Bucketed.q41(spark, sfDir)
     val plain = {
