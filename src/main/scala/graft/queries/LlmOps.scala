@@ -284,16 +284,24 @@ object LlmOps {
 
   // ---------------------------------------------------------------------
   // q31: ANN, the scale path — sign-LSH (4 random hyperplanes) buckets
-  // the embeddings, then exact cosine only within the probe's bucket:
-  // candidate count drops 16x vs q24's brute force, same top answers with
-  // high probability. The "random" hyperplanes are deterministic ±1
-  // vectors derived from md5("p:j") (engine-portable, like the minhash) —
-  // but derived ON THE DRIVER, once, and embedded as array literals: the
-  // per-row path is a pure zip_with/aggregate over constants (codegen'd
-  // long math, zero hashing per row). The oracle SQL keeps the md5
-  // derivation inline; the values are identical by construction.
-  // At 100 TB: buckets are the shuffle key; multi-probe (flipping weak
-  // bits) recovers recall without widening the scan.
+  // the embeddings, then exact cosine only within the PROBED buckets.
+  // The "random" hyperplanes are deterministic ±1 vectors derived from
+  // md5("p:j") (engine-portable, like the minhash) — but derived ON THE
+  // DRIVER, once, and embedded as array literals: the per-row path is
+  // pure codegen'd long math over constants, zero hashing per row. The
+  // oracle SQL keeps the md5 derivation inline; the values are identical
+  // by construction.
+  //
+  // MULTI-PROBE: a near-boundary vector lands one sign flip away from
+  // the probe's bucket, so single-bucket probing silently loses it. The
+  // probe therefore expands to its primary bucket PLUS all `Planes`
+  // buckets at Hamming distance 1 (bucket XOR each one-plane mask) —
+  // 5 of 16 buckets here, recovering most boundary misses while still
+  // scanning a fixed fraction of the corpus. At 100 TB: buckets are the
+  // shuffle/partition key; the probe set is a tiny broadcast (1+Planes
+  // rows), so widening the probe never widens the shuffle. Recall vs
+  // brute-force q24 is pinned by LshRecallSpec (multi-probe ⊇
+  // single-probe candidates by construction).
   // ---------------------------------------------------------------------
   private val Planes = 4      // q31 ANN: recall-biased (16 buckets)
   private val PlanesDedup = 6 // q36 near-dedup: pair-count-biased (64 buckets)
@@ -344,28 +352,45 @@ object LlmOps {
       s" / (sqrt(CAST(list_sum(list_transform($a, x->x*x)) AS BIGINT)::DOUBLE)" +
       s" * sqrt(CAST(list_sum(list_transform($b, x->x*x)) AS BIGINT)::DOUBLE))"
 
-  val q31: Q = (s, dir) => {
+  /** One-plane flip masks for multi-probe (plus 0 = the primary bucket). */
+  private def probeFlips(multiProbe: Boolean): Seq[Int] =
+    if (multiProbe) 0 +: (0 until Planes).map(1 << _) else Seq(0)
+
+  /** Sign-LSH ANN, parameterized on the probe width so LshRecallSpec can
+    * compare single- vs multi-probe recall against brute-force q24. */
+  private[queries] def lshAnn(s: SparkSession, dir: String, multiProbe: Boolean): DataFrame = {
     import s.implicits._
     val bk = t(s, dir, "embeddings")
       .select($"vec_id", quantize($"embedding").as("e"))
       .withColumn("bucket", lshBucket($"e", Planes))
-    val probe = broadcast(bk.filter($"vec_id" === 0).select($"e".as("pe"), $"bucket".as("pb")))
+    // probe rows: (pe, primary XOR flip) — a (1+Planes)-row broadcast;
+    // buckets are distinct, each vector has one bucket => no dup matches
+    val probe = broadcast(bk.filter($"vec_id" === 0)
+      .select($"e".as("pe"), $"bucket",
+        explode(typedLit(probeFlips(multiProbe))).as("flip"))
+      .select($"pe", $"bucket".bitwiseXOR($"flip").as("pb")))
     bk.filter($"vec_id" =!= 0)
       .join(probe, $"bucket" === $"pb")
       .select($"vec_id", cosine($"e", $"pe").as("sim"))
       .orderBy($"sim".desc, $"vec_id".asc)
       .limit(5)
   }
-  val q31Sql: String =
+
+  val q31: Q = (s, dir) => lshAnn(s, dir, multiProbe = true)
+  val q31Sql: String = {
+    val flipRows = probeFlips(multiProbe = true).map(f => s"($f)").mkString(", ")
     s"""WITH q AS (SELECT vec_id,
        |    list_transform(embedding::DOUBLE[], x -> CAST(round(x*1000000) AS BIGINT)) AS e
        |  FROM embeddings),
        |bk AS (SELECT vec_id, e, ${sqlBucket("e", Planes)} AS bucket FROM q),
-       |probe AS (SELECT e AS pe, bucket AS pb FROM bk WHERE vec_id = 0)
+       |probe AS (SELECT e AS pe, bucket AS pb0 FROM bk WHERE vec_id = 0),
+       |probes AS (SELECT pe, xor(pb0, f.flip) AS pb
+       |           FROM probe, (VALUES $flipRows) AS f(flip))
        |SELECT vec_id, ${sqlCos("e", "pe")} AS sim
-       |FROM bk, probe WHERE bucket = pb AND vec_id <> 0
+       |FROM bk, probes WHERE bucket = pb AND vec_id <> 0
        |ORDER BY sim DESC, vec_id ASC
        |LIMIT 5""".stripMargin
+  }
 
   // ---------------------------------------------------------------------
   // q36: embedding-cosine near-dedup — all pairs WITHIN an LSH bucket
@@ -404,35 +429,76 @@ object LlmOps {
   // K fixed centroids (deterministic: the vectors with ids 1..K serve as
   // centroids; argmax cosine, ties to the smallest centroid id); a query
   // probes only the nProbe cells nearest ITS probe vector, paying exact
-  // cosine on that fraction of the corpus. At 100 TB: the centroid set
-  // broadcasts (K rows), assignment is one narrow shuffle-free pass
-  // (N×K broadcast products via the codegen'd dot), and `cell` becomes
-  // the partition key of the vector index — nProbe/K is the scan-cost
-  // knob, trading recall for selectivity like every IVF index.
+  // cosine on that fraction of the corpus.
+  //
+  // The assignment is an INDEX, not a query step: [[ensureIvfIndex]]
+  // builds (vec_id, e, cell) ONCE per dataset — one broadcast N×K pass
+  // through the codegen'd dot, no shuffle — and persists it as a parquet
+  // table PARTITIONED BY cell (the same build-once contract as
+  // [[Bucketed.ensureLayout]]). A query then (a) ranks the K broadcast
+  // centroids against its probe — a bounded K-row job whose ≤nProbe cell
+  // ids are collected to the driver, exactly the planning step every IVF
+  // implementation runs — and (b) scans ONLY those cell partitions
+  // (static partition pruning, plan-asserted in PlanAuditSpec). At
+  // 100 TB: nProbe/K is the scan-cost knob, and the index amortizes the
+  // N×K assignment across every query instead of re-paying it per probe.
   // ---------------------------------------------------------------------
   private val IvfK = 8
   private val IvfProbe = 2
+  private val IvfDb = "graft_ivf"
+
+  private def tagDir(dir: String): String = dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Idempotent one-time IVF index for (sfDir): every embedding row
+    * tagged with its nearest-centroid cell, written partitioned by cell.
+    * Orphaned warehouse locations (ours by construction) are removed
+    * before re-creating, as in [[Bucketed.ensureLayout]]. */
+  def ensureIvfIndex(s: SparkSession, dir: String): String = synchronized {
+    import s.implicits._
+    s.sql(s"CREATE DATABASE IF NOT EXISTS $IvfDb")
+    val table = s"$IvfDb.emb_${tagDir(dir)}"
+    if (!s.catalog.tableExists(table)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir") + s"/$IvfDb.db/emb_${tagDir(dir)}")
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      val quant = t(s, dir, "embeddings")
+        .select($"vec_id", quantize($"embedding").as("e"))
+      val cents = broadcast(quant.filter($"vec_id".between(1, IvfK))
+        .select($"vec_id".as("c_id"), $"e".as("ce")))
+      // argmax cosine, smallest c_id on ties; grouped on vec_id alone
+      // (first(e) is well-defined: every candidate row carries the same e)
+      quant.crossJoin(cents)
+        .withColumn("csim", cosine($"e", $"ce"))
+        .groupBy($"vec_id")
+        .agg(first($"e").as("e"), max(struct($"csim", (-$"c_id").as("nc"))).as("m"))
+        .select($"vec_id", $"e", (-$"m.nc").cast("int").as("cell"))
+        .write.mode("overwrite").format("parquet")
+        .partitionBy("cell").saveAsTable(table)
+    }
+    table
+  }
 
   val q46: Q = (s, dir) => {
     import s.implicits._
+    val idx = s.table(ensureIvfIndex(s, dir))
     val quant = t(s, dir, "embeddings")
       .select($"vec_id", quantize($"embedding").as("e"))
-    val cents = broadcast(quant.filter($"vec_id".between(1, IvfK))
-      .select($"vec_id".as("c_id"), $"e".as("ce")))
-    // nearest-centroid assignment: argmax cosine, smallest c_id on ties
-    val assigned = quant.filter($"vec_id" =!= 0)
-      .crossJoin(cents)
-      .withColumn("csim", cosine($"e", $"ce"))
-      .groupBy($"vec_id", $"e")
-      .agg(max(struct($"csim", (-$"c_id").as("nc"))).as("m"))
-      .select($"vec_id", $"e", (-$"m.nc").as("cell"))
+    val cents = quant.filter($"vec_id".between(1, IvfK))
+      .select($"vec_id".as("c_id"), $"e".as("ce"))
     val probe = broadcast(quant.filter($"vec_id" === 0).select($"e".as("pe")))
-    val probeCells = broadcast(cents.crossJoin(probe)
+    // IVF query planning: rank the K centroids against the probe and keep
+    // the nProbe nearest cells. The collect is BOUNDED (≤ IvfProbe ints
+    // from a K-row frame) and is what turns the cell filter into STATIC
+    // partition pruning on the index scan below — the per-query scan
+    // touches nProbe partitions, never the corpus.
+    val probeCells: Seq[Int] = cents.crossJoin(probe)
       .select($"c_id", cosine($"ce", $"pe").as("psim"))
       .orderBy($"psim".desc, $"c_id".asc)
       .limit(IvfProbe)
-      .select($"c_id".as("probe_cell")))
-    assigned.join(probeCells, $"cell" === $"probe_cell")
+      .select($"c_id".cast("int"))
+      .collect().map(_.getInt(0)).toSeq
+    idx.filter($"vec_id" =!= 0 && $"cell".isin(probeCells: _*))
       .crossJoin(probe)
       .select($"vec_id", cosine($"e", $"pe").as("sim"))
       .orderBy($"sim".desc, $"vec_id".asc)

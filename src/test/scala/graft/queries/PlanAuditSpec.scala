@@ -48,4 +48,19 @@ class PlanAuditSpec extends AnyFunSuite {
     val plan = sparkPlanOf(LlmOps.q24(spark, sfDir)).toString
     assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
   }
+
+  test("q46 probes only nProbe IVF cells; no per-query assignment") {
+    val plan = sparkPlanOf(LlmOps.q46(spark, sfDir))
+    // the corpus side must be the persisted index, partition-pruned on cell
+    val idxScans = plan.collectWithSubqueries {
+      case s: FileSourceScanExec if s.toString.contains("graft_ivf") => s
+    }
+    assert(idxScans.nonEmpty, "expected a scan of the persisted IVF index")
+    assert(idxScans.head.partitionFilters.exists(_.toString.contains("cell")),
+      s"expected static partition pruning on cell, got ${idxScans.head.partitionFilters}")
+    // the N×K centroid assignment must NOT appear in the per-query plan
+    // (no aggregate at all: index scan -> probe product -> top-k)
+    assert(!plan.toString.contains("HashAggregate"),
+      "per-query plan re-runs the centroid assignment:\n" + plan.toString.take(2000))
+  }
 }
