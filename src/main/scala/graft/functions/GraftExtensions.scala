@@ -26,5 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("md5_chunks"),
       new ExpressionInfo(classOf[Md5Chunks].getName, "md5_chunks"),
       (args: Seq[Expression]) => Md5Chunks(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("shingles3"),
+      new ExpressionInfo(classOf[Shingles3].getName, "shingles3"),
+      (args: Seq[Expression]) => Shingles3(args.head)))
   }
 }

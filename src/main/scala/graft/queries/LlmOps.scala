@@ -158,10 +158,12 @@ object LlmOps {
   private[queries] val B = 4 // bands
   private[queries] val R = 2 // rows (hashes) per band
 
-  /** Word 3-gram shingles of a token array (size >= 3 required). */
+  /** Word 3-gram shingles of a token array (size >= 3 required) — the
+    * codegen'd [[graft.functions.Shingles3]] expression (the transform/
+    * element_at lambda composition it replaces is CodegenFallback,
+    * interpreted per shingle in the corpus-wide hot loop). */
   private[queries] def shingles3(tk: Column): Column =
-    transform(sequence(lit(1), size(tk) - 2), i =>
-      concat_ws(" ", element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2)))
+    graft.functions.Shingles3.shingles3(tk)
 
   /** (doc_id, sh) exploded shingle rows -> (doc_id, m0..m7) signatures
     * via codegen'd min(long) aggregates (see strategy note above —

@@ -203,8 +203,13 @@ object TextOps {
 
   // ---------------------------------------------------------------------
   // q33: quality scoring — per-doc token count, distinct-token ratio,
-  // stopword count, average token length. Pure projection over one scan;
-  // all ratios are exact-int divisions. The downstream use is a filter
+  // stopword count, average token length. Pure single-pass projection
+  // over one scan, zero shuffle; all ratios are exact-int divisions. The
+  // stopword count is the codegen'd [[graft.functions.CountInSet]]
+  // expression — the aggregate() lambda it replaces was CodegenFallback
+  // (interpreted per token), and the explode+sum alternative measured 7x
+  // slower (a corpus-wide per-token hash aggregate + shuffle for what is
+  // a scalar over the row's own array). The downstream use is a filter
   // (`WHERE distinct_ratio > θ AND ...`) that pushes to the scan.
   // ---------------------------------------------------------------------
   private val stopwords = Seq("the", "a", "of", "and", "dup")
@@ -217,8 +222,7 @@ object TextOps {
         $"doc_id",
         size($"tk").as("n_tokens"),
         (size(array_distinct($"tk")).cast("double") / size($"tk")).as("distinct_ratio"),
-        aggregate($"tk", lit(0L),
-          (acc, x) => acc + when(x.isin(stopwords: _*), 1L).otherwise(0L)).as("n_stop"),
+        graft.functions.CountInSet.countInSet($"tk", stopwords).as("n_stop"),
         ($"n_chars".cast("double") / size($"tk")).as("avg_token_len"))
   }
   val q33: Q = (s, dir) => {
@@ -263,17 +267,32 @@ object TextOps {
   // char is '0'. Two docs share a fingerprint iff they share a sampled
   // shingle — a containment (not just similarity) signal, and the
   // fingerprint set is tiny and joinable at corpus scale.
+  //
+  // Exploded form (replacing transform(md5)+filter lambdas, which are
+  // CodegenFallback — interpreted per shingle): shingles explode to rows,
+  // md5 + the first-hex-char predicate run inside WholeStageCodegen, and
+  // a per-doc aggregate computes the sampled count and min. Docs with
+  // zero sampled shingles keep their row because the sample predicate is
+  // applied INSIDE the aggregate (sum-of-when / min-of-when, min ignores
+  // nulls), not as a row filter. min(string) has no mutable codegen
+  // buffer, so the aggregate plans as SortAggregate — the input arrives
+  // doc-contiguous from the generate, so the per-partition sort is
+  // near-linear, and partial aggregation still collapses to one row per
+  // doc before the shuffle; still strictly cheaper than per-element
+  // interpreted lambdas.
   // ---------------------------------------------------------------------
   val q35Bench: Q = (s, dir) => {
     import s.implicits._
+    val sampled = when(substring($"h", 1, 1) === "0", $"h")
     t(s, dir, "documents")
       .withColumn("tk", split($"text", " "))
       .filter(size($"tk") >= 3)
-      .withColumn("fps", sort_array(filter(
-        transform(array_distinct(LlmOps.shingles3($"tk")), x => md5(x)),
-        h => substring(h, 1, 1) === "0")))
-      .select($"doc_id", size($"fps").as("n_fp"),
-        when(size($"fps") === 0, lit(null)).otherwise(element_at($"fps", 1)).as("min_fp"))
+      .select($"doc_id", explode(array_distinct(LlmOps.shingles3($"tk"))).as("sh"))
+      .withColumn("h", md5($"sh"))
+      .groupBy($"doc_id")
+      .agg(
+        sum(when(sampled.isNotNull, 1L).otherwise(0L)).cast("int").as("n_fp"),
+        min(sampled).as("min_fp"))
   }
   val q35: Q = (s, dir) => {
     import s.implicits._

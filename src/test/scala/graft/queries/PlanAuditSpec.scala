@@ -49,6 +49,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
   }
 
+  test("q33/q35 plans carry no interpreted HOF lambda (explode+codegen form)") {
+    Seq("q33" -> TextOps.q33Bench, "q35" -> TextOps.q35Bench).foreach {
+      case (name, q) =>
+        val plan = sparkPlanOf(q(spark, sfDir)).toString
+        assert(!plan.contains("lambdafunction"),
+          s"$name still evaluates a lambda HOF:\n" + plan.take(1500))
+    }
+  }
+
   test("q46 probes only nProbe IVF cells; no per-query assignment") {
     val plan = sparkPlanOf(LlmOps.q46(spark, sfDir))
     // the corpus side must be the persisted index, partition-pruned on cell
