@@ -899,6 +899,29 @@ object Relational {
       |GROUP BY p.user_id, p.event_id, p.p_us
       |ORDER BY p.user_id, p.event_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q49: approx_percentile (t-digest-style quantile sketch) — the 100 TB
+  // path for percentiles over HEAVY groups that q43's own Scaladoc names:
+  // exact percentile buffers every value of a group in memory, while the
+  // sketch is constant-memory per group and MERGEABLE, so partial
+  // aggregation works map-side like any sum. accuracy=10000 bounds rank
+  // error at n/10000. No DuckDB oracle — quantile sketches are not
+  // cross-engine comparable (same trade as q39's HLL); the driver
+  // records a rows-only check and ApproxPercentileSpec pins the semantic
+  // guarantee against q43's exact percentiles.
+  // ---------------------------------------------------------------------
+  val q49: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(
+        expr("approx_percentile(value, array(0.5, 0.9), 10000)").as("ap"),
+        count(lit(1)).as("n"))
+      .select($"event_type", element_at($"ap", 1).as("approx_med"),
+              element_at($"ap", 2).as("approx_p90"), $"n")
+      .orderBy($"event_type")
+  }
+
   /** name -> query function, assembled by [[graft.SparkEntry]]. */
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary"    -> q01,
@@ -933,7 +956,8 @@ object Relational {
     "q44_subqueries"         -> q44,
     "q45_range_frame"        -> q45,
     "q47_asof_join"          -> q47,
-    "q48_range_join"         -> q48)
+    "q48_range_join"         -> q48,
+    "q49_approx_percentile"  -> q49)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary"    -> q01Sql,
@@ -961,8 +985,10 @@ object Relational {
     "q27_map_encode"         -> q27Sql,
     "q28_sql_entry"          -> q28Sql,
     "q37_abs_deviation"      -> q37Sql,
-    // q39_approx_distinct deliberately has NO oracle: HLL sketches are not
-    // cross-engine comparable (driver records a rows-only check).
+    // q39_approx_distinct and q49_approx_percentile deliberately have NO
+    // oracle: HLL / quantile sketches are not cross-engine comparable
+    // (driver records rows-only checks; accuracy pinned by
+    // ApproxDistinctSpec / ApproxPercentileSpec).
     "q38_cube"               -> q38Sql,
     "q42_rank_ntile"         -> q42Sql,
     "q43_percentiles"        -> q43Sql,
