@@ -162,7 +162,7 @@ object LlmOps {
     * codegen'd [[graft.functions.Shingles3]] expression (the transform/
     * element_at lambda composition it replaces is CodegenFallback,
     * interpreted per shingle in the corpus-wide hot loop). */
-  private[queries] def shingles3(tk: Column): Column =
+  private[graft] def shingles3(tk: Column): Column =
     graft.functions.Shingles3.shingles3(tk)
 
   /** (doc_id, sh) exploded shingle rows -> (doc_id, m0..m7) signatures
@@ -173,7 +173,7 @@ object LlmOps {
     * expression (thread-local MessageDigest, no hex round-trip) — chunk
     * values are bit-identical to conv(substring(md5_hex),16,10), so the
     * oracle SQL keeps the hex form. */
-  private[queries] def minhashAgg(sh: DataFrame): DataFrame = {
+  private[graft] def minhashAgg(sh: DataFrame): DataFrame = {
     import graft.functions.Md5Chunks.md5Chunks
     val withH = sh
       .withColumn("ca", md5Chunks(concat(lit("a:"), col("sh"))))
@@ -197,7 +197,7 @@ object LlmOps {
 
   /** (doc_id, band, key) rows: one banded-signature row per doc per band.
     * Shared by q25 (candidates only) and q30 (candidates + verify). */
-  private[queries] def bandRows(mh: DataFrame): DataFrame = {
+  private[graft] def bandRows(mh: DataFrame): DataFrame = {
     val bandStructs = (0 until B).map(b =>
       struct(lit(b).as("band"),
         concat(col(s"m${b * R}"), lit("|"), col(s"m${b * R + 1}")).as("key")))
@@ -235,7 +235,7 @@ object LlmOps {
     * Phase 1 carries the full row volume (same bytes as an unsalted
     * shuffle); phase 2 moves only capped lists. Sorted ids =>
     * doc_a < doc_b by construction. */
-  private[queries] def bucketPairs(bands: DataFrame, cap: Int = BucketCap): DataFrame =
+  private[graft] def bucketPairs(bands: DataFrame, cap: Int = BucketCap): DataFrame =
     bands
       .groupBy(col("band"), col("key"),
         pmod(col("doc_id"), lit(SaltShards)).as("_salt"))
