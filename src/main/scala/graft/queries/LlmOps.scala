@@ -575,6 +575,77 @@ object LlmOps {
        |ORDER BY sim DESC, vec_id ASC
        |LIMIT 5""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q50: DETERMINISTIC stratified sampling — the reproducible
+  // downsampling step every training-data pipeline runs (downweight a
+  // dominant language/source before training). The sample predicate is
+  // CONTENT-STABLE: keep a doc iff hash(doc_id) mod 100 < rate(lang),
+  // with the hash a fixed md5 chunk — the same doc is kept or dropped on
+  // every run, on every engine, under ANY partitioning (rand()-based
+  // sample() is none of those), so experiments reproduce and incremental
+  // reruns don't churn the corpus. The full hash rides along as
+  // `shuffle_key`: ordering by it is the deterministic training-order
+  // "shuffle" (a range-partitioned sort at scale — no single point of
+  // order). One scan, one codegen stage, zero shuffle.
+  // ---------------------------------------------------------------------
+  private val SampleRates = Seq("de" -> 40, "en" -> 80, "es" -> 60, "fr" -> 100, "zh" -> 20)
+
+  private def hashKey(id: Column): Column =
+    conv(substring(md5(concat(lit("s:"), id)), 1, 8), 16, 10).cast("long")
+  private val sqlHashKey = "CAST('0x' || substring(md5('s:' || doc_id), 1, 8) AS BIGINT)"
+
+  val q50: Q = (s, dir) => {
+    import s.implicits._
+    val rate = typedLit(SampleRates.toMap)
+    t(s, dir, "documents")
+      .withColumn("shuffle_key", hashKey($"doc_id"))
+      .filter(pmod($"shuffle_key", lit(100)) < element_at(rate, $"lang"))
+      .select($"doc_id", $"lang", $"source", $"shuffle_key")
+      .orderBy($"doc_id")
+  }
+  val q50Sql: String = {
+    val cases = SampleRates.map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+    s"""WITH h AS (
+       |  SELECT doc_id, lang, source, $sqlHashKey AS shuffle_key
+       |  FROM documents)
+       |SELECT doc_id, lang, source, shuffle_key
+       |FROM h
+       |WHERE shuffle_key % 100 < CASE lang $cases END
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q51: deterministic train/val/test split — the same content-stable
+  // hash assigns every doc to exactly one split (90/5/5), so the
+  // assignment is disjoint, exhaustive, and stable across runs/engines/
+  // repartitions (a doc can never leak from train to test between
+  // experiments). Counted per (split, lang) to show the split interacts
+  // correctly with stratification. Low-card agg: map-side partials,
+  // tiny shuffle.
+  // ---------------------------------------------------------------------
+  val q51: Q = (s, dir) => {
+    import s.implicits._
+    val bucket = pmod(hashKey($"doc_id"), lit(100))
+    t(s, dir, "documents")
+      .withColumn("split",
+        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
+      .groupBy($"split", $"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars"))
+      .orderBy($"split", $"lang")
+  }
+  val q51Sql: String =
+    s"""WITH h AS (
+       |  SELECT lang, n_chars, $sqlHashKey % 100 AS bucket
+       |  FROM documents)
+       |SELECT CASE WHEN bucket < 90 THEN 'train'
+       |            WHEN bucket < 95 THEN 'val'
+       |            ELSE 'test' END AS split,
+       |  lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS n_chars
+       |FROM h
+       |GROUP BY 1, 2
+       |ORDER BY split, lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q22_exact_dedup"    -> q22,
     "q23_text_stats"     -> q23,
@@ -582,7 +653,9 @@ object LlmOps {
     "q25_near_dedup"     -> q25,
     "q31_lsh_ann"        -> q31,
     "q36_embed_near_dup" -> q36,
-    "q46_ivf_ann"        -> q46)
+    "q46_ivf_ann"        -> q46,
+    "q50_hash_sample"    -> q50,
+    "q51_hash_split"     -> q51)
 
   val oracles: Map[String, String] = Map(
     "q22_exact_dedup"    -> q22Sql,
@@ -591,7 +664,9 @@ object LlmOps {
     "q25_near_dedup"     -> q25Sql,
     "q31_lsh_ann"        -> q31Sql,
     "q36_embed_near_dup" -> q36Sql,
-    "q46_ivf_ann"        -> q46Sql)
+    "q46_ivf_ann"        -> q46Sql,
+    "q50_hash_sample"    -> q50Sql,
+    "q51_hash_split"     -> q51Sql)
 
   /** Bench-time overrides minus determinism-only global sorts (see
     * [[Relational.benchVariants]]). Verify runs the sorted forms. */
