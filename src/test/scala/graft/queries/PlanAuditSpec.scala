@@ -32,6 +32,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(cacheReads.nonEmpty, "expected InMemoryTableScan consumers of the cached signature")
   }
 
+  test("q25 reads the shared persisted signature, not the parquet corpus") {
+    val plan = sparkPlanOf(LlmOps.q25(spark, sfDir))
+    val parquetScans = plan.collectWithSubqueries {
+      case s: FileSourceScanExec if s.toString.contains("documents") => s
+    }
+    val cacheReads = plan.collectWithSubqueries { case c: InMemoryTableScanExec => c }
+    assert(cacheReads.nonEmpty, "expected q25 to read the cached signature artifact")
+    assert(parquetScans.isEmpty,
+      s"expected no parquet scan of documents, found ${parquetScans.size}")
+  }
+
   test("q06 pushes all predicates and prunes to 4 read columns") {
     val plan = sparkPlanOf(Relational.q06(spark, sfDir))
     val scan = plan.collectWithSubqueries { case s: FileSourceScanExec => s }.head
