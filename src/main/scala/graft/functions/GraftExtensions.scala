@@ -2,7 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
 
 /** SQL surface for graft's custom expressions through the PUBLIC
   * extension hook: build a session with
@@ -30,5 +32,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("shingles3"),
       new ExpressionInfo(classOf[Shingles3].getName, "shingles3"),
       (args: Seq[Expression]) => Shingles3(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("json_get_long"),
+      new ExpressionInfo(classOf[JsonGetLong].getName, "json_get_long"),
+      (args: Seq[Expression]) => args(1) match {
+        case Literal(f: UTF8String, StringType) => JsonGetLong(args(0), f.toString)
+        case other => throw new IllegalArgumentException(
+          s"json_get_long requires a literal field name, got $other")
+      }))
   }
 }

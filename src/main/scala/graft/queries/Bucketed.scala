@@ -47,7 +47,11 @@ object Bucketed {
             s.conf.get("spark.sql.warehouse.dir") + s"/$Db.db/${name}_${tag(dir)}")
           val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
           if (fs.exists(loc)) fs.delete(loc, true)
-          t(s, dir, name).write.mode("overwrite")
+          // repartition on the bucket key first: bucketBy writes one file
+          // per (task, bucket), and the scan only reports its output as
+          // SORTED when each bucket is a single file — without this, a
+          // many-partition input would silently re-insert per-join Sorts
+          t(s, dir, name).repartition(Buckets, col(key)).write.mode("overwrite")
             .format("parquet")
             .bucketBy(Buckets, key).sortBy(key)
             .saveAsTable(table)

@@ -474,14 +474,18 @@ object Relational {
 
   // ---------------------------------------------------------------------
   // q20: JSON extraction (§2.10 json family; reference json.loads).
-  // Spark parses with from_json (schema'd, codegen); the oracle uses a
-  // regex so the check doesn't depend on DuckDB's json extension.
+  // Single-field extraction goes through the codegen'd streaming
+  // [[graft.functions.JsonGetLong]] expression — from_json
+  // (JsonToStructs) is CodegenFallback and converts the whole document
+  // per row; the custom expression is spec-pinned row-for-row equal to
+  // `from_json(props, 'k BIGINT').k` (JsonGetLongSpec) and keeps the
+  // scan stage in WholeStageCodegen. The oracle uses a regex so the
+  // check doesn't depend on DuckDB's json extension.
   // ---------------------------------------------------------------------
   val q20: Q = (s, dir) => {
     import s.implicits._
     t(s, dir, "events")
-      .withColumn("k", from_json($"props",
-        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).getField("k"))
+      .withColumn("k", graft.functions.JsonGetLong.jsonGetLong($"props", "k"))
       .filter($"k".isNotNull)
       .groupBy(($"k" % 10).as("k_mod"))
       .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"))
