@@ -10,7 +10,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * extension hook: build a session with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` — or set
   * `spark.sql.extensions=graft.functions.GraftExtensions` — and
-  * `long_array_dot(a, b)` / `md5_chunks(s)` become callable from SQL.
+  * `long_array_dot(a, b)` / `md5_chunks(s)` / `shingles3(tk)` /
+  * `json_get_long(s, 'field')` / `count_in_set(tk, array(...))` become
+  * callable from SQL.
   *
   * The DataFrame API path ([[GraftFunctions]] / [[Md5Chunks.md5Chunks]])
   * does not depend on this: the driver contract hands the library
@@ -39,6 +41,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Literal(f: UTF8String, StringType) => JsonGetLong(args(0), f.toString)
         case other => throw new IllegalArgumentException(
           s"json_get_long requires a literal field name, got $other")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("count_in_set"),
+      new ExpressionInfo(classOf[CountInSet].getName, "count_in_set"),
+      (args: Seq[Expression]) => args(1) match {
+        // accept any foldable array<string> (array('a','b') folds here)
+        case w if w.foldable && w.dataType == org.apache.spark.sql.types
+          .ArrayType(StringType, false) =>
+          val arr = w.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          CountInSet(args(0),
+            (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString))
+        case other => throw new IllegalArgumentException(
+          s"count_in_set requires a literal array<string> word set, got $other")
       }))
   }
 }

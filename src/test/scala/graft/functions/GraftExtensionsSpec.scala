@@ -11,7 +11,7 @@ import graft.SparkTestSession
   * shared default session is restored afterwards. */
 class GraftExtensionsSpec extends AnyFunSuite {
 
-  test("long_array_dot and md5_chunks are callable from SQL") {
+  test("all five custom expressions are callable from SQL") {
     val base = SparkTestSession.spark // ensure the context exists
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
@@ -29,6 +29,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |       CAST(conv(substring(md5('abc'), 1, 8), 16, 10) AS BIGINT) AS e0""".stripMargin)
         .head()
       assert(r.getLong(0) === r.getLong(1))
+      assert(s.sql("SELECT shingles3(array('a','b','c','d')) AS sh")
+        .head().getSeq[String](0) === Seq("a b c", "b c d"))
+      assert(s.sql("""SELECT json_get_long('{"k": 7}', 'k') AS k""")
+        .head().getLong(0) === 7L)
+      assert(s.sql("SELECT count_in_set(array('a','b','a','x'), array('a','b')) AS n")
+        .head().getLong(0) === 3L)
+      // non-literal field name must be rejected loudly
+      val err = intercept[Exception](
+        s.sql("SELECT json_get_long('{}', concat('k', ''))").collect())
+      assert(err.getMessage.contains("literal field name"), err.getMessage)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
