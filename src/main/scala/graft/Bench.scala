@@ -62,7 +62,8 @@ object Bench {
     val ordered = (SparkEntry.queries ++
         graft.queries.Relational.benchVariants ++
         graft.queries.LlmOps.benchVariants ++
-        graft.queries.TextOps.benchVariants)
+        graft.queries.TextOps.benchVariants ++
+        graft.queries.Sessions.benchVariants)
       .toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }
     // Warmup: one untimed pass over every query (catches codegen + scan

@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.apache.spark.sql.execution.SortExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Batch sessionization (q52): the scale claim is ONE exchange + ONE
+  * sort feeding BOTH window operators (lag + running session ordinal
+  * share partitioning and ordering), then a single agg shuffle — plus
+  * the session-semantics invariants every gap sessionizer must hold. */
+class SessionsBatchSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def sparkPlanOf(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+
+  test("q52 is a SINGLE-shuffle plan: windows and agg share user_id partitioning") {
+    val plan = sparkPlanOf(Sessions.q52Bench(spark, sfDir))
+    val windows = plan.collect { case w: WindowExec => w }
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    val sorts = plan.collect { case s: SortExec => s }
+    assert(windows.size === 2, s"expected lag + running-sum windows:\n$plan")
+    // EnsureRequirements accepts hash(user_id) for the (user_id,
+    // session_seq) aggregate's ClusteredDistribution — same-key subsets
+    // co-locate — so the ENTIRE query is one exchange. A second exchange
+    // appearing here means the agg stopped reusing the window layout.
+    assert(shuffles.size === 1,
+      s"expected the windows' exchange to be the only shuffle, got ${shuffles.size}:\n$plan")
+    assert(sorts.size === 1,
+      s"both windows must share one (us, event_id) sort, got ${sorts.size}:\n$plan")
+  }
+
+  test("q52 sessions partition the event log; durations within gap bounds") {
+    val s = spark
+    import s.implicits._
+    val events = graft.Tables.t(spark, sfDir, "events")
+    val sessions = Sessions.q52(spark, sfDir).collect()
+    assert(sessions.map(_.getAs[Long]("n_events")).sum === events.count(),
+      "every event belongs to exactly one session")
+    // a session's span is bounded by (n_events - 1) * gap; a 1-event
+    // session has zero duration
+    sessions.foreach { r =>
+      val n = r.getAs[Long]("n_events")
+      val dur = r.getAs[Long]("duration_sec")
+      assert(dur >= 0L)
+      assert(dur <= (n - 1) * (Sessions.GapUs / 1000000L),
+        s"session spans more than (n-1) gaps: n=$n dur=$dur")
+      if (n == 1L) assert(dur === 0L)
+    }
+    // per-user session ordinals are 1..k with no holes
+    sessions.groupBy(_.getAs[Long]("user_id")).foreach { case (u, rs) =>
+      val seqs = rs.map(_.getAs[Long]("session_seq")).sorted
+      assert(seqs === (1L to seqs.length).toArray, s"user $u ordinals: ${seqs.toSeq}")
+    }
+  }
+}
