@@ -11,8 +11,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * `SparkSession.builder().withExtensions(new GraftExtensions)` — or set
   * `spark.sql.extensions=graft.functions.GraftExtensions` — and
   * `long_array_dot(a, b)` / `md5_chunks(s)` / `shingles3(tk)` /
-  * `json_get_long(s, 'field')` / `count_in_set(tk, array(...))` become
-  * callable from SQL.
+  * `json_get_long(s, 'field')` / `count_in_set(tk, array(...))` /
+  * `topk_by_score(score, id, k)` become callable from SQL.
   *
   * The DataFrame API path ([[GraftFunctions]] / [[Md5Chunks.md5Chunks]])
   * does not depend on this: the driver contract hands the library
@@ -41,6 +41,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Literal(f: UTF8String, StringType) => JsonGetLong(args(0), f.toString)
         case other => throw new IllegalArgumentException(
           s"json_get_long requires a literal field name, got $other")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("topk_by_score"),
+      new ExpressionInfo(classOf[TopKByScore].getName, "topk_by_score"),
+      (args: Seq[Expression]) => args(2) match {
+        case Literal(k: Int, org.apache.spark.sql.types.IntegerType) =>
+          TopKByScore(args(0), args(1), k).toAggregateExpression()
+        case other => throw new IllegalArgumentException(
+          s"topk_by_score requires a literal int k, got $other")
       }))
     ext.injectFunction((
       new FunctionIdentifier("count_in_set"),

@@ -1,0 +1,148 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionDescription}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.graft.ExprBridge
+import org.apache.spark.sql.types._
+
+/** Bounded grouped top-k as a first-class AGGREGATE — the scale answer
+  * to "top k per group" that window ranking cannot give.
+  *
+  * Why (SURVEY.md §7.3 preference order): `row_number() OVER (PARTITION
+  * BY g ORDER BY s)` must shuffle EVERY candidate row to g's reducer
+  * before any row can be discarded — for a small group cardinality
+  * (e.g. a batch of ANN probes) that is all N·B scored rows landing on
+  * B hot partitions. A TypedImperativeAggregate instead keeps a bounded
+  * k-slot buffer per group per MAP task, so the shuffle carries at most
+  * `maps × groups × k` rows — the same partial-aggregation topology as
+  * `min`/`max`, applied to a top-k set. Spark plans it via
+  * ObjectHashAggregate (partial → final), preserving map-side combine.
+  *
+  * Ordering: score DESC, id ASC on ties — a TOTAL order (the id
+  * tie-break makes results deterministic and engine-comparable).
+  * Null score or id rows are ignored. The result is the sorted
+  * array<struct<id,score>> of the group's top k; empty array for a
+  * group with no valid rows.
+  */
+@ExpressionDescription(
+  usage = "_FUNC_(score, id, k) - top-k (score DESC, id ASC) per group " +
+    "as array<struct<id,score>> with a bounded map-side buffer.")
+case class TopKByScore(
+    scoreExpr: Expression,
+    idExpr: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKByScore.Buf] {
+
+  require(k > 0, s"k must be positive, got $k")
+
+  override def children: Seq[Expression] = Seq(scoreExpr, idExpr)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (scoreExpr.dataType, idExpr.dataType) match {
+      case (DoubleType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (s, i) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (double, bigint), got ${s.sql} and ${i.sql}")
+    }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("score", DoubleType, nullable = false))),
+    containsNull = false)
+
+  override def nullable: Boolean = false
+  override def prettyName: String = "topk_by_score"
+
+  override def createAggregationBuffer(): TopKByScore.Buf =
+    new TopKByScore.Buf(k)
+
+  override def update(buf: TopKByScore.Buf, input: InternalRow): TopKByScore.Buf = {
+    val s = scoreExpr.eval(input)
+    val i = idExpr.eval(input)
+    if (s != null && i != null)
+      buf.offer(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: TopKByScore.Buf, other: TopKByScore.Buf): TopKByScore.Buf = {
+    var i = 0
+    while (i < other.n) { buf.offer(other.scores(i), other.ids(i)); i += 1 }
+    buf
+  }
+
+  override def eval(buf: TopKByScore.Buf): Any =
+    new GenericArrayData(Array.tabulate[Any](buf.n) { i =>
+      new GenericInternalRow(Array[Any](buf.ids(i), buf.scores(i)))
+    })
+
+  override def serialize(buf: TopKByScore.Buf): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 16 * buf.n)
+    bb.putInt(buf.n)
+    var i = 0
+    while (i < buf.n) { bb.putDouble(buf.scores(i)); bb.putLong(buf.ids(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKByScore.Buf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new TopKByScore.Buf(k)
+    var i = 0
+    while (i < n) { buf.offer(bb.getDouble, bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKByScore =
+    copy(scoreExpr = newChildren(0), idExpr = newChildren(1))
+}
+
+object TopKByScore {
+
+  /** Bounded top-k buffer: parallel arrays sorted best-first by
+    * (score DESC, id ASC), at most k entries. `offer` is O(1) for a
+    * rejected row (compare against the current worst) and O(k) shift
+    * for an accepted one — the common case at scale is rejection. */
+  final class Buf(val k: Int) {
+    val scores = new Array[Double](k)
+    val ids = new Array[Long](k)
+    var n: Int = 0
+
+    /** true if (s1, i1) ranks strictly better than (s2, i2). */
+    @inline private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+      val c = java.lang.Double.compare(s1, s2)
+      c > 0 || (c == 0 && i1 < i2)
+    }
+
+    def offer(s: Double, id: Long): Unit = {
+      if (n == k && !better(s, id, scores(n - 1), ids(n - 1))) return
+      // find insertion point from the back, shifting worse entries down
+      var pos = if (n == k) n - 1 else n
+      while (pos > 0 && better(s, id, scores(pos - 1), ids(pos - 1))) {
+        scores(pos) = scores(pos - 1); ids(pos) = ids(pos - 1); pos -= 1
+      }
+      scores(pos) = s; ids(pos) = id
+      if (n < k) n += 1
+    }
+  }
+
+  /** DataFrame entry point: `topKByScore(col, idCol, k)` aggregates to
+    * the group's sorted top-k array<struct<id,score>>. */
+  def topKByScore(score: Column, id: Column, k: Int): Column =
+    ExprBridge.column(
+      TopKByScore(ExprBridge.expression(score), ExprBridge.expression(id), k)
+        .toAggregateExpression())
+}

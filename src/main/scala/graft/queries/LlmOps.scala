@@ -669,6 +669,114 @@ object LlmOps {
        |GROUP BY 1, 2
        |ORDER BY split, lang""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q53: BATCH ANN serving — the realistic serving shape beside the
+  // single-probe lookups (q24 brute / q31 LSH / q46 IVF): a whole batch
+  // of probe vectors answered in ONE pass over the corpus. Probes
+  // broadcast (a probe batch is small by definition); every corpus
+  // vector is scored against all probes inside one codegen stage
+  // (LongArrayDot), so the corpus is read exactly once for the batch.
+  //
+  // Top-k per probe is the custom [[graft.functions.TopKByScore]]
+  // AGGREGATE, not a ranking window: `row_number() OVER (PARTITION BY
+  // probe_id ...)` must shuffle ALL B·N scored rows into B reducers —
+  // a guaranteed hot-partition plan since the probe batch B is small by
+  // definition. The bounded-buffer aggregate keeps k slots per probe
+  // per MAP task (ObjectHashAggregate partial → final), so the shuffle
+  // carries at most maps×B×k serialized entries — top-k with min/max's
+  // shuffle topology. posexplode of the sorted result array recovers
+  // the rank. At 100 TB the upgrade is scoring the IVF index instead of
+  // the raw corpus — the top-k topology stays exactly this.
+  // ---------------------------------------------------------------------
+  private[queries] val BatchProbes = 8
+  private[queries] val AnnK = 5
+
+  val q53: Q = (s, dir) => {
+    import graft.functions.TopKByScore.topKByScore
+    import s.implicits._
+    val quant = t(s, dir, "embeddings")
+      .select($"vec_id", quantize($"embedding").as("e"))
+    val probes = broadcast(quant.filter($"vec_id" < BatchProbes)
+      .select($"vec_id".as("probe_id"), $"e".as("pe")))
+    quant.filter($"vec_id" >= BatchProbes)
+      .crossJoin(probes)
+      .select($"probe_id", $"vec_id", cosine($"e", $"pe").as("sim"))
+      .groupBy($"probe_id")
+      .agg(topKByScore($"sim", $"vec_id", AnnK).as("top"))
+      .select($"probe_id", posexplode($"top").as(Seq("pos", "t")))
+      .select($"probe_id", ($"pos" + 1).cast("int").as("rank"),
+        $"t.id".as("vec_id"), $"t.score".as("sim"))
+      .orderBy($"probe_id", $"rank")
+  }
+  val q53Sql: String =
+    s"""WITH q AS (SELECT vec_id,
+       |    list_transform(embedding::DOUBLE[], x -> CAST(round(x*1000000) AS BIGINT)) AS e
+       |  FROM embeddings),
+       |probes AS (SELECT vec_id AS probe_id, e AS pe FROM q
+       |           WHERE vec_id < $BatchProbes),
+       |scored AS (
+       |  SELECT p.probe_id, c.vec_id, ${sqlCos("c.e", "p.pe")} AS sim
+       |  FROM q c CROSS JOIN probes p WHERE c.vec_id >= $BatchProbes),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER
+       |    (PARTITION BY probe_id ORDER BY sim DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |SELECT probe_id, CAST(rank AS INT) AS rank, vec_id, sim
+       |FROM ranked WHERE rank <= $AnnK
+       |ORDER BY probe_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q54: embedding scalar quantization (int8) + reconstruction-error
+  // audit — the compression step a 100 TB embedding store runs before
+  // ANN serving (4 bytes -> 1 byte per dim), with the error metrics that
+  // decide whether int8 is safe for the similarity queries above.
+  //
+  // Per vector: symmetric scale = maxabs/127 over micro-unit ints, code
+  // q_i = floor(x_i/scale + 0.5). Everything stays engine-exact: inputs
+  // are exact micro-longs, scale/codes are IEEE divide+floor on
+  // identical inputs (floor avoids ROUND's half-even/half-up divergence
+  // risk), and the error columns are floor-quantized back to integer
+  // micro-units before any cross-dim reduction. Zero shuffle: one scan,
+  // one projection — the per-vector HOF lambdas are interpreted, but
+  // this is a linear pass with no hot aggregate (the audit runs once per
+  // snapshot, not per query).
+  // ---------------------------------------------------------------------
+  val q54: Q = (s, dir) => {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+      .select($"vec_id", quantize($"embedding").as("e"))
+      .withColumn("maxabs", array_max(transform($"e", x => abs(x))))
+      .withColumn("scale", $"maxabs".cast("double") / lit(127.0))
+      // per-dim: code, reconstruction, abs error in micro-units (floored)
+      .withColumn("err_u", transform($"e", x =>
+        floor(abs(floor(x / $"scale" + lit(0.5)) * $"scale" - x)).cast("long")))
+    e.select($"vec_id", $"maxabs",
+        aggregate($"err_u", lit(0L), (acc, x) => acc + x).as("sum_err_u"),
+        array_max($"err_u").as("max_err_u"),
+        array_max(transform($"e", x =>
+          abs(floor(x / $"scale" + lit(0.5))).cast("long"))).as("max_code"))
+      .orderBy($"vec_id")
+  }
+  val q54Sql: String =
+    """WITH q AS (SELECT vec_id,
+      |    list_transform(embedding::DOUBLE[], x -> CAST(round(x*1000000) AS BIGINT)) AS e
+      |  FROM embeddings),
+      |sc AS (SELECT vec_id, e,
+      |    list_max(list_transform(e, x -> abs(x))) AS maxabs,
+      |    list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+      |  FROM q),
+      |err AS (SELECT vec_id, maxabs, scale,
+      |    list_transform(e, x ->
+      |      CAST(floor(abs(floor(x / scale + 0.5) * scale - x)) AS BIGINT)) AS err_u,
+      |    list_transform(e, x ->
+      |      CAST(abs(floor(x / scale + 0.5)) AS BIGINT)) AS codes
+      |  FROM sc)
+      |SELECT vec_id, maxabs,
+      |  CAST(list_sum(err_u) AS BIGINT) AS sum_err_u,
+      |  list_max(err_u) AS max_err_u,
+      |  list_max(codes) AS max_code
+      |FROM err
+      |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q22_exact_dedup"    -> q22,
     "q23_text_stats"     -> q23,
@@ -678,7 +786,9 @@ object LlmOps {
     "q36_embed_near_dup" -> q36,
     "q46_ivf_ann"        -> q46,
     "q50_hash_sample"    -> q50,
-    "q51_hash_split"     -> q51)
+    "q51_hash_split"     -> q51,
+    "q53_batch_ann"      -> q53,
+    "q54_quantize_audit" -> q54)
 
   val oracles: Map[String, String] = Map(
     "q22_exact_dedup"    -> q22Sql,
@@ -689,7 +799,9 @@ object LlmOps {
     "q36_embed_near_dup" -> q36Sql,
     "q46_ivf_ann"        -> q46Sql,
     "q50_hash_sample"    -> q50Sql,
-    "q51_hash_split"     -> q51Sql)
+    "q51_hash_split"     -> q51Sql,
+    "q53_batch_ann"      -> q53Sql,
+    "q54_quantize_audit" -> q54Sql)
 
   /** Bench-time overrides minus determinism-only global sorts (see
     * [[Relational.benchVariants]]). Verify runs the sorted forms. */

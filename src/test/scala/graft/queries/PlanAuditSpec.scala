@@ -69,6 +69,20 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q53 batch ANN: bounded-buffer top-k aggregate, no ranking window") {
+    val plan = sparkPlanOf(LlmOps.q53(spark, sfDir))
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty,
+      s"q53 must not rank via window (all-rows shuffle into B probes):\n$plan")
+    val objAggs = plan.collect {
+      case o: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => o
+    }
+    assert(objAggs.size === 2,
+      s"expected partial+final TopKByScore ObjectHashAggregate:\n$plan")
+  }
+
   test("q46 probes only nProbe IVF cells; no per-query assignment") {
     val plan = sparkPlanOf(LlmOps.q46(spark, sfDir))
     // the corpus side must be the persisted index, partition-pruned on cell
