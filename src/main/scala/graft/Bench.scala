@@ -63,7 +63,8 @@ object Bench {
         graft.queries.Relational.benchVariants ++
         graft.queries.LlmOps.benchVariants ++
         graft.queries.TextOps.benchVariants ++
-        graft.queries.Sessions.benchVariants)
+        graft.queries.Sessions.benchVariants ++
+        graft.queries.ZOrder.benchVariants)
       .toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }
     // Warmup: one untimed pass over every query (catches codegen + scan

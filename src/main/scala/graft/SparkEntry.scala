@@ -20,7 +20,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++ graft.queries.LlmOps.queries ++
       graft.queries.TextOps.queries ++ graft.multimodal.Multimodal.queries ++
-      graft.queries.Bucketed.queries ++ graft.queries.Sessions.queries
+      graft.queries.Bucketed.queries ++ graft.queries.Sessions.queries ++
+      graft.queries.ZOrder.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -28,5 +29,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++ graft.queries.LlmOps.oracles ++
       graft.queries.TextOps.oracles ++ graft.multimodal.Multimodal.oracles ++
-      graft.queries.Bucketed.oracles ++ graft.queries.Sessions.oracles
+      graft.queries.Bucketed.oracles ++ graft.queries.Sessions.oracles ++
+      graft.queries.ZOrder.oracles
 }
