@@ -777,6 +777,82 @@ object LlmOps {
       |FROM err
       |ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q57: the INGEST PIPELINE capstone — the stages a training-data run
+  // actually chains, composed as ONE declarative DAG so Catalyst sees
+  // (and optimizes) the whole flow:
+  //   exact dedup (md5 keep-min)  ->  quality gate (token count +
+  //   distinct-token ratio)       ->  stratified content-stable sample
+  //   (q50's hash)                ->  train/val/test split (q51's hash)
+  //   ->  per-(split, lang) corpus stats.
+  // One scan of documents; the only wide ops are the dedup window's
+  // shuffle on the 32-char digest and the final tiny agg. Two shuffle-
+  // volume moves matter at 100 TB: the quality gate runs BEFORE the
+  // dedup shuffle (quality is a pure function of text, so every member
+  // of a duplicate group passes or fails together — reordering is
+  // semantics-preserving and failing docs never enter the exchange),
+  // and the shuffled row is narrowed to (doc_id, text_md5, lang,
+  // n_tokens) — the documents themselves stay in the map stage. The
+  // oracle replays the identical pipeline in SQL, so the hash-compare
+  // certifies the COMPOSITION, not just each stage.
+  // ---------------------------------------------------------------------
+  private val MinTokens = 5
+  private val MinDistinctRatio = 0.25
+
+  val q57: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val w = Window.partitionBy($"text_md5").orderBy($"doc_id")
+    val rate = typedLit(SampleRates.toMap)
+    val bucket = pmod(hashKey($"doc_id"), lit(100))
+    t(s, dir, "documents")
+      .withColumn("tk", split($"text", " "))
+      .withColumn("n_tokens", size($"tk").cast("long"))
+      .withColumn("distinct_ratio",
+        size(array_distinct($"tk")).cast("double") / $"n_tokens")
+      .filter($"n_tokens" >= MinTokens &&
+        $"distinct_ratio" >= MinDistinctRatio)                          // quality
+      .select($"doc_id", md5($"text").as("text_md5"), $"lang", $"n_tokens")
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)       // dedup
+      .filter(pmod(hashKey($"doc_id"), lit(100)) <
+        element_at(rate, $"lang"))                                      // sample
+      .withColumn("split",
+        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
+      .groupBy($"split", $"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("sum_tokens"))
+      .orderBy($"split", $"lang")
+  }
+  val q57Sql: String = {
+    val cases = SampleRates.map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+    s"""WITH dedup AS (
+       |  SELECT * FROM (
+       |    SELECT doc_id, text, lang,
+       |      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |    FROM documents) WHERE rn = 1),
+       |quality AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS distinct_ratio
+       |  FROM dedup),
+       |kept AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |    $sqlHashKey % 100 AS bucket
+       |  FROM quality
+       |  WHERE n_tokens >= $MinTokens AND distinct_ratio >= $MinDistinctRatio),
+       |sampled AS (
+       |  SELECT *, CASE WHEN bucket < 90 THEN 'train'
+       |                 WHEN bucket < 95 THEN 'val'
+       |                 ELSE 'test' END AS split
+       |  FROM kept
+       |  WHERE bucket < CASE lang $cases END)
+       |SELECT split, lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+       |FROM sampled
+       |GROUP BY split, lang
+       |ORDER BY split, lang""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q22_exact_dedup"    -> q22,
     "q23_text_stats"     -> q23,
@@ -788,7 +864,8 @@ object LlmOps {
     "q50_hash_sample"    -> q50,
     "q51_hash_split"     -> q51,
     "q53_batch_ann"      -> q53,
-    "q54_quantize_audit" -> q54)
+    "q54_quantize_audit" -> q54,
+    "q57_ingest_pipeline" -> q57)
 
   val oracles: Map[String, String] = Map(
     "q22_exact_dedup"    -> q22Sql,
@@ -801,7 +878,8 @@ object LlmOps {
     "q50_hash_sample"    -> q50Sql,
     "q51_hash_split"     -> q51Sql,
     "q53_batch_ann"      -> q53Sql,
-    "q54_quantize_audit" -> q54Sql)
+    "q54_quantize_audit" -> q54Sql,
+    "q57_ingest_pipeline" -> q57Sql)
 
   /** Bench-time overrides minus determinism-only global sorts (see
     * [[Relational.benchVariants]]). Verify runs the sorted forms. */
