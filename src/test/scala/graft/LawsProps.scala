@@ -65,4 +65,28 @@ object LawsProps extends Properties("graft.laws") {
     g.agg(sum($"n")).head.getLong(0) == rows.size
   }
 
+  // TopKByScore law: the bounded aggregate equals the ranking-window
+  // form on arbitrary data — duplicate scores (ties broken by id),
+  // duplicate (score, id) rows, any partitioning. The generator reuses
+  // rowGen's coarse value grid so ties actually occur.
+  property("topKByScore == ranking window") = Prop.forAll(
+    rowsGen, Gen.choose(1, 4)) { (rows, k) =>
+    import graft.functions.TopKByScore.topKByScore
+    val df = rows.zipWithIndex
+      .map { case ((key, ts, v), i) => (key, math.floor(v / 25) * 25, (ts * 7 + i) % 50) }
+      .toDF("g", "score", "id")
+      .repartition(5)
+    val viaAgg = df.groupBy($"g")
+      .agg(topKByScore($"score", $"id", k).as("top"))
+      .select($"g", posexplode($"top").as(Seq("pos", "t")))
+      .select($"g", ($"pos" + 1).cast("long").as("rnk"), $"t.id", $"t.score")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"score".desc, $"id".asc)
+    val viaWin = df.withColumn("rnk", row_number().over(w)).filter($"rnk" <= k)
+      .select($"g", $"rnk".cast("long"), $"id", $"score")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    viaAgg == viaWin
+  }
+
 }
