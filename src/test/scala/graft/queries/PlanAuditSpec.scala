@@ -83,6 +83,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected partial+final TopKByScore ObjectHashAggregate:\n$plan")
   }
 
+  test("q58 batch IVF ANN: partition-pruned index scan + bounded top-k") {
+    val plan = sparkPlanOf(LlmOps.q58(spark, sfDir))
+    val idxScans = plan.collectWithSubqueries {
+      case s: FileSourceScanExec if s.toString.contains("graft_ivf") => s
+    }
+    assert(idxScans.nonEmpty, "expected a scan of the persisted IVF index")
+    assert(idxScans.head.partitionFilters.exists(_.toString.contains("cell")),
+      s"expected static partition pruning on cell, got ${idxScans.head.partitionFilters}")
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"q58 must bound top-k via the aggregate, not a window:\n$plan")
+  }
+
   test("q46 probes only nProbe IVF cells; no per-query assignment") {
     val plan = sparkPlanOf(LlmOps.q46(spark, sfDir))
     // the corpus side must be the persisted index, partition-pruned on cell
