@@ -288,13 +288,63 @@ object TextOps {
       |  CASE WHEN len(fps) = 0 THEN NULL ELSE fps[1] END AS min_fp
       |FROM fp ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q59: corpus term statistics — top terms per language by term
+  // frequency, with document frequency alongside (the tf/df table every
+  // vocabulary/stopword/tokenizer-training step starts from).
+  //
+  // Scale shape: explode to (lang, token, doc_id) rows; ONE aggregate
+  // on (lang, token) computes tf = count and df = exact
+  // countDistinct(doc_id). The Expand that countDistinct plans doubles
+  // the exploded rows, but partial aggregation collapses BOTH branches
+  // map-side, so the single shuffle moves per-partition (lang, token)
+  // combos — and the q04-style manual two-phase rewrite (per-(lang,
+  // token, doc_id) counts, then sum/count) measured EQUAL-to-slower
+  // here (0.74 vs 0.68 s at sf0.1): its first phase is a real shuffle,
+  // unlike q04's where the bucketed layout made phase 1 exchange-free.
+  // Single shuffle wins when there is no layout to exploit. The top-k
+  // per language then ranks VOCAB-sized, already-aggregated input, so
+  // the 5-partition ranking window ranks the small side, not the
+  // corpus — the cardinality rule from Relational.q03's note applied
+  // in reverse.
+  // ---------------------------------------------------------------------
+  val q59: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val w = Window.partitionBy($"lang").orderBy($"tf".desc, $"token".asc)
+    t(s, dir, "documents")
+      .select($"lang", $"doc_id", explode(split($"text", " ")).as("token"))
+      .groupBy($"lang", $"token")
+      .agg(count(lit(1)).as("tf"), countDistinct($"doc_id").as("df_docs"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 10)
+      .select($"lang", $"rnk", $"token", $"tf", $"df_docs")
+      .orderBy($"lang", $"rnk")
+  }
+  val q59Sql: String =
+    """WITH tok AS (
+      |  SELECT lang, doc_id, u.t AS token
+      |  FROM documents, unnest(string_split(text, ' ')) AS u(t)),
+      |tfdf AS (
+      |  SELECT lang, token, COUNT(*) AS tf,
+      |    COUNT(DISTINCT doc_id) AS df_docs
+      |  FROM tok GROUP BY lang, token),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER
+      |    (PARTITION BY lang ORDER BY tf DESC, token ASC) AS rnk
+      |  FROM tfdf)
+      |SELECT lang, CAST(rnk AS INT) AS rnk, token, tf, df_docs
+      |FROM ranked WHERE rnk <= 10
+      |ORDER BY lang, rnk""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q29_simhash"        -> q29,
     "q30_jaccard_verify" -> q30,
     "q32_lang_id"        -> q32,
     "q33_quality_score"  -> q33,
     "q34_token_count"    -> q34,
-    "q35_fingerprint"    -> q35)
+    "q35_fingerprint"    -> q35,
+    "q59_top_terms"      -> q59)
 
   val oracles: Map[String, String] = Map(
     "q29_simhash"        -> q29Sql,
@@ -302,7 +352,8 @@ object TextOps {
     "q32_lang_id"        -> q32Sql,
     "q33_quality_score"  -> q33Sql,
     "q34_token_count"    -> q34Sql,
-    "q35_fingerprint"    -> q35Sql)
+    "q35_fingerprint"    -> q35Sql,
+    "q59_top_terms"      -> q59Sql)
 
   /** Bench-time overrides minus determinism-only global sorts (see
     * [[Relational.benchVariants]]). Verify runs the sorted forms. */
