@@ -21,7 +21,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++ graft.queries.LlmOps.queries ++
       graft.queries.TextOps.queries ++ graft.multimodal.Multimodal.queries ++
       graft.queries.Bucketed.queries ++ graft.queries.Sessions.queries ++
-      graft.queries.ZOrder.queries ++ graft.queries.Incremental.queries
+      graft.queries.ZOrder.queries ++ graft.queries.Incremental.queries ++
+      graft.queries.Clusters.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -30,5 +31,6 @@ object SparkEntry {
     graft.queries.Relational.oracles ++ graft.queries.LlmOps.oracles ++
       graft.queries.TextOps.oracles ++ graft.multimodal.Multimodal.oracles ++
       graft.queries.Bucketed.oracles ++ graft.queries.Sessions.oracles ++
-      graft.queries.ZOrder.oracles ++ graft.queries.Incremental.oracles
+      graft.queries.ZOrder.oracles ++ graft.queries.Incremental.oracles ++
+      graft.queries.Clusters.oracles
 }

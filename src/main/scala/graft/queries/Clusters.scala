@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Duplicate-CLUSTER resolution — the transitive-closure step of
+  * near-dedup that pairwise stages (q25 candidates, q30 verify) stop
+  * short of: LSH emits edges, but dedup must act on whole components
+  * (doc A ~ B and B ~ C puts A and C in one cluster even when A ~ C
+  * never collided in any band). The reference outsources dedup wholesale
+  * (reference/airflow/dags/weather_etl.py:146 keeps Athena's row-level
+  * GROUP BY world); a training-data pipeline needs the cluster view to
+  * keep exactly one representative per duplicate group.
+  *
+  * Algorithm: min-label propagation with POINTER JUMPING, the
+  * O(log d)-round hashtag-CC shape (Kiveris et al., "Connected
+  * Components in MapReduce and Beyond") rather than naive neighbor
+  * flooding:
+  *   - each round first takes the min label over direct neighbors (one
+  *     hop), then replaces every label by its label's label (pointer
+  *     jump) — the second step halves chain depth, so a path of length
+  *     2^k resolves in O(k) rounds, not 2^k;
+  *   - labels only decrease, and the global label sum is a strictly
+  *     decreasing convergence witness: equal sums ⇒ fixpoint. One tiny
+  *     driver-side action per round (a 1-row sum — a control decision,
+  *     not data collection).
+  *
+  * Scale posture: each round is two shuffles (hop join + jump join) over
+  * the EDGE set — never all-pairs, never a driver-side graph. The
+  * per-round `localCheckpoint` truncates lineage so round r's plan does
+  * not replay rounds 1..r-1 (on a cluster you'd point this at a reliable
+  * checkpoint dir; local mode keeps the truncation semantics). The
+  * candidate graph at 100 TB is orders of magnitude smaller than the
+  * corpus — edges exist only where ≥1 band collided — so the iteration
+  * runs on the residue of the LSH stage, not the data.
+  */
+object Clusters {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Connected components of the undirected graph given as (doc_a,
+    * doc_b) pairs. Returns (id, label) for every node, label = min node
+    * id in its component — the canonical keep-min-id dedup
+    * representative. Deterministic: pure min-semilattice iteration to
+    * fixpoint (order-insensitive), `maxIter` a safety valve far above
+    * the O(log diameter) rounds pointer jumping needs. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    // Lazy local checkpoints throughout: lineage still truncates (round
+    // r's plan never replays rounds 1..r-1), but materialization rides
+    // the round's own convergence action instead of a separate eager
+    // job — one driver round-trip per round, half the scheduling
+    // latency of eager checkpoints.
+    val edges = pairs
+      .select($"doc_a".cast("long").as("src"), $"doc_b".cast("long").as("dst"))
+      .union(pairs.select($"doc_b".cast("long"), $"doc_a".cast("long")))
+      .localCheckpoint(false)
+    // Seed = round 1's hop for free: the node set needs a shuffle anyway
+    // (distinct over edge endpoints), so fold the first neighbor-min
+    // into that same shuffle — labels start at min(self, neighbors)
+    // instead of self, saving one full hop+jump round.
+    var lab = edges.groupBy($"src").agg(min($"dst").as("nl"))
+      .select($"src".as("id"), least($"src", $"nl").as("label"))
+      .localCheckpoint(false)
+    var prevSum: Option[Long] = None // unknown until round 1's action
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // hop: min label over direct neighbors (and self)
+      val hop = edges
+        .join(lab.select($"id".as("dst"), $"label".as("nl")), "dst")
+        .groupBy($"src").agg(min($"nl").as("nl"))
+        .withColumnRenamed("src", "id")
+      val stepped = lab.join(hop, Seq("id"), "left")
+        .select($"id", least($"label", coalesce($"nl", $"label")).as("label"))
+      // jump: label := label(label) — labels are node ids, so the lookup
+      // table is `stepped` itself
+      val jump = stepped.select($"id".as("jid"), $"label".as("jlabel"))
+      val next = stepped.join(jump, stepped("label") === jump("jid"), "left")
+        .select(stepped("id").as("id"),
+          coalesce($"jlabel", stepped("label")).as("label"))
+        .localCheckpoint(false)
+      // the label-sum is a strictly decreasing convergence witness; this
+      // action also materializes `next`'s checkpoint
+      val sumRow = next.agg(sum($"label")).first()
+      lab = next
+      converged = sumRow.isNullAt(0) || // empty graph
+        prevSum.contains(sumRow.getLong(0))
+      prevSum = if (sumRow.isNullAt(0)) None else Some(sumRow.getLong(0))
+      iter += 1
+    }
+    lab
+  }
+
+  // ---------------------------------------------------------------------
+  // q60: duplicate clusters over the LSH candidate graph — q25's pairs
+  // resolved to components, each doc labeled with its cluster's min id
+  // and the cluster size. Downstream dedup is then a trivial
+  // `filter($"doc_id" === $"cluster_id")` (keep the representative) or a
+  // cluster-size histogram for corpus-contamination reporting.
+  // ---------------------------------------------------------------------
+  val q60: Q = (s, dir) => {
+    import s.implicits._
+    val pairs = LlmOps.bucketPairs(LlmOps.bandRows(LlmOps.signatures(s, dir)._2))
+    connectedComponents(pairs)
+      .select($"id".as("doc_id"), $"label".as("cluster_id"))
+      .withColumn("n_docs", count(lit(1)).over(Window.partitionBy($"cluster_id")))
+      .orderBy($"doc_id")
+  }
+
+  /** DuckDB mirror: the same candidate CTEs as q25's oracle, closed
+    * transitively by a recursive CTE (min reachable id == component min,
+    * the exact semantics the label propagation converges to). */
+  val q60Sql: String =
+    s"""WITH RECURSIVE ${LlmOps.candCtes},
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM cand
+      |  UNION SELECT doc_b, doc_a FROM cand),
+      |reach AS (
+      |  SELECT DISTINCT src AS id, src AS r FROM edges
+      |  UNION
+      |  SELECT e.src, p.r FROM edges e JOIN reach p ON p.id = e.dst),
+      |cc AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+      |SELECT doc_id, cluster_id,
+      |  COUNT(*) OVER (PARTITION BY cluster_id) AS n_docs
+      |FROM cc ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map("q60_dup_clusters" -> q60)
+  val oracles: Map[String, String] = Map("q60_dup_clusters" -> q60Sql)
+}

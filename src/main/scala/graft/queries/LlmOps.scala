@@ -288,8 +288,11 @@ object LlmOps {
     bucketPairs(bandRows(signatures(s, dir)._2))
       .orderBy($"doc_a", $"doc_b")
   }
-  val q25Sql: String =
-    s"""WITH toks AS (
+  /** The shared WITH-body producing `cand(doc_a, doc_b)` — the LSH
+    * candidate pairs — used by q25's oracle and re-used by downstream
+    * oracles that consume the candidate graph (q60's clusters). */
+  private[queries] val candCtes: String =
+    s"""toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
       |  WHERE len(string_split(text, ' ')) >= 3),
       |sh AS (SELECT doc_id,
@@ -301,10 +304,15 @@ object LlmOps {
       |  SELECT doc_id, 0 AS band, m0 || '|' || m1 AS key FROM mh UNION ALL
       |  SELECT doc_id, 1, m2 || '|' || m3 FROM mh UNION ALL
       |  SELECT doc_id, 2, m4 || '|' || m5 FROM mh UNION ALL
-      |  SELECT doc_id, 3, m6 || '|' || m7 FROM mh)
-      |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |FROM bands a JOIN bands b
-      |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+      |  SELECT doc_id, 3, m6 || '|' || m7 FROM mh),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
+
+  val q25Sql: String =
+    s"""WITH $candCtes
+      |SELECT doc_a, doc_b FROM cand
       |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -613,9 +621,9 @@ object LlmOps {
   // ---------------------------------------------------------------------
   private val SampleRates = Seq("de" -> 40, "en" -> 80, "es" -> 60, "fr" -> 100, "zh" -> 20)
 
-  private def hashKey(id: Column): Column =
+  private[queries] def hashKey(id: Column): Column =
     conv(substring(md5(concat(lit("s:"), id)), 1, 8), 16, 10).cast("long")
-  private val sqlHashKey = "CAST('0x' || substring(md5('s:' || doc_id), 1, 8) AS BIGINT)"
+  private[queries] val sqlHashKey = "CAST('0x' || substring(md5('s:' || doc_id), 1, 8) AS BIGINT)"
 
   val q50: Q = (s, dir) => {
     import s.implicits._

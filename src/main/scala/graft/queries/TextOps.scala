@@ -337,6 +337,136 @@ object TextOps {
       |FROM ranked WHERE rnk <= 10
       |ORDER BY lang, rnk""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q61: BENCHMARK DECONTAMINATION — the n-gram-collision eval-set scrub
+  // (the GPT-3 appendix-C / Llama method): any training doc sharing a
+  // 3-gram shingle with an eval-set doc is flagged, with the overlap
+  // count and the contamination ratio as evidence. The "eval set" here
+  // is the deterministic doc_id % 97 == 0 slice (a stand-in for an
+  // external benchmark table — the operator shape is identical).
+  //
+  // Scale shape: the eval side of the join is tiny BY DEFINITION (eval
+  // suites are KBs against a 100 TB corpus), so its distinct shingle set
+  // BROADCASTS and the corpus side never shuffles for the join — exploded
+  // corpus shingles stream through the broadcast hash probe and only the
+  // HITS reach the per-doc aggregate (itself collapsed map-side on
+  // doc-contiguous input). Reuses the persisted q25/q30 signature
+  // artifact: the decontamination pass rides the dedup pipeline's
+  // shingle computation for free.
+  // ---------------------------------------------------------------------
+  val q61Bench: Q = (s, dir) => {
+    import s.implicits._
+    val (sig, _) = LlmOps.signatures(s, dir)
+    val ev = sig.filter($"doc_id" % 97 === 0)
+      .select(explode($"s").as("sh")).distinct()
+    val corpus = sig.filter($"doc_id" % 97 =!= 0)
+      .select($"doc_id", size($"s").cast("long").as("n_sh"), explode($"s").as("sh"))
+    corpus.join(broadcast(ev), "sh")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_hit"), max($"n_sh").as("n_sh"),
+        min($"sh").as("top_hit"))
+      .select($"doc_id", $"n_hit", $"n_sh",
+        ($"n_hit".cast("double") / $"n_sh").as("hit_ratio"), $"top_hit")
+  }
+  val q61: Q = (s, dir) => {
+    import s.implicits._
+    q61Bench(s, dir).orderBy($"doc_id")
+  }
+  val q61Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text,' ') AS tk FROM documents
+      |  WHERE len(string_split(text,' ')) >= 3),
+      |sh AS (SELECT doc_id,
+      |  list_distinct([array_to_string(tk[i:i+2],' ') for i in range(1, len(tk)-1)]) AS s
+      |  FROM toks),
+      |ev AS (SELECT list_distinct(flatten(list(s))) AS es FROM sh WHERE doc_id % 97 = 0),
+      |hits AS (SELECT doc_id,
+      |    len(list_intersect(s, es)) AS n_hit,
+      |    len(s) AS n_sh,
+      |    list_sort(list_intersect(s, es))[1] AS top_hit
+      |  FROM sh, ev WHERE doc_id % 97 <> 0)
+      |SELECT doc_id, n_hit, n_sh,
+      |  CAST(n_hit AS DOUBLE) / n_sh AS hit_ratio, top_hit
+      |FROM hits WHERE n_hit > 0 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q62: UNIGRAM FAMILIARITY scoring — the model-based quality filter's
+  // integer-exact stand-in: score every doc by the mean corpus frequency
+  // of its tokens (rare-garbage docs score low, boilerplate scores
+  // high). Two passes by design — pass 1 builds the corpus tf table
+  // (vocab-sized), pass 2 scores docs against it — exactly how a real
+  // KenLM-style filter trains-then-scores; persisting the exploded
+  // tokens would cost more than the second scan.
+  //
+  // Scale shape: the tf table broadcasts while vocab fits (calibrate:
+  // 10M terms × ~24B ≈ 240 MB — still broadcastable on big executors;
+  // beyond that flip to a shuffle join on token and the doc-side agg is
+  // unchanged). All reductions are exact integer sums (< 2^53, so the
+  // one double division at the end is bit-identical cross-engine — the
+  // same Det scheme as q54's quantization audit).
+  // ---------------------------------------------------------------------
+  val q62Bench: Q = (s, dir) => {
+    import s.implicits._
+    val tok = t(s, dir, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+    val tf = tok.groupBy($"token").agg(count(lit(1)).as("tf"))
+    tok.join(broadcast(tf), "token")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum($"tf").as("sum_tf"))
+      .select($"doc_id", $"n_tokens", $"sum_tf",
+        ($"sum_tf".cast("double") / $"n_tokens").as("mean_tf"))
+  }
+  val q62: Q = (s, dir) => {
+    import s.implicits._
+    q62Bench(s, dir).orderBy($"doc_id")
+  }
+  val q62Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, u.t AS token
+      |  FROM documents, unnest(string_split(text, ' ')) AS u(t)),
+      |tf AS (SELECT token, COUNT(*) AS tf FROM tok GROUP BY token)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |  CAST(SUM(tf) AS BIGINT) AS sum_tf,
+      |  CAST(SUM(tf) AS DOUBLE) / COUNT(*) AS mean_tf
+      |FROM tok JOIN tf USING (token)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q63: DATA-MIXTURE REBALANCING — cap every language at N docs,
+  // keeping a deterministic hash-ranked subset (the content-stable
+  // shuffle key from q50, so the kept set is stable across runs,
+  // engines, and partitionings). Served by the custom TopKByScore
+  // AGGREGATE, not a ranking window: the window form shuffles EVERY row
+  // to its language's reducer to rank it; the bounded aggregate keeps k
+  // slots per language per map task, so the shuffle carries
+  // maps × langs × N entries regardless of corpus size — the q03-note
+  // topology rule (low group cardinality → aggregate wins) applied to
+  // the mixture-rebalance shape.
+  // ---------------------------------------------------------------------
+  private val RebalanceCap = 40
+
+  val q63: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"lang", $"doc_id", LlmOps.hashKey($"doc_id").as("h"))
+      .groupBy($"lang")
+      .agg(graft.functions.TopKByScore
+        .topKByScore(-$"h".cast("double"), $"doc_id", RebalanceCap).as("top"))
+      .select($"lang", posexplode($"top"))
+      .select($"lang", ($"pos" + 1).cast("int").as("rnk"), $"col.id".as("doc_id"))
+      .orderBy($"lang", $"rnk")
+  }
+  val q63Sql: String =
+    s"""WITH h AS (
+      |  SELECT lang, doc_id, ${LlmOps.sqlHashKey} AS hv
+      |  FROM documents),
+      |r AS (SELECT lang, doc_id,
+      |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv ASC, doc_id ASC) AS rnk
+      |  FROM h)
+      |SELECT lang, CAST(rnk AS INT) AS rnk, doc_id
+      |FROM r WHERE rnk <= $RebalanceCap
+      |ORDER BY lang, rnk""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q29_simhash"        -> q29,
     "q30_jaccard_verify" -> q30,
@@ -344,7 +474,10 @@ object TextOps {
     "q33_quality_score"  -> q33,
     "q34_token_count"    -> q34,
     "q35_fingerprint"    -> q35,
-    "q59_top_terms"      -> q59)
+    "q59_top_terms"      -> q59,
+    "q61_decontaminate"  -> q61,
+    "q62_unigram_score"  -> q62,
+    "q63_lang_rebalance" -> q63)
 
   val oracles: Map[String, String] = Map(
     "q29_simhash"        -> q29Sql,
@@ -353,13 +486,18 @@ object TextOps {
     "q33_quality_score"  -> q33Sql,
     "q34_token_count"    -> q34Sql,
     "q35_fingerprint"    -> q35Sql,
-    "q59_top_terms"      -> q59Sql)
+    "q59_top_terms"      -> q59Sql,
+    "q61_decontaminate"  -> q61Sql,
+    "q62_unigram_score"  -> q62Sql,
+    "q63_lang_rebalance" -> q63Sql)
 
   /** Bench-time overrides minus determinism-only global sorts (see
     * [[Relational.benchVariants]]). Verify runs the sorted forms. */
   val benchVariants: Map[String, Q] = Map(
-    "q29_simhash"       -> q29Bench,
-    "q32_lang_id"       -> q32Bench,
-    "q33_quality_score" -> q33Bench,
-    "q35_fingerprint"   -> q35Bench)
+    "q29_simhash"        -> q29Bench,
+    "q32_lang_id"        -> q32Bench,
+    "q33_quality_score"  -> q33Bench,
+    "q35_fingerprint"    -> q35Bench,
+    "q61_decontaminate"  -> q61Bench,
+    "q62_unigram_score"  -> q62Bench)
 }
