@@ -94,6 +94,38 @@ object Clusters {
     lab
   }
 
+  /** The cluster labeling as a shared per-(session, dataset) artifact —
+    * the same pattern as [[LlmOps.signatures]] and the IVF index: a real
+    * pipeline materializes the component labeling once per corpus
+    * snapshot and every downstream consumer (dedup filter, cluster
+    * stats, representative selection) reads it. The labeling is already
+    * block-manager-resident via the final round's localCheckpoint. */
+  private val ccCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** (doc_id, cluster_id) for every doc in ≥1 LSH candidate pair. */
+  private[queries] def clusterLabels(s: SparkSession, dir: String): DataFrame =
+    ccCache.computeIfAbsent((s, dir), { _: (SparkSession, String) =>
+      val pairs = LlmOps.bucketPairs(LlmOps.bandRows(LlmOps.signatures(s, dir)._2))
+      connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    })
+
+  /** DuckDB mirror of [[clusterLabels]]: the q25 candidate CTEs closed
+    * transitively by a recursive CTE (min reachable id == component min,
+    * the exact semantics the label propagation converges to). Yields
+    * `cc(doc_id, cluster_id)`. */
+  private[queries] val ccCtes: String =
+    s"""${LlmOps.candCtes},
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM cand
+      |  UNION SELECT doc_b, doc_a FROM cand),
+      |reach AS (
+      |  SELECT DISTINCT src AS id, src AS r FROM edges
+      |  UNION
+      |  SELECT e.src, p.r FROM edges e JOIN reach p ON p.id = e.dst),
+      |cc AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+
   // ---------------------------------------------------------------------
   // q60: duplicate clusters over the LSH candidate graph — q25's pairs
   // resolved to components, each doc labeled with its cluster's min id
@@ -103,30 +135,62 @@ object Clusters {
   // ---------------------------------------------------------------------
   val q60: Q = (s, dir) => {
     import s.implicits._
-    val pairs = LlmOps.bucketPairs(LlmOps.bandRows(LlmOps.signatures(s, dir)._2))
-    connectedComponents(pairs)
-      .select($"id".as("doc_id"), $"label".as("cluster_id"))
+    clusterLabels(s, dir)
       .withColumn("n_docs", count(lit(1)).over(Window.partitionBy($"cluster_id")))
       .orderBy($"doc_id")
   }
-
-  /** DuckDB mirror: the same candidate CTEs as q25's oracle, closed
-    * transitively by a recursive CTE (min reachable id == component min,
-    * the exact semantics the label propagation converges to). */
   val q60Sql: String =
-    s"""WITH RECURSIVE ${LlmOps.candCtes},
-      |edges AS (
-      |  SELECT doc_a AS src, doc_b AS dst FROM cand
-      |  UNION SELECT doc_b, doc_a FROM cand),
-      |reach AS (
-      |  SELECT DISTINCT src AS id, src AS r FROM edges
-      |  UNION
-      |  SELECT e.src, p.r FROM edges e JOIN reach p ON p.id = e.dst),
-      |cc AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+    s"""WITH RECURSIVE $ccCtes
       |SELECT doc_id, cluster_id,
       |  COUNT(*) OVER (PARTITION BY cluster_id) AS n_docs
       |FROM cc ORDER BY doc_id""".stripMargin
 
-  val queries: Map[String, Q] = Map("q60_dup_clusters" -> q60)
-  val oracles: Map[String, String] = Map("q60_dup_clusters" -> q60Sql)
+  // ---------------------------------------------------------------------
+  // q67: cluster REPRESENTATIVE selection — the real dedup keep-rule.
+  // Keep-min-id (q60's cluster_id) is the canonical tie-break, but a
+  // training pipeline keeps the BEST copy: per cluster, the doc with the
+  // highest quality signal (distinct-token ratio here, q33's metric),
+  // ties broken toward the smaller doc_id. Composes the two artifacts
+  // this module and q33 already define — labeling ⋈ quality → argmax.
+  //
+  // Scale shape: the labeling is component-sized (small), so the join
+  // broadcasts it into the quality scan — the corpus never shuffles —
+  // and the per-cluster argmax is a tiny aggregate over labeled rows
+  // only. max_by with a (quality, -doc_id) struct gives the
+  // deterministic tie-break without a ranking window.
+  // ---------------------------------------------------------------------
+  val q67: Q = (s, dir) => {
+    import s.implicits._
+    val quality = graft.Tables.t(s, dir, "documents")
+      .withColumn("tk", split($"text", " "))
+      .select($"doc_id",
+        (size(array_distinct($"tk")).cast("double") / size($"tk")).as("q"))
+    broadcast(clusterLabels(s, dir)).join(quality, "doc_id")
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_docs"),
+        max_by(struct($"doc_id", $"q"), struct($"q", -$"doc_id")).as("rep"))
+      .select($"cluster_id", $"n_docs",
+        $"rep.doc_id".as("rep_doc_id"), $"rep.q".as("rep_ratio"))
+      .orderBy($"cluster_id")
+  }
+  val q67Sql: String =
+    s"""WITH RECURSIVE $ccCtes,
+      |q AS (SELECT doc_id,
+      |    CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+      |      / len(string_split(text,' ')) AS q
+      |  FROM documents),
+      |j AS (SELECT cc.cluster_id, cc.doc_id, q.q FROM cc JOIN q USING (doc_id)),
+      |r AS (SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY q DESC, doc_id ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY cluster_id) AS n_docs
+      |  FROM j)
+      |SELECT cluster_id, n_docs, doc_id AS rep_doc_id, q AS rep_ratio
+      |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q60_dup_clusters" -> q60,
+    "q67_cluster_rep"  -> q67)
+  val oracles: Map[String, String] = Map(
+    "q60_dup_clusters" -> q60Sql,
+    "q67_cluster_rep"  -> q67Sql)
 }

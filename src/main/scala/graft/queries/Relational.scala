@@ -937,6 +937,63 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  // ---------------------------------------------------------------------
+  // q66: FULL OUTER snapshot reconciliation — the join shape every
+  // data-platform diff needs (yesterday's load vs today's restatement):
+  // keys only in A are `removed`, only in B `added`, in both with a
+  // different value `changed`; unchanged rows are filtered out before
+  // the output. The snapshots are deterministic slices of orders (A
+  // drops every 7th key, B drops every 5th and restates every 11th at
+  // +10.00), so all three branches are exercised.
+  //
+  // Scale shape: a single shuffle on the join key produces the full
+  // diff; the `same` rows — the overwhelming majority in a real diff —
+  // are dropped BEFORE the output sort, so the expensive ordering runs
+  // on the small changed set. Values compare as stored doubles (exact:
+  // no reduction is performed on them — the Det note in Tables.scala
+  // applies to SUMS, not row-level equality).
+  // ---------------------------------------------------------------------
+  val q66: Q = (s, dir) => {
+    import s.implicits._
+    val o = t(s, dir, "orders")
+    val snapA = o.filter($"o_orderkey" % 7 =!= 0)
+      .select($"o_orderkey".as("key_a"), $"o_totalprice".as("price_a"))
+    val snapB = o.filter($"o_orderkey" % 5 =!= 0)
+      .select($"o_orderkey".as("key_b"),
+        when($"o_orderkey" % 11 === 0, $"o_totalprice" + 10.0)
+          .otherwise($"o_totalprice").as("price_b"))
+    snapA.join(snapB, $"key_a" === $"key_b", "full_outer")
+      .withColumn("status",
+        when($"key_b".isNull, "removed")
+          .when($"key_a".isNull, "added")
+          .when($"price_a" =!= $"price_b", "changed")
+          .otherwise("same"))
+      .filter($"status" =!= "same")
+      .select(coalesce($"key_a", $"key_b").as("o_orderkey"),
+        $"status", $"price_a", $"price_b")
+      .orderBy($"o_orderkey")
+  }
+  val q66Sql: String =
+    """WITH a AS (
+      |  SELECT o_orderkey AS key_a, o_totalprice AS price_a
+      |  FROM orders WHERE o_orderkey % 7 <> 0),
+      |b AS (
+      |  SELECT o_orderkey AS key_b,
+      |    CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 10.0
+      |         ELSE o_totalprice END AS price_b
+      |  FROM orders WHERE o_orderkey % 5 <> 0),
+      |d AS (
+      |  SELECT COALESCE(key_a, key_b) AS o_orderkey,
+      |    CASE WHEN key_b IS NULL THEN 'removed'
+      |         WHEN key_a IS NULL THEN 'added'
+      |         WHEN price_a <> price_b THEN 'changed'
+      |         ELSE 'same' END AS status,
+      |    price_a, price_b
+      |  FROM a FULL JOIN b ON key_a = key_b)
+      |SELECT o_orderkey, status, price_a, price_b
+      |FROM d WHERE status <> 'same'
+      |ORDER BY o_orderkey""".stripMargin
+
   /** name -> query function, assembled by [[graft.SparkEntry]]. */
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary"    -> q01,
@@ -972,7 +1029,8 @@ object Relational {
     "q45_range_frame"        -> q45,
     "q47_asof_join"          -> q47,
     "q48_range_join"         -> q48,
-    "q49_approx_percentile"  -> q49)
+    "q49_approx_percentile"  -> q49,
+    "q66_snapshot_diff"      -> q66)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary"    -> q01Sql,
@@ -1010,7 +1068,8 @@ object Relational {
     "q44_subqueries"         -> q44Sql,
     "q45_range_frame"        -> q45Sql,
     "q47_asof_join"          -> q47Sql,
-    "q48_range_join"         -> q48Sql)
+    "q48_range_join"         -> q48Sql,
+    "q66_snapshot_diff"      -> q66Sql)
 
   /** Bench-time overrides: same semantics minus determinism-only global
     * sorts (which exist purely for the oracle's ordered hash-compare and

@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Slowly-changing-dimension maintenance (SCD type 2) — the MERGE/upsert
+  * shape every warehouse pipeline needs for dimensions whose history
+  * matters: an update closes the current version (valid_to = effective
+  * date) and opens a new one, no-op updates and untouched keys pass
+  * through, history rows are immutable.
+  *
+  * Scale shape: the update batch is small relative to the dimension BY
+  * DEFINITION (a day's changes vs all-time history), so the merge is a
+  * BROADCAST left join — the dimension table itself never shuffles, and
+  * the changed/unchanged fan-out is a Generate (explode) inside the same
+  * codegen stage, not a self-union that would scan the dimension twice.
+  * A transactional table format would wrap this in a txn log (Compact's
+  * caveat applies); the relational algebra is exactly this plan.
+  */
+object Scd {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Apply one update batch to an SCD-2 dimension.
+    *
+    * `dim`: (key, attr, valid_from, valid_to, is_current) — history rows
+    * (is_current = false) pass through untouched.
+    * `updates`: two columns, positionally (key, new attr value) — at
+    * most one row per key.
+    * `eff`: the effective date of the batch.
+    *
+    * Emits: unchanged rows as-is; for each genuinely changed key, the
+    * closed old version plus the new open version. Deterministic — pure
+    * relational algebra, no processing-time anywhere. */
+  def scd2Apply(dim: DataFrame, updates: DataFrame, key: String,
+                attr: String, eff: Column): DataFrame = {
+    val uCols = updates.columns
+    val upd = broadcast(updates.select(
+      col(uCols(0)).as("_u_key"), col(uCols(1)).as("_u_val")))
+    val joined = dim.join(upd,
+      dim(key) === upd("_u_key") && dim("is_current"), "left")
+    val changed = col("_u_key").isNotNull && col("_u_val") =!= col(attr)
+    joined
+      .select(col(key),
+        explode(when(changed, array(
+          struct(col(attr).as(attr), col("valid_from"),
+            eff.cast("date").as("valid_to"), lit(false).as("is_current")),
+          struct(col("_u_val").as(attr), eff.cast("date").as("valid_from"),
+            lit(null).cast("date").as("valid_to"), lit(true).as("is_current"))))
+          .otherwise(array(
+            struct(col(attr).as(attr), col("valid_from"),
+              col("valid_to"), col("is_current"))))).as("_r"))
+      .select(col(key), col(s"_r.$attr"), col("_r.valid_from"),
+        col("_r.valid_to"), col("_r.is_current"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q64: SCD-2 merge over the customer dimension. The "update batch" is
+  // a deterministic slice: every 10th customer submits an update, half
+  // of them (key % 20 == 0) with a genuinely new segment, half with a
+  // no-op re-statement of the current value — exercising the changed /
+  // unchanged / untouched branches in one run.
+  // ---------------------------------------------------------------------
+  val q64: Q = (s, dir) => {
+    import s.implicits._
+    val dim = t(s, dir, "customer")
+      .select($"c_custkey", $"c_mktsegment",
+        to_date(lit("2024-01-01")).as("valid_from"),
+        lit(null).cast("date").as("valid_to"),
+        lit(true).as("is_current"))
+    val upd = t(s, dir, "customer")
+      .filter($"c_custkey" % 10 === 0)
+      .select($"c_custkey",
+        when($"c_custkey" % 20 === 0, concat(lit("NEW_"), $"c_mktsegment"))
+          .otherwise($"c_mktsegment").as("_u_val"))
+    scd2Apply(dim, upd, "c_custkey", "c_mktsegment", lit("2024-06-01"))
+      .orderBy($"c_custkey", $"valid_from")
+  }
+  val q64Sql: String =
+    """WITH dim AS (
+      |  SELECT c_custkey, c_mktsegment, DATE '2024-01-01' AS valid_from,
+      |    CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+      |  FROM customer),
+      |upd AS (
+      |  SELECT c_custkey AS u_key,
+      |    CASE WHEN c_custkey % 20 = 0 THEN 'NEW_' || c_mktsegment
+      |         ELSE c_mktsegment END AS u_val
+      |  FROM customer WHERE c_custkey % 10 = 0),
+      |j AS (SELECT * FROM dim LEFT JOIN upd ON c_custkey = u_key)
+      |SELECT c_custkey, c_mktsegment, valid_from, valid_to, is_current
+      |FROM j WHERE u_key IS NULL OR u_val = c_mktsegment
+      |UNION ALL
+      |SELECT c_custkey, c_mktsegment, valid_from, DATE '2024-06-01', FALSE
+      |FROM j WHERE u_key IS NOT NULL AND u_val <> c_mktsegment
+      |UNION ALL
+      |SELECT c_custkey, u_val, DATE '2024-06-01', NULL, TRUE
+      |FROM j WHERE u_key IS NOT NULL AND u_val <> c_mktsegment
+      |ORDER BY c_custkey, valid_from""".stripMargin
+
+  val queries: Map[String, Q] = Map("q64_scd2_merge" -> q64)
+  val oracles: Map[String, String] = Map("q64_scd2_merge" -> q64Sql)
+}

@@ -467,6 +467,55 @@ object TextOps {
       |FROM r WHERE rnk <= $RebalanceCap
       |ORDER BY lang, rnk""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q65: REPETITION metrics — the Gopher-rule repetition filters adapted
+  // to the token corpus: per doc, the fraction of 3-grams claimed by the
+  // single most frequent 3-gram (top_gram_frac — catches "looping"
+  // generation/boilerplate) and the fraction occurring more than once
+  // (dup_gram_frac — catches templated spam). Downstream use is a
+  // pushdown-able threshold filter, like q33's quality gate.
+  //
+  // Scale shape: two-level aggregate — (doc_id, gram) counts collapse
+  // map-side on doc-contiguous exploded input, then the per-doc rollup
+  // moves one row per distinct gram per doc. All ratios are exact-int
+  // divisions; the 3-grams come from the codegen'd Shingles3.
+  // ---------------------------------------------------------------------
+  val q65Bench: Q = (s, dir) => {
+    import s.implicits._
+    val per = t(s, dir, "documents")
+      .withColumn("tk", split($"text", " "))
+      .filter(size($"tk") >= 3)
+      .select($"doc_id", explode(LlmOps.shingles3($"tk")).as("g"))
+      .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+    per.groupBy($"doc_id")
+      .agg(sum($"c").as("n_grams"), max($"c").as("mx"),
+        sum(when($"c" > 1, $"c").otherwise(0L)).as("dup"))
+      .select($"doc_id", $"n_grams",
+        ($"mx".cast("double") / $"n_grams").as("top_gram_frac"),
+        ($"dup".cast("double") / $"n_grams").as("dup_gram_frac"))
+  }
+  val q65: Q = (s, dir) => {
+    import s.implicits._
+    q65Bench(s, dir).orderBy($"doc_id")
+  }
+  val q65Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text,' ') AS tk FROM documents
+      |  WHERE len(string_split(text,' ')) >= 3),
+      |sh AS (SELECT doc_id,
+      |  unnest([array_to_string(tk[i:i+2],' ') for i in range(1, len(tk)-1)]) AS g
+      |  FROM toks),
+      |per AS (SELECT doc_id, g, COUNT(*) AS c FROM sh GROUP BY doc_id, g),
+      |agg AS (SELECT doc_id,
+      |    CAST(SUM(c) AS BIGINT) AS n_grams,
+      |    MAX(c) AS mx,
+      |    CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup
+      |  FROM per GROUP BY doc_id)
+      |SELECT doc_id, n_grams,
+      |  CAST(mx AS DOUBLE) / n_grams AS top_gram_frac,
+      |  CAST(dup AS DOUBLE) / n_grams AS dup_gram_frac
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q29_simhash"        -> q29,
     "q30_jaccard_verify" -> q30,
@@ -477,7 +526,8 @@ object TextOps {
     "q59_top_terms"      -> q59,
     "q61_decontaminate"  -> q61,
     "q62_unigram_score"  -> q62,
-    "q63_lang_rebalance" -> q63)
+    "q63_lang_rebalance" -> q63,
+    "q65_repetition"     -> q65)
 
   val oracles: Map[String, String] = Map(
     "q29_simhash"        -> q29Sql,
@@ -489,7 +539,8 @@ object TextOps {
     "q59_top_terms"      -> q59Sql,
     "q61_decontaminate"  -> q61Sql,
     "q62_unigram_score"  -> q62Sql,
-    "q63_lang_rebalance" -> q63Sql)
+    "q63_lang_rebalance" -> q63Sql,
+    "q65_repetition"     -> q65Sql)
 
   /** Bench-time overrides minus determinism-only global sorts (see
     * [[Relational.benchVariants]]). Verify runs the sorted forms. */
@@ -499,5 +550,6 @@ object TextOps {
     "q33_quality_score"  -> q33Bench,
     "q35_fingerprint"    -> q35Bench,
     "q61_decontaminate"  -> q61Bench,
-    "q62_unigram_score"  -> q62Bench)
+    "q62_unigram_score"  -> q62Bench,
+    "q65_repetition"     -> q65Bench)
 }
