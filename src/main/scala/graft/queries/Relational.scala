@@ -994,6 +994,95 @@ object Relational {
       |FROM d WHERE status <> 'same'
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q68: MERGEABLE-SKETCH ROLLUP — the pre-aggregation pattern that makes
+  // distinct counts tractable at 100 TB: per (event_type, day) HLL
+  // sketches (DataSketches binary, the thing a real pipeline PERSISTS as
+  // a daily cube), then per-type totals by UNIONING the sketches —
+  // NEVER rescanning raw events. q39 shows approx_count_distinct as a
+  // one-shot aggregate; this is the reaggregatable form: the daily
+  // sketch table supports any later rollup (weekly, monthly, all-time)
+  // at sketch-union cost. No DuckDB oracle — DataSketches HLL state is
+  // engine-specific (same trade as q39/q49); the driver records a
+  // rows-only check and SketchRollupSpec pins (a) two-level union ==
+  // direct one-level sketching (mergeability is LOSSLESS) and (b)
+  // estimates within HLL error of exact distincts.
+  // ---------------------------------------------------------------------
+  val q68: Q = (s, dir) => {
+    import s.implicits._
+    val daily = t(s, dir, "events")
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(hll_sketch_agg($"user_id").as("sk"), count(lit(1)).as("n"))
+    daily.groupBy($"event_type")
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("approx_users"),
+        sum($"n").as("n_events"), count(lit(1)).as("n_days"))
+      .orderBy($"event_type")
+  }
+
+  // ---------------------------------------------------------------------
+  // q69: analytic-window completeness — lead/lag neighbors and the
+  // rank-fraction functions (percent_rank, cume_dist) over per-user
+  // event-time order. Values pass through row-level (no reduction), and
+  // the rank fractions are exact integer-derived divisions, so the whole
+  // output hash-matches cross-engine despite the doubles. One shuffle on
+  // user_id; all four functions share the single window sort.
+  // ---------------------------------------------------------------------
+  val q69: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us".asc, $"event_id".asc)
+    t(s, dir, "events")
+      .select($"user_id", $"event_id", tsUs($"ts").as("us"), $"value")
+      .select($"user_id", $"event_id", $"us".as("ts_us"), $"value",
+        lag($"value", 1).over(w).as("prev_value"),
+        lead($"value", 1).over(w).as("next_value"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy($"user_id", $"event_id")
+  }
+  val q69Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+      |  FROM events)
+      |SELECT user_id, event_id, ts_us, value,
+      |  LAG(value, 1) OVER w AS prev_value,
+      |  LEAD(value, 1) OVER w AS next_value,
+      |  PERCENT_RANK() OVER w AS pr,
+      |  CUME_DIST() OVER w AS cd
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q70: explicit GROUPING SETS with grouping() disambiguation — the
+  // reporting shape rollup/cube (q11/q38) can't express: exactly the
+  // named combinations (per-flag, per-status, grand total) in ONE
+  // Expand+aggregate pass instead of three scans unioned. grouping()
+  // tells a NULL group key from a NULL subtotal marker. Via spark.sql —
+  // grouping sets are SQL-surface-only in Spark, which is the point of
+  // exercising the S3 entry here.
+  // ---------------------------------------------------------------------
+  val q70: Q = (s, dir) => {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    s.sql(
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+         |  CAST(grouping(l_linestatus) AS INT) AS g_status,
+         |  SUM(${"CAST(ROUND(l_extendedprice * 100) AS BIGINT)"}) AS sum_price_cents,
+         |  COUNT(*) AS n
+         |FROM lineitem_v
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin)
+  }
+  val q70Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+      |  CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin
+
   /** name -> query function, assembled by [[graft.SparkEntry]]. */
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary"    -> q01,
@@ -1030,7 +1119,10 @@ object Relational {
     "q47_asof_join"          -> q47,
     "q48_range_join"         -> q48,
     "q49_approx_percentile"  -> q49,
-    "q66_snapshot_diff"      -> q66)
+    "q66_snapshot_diff"      -> q66,
+    "q68_sketch_rollup"      -> q68,
+    "q69_analytic_windows"   -> q69,
+    "q70_grouping_sets"      -> q70)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary"    -> q01Sql,
@@ -1069,7 +1161,11 @@ object Relational {
     "q45_range_frame"        -> q45Sql,
     "q47_asof_join"          -> q47Sql,
     "q48_range_join"         -> q48Sql,
-    "q66_snapshot_diff"      -> q66Sql)
+    "q66_snapshot_diff"      -> q66Sql,
+    // q68_sketch_rollup deliberately has NO oracle (DataSketches HLL,
+    // like q39/q49): rows-only + SketchRollupSpec.
+    "q69_analytic_windows"   -> q69Sql,
+    "q70_grouping_sets"      -> q70Sql)
 
   /** Bench-time overrides: same semantics minus determinism-only global
     * sorts (which exist purely for the oracle's ordered hash-compare and

@@ -27,9 +27,11 @@ class QuerySmokeSpec extends AnyFunSuite {
 
   // Queries with a DELIBERATE rows-only check (no oracle SQL): sketches
   // aren't cross-engine comparable. Anything else missing an oracle is a
-  // bug. q39/q49's accuracy is pinned semantically in ApproxDistinctSpec
-  // / ApproxPercentileSpec (sketches aren't cross-engine comparable).
-  private val rowsOnly = Set("q39_approx_distinct", "q49_approx_percentile")
+  // bug. Accuracy is pinned semantically instead: q39 by
+  // ApproxDistinctSpec, q49 by ApproxPercentileSpec, q68 by
+  // SketchRollupSpec (lossless union + error bound).
+  private val rowsOnly =
+    Set("q39_approx_distinct", "q49_approx_percentile", "q68_sketch_rollup")
 
   test("every query has either an oracle or a deliberate rows-only entry") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
