@@ -52,6 +52,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"topk_by_score requires a literal int k, got $other")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("freq_sketch"),
+      new ExpressionInfo(classOf[FreqSketch].getName, "freq_sketch"),
+      (args: Seq[Expression]) => args(1) match {
+        case Literal(k: Int, org.apache.spark.sql.types.IntegerType) =>
+          FreqSketch(args(0), k).toAggregateExpression()
+        case other => throw new IllegalArgumentException(
+          s"freq_sketch requires a literal int k, got $other")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("count_in_set"),
       new ExpressionInfo(classOf[CountInSet].getName, "count_in_set"),
       (args: Seq[Expression]) => args(1) match {

@@ -516,6 +516,55 @@ object TextOps {
       |  CAST(dup AS DOUBLE) / n_grams AS dup_gram_frac
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q71: EXACT heavy hitters via sketch-then-verify — the two-pass
+  // pattern that makes "which tokens exceed 0.5% of the corpus" exact at
+  // 100 TB vocabulary scale. Pass 1: the Misra-Gries FreqSketch
+  // aggregate (bounded k counters per map task, mergeable partials)
+  // produces a CANDIDATE set guaranteed to contain every item with true
+  // count > n/(k+1) — order- and partitioning-independent, which is what
+  // makes the composition deterministic even though sketch internals
+  // aren't. Pass 2: exact counts for candidates only (broadcast semi
+  // pass over the token stream), thresholded at 0.5%. k=400 puts the
+  // guarantee boundary (n/401) safely under the 0.5% threshold. The
+  // DuckDB oracle is a plain GROUP BY ... HAVING — if the sketch ever
+  // dropped a true heavy hitter, the hash compare would fail.
+  // Contrast: q59 ranks per-language terms with a full exact aggregate
+  // (vocab-sized hash tables); this path bounds pass-1 memory at k
+  // counters regardless of vocabulary.
+  // ---------------------------------------------------------------------
+  private val HhSketchK = 400
+  private val HhFrac = 0.005
+
+  val q71Bench: Q = (s, dir) => {
+    import s.implicits._
+    val tok = t(s, dir, "documents")
+      .select(explode(split($"text", " ")).as("token"))
+    val cand = tok
+      .agg(graft.functions.FreqSketch.freqSketch($"token", HhSketchK).as("sk"))
+      .select(explode($"sk").as("e")).select($"e.item".as("token"))
+    val total = tok.agg(count(lit(1)).as("n_total"))
+    tok.join(broadcast(cand), "token")
+      .groupBy($"token").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter($"cnt".cast("double") > $"n_total" * HhFrac)
+      .select($"token", $"cnt")
+  }
+  val q71: Q = (s, dir) => {
+    import s.implicits._
+    q71Bench(s, dir).orderBy($"cnt".desc, $"token".asc)
+  }
+  val q71Sql: String =
+    s"""WITH tok AS (
+      |  SELECT u.t AS token
+      |  FROM documents, unnest(string_split(text, ' ')) AS u(t)),
+      |tot AS (SELECT COUNT(*) AS n FROM tok)
+      |SELECT token, COUNT(*) AS cnt
+      |FROM tok, tot
+      |GROUP BY token, tot.n
+      |HAVING COUNT(*) > n * $HhFrac
+      |ORDER BY cnt DESC, token ASC""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q29_simhash"        -> q29,
     "q30_jaccard_verify" -> q30,
@@ -527,7 +576,8 @@ object TextOps {
     "q61_decontaminate"  -> q61,
     "q62_unigram_score"  -> q62,
     "q63_lang_rebalance" -> q63,
-    "q65_repetition"     -> q65)
+    "q65_repetition"     -> q65,
+    "q71_heavy_hitters"  -> q71)
 
   val oracles: Map[String, String] = Map(
     "q29_simhash"        -> q29Sql,
@@ -540,7 +590,8 @@ object TextOps {
     "q61_decontaminate"  -> q61Sql,
     "q62_unigram_score"  -> q62Sql,
     "q63_lang_rebalance" -> q63Sql,
-    "q65_repetition"     -> q65Sql)
+    "q65_repetition"     -> q65Sql,
+    "q71_heavy_hitters"  -> q71Sql)
 
   /** Bench-time overrides minus determinism-only global sorts (see
     * [[Relational.benchVariants]]). Verify runs the sorted forms. */
@@ -551,5 +602,6 @@ object TextOps {
     "q35_fingerprint"    -> q35Bench,
     "q61_decontaminate"  -> q61Bench,
     "q62_unigram_score"  -> q62Bench,
-    "q65_repetition"     -> q65Bench)
+    "q65_repetition"     -> q65Bench,
+    "q71_heavy_hitters"  -> q71Bench)
 }

@@ -11,7 +11,7 @@ import graft.SparkTestSession
   * shared default session is restored afterwards. */
 class GraftExtensionsSpec extends AnyFunSuite {
 
-  test("all five custom expressions are callable from SQL") {
+  test("all custom expressions and aggregates are callable from SQL") {
     val base = SparkTestSession.spark // ensure the context exists
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
@@ -35,6 +35,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .head().getLong(0) === 7L)
       assert(s.sql("SELECT count_in_set(array('a','b','a','x'), array('a','b')) AS n")
         .head().getLong(0) === 3L)
+      // freq_sketch: single heavy item must be present with its count
+      assert(s.sql(
+        """SELECT filter(freq_sketch(x, 2), e -> e.item = 'a')[0].count_lb AS c
+          |FROM VALUES ('a'),('a'),('a'),('b') AS t(x)""".stripMargin)
+        .head().getLong(0) > 0L)
       // non-literal field name must be rejected loudly
       val err = intercept[Exception](
         s.sql("SELECT json_get_long('{}', concat('k', ''))").collect())
