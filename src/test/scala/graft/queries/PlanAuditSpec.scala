@@ -96,6 +96,44 @@ class PlanAuditSpec extends AnyFunSuite {
     }.isEmpty, s"q58 must bound top-k via the aggregate, not a window:\n$plan")
   }
 
+  test("q62 broadcasts the tf table; at most the two deliberate scans") {
+    val plan = sparkPlanOf(TextOps.q62Bench(spark, sfDir))
+    val bcasts = plan.collectWithSubqueries {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }
+    assert(bcasts.nonEmpty, "expected the tf table on a BroadcastExchange")
+    val scans = plan.collectWithSubqueries {
+      case s: FileSourceScanExec if s.toString.contains("documents") => s
+    }
+    assert(scans.size <= 2,
+      s"q62 is a two-pass design; found ${scans.size} scans of documents")
+  }
+
+  test("q69 computes all four analytic functions over ONE window sort") {
+    val plan = sparkPlanOf(Relational.q69(spark, sfDir))
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size === 1,
+      s"lead/lag/percent_rank/cume_dist must share one WindowExec, got ${windows.size}")
+  }
+
+  test("q71 bounds pass 1 with the sketch aggregate and broadcasts candidates") {
+    val plan = sparkPlanOf(TextOps.q71Bench(spark, sfDir))
+    val objAggs = plan.collect {
+      case o: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => o
+    }
+    assert(objAggs.nonEmpty, "expected the FreqSketch ObjectHashAggregate")
+    val bcasts = plan.collectWithSubqueries {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }
+    assert(bcasts.size >= 2,
+      s"expected broadcast candidate set + broadcast total, got ${bcasts.size}")
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "q71 must not rank via a window")
+  }
+
   test("q46 probes only nProbe IVF cells; no per-query assignment") {
     val plan = sparkPlanOf(LlmOps.q46(spark, sfDir))
     // the corpus side must be the persisted index, partition-pruned on cell
