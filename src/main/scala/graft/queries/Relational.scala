@@ -1083,6 +1083,60 @@ object Relational {
       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
       |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q72: time-series GAP-FILL + forward fill — resample each user's
+  // event stream onto a dense daily grid (their own [min, max] span) and
+  // carry the last observed value across silent days: the
+  // missing-data-regularization step every downstream time-series
+  // consumer (features, charts, anomaly baselines) assumes has happened.
+  //
+  // Scale shape: the grid generates per user via sequence() + explode —
+  // a Generate, no join against a global calendar table and nothing
+  // driver-side; the observed dailies come back via an equi left join on
+  // (user, day); the forward fill is one window (user, day ASC) with
+  // last(ignoreNulls) over an unbounded-preceding frame — running-state,
+  // no self-join. Grid size is bounded by span×users, not events.
+  // Aggregated values go through integer cents (Det) as everywhere.
+  // ---------------------------------------------------------------------
+  val q72: Q = (s, dir) => {
+    import s.implicits._
+    val daily = t(s, dir, "events")
+      .groupBy($"user_id", to_date($"ts").as("day"))
+      .agg(sum(cents($"value")).as("v"))
+    val grid = daily.groupBy($"user_id")
+      .agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select($"user_id",
+        explode(sequence($"d0", $"d1", expr("interval 1 day"))).as("day"))
+    val w = Window.partitionBy($"user_id").orderBy($"day".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select($"user_id", $"day",
+        last($"v", ignoreNulls = true).over(w).as("v_cents"),
+        $"v".isNotNull.as("observed"))
+      .orderBy($"user_id", $"day")
+  }
+  val q72Sql: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (
+      |  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+      |  FROM daily GROUP BY 1),
+      |grid AS (
+      |  SELECT user_id, CAST(u.d AS DATE) AS day
+      |  FROM bounds, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS u(d)),
+      |j AS (
+      |  SELECT g.user_id, g.day, d.v, d.v IS NOT NULL AS observed
+      |  FROM grid g LEFT JOIN daily d
+      |    ON g.user_id = d.user_id AND g.day = d.day)
+      |SELECT user_id, day,
+      |  LAST_VALUE(v IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_cents,
+      |  observed
+      |FROM j ORDER BY user_id, day""".stripMargin
+
   /** name -> query function, assembled by [[graft.SparkEntry]]. */
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary"    -> q01,
@@ -1122,7 +1176,8 @@ object Relational {
     "q66_snapshot_diff"      -> q66,
     "q68_sketch_rollup"      -> q68,
     "q69_analytic_windows"   -> q69,
-    "q70_grouping_sets"      -> q70)
+    "q70_grouping_sets"      -> q70,
+    "q72_gapfill"            -> q72)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary"    -> q01Sql,
@@ -1165,7 +1220,8 @@ object Relational {
     // q68_sketch_rollup deliberately has NO oracle (DataSketches HLL,
     // like q39/q49): rows-only + SketchRollupSpec.
     "q69_analytic_windows"   -> q69Sql,
-    "q70_grouping_sets"      -> q70Sql)
+    "q70_grouping_sets"      -> q70Sql,
+    "q72_gapfill"            -> q72Sql)
 
   /** Bench-time overrides: same semantics minus determinism-only global
     * sorts (which exist purely for the oracle's ordered hash-compare and
