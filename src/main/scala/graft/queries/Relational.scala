@@ -1097,6 +1097,14 @@ object Relational {
   // last(ignoreNulls) over an unbounded-preceding frame — running-state,
   // no self-join. Grid size is bounded by span×users, not events.
   // Aggregated values go through integer cents (Det) as everywhere.
+  //
+  // Although `daily` is written once and consumed twice, Catalyst
+  // deliberately does NOT share it: the bounds branch's nested
+  // min/max-over-aggregate collapses into a direct min/max over the
+  // scan (RemoveRedundantAggregates), so the plan runs two
+  // DIFFERENTLY-PRUNED scans — bounds from (ts, user_id) only, dailies
+  // from (ts, user_id, value) — rather than forcing both consumers
+  // through one wider shared shuffle. Plan-asserted in PlanAuditSpec.
   // ---------------------------------------------------------------------
   val q72: Q = (s, dir) => {
     import s.implicits._
@@ -1136,6 +1144,64 @@ object Relational {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_cents,
       |  observed
       |FROM j ORDER BY user_id, day""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q73: DATA-QUALITY constraint audit — the validation gate a pipeline
+  // runs before publishing a table (Deequ-style): primary-key
+  // uniqueness, foreign-key integrity, null counts, and value-range
+  // bounds, emitted as one (check, value, passed) audit table a
+  // scheduler can alert on.
+  //
+  // Scale shape: all single-table metrics come from ONE scan (one
+  // aggregate row, unpivoted via stack — not one scan per check); the
+  // FK check is a broadcast-able anti-join count. Two scans + one tiny
+  // union total, regardless of how many checks ride the aggregate.
+  // ---------------------------------------------------------------------
+  val q73: Q = (s, dir) => {
+    import s.implicits._
+    val o = t(s, dir, "orders")
+    val single = o.agg(
+        (count(lit(1)) - countDistinct($"o_orderkey")).as("pk_dup"),
+        sum(when($"o_totalprice".isNull, 1L).otherwise(0L)).as("null_price"),
+        min(cents($"o_totalprice")).as("min_price_cents"),
+        sum(when($"o_orderdate".isNull, 1L).otherwise(0L)).as("null_date"))
+      .select(expr(
+        """stack(4,
+          |  'pk_duplicates', pk_dup,
+          |  'null_totalprice', null_price,
+          |  'min_price_cents', min_price_cents,
+          |  'null_orderdate', null_date) AS (check, value)""".stripMargin))
+    val fk = o.join(t(s, dir, "customer"),
+        $"o_custkey" === $"c_custkey", "left_anti")
+      .agg(count(lit(1)).as("value"))
+      .select(lit("fk_orphan_orders").as("check"), $"value")
+    single.unionByName(fk)
+      .withColumn("passed",
+        when($"check" === "min_price_cents", $"value" >= 0L)
+          .otherwise($"value" === 0L))
+      .orderBy($"check")
+  }
+  val q73Sql: String =
+    """WITH m AS (
+      |  SELECT
+      |    COUNT(*) - COUNT(DISTINCT o_orderkey) AS pk_dup,
+      |    CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_price,
+      |    MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS min_price_cents,
+      |    CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_date
+      |  FROM orders),
+      |checks AS (
+      |  SELECT 'pk_duplicates' AS check, pk_dup AS value FROM m
+      |  UNION ALL SELECT 'null_totalprice', null_price FROM m
+      |  UNION ALL SELECT 'min_price_cents', min_price_cents FROM m
+      |  UNION ALL SELECT 'null_orderdate', null_date FROM m
+      |  UNION ALL
+      |  SELECT 'fk_orphan_orders', COUNT(*)
+      |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      |  WHERE c.c_custkey IS NULL)
+      |SELECT "check", value,
+      |  CASE WHEN "check" = 'min_price_cents' THEN value >= 0
+      |       ELSE value = 0 END AS passed
+      |FROM checks ORDER BY "check"""".stripMargin
 
   /** name -> query function, assembled by [[graft.SparkEntry]]. */
   val queries: Map[String, Q] = Map(
@@ -1177,7 +1243,8 @@ object Relational {
     "q68_sketch_rollup"      -> q68,
     "q69_analytic_windows"   -> q69,
     "q70_grouping_sets"      -> q70,
-    "q72_gapfill"            -> q72)
+    "q72_gapfill"            -> q72,
+    "q73_quality_audit"      -> q73)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary"    -> q01Sql,
@@ -1221,7 +1288,8 @@ object Relational {
     // like q39/q49): rows-only + SketchRollupSpec.
     "q69_analytic_windows"   -> q69Sql,
     "q70_grouping_sets"      -> q70Sql,
-    "q72_gapfill"            -> q72Sql)
+    "q72_gapfill"            -> q72Sql,
+    "q73_quality_audit"      -> q73Sql)
 
   /** Bench-time overrides: same semantics minus determinism-only global
     * sorts (which exist purely for the oracle's ordered hash-compare and

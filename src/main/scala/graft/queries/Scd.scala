@@ -31,8 +31,16 @@ object Scd {
     * `eff`: the effective date of the batch.
     *
     * Emits: unchanged rows as-is; for each genuinely changed key, the
-    * closed old version plus the new open version. Deterministic — pure
-    * relational algebra, no processing-time anywhere. */
+    * closed old version plus the new open version; for each update key
+    * with NO dimension row at all, a brand-new open version (the insert
+    * arm of a MERGE). Deterministic — pure relational algebra, no
+    * processing-time anywhere.
+    *
+    * The insert detection is the one step that cannot ride the
+    * broadcast: "key not present in the dimension" needs the dimension's
+    * key set, so it plans as updates-anti-join-dim — a shuffle sized by
+    * the (small) update batch, since anti join only moves the probe
+    * side's matches out. */
   def scd2Apply(dim: DataFrame, updates: DataFrame, key: String,
                 attr: String, eff: Column): DataFrame = {
     val uCols = updates.columns
@@ -41,7 +49,7 @@ object Scd {
     val joined = dim.join(upd,
       dim(key) === upd("_u_key") && dim("is_current"), "left")
     val changed = col("_u_key").isNotNull && col("_u_val") =!= col(attr)
-    joined
+    val merged = joined
       .select(col(key),
         explode(when(changed, array(
           struct(col(attr).as(attr), col("valid_from"),
@@ -53,14 +61,23 @@ object Scd {
               col("valid_to"), col("is_current"))))).as("_r"))
       .select(col(key), col(s"_r.$attr"), col("_r.valid_from"),
         col("_r.valid_to"), col("_r.is_current"))
+    val inserts = upd
+      .join(dim.select(col(key).as("_d_key")),
+        col("_u_key") === col("_d_key"), "left_anti")
+      .select(col("_u_key").as(key), col("_u_val").as(attr),
+        eff.cast("date").as("valid_from"),
+        lit(null).cast("date").as("valid_to"),
+        lit(true).as("is_current"))
+    merged.unionByName(inserts)
   }
 
   // ---------------------------------------------------------------------
   // q64: SCD-2 merge over the customer dimension. The "update batch" is
   // a deterministic slice: every 10th customer submits an update, half
   // of them (key % 20 == 0) with a genuinely new segment, half with a
-  // no-op re-statement of the current value — exercising the changed /
-  // unchanged / untouched branches in one run.
+  // no-op re-statement of the current value; every 25th key also
+  // arrives as a brand-new +10M key — exercising the changed /
+  // unchanged / untouched / INSERT branches in one run.
   // ---------------------------------------------------------------------
   val q64: Q = (s, dir) => {
     import s.implicits._
@@ -74,6 +91,10 @@ object Scd {
       .select($"c_custkey",
         when($"c_custkey" % 20 === 0, concat(lit("NEW_"), $"c_mktsegment"))
           .otherwise($"c_mktsegment").as("_u_val"))
+      .unionByName(t(s, dir, "customer")
+        .filter($"c_custkey" % 25 === 0)
+        .select(($"c_custkey" + 10000000L).as("c_custkey"),
+          lit("SEG_NEW").as("_u_val")))
     scd2Apply(dim, upd, "c_custkey", "c_mktsegment", lit("2024-06-01"))
       .orderBy($"c_custkey", $"valid_from")
   }
@@ -86,7 +107,10 @@ object Scd {
       |  SELECT c_custkey AS u_key,
       |    CASE WHEN c_custkey % 20 = 0 THEN 'NEW_' || c_mktsegment
       |         ELSE c_mktsegment END AS u_val
-      |  FROM customer WHERE c_custkey % 10 = 0),
+      |  FROM customer WHERE c_custkey % 10 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 10000000, 'SEG_NEW'
+      |  FROM customer WHERE c_custkey % 25 = 0),
       |j AS (SELECT * FROM dim LEFT JOIN upd ON c_custkey = u_key)
       |SELECT c_custkey, c_mktsegment, valid_from, valid_to, is_current
       |FROM j WHERE u_key IS NULL OR u_val = c_mktsegment
@@ -96,6 +120,10 @@ object Scd {
       |UNION ALL
       |SELECT c_custkey, u_val, DATE '2024-06-01', NULL, TRUE
       |FROM j WHERE u_key IS NOT NULL AND u_val <> c_mktsegment
+      |UNION ALL
+      |SELECT u_key, u_val, DATE '2024-06-01', NULL, TRUE
+      |FROM upd LEFT JOIN dim ON u_key = c_custkey
+      |WHERE c_custkey IS NULL
       |ORDER BY c_custkey, valid_from""".stripMargin
 
   val queries: Map[String, Q] = Map("q64_scd2_merge" -> q64)

@@ -540,13 +540,16 @@ object TextOps {
     import s.implicits._
     val tok = t(s, dir, "documents")
       .select(explode(split($"text", " ")).as("token"))
+    // pass 1: ONE scan yields both the candidate sketch and the total
+    // (n rides the same aggregate row, so the threshold costs nothing)
     val cand = tok
-      .agg(graft.functions.FreqSketch.freqSketch($"token", HhSketchK).as("sk"))
-      .select(explode($"sk").as("e")).select($"e.item".as("token"))
-    val total = tok.agg(count(lit(1)).as("n_total"))
+      .agg(graft.functions.FreqSketch.freqSketch($"token", HhSketchK).as("sk"),
+        count(lit(1)).as("n_total"))
+      .select(explode($"sk").as("e"), $"n_total")
+      .select($"e.item".as("token"), $"n_total")
+    // pass 2: exact counts for candidates only
     tok.join(broadcast(cand), "token")
-      .groupBy($"token").agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(total))
+      .groupBy($"token").agg(count(lit(1)).as("cnt"), max($"n_total").as("n_total"))
       .filter($"cnt".cast("double") > $"n_total" * HhFrac)
       .select($"token", $"cnt")
   }

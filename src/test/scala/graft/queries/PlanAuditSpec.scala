@@ -127,11 +127,31 @@ class PlanAuditSpec extends AnyFunSuite {
     val bcasts = plan.collectWithSubqueries {
       case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
     }
-    assert(bcasts.size >= 2,
-      s"expected broadcast candidate set + broadcast total, got ${bcasts.size}")
+    assert(bcasts.size === 1,
+      s"expected ONE broadcast (candidates carrying n_total), got ${bcasts.size}")
+    val scans = plan.collectWithSubqueries {
+      case sc: FileSourceScanExec if sc.toString.contains("documents") => sc
+    }
+    assert(scans.size <= 2,
+      s"q71 is a two-pass design; found ${scans.size} scans of documents")
     assert(plan.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }.isEmpty, "q71 must not rank via a window")
+  }
+
+  test("q72's two event scans are each pruned to their branch's needs") {
+    // writing bounds off the daily aggregate does NOT share the shuffle:
+    // Catalyst collapses the nested aggregate (RemoveRedundantAggregates)
+    // into a direct min/max over the scan — two narrow scans beat one
+    // wide shared one; this pins the narrow-read property of both.
+    val plan = sparkPlanOf(Relational.q72(spark, sfDir))
+    val scans = plan.collectWithSubqueries {
+      case s: FileSourceScanExec if s.toString.contains("events") => s
+    }
+    assert(scans.size === 2, s"expected the two-branch shape, got ${scans.size}")
+    val widths = scans.map(_.requiredSchema.fields.length).sorted
+    assert(widths === Seq(2, 3),
+      s"expected (ts,user_id) + (ts,user_id,value) pruned reads, got $widths")
   }
 
   test("q46 probes only nProbe IVF cells; no per-query assignment") {

@@ -28,8 +28,9 @@ class ScdSpec extends AnyFunSuite {
   private def upd = {
     val s = spark
     import s.implicits._
-    // key 1: real change; key 2: no-op re-statement; key 3: untouched
-    Seq((1L, "A2"), (2L, "C")).toDF("k", "_u_val")
+    // key 1: real change; key 2: no-op re-statement; key 3: untouched;
+    // key 4: INSERT (no dimension row at all)
+    Seq((1L, "A2"), (2L, "C"), (4L, "E")).toDF("k", "_u_val")
   }
 
   private def applied =
@@ -76,6 +77,15 @@ class ScdSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("an update key absent from the dimension inserts one open row") {
+    val s = spark
+    import s.implicits._
+    val rows = applied.filter($"k" === 4)
+      .as[(Long, String, Date, Option[Date], Boolean)].collect()
+    assert(rows.toSeq === Seq(
+      (4L, "E", Date.valueOf("2024-06-01"), None, true)))
+  }
+
   test("re-applying the same batch is a no-op (idempotence)") {
     val once = applied
     val twice = Scd.scd2Apply(once, upd, "k", "attr", lit("2024-06-01"))
@@ -87,10 +97,12 @@ class ScdSpec extends AnyFunSuite {
     val s = spark
     import s.implicits._
     val out = Scd.q64(s, "/root/testdata/sf0.001").cache()
-    val nCust = graft.Tables.t(s, "/root/testdata/sf0.001", "customer").count()
+    val cust = graft.Tables.t(s, "/root/testdata/sf0.001", "customer")
+    val nCust = cust.count()
+    val nInserts = cust.filter($"c_custkey" % 25 === 0).count()
     val nChanged = out.filter($"is_current" === false).count()
-    assert(out.count() === nCust + nChanged)
-    assert(out.filter($"is_current").count() === nCust)
+    assert(out.count() === nCust + nInserts + nChanged)
+    assert(out.filter($"is_current").count() === nCust + nInserts)
     // every closed row is matched by a new open row at the same key
     val reopened = out.filter(!$"is_current")
       .select($"c_custkey").join(
