@@ -457,6 +457,54 @@ object LlmOps {
        |LIMIT 20""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q74: k-NN JOIN — for EVERY vector, its top-k nearest neighbors among
+  // its LSH-bucket candidates: the neighborhood-graph construction step
+  // (dedup clustering seeds, label propagation, diversity sampling, HNSW
+  // bootstrap all start from this graph). Distinct from the point
+  // lookups (q31/q46: one probe) and the pair list (q36: global top
+  // pairs): the output here is per-source bounded.
+  //
+  // Scale shape: candidates expand only WITHIN a bucket (the q36
+  // topology), and the per-vector top-k is the bounded TopKByScore
+  // aggregate — in-bucket pairs arrive source-contiguous from the join,
+  // so the partial buffer collapses each vector to ≤ k entries map-side
+  // before the final shuffle. Vectors alone in their bucket have no
+  // candidates and emit nothing (widen with multi-probe if completeness
+  // matters — same knob as q31).
+  // ---------------------------------------------------------------------
+  private val KnnK = 2
+
+  val q74: Q = (s, dir) => {
+    import s.implicits._
+    val bk = t(s, dir, "embeddings")
+      .select($"vec_id", quantize($"embedding").as("e"))
+      .withColumn("bucket", lshBucket($"e", PlanesDedup))
+    val a = bk.select($"vec_id".as("va"), $"e".as("ea"), $"bucket")
+    val b = bk.select($"vec_id".as("vb"), $"e".as("eb"), $"bucket".as("bucket_b"))
+    a.join(b, $"bucket" === $"bucket_b" && $"va" =!= $"vb")
+      .select($"va", $"vb", cosine($"ea", $"eb").as("sim"))
+      .groupBy($"va")
+      .agg(graft.functions.TopKByScore.topKByScore($"sim", $"vb", KnnK).as("top"))
+      .select($"va".as("vec_id"), posexplode($"top"))
+      .select($"vec_id", ($"pos" + 1).cast("int").as("rnk"),
+        $"col.id".as("nbr_id"), $"col.score".as("sim"))
+      .orderBy($"vec_id", $"rnk")
+  }
+  val q74Sql: String =
+    s"""WITH q AS (SELECT vec_id,
+       |    list_transform(embedding::DOUBLE[], x -> CAST(round(x*1000000) AS BIGINT)) AS e
+       |  FROM embeddings),
+       |bk AS (SELECT vec_id, e, ${sqlBucket("e", PlanesDedup)} AS bucket FROM q),
+       |nb AS (SELECT a.vec_id AS va, b.vec_id AS vb, ${sqlCos("a.e", "b.e")} AS sim
+       |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |r AS (SELECT va, vb, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY va ORDER BY sim DESC, vb ASC) AS rnk
+       |  FROM nb)
+       |SELECT va AS vec_id, CAST(rnk AS INT) AS rnk, vb AS nbr_id, sim
+       |FROM r WHERE rnk <= $KnnK
+       |ORDER BY vec_id, rnk""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q46: ANN, the IVF (inverted-file) family — the other classic scale
   // path beside sign-LSH (q31). Vectors are assigned to their nearest of
   // K fixed centroids (deterministic: the vectors with ids 1..K serve as
@@ -958,7 +1006,8 @@ object LlmOps {
     "q53_batch_ann"      -> q53,
     "q54_quantize_audit" -> q54,
     "q57_ingest_pipeline" -> q57,
-    "q58_batch_ivf_ann"  -> q58)
+    "q58_batch_ivf_ann"  -> q58,
+    "q74_knn_join"       -> q74)
 
   val oracles: Map[String, String] = Map(
     "q22_exact_dedup"    -> q22Sql,
@@ -973,7 +1022,8 @@ object LlmOps {
     "q53_batch_ann"      -> q53Sql,
     "q54_quantize_audit" -> q54Sql,
     "q57_ingest_pipeline" -> q57Sql,
-    "q58_batch_ivf_ann"  -> q58Sql)
+    "q58_batch_ivf_ann"  -> q58Sql,
+    "q74_knn_join"       -> q74Sql)
 
   /** Bench-time overrides minus determinism-only global sorts (see
     * [[Relational.benchVariants]]). Verify runs the sorted forms. */
