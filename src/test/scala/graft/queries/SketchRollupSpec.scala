@@ -30,6 +30,26 @@ class SketchRollupSpec extends AnyFunSuite {
       "sketch union must be lossless: daily-rollup estimate == direct estimate")
   }
 
+  test("sketches survive a parquet round-trip (the persisted daily cube)") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("hll").toString
+    val ev = graft.Tables.t(s, sfDir, "events")
+    ev.groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(hll_sketch_agg($"user_id").as("sk"))
+      .write.mode("overwrite").parquet(s"$dir/daily_sketches")
+    val fromDisk = s.read.parquet(s"$dir/daily_sketches")
+      .groupBy($"event_type")
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est"))
+    val direct = ev.groupBy($"event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg($"user_id")).as("est"))
+    val diff = fromDisk.withColumnRenamed("est", "est2")
+      .join(direct, "event_type")
+      .filter($"est2" =!= $"est").count()
+    assert(diff === 0,
+      "persisted sketches must union to the same estimate as direct sketching")
+  }
+
   test("estimates are within HLL error of exact distinct counts") {
     val s = spark
     import s.implicits._
