@@ -1203,6 +1203,41 @@ object Relational {
       |       ELSE value = 0 END AS passed
       |FROM checks ORDER BY "check"""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q75: UNPIVOT / melt — the wide→long reshape feeding every
+  // metrics-store / plotting layer (one row per (entity, metric)).
+  // Spark's native `unpivot` (3.4+) plans as a single Expand over the
+  // already-aggregated wide table — no join, no union of self-scans;
+  // the oracle mirrors with UNION ALL branches over one CTE. All
+  // metrics are exact integer (cents/counts) so one long-typed value
+  // column carries them losslessly.
+  // ---------------------------------------------------------------------
+  val q75: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(sum(cents($"l_quantity")).as("sum_qty_cents"),
+        sum(cents($"l_extendedprice")).as("sum_price_cents"),
+        count(lit(1)).as("n_rows"))
+      .unpivot(Array($"l_returnflag"),
+        Array($"sum_qty_cents", $"sum_price_cents", $"n_rows"),
+        "metric", "value")
+      .orderBy($"l_returnflag", $"metric")
+  }
+  val q75Sql: String =
+    """WITH wide AS (
+      |  SELECT l_returnflag,
+      |    CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+      |    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+      |    COUNT(*) AS n_rows
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, 'sum_qty_cents' AS metric, sum_qty_cents AS value FROM wide
+      |UNION ALL
+      |SELECT l_returnflag, 'sum_price_cents', sum_price_cents FROM wide
+      |UNION ALL
+      |SELECT l_returnflag, 'n_rows', n_rows FROM wide
+      |ORDER BY l_returnflag, metric""".stripMargin
+
   /** name -> query function, assembled by [[graft.SparkEntry]]. */
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary"    -> q01,
@@ -1244,7 +1279,8 @@ object Relational {
     "q69_analytic_windows"   -> q69,
     "q70_grouping_sets"      -> q70,
     "q72_gapfill"            -> q72,
-    "q73_quality_audit"      -> q73)
+    "q73_quality_audit"      -> q73,
+    "q75_unpivot"            -> q75)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary"    -> q01Sql,
@@ -1289,7 +1325,8 @@ object Relational {
     "q69_analytic_windows"   -> q69Sql,
     "q70_grouping_sets"      -> q70Sql,
     "q72_gapfill"            -> q72Sql,
-    "q73_quality_audit"      -> q73Sql)
+    "q73_quality_audit"      -> q73Sql,
+    "q75_unpivot"            -> q75Sql)
 
   /** Bench-time overrides: same semantics minus determinism-only global
     * sorts (which exist purely for the oracle's ordered hash-compare and
