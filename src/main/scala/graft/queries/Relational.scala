@@ -1238,6 +1238,34 @@ object Relational {
       |SELECT l_returnflag, 'n_rows', n_rows FROM wide
       |ORDER BY l_returnflag, metric""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q76: LATERAL join — the correlated per-row subquery surface (for
+  // each customer, their top-2 orders by value): SQL's other spelling
+  // of grouped top-k, exercised through the SQL entry because LATERAL
+  // is SQL-surface-only in Spark. Catalyst decorrelates it into the
+  // window/aggregate plan rather than executing per-row — which is
+  // exactly the rewrite you'd hand-write at scale; the surface matters
+  // because migrating SQL workloads arrive in this form.
+  // ---------------------------------------------------------------------
+  val q76: Q = (s, dir) => {
+    t(s, dir, "customer").createOrReplaceTempView("customer_v")
+    t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer_v c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders_v o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) t
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
+  }
+  val q76Sql: String =
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) t
+      |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin
+
   /** name -> query function, assembled by [[graft.SparkEntry]]. */
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary"    -> q01,
@@ -1280,7 +1308,8 @@ object Relational {
     "q70_grouping_sets"      -> q70,
     "q72_gapfill"            -> q72,
     "q73_quality_audit"      -> q73,
-    "q75_unpivot"            -> q75)
+    "q75_unpivot"            -> q75,
+    "q76_lateral_topk"       -> q76)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary"    -> q01Sql,
@@ -1326,7 +1355,8 @@ object Relational {
     "q70_grouping_sets"      -> q70Sql,
     "q72_gapfill"            -> q72Sql,
     "q73_quality_audit"      -> q73Sql,
-    "q75_unpivot"            -> q75Sql)
+    "q75_unpivot"            -> q75Sql,
+    "q76_lateral_topk"       -> q76Sql)
 
   /** Bench-time overrides: same semantics minus determinism-only global
     * sorts (which exist purely for the oracle's ordered hash-compare and
