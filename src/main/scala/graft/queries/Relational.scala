@@ -1266,6 +1266,53 @@ object Relational {
       |  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) t
       |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q77: DATASET FINGERPRINT — an order-insensitive content hash per
+  // table (row count + bit_xor of per-row digests): the migration /
+  // copy-validation primitive at 100 TB, where "did the rewrite lose or
+  // corrupt anything" must be answerable without sorting or comparing
+  // row-by-row. XOR is commutative/associative, so the aggregate is
+  // partitioning-independent, collapses map-side like any sum, and two
+  // datasets compare by two tiny rows.
+  //
+  // Canonical serialization rule (the part that makes it portable):
+  // fingerprint only integers and strings — doubles render differently
+  // across engines (Java Double.toString vs C++), so money goes through
+  // integer cents and timestamps through epoch micros before hashing.
+  // 60-bit digests (15 hex chars) keep the value in signed-long range
+  // on both engines.
+  // ---------------------------------------------------------------------
+  val q77: Q = (s, dir) => {
+    import s.implicits._
+    def fp(name: String, df: DataFrame,
+           keyed: org.apache.spark.sql.Column): DataFrame =
+      df.select(conv(substring(md5(keyed), 1, 15), 16, 10).cast("long").as("h"))
+        .agg(count(lit(1)).as("n_rows"), bit_xor($"h").as("fingerprint"))
+        .select(lit(name).as("table_name"), $"n_rows", $"fingerprint")
+    val docs = fp("documents", t(s, dir, "documents"),
+      concat_ws("|", $"doc_id", $"lang", $"source", $"text"))
+    val ords = fp("orders", t(s, dir, "orders"),
+      concat_ws("|", $"o_orderkey", $"o_custkey", $"o_orderstatus",
+        cents($"o_totalprice"), tsUs($"o_orderdate".cast("timestamp")),
+        $"o_orderpriority"))
+    docs.unionByName(ords).orderBy($"table_name")
+  }
+  val q77Sql: String =
+    """WITH d AS (
+      |  SELECT CAST('0x' || substring(md5(
+      |    doc_id || '|' || lang || '|' || source || '|' || text), 1, 15) AS BIGINT) AS h
+      |  FROM documents),
+      |o AS (
+      |  SELECT CAST('0x' || substring(md5(
+      |    o_orderkey || '|' || o_custkey || '|' || o_orderstatus || '|' ||
+      |    CAST(ROUND(o_totalprice * 100) AS BIGINT) || '|' ||
+      |    epoch_us(o_orderdate) || '|' || o_orderpriority), 1, 15) AS BIGINT) AS h
+      |  FROM orders)
+      |SELECT 'documents' AS table_name, COUNT(*) AS n_rows, bit_xor(h) AS fingerprint FROM d
+      |UNION ALL
+      |SELECT 'orders', COUNT(*), bit_xor(h) FROM o
+      |ORDER BY table_name""".stripMargin
+
   /** name -> query function, assembled by [[graft.SparkEntry]]. */
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary"    -> q01,
@@ -1309,7 +1356,8 @@ object Relational {
     "q72_gapfill"            -> q72,
     "q73_quality_audit"      -> q73,
     "q75_unpivot"            -> q75,
-    "q76_lateral_topk"       -> q76)
+    "q76_lateral_topk"       -> q76,
+    "q77_fingerprint"        -> q77)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary"    -> q01Sql,
@@ -1356,7 +1404,8 @@ object Relational {
     "q72_gapfill"            -> q72Sql,
     "q73_quality_audit"      -> q73Sql,
     "q75_unpivot"            -> q75Sql,
-    "q76_lateral_topk"       -> q76Sql)
+    "q76_lateral_topk"       -> q76Sql,
+    "q77_fingerprint"        -> q77Sql)
 
   /** Bench-time overrides: same semantics minus determinism-only global
     * sorts (which exist purely for the oracle's ordered hash-compare and
