@@ -1027,7 +1027,7 @@ object Relational {
   // output hash-matches cross-engine despite the doubles. One shuffle on
   // user_id; all four functions share the single window sort.
   // ---------------------------------------------------------------------
-  val q69: Q = (s, dir) => {
+  val q69Bench: Q = (s, dir) => {
     import s.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"us".asc, $"event_id".asc)
     t(s, dir, "events")
@@ -1037,7 +1037,10 @@ object Relational {
         lead($"value", 1).over(w).as("next_value"),
         percent_rank().over(w).as("pr"),
         cume_dist().over(w).as("cd"))
-      .orderBy($"user_id", $"event_id")
+  }
+  val q69: Q = (s, dir) => {
+    import s.implicits._
+    q69Bench(s, dir).orderBy($"user_id", $"event_id")
   }
   val q69Sql: String =
     """WITH e AS (
@@ -1106,7 +1109,7 @@ object Relational {
   // from (ts, user_id, value) — rather than forcing both consumers
   // through one wider shared shuffle. Plan-asserted in PlanAuditSpec.
   // ---------------------------------------------------------------------
-  val q72: Q = (s, dir) => {
+  val q72Bench: Q = (s, dir) => {
     import s.implicits._
     val daily = t(s, dir, "events")
       .groupBy($"user_id", to_date($"ts").as("day"))
@@ -1121,7 +1124,10 @@ object Relational {
       .select($"user_id", $"day",
         last($"v", ignoreNulls = true).over(w).as("v_cents"),
         $"v".isNotNull.as("observed"))
-      .orderBy($"user_id", $"day")
+  }
+  val q72: Q = (s, dir) => {
+    import s.implicits._
+    q72Bench(s, dir).orderBy($"user_id", $"day")
   }
   val q72Sql: String =
     """WITH daily AS (
@@ -1412,5 +1418,7 @@ object Relational {
     * would be a cluster-wide sort at scale). Verify always runs the full
     * (sorted) form from [[queries]]. */
   val benchVariants: Map[String, Q] = Map(
-    "q17_running_window" -> q17Bench)
+    "q17_running_window"   -> q17Bench,
+    "q69_analytic_windows" -> q69Bench,
+    "q72_gapfill"          -> q72Bench)
 }
