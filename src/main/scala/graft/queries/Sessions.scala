@@ -93,8 +93,91 @@ object Sessions {
        |GROUP BY user_id, session_seq
        |ORDER BY user_id, session_seq""".stripMargin
 
-  val queries: Map[String, Q] = Map("q52_sessionize" -> q52)
-  val oracles: Map[String, String] = Map("q52_sessionize" -> q52Sql)
+  // ---------------------------------------------------------------------
+  // q78: FUNNEL analysis — ordered-step conversion (view → click →
+  // purchase, each step strictly AFTER the previous one for that user):
+  // the product-analytics query every event store serves. Step k's
+  // earliest qualifying time feeds step k+1's "after" predicate, so the
+  // plan is a chain of per-user aggregates + joins — each stage's user
+  // set only shrinks, and every join key is user_id (the natural
+  // partitioning; at 100 TB the stage-k user set is dimension-sized and
+  // broadcastable). Exact integer ratios close the funnel row.
+  // ---------------------------------------------------------------------
+  val q78: Q = (s, dir) => {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+      .select($"user_id", $"event_type", tsUs($"ts").as("us"))
+    val s1 = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"us").as("t1"))
+    val s2 = ev.filter($"event_type" === "click")
+      .join(s1, "user_id").filter($"us" > $"t1")
+      .groupBy($"user_id").agg(min($"us").as("t2"))
+    val s3 = ev.filter($"event_type" === "purchase")
+      .join(s2, "user_id").filter($"us" > $"t2")
+      .groupBy($"user_id").agg(min($"us").as("t3"))
+    val n1 = s1.agg(count(lit(1)).as("n_view")).select($"n_view")
+    val n2 = s2.agg(count(lit(1)).as("n_click_after")).select($"n_click_after")
+    val n3 = s3.agg(count(lit(1)).as("n_purchase_after")).select($"n_purchase_after")
+    n1.crossJoin(n2).crossJoin(n3)
+      .select($"n_view", $"n_click_after", $"n_purchase_after",
+        ($"n_click_after".cast("double") / $"n_view").as("view_to_click"),
+        ($"n_purchase_after".cast("double") / $"n_click_after").as("click_to_purchase"))
+  }
+  val q78Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |s1 AS (SELECT user_id, MIN(us) AS t1 FROM e
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, MIN(us) AS t2 FROM e JOIN s1 USING (user_id)
+      |  WHERE event_type = 'click' AND us > t1 GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, MIN(us) AS t3 FROM e JOIN s2 USING (user_id)
+      |  WHERE event_type = 'purchase' AND us > t2 GROUP BY e.user_id)
+      |SELECT (SELECT COUNT(*) FROM s1) AS n_view,
+      |  (SELECT COUNT(*) FROM s2) AS n_click_after,
+      |  (SELECT COUNT(*) FROM s3) AS n_purchase_after,
+      |  CAST((SELECT COUNT(*) FROM s2) AS DOUBLE)
+      |    / (SELECT COUNT(*) FROM s1) AS view_to_click,
+      |  CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
+      |    / (SELECT COUNT(*) FROM s2) AS click_to_purchase""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q79: COHORT RETENTION — users grouped by first-seen day, counted on
+  // each subsequent active day: the (cohort, days-since) matrix behind
+  // every retention chart. Two aggregates + one join, all on user_id /
+  // (cohort, offset) — no window, no self-cross; distinct-day activity
+  // collapses map-side before the join, and the output is
+  // cohort×horizon-sized (tiny) regardless of event volume.
+  // ---------------------------------------------------------------------
+  val q79: Q = (s, dir) => {
+    import s.implicits._
+    val act = t(s, dir, "events")
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+    val first = act.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+    act.join(first, "user_id")
+      .select($"cohort_day", datediff($"day", $"cohort_day").as("days_since"), $"user_id")
+      .groupBy($"cohort_day", $"days_since")
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"cohort_day", $"days_since")
+  }
+  val q79Sql: String =
+    """WITH act AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |first AS (SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY user_id)
+      |SELECT cohort_day,
+      |  CAST(day - cohort_day AS INT) AS days_since,
+      |  COUNT(DISTINCT a.user_id) AS n_users
+      |FROM act a JOIN first USING (user_id)
+      |GROUP BY cohort_day, days_since
+      |ORDER BY cohort_day, days_since""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q52_sessionize" -> q52,
+    "q78_funnel"     -> q78,
+    "q79_cohort"     -> q79)
+  val oracles: Map[String, String] = Map(
+    "q52_sessionize" -> q52Sql,
+    "q78_funnel"     -> q78Sql,
+    "q79_cohort"     -> q79Sql)
 
   /** The benched plan drops only the determinism-only global sort
     * (same split as [[Relational.benchVariants]]). */
