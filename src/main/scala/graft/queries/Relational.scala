@@ -1319,6 +1319,53 @@ object Relational {
       |SELECT 'orders', COUNT(*), bit_xor(h) FROM o
       |ORDER BY table_name""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q80: ROBUST outlier detection — median/MAD flagging per group (the
+  // anomaly gate that survives the outliers it hunts, unlike mean/σ):
+  // med = median(v), MAD = median(|v - med|), outlier ⇔ |v - med| >
+  // 3·MAD. Composes cross-engine-deterministically because exact
+  // `percentile` over integer cents matches DuckDB's quantile_cont
+  // bit-for-bit (q43's guarantee), and every derived double (midpoint
+  // halves, 3·MAD) is exact IEEE arithmetic on < 2^53 integers. Two
+  // percentile passes + one flagging aggregate, all shuffling on the
+  // low-cardinality group key; the q49 sketch is the heavy-group
+  // fallback.
+  // ---------------------------------------------------------------------
+  val q80: Q = (s, dir) => {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+      .select($"event_type", cents($"value").as("v_c"))
+    val med = ev.groupBy($"event_type")
+      .agg(expr("percentile(v_c, 0.5)").as("med_c"))
+    val dev = ev.join(med, "event_type")
+      .withColumn("dev", abs($"v_c" - $"med_c"))
+    val mad = dev.groupBy($"event_type")
+      .agg(expr("percentile(dev, 0.5)").as("mad_c"))
+    dev.join(mad, "event_type")
+      .groupBy($"event_type")
+      .agg(first($"med_c").as("med_c"), first($"mad_c").as("mad_c"),
+        sum(when($"dev" > $"mad_c" * 3.0, 1L).otherwise(0L)).as("n_outliers"),
+        count(lit(1)).as("n_total"))
+      .orderBy($"event_type")
+  }
+  val q80Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v_c
+      |  FROM events),
+      |med AS (SELECT event_type, quantile_cont(v_c, 0.5) AS med_c
+      |  FROM e GROUP BY event_type),
+      |dev AS (SELECT e.event_type, ABS(v_c - med_c) AS dev, med_c
+      |  FROM e JOIN med USING (event_type)),
+      |mad AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad_c
+      |  FROM dev GROUP BY event_type)
+      |SELECT d.event_type, ANY_VALUE(d.med_c) AS med_c,
+      |  ANY_VALUE(m.mad_c) AS mad_c,
+      |  CAST(SUM(CASE WHEN d.dev > m.mad_c * 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  COUNT(*) AS n_total
+      |FROM dev d JOIN mad m USING (event_type)
+      |GROUP BY d.event_type
+      |ORDER BY d.event_type""".stripMargin
+
   /** name -> query function, assembled by [[graft.SparkEntry]]. */
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary"    -> q01,
@@ -1363,7 +1410,8 @@ object Relational {
     "q73_quality_audit"      -> q73,
     "q75_unpivot"            -> q75,
     "q76_lateral_topk"       -> q76,
-    "q77_fingerprint"        -> q77)
+    "q77_fingerprint"        -> q77,
+    "q80_mad_outliers"       -> q80)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary"    -> q01Sql,
@@ -1411,7 +1459,8 @@ object Relational {
     "q73_quality_audit"      -> q73Sql,
     "q75_unpivot"            -> q75Sql,
     "q76_lateral_topk"       -> q76Sql,
-    "q77_fingerprint"        -> q77Sql)
+    "q77_fingerprint"        -> q77Sql,
+    "q80_mad_outliers"       -> q80Sql)
 
   /** Bench-time overrides: same semantics minus determinism-only global
     * sorts (which exist purely for the oracle's ordered hash-compare and
