@@ -9,11 +9,14 @@ import graft.Tables.t
   * opaque BINARY content beside typed metadata, with decode /
   * frame-sample / feature-extract operators.
   *
-  * The container ships no image/audio codecs and the testdata ships no
-  * media fixtures, so the DECODE step is an explicitly-marked
-  * deterministic stub ([[decodeStub]]) — what is real, tested, and
-  * oracle-checked is the Spark-side plumbing a 100 TB media pipeline
-  * needs: a BinaryType content column flowing through scans, projections
+  * The IMAGE decode path is REAL: [[decodeImages]] decodes PNG/GIF/BMP
+  * binaries through the JDK's own `javax.imageio` codecs into
+  * (width, height, luma plane) — no external libraries, golden-pixel
+  * tested (DecodeImageSpec). The deterministic stub ([[decodeStub]])
+  * remains ONLY for the modalities whose codecs the JDK does not ship
+  * (audio sample extraction, video frame demux) — there the tested
+  * surface is the Spark-side plumbing a 100 TB media pipeline needs:
+  * a BinaryType content column flowing through scans, projections
   * and aggregates; per-asset typed metadata; frame slicing via
   * posexplode; and codegen'd per-byte feature extraction that never
   * leaves the executors.
@@ -48,8 +51,22 @@ object Multimodal {
         length($"text").as("src_bytes")).as("meta"))
   }
 
-  /** DECODE STUB — the seam where a real pipeline calls an image/audio
-    * codec (e.g. a JNI decoder or a vectorized Python UDF). Here it
+  /** REAL image decode through the JDK codecs: one row per decodable
+    * asset with its dimensions and row-major 8-bit luma plane (see
+    * [[graft.functions.DecodeImage]] for determinism + scale notes).
+    * Undecodable/corrupt content drops out via the NULL filter instead
+    * of failing the job — the standard posture for web-crawled media. */
+  def decodeImages(df: DataFrame): DataFrame =
+    df.select(col("asset_id"), col("kind"),
+        graft.functions.DecodeImage.decodeImage(col("content")).as("img"))
+      .filter(col("img").isNotNull)
+      .select(col("asset_id"), col("kind"),
+        col("img.width").as("width"), col("img.height").as("height"),
+        col("img.gray").as("gray"))
+
+  /** DECODE STUB — the seam where a real pipeline calls an audio/video
+    * codec the JDK lacks (e.g. a JNI decoder or a vectorized Python
+    * UDF); the image half of the seam is real, see [[decodeImages]]. Here it
     * deterministically "decodes" content into fixed-width binary frames
     * so downstream operators exercise the true frame shape: one row per
     * frame, binary payload, frame index. posexplode is a Generate — rows

@@ -6,17 +6,35 @@ import org.apache.spark.sql.functions._
 import graft.Tables.t
 import graft.Det._
 
-/** Bucketed co-located joins — the 100 TB layout answer to the fact⋈fact
-  * shuffle (SURVEY.md §2.5; the in-code "bucket both sides on orderkey"
-  * note on q04/q05 made real).
+/** Bucketed co-located layouts — the 100 TB layout answer to per-query
+  * shuffles (SURVEY.md §2.5; the in-code "bucket both sides on orderkey"
+  * note on q04/q05 made real, then extended to the window family).
   *
-  * orders and lineitem are written ONCE as parquet tables bucketed (and
-  * in-bucket sorted) on the join key; every subsequent join on that key
-  * plans as a SortMergeJoin with NO Exchange on either side — the
+  * Each table is written ONCE as a parquet table bucketed (and in-bucket
+  * sorted) on its hot key; every subsequent join, window, or aggregate
+  * clustered on that key plans with NO Exchange on the fact side — the
   * layout, not the query, pays the shuffle. On a cluster this is the
-  * difference between re-shuffling ~100 TB per join and reading
+  * difference between re-shuffling ~100 TB per query and reading
   * co-located buckets; locally it is plan-verified (BucketedJoinSpec
-  * asserts the exchange-free join subtree).
+  * asserts the exchange-free join subtree, PlanSnapshotSpec pins the
+  * shuffle counts of every routed query).
+  *
+  * Layouts:
+  *   - orders / lineitem on the order key → q04/q05/q41's fact⋈fact
+  *     join runs exchange-free on both sides;
+  *   - events on user_id → the whole per-user analytics family
+  *     (latest-per-key, running windows, sessionization, funnel,
+  *     cohort, as-of, gap-fill) reads its window/aggregate partitioning
+  *     straight off the scan: HashPartitioning(user_id) satisfies every
+  *     ClusteredDistribution whose keys include user_id, so windows
+  *     PARTITION BY user_id and aggregates on (user_id, …) all skip
+  *     their Exchange. events is additionally in-bucket sorted by
+  *     (user_id, ts, event_id) — the canonical analytics order — for
+  *     run-length-friendly compression, tight ts min/max pruning, and
+  *     near-free window Sorts (Spark reports bucketed-scan ordering
+  *     only under the planning-cost legacy.bucketedTableScan
+  *     .outputOrdering conf, so the Sort operator stays but runs over
+  *     already-sorted runs).
   *
   * The one-time layout build is idempotent per (session, sfDir) and
   * deliberately NOT part of the benched query cost beyond its first run
@@ -29,43 +47,54 @@ object Bucketed {
   private val Buckets = 16
   private val Db = "graft_bucketed"
 
+  /** table → (bucket key, in-bucket sort columns). */
+  private val specs: Map[String, (String, Seq[String])] = Map(
+    "orders"   -> ("o_orderkey", Seq("o_orderkey")),
+    "lineitem" -> ("l_orderkey", Seq("l_orderkey")),
+    "events"   -> ("user_id",    Seq("user_id", "ts", "event_id")))
+
   private def tag(dir: String): String =
     dir.replaceAll("[^A-Za-z0-9]", "_")
 
-  /** Idempotent one-time bucketed layout for (sfDir): orders + lineitem
-    * bucketed/sorted on the order key. The in-memory catalog does not
+  /** Idempotent one-time bucketed layout for one table of (sfDir),
+    * bucketed/sorted per [[specs]]. The in-memory catalog does not
     * survive JVMs but the warehouse directory does — an orphaned
     * location (ours by construction) is removed before re-creating, or
     * Spark refuses the managed-table CTAS. */
-  def ensureLayout(s: SparkSession, dir: String): Unit = synchronized {
+  def ensureTable(s: SparkSession, dir: String, name: String): Unit = synchronized {
+    val (key, sortCols) = specs(name)
     s.sql(s"CREATE DATABASE IF NOT EXISTS $Db")
-    Seq(("orders", "o_orderkey"), ("lineitem", "l_orderkey")).foreach {
-      case (name, key) =>
-        val table = s"$Db.${name}_${tag(dir)}"
-        if (!s.catalog.tableExists(table)) {
-          val loc = new org.apache.hadoop.fs.Path(
-            s.conf.get("spark.sql.warehouse.dir") + s"/$Db.db/${name}_${tag(dir)}")
-          val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-          if (fs.exists(loc)) fs.delete(loc, true)
-          // repartition on the bucket key first: bucketBy writes one file
-          // per (task, bucket), and the scan only reports its output as
-          // SORTED when each bucket is a single file — without this, a
-          // many-partition input would silently re-insert per-join Sorts
-          t(s, dir, name).repartition(Buckets, col(key)).write.mode("overwrite")
-            .format("parquet")
-            .bucketBy(Buckets, key).sortBy(key)
-            .saveAsTable(table)
-        }
+    val table = s"$Db.${name}_${tag(dir)}"
+    if (!s.catalog.tableExists(table)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir") + s"/$Db.db/${name}_${tag(dir)}")
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      // repartition on the bucket key first: bucketBy writes one file
+      // per (task, bucket), and the scan only reports its output as
+      // SORTED when each bucket is a single file — without this, a
+      // many-partition input would silently re-insert per-join Sorts
+      t(s, dir, name).repartition(Buckets, col(key)).write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(Buckets, key).sortBy(sortCols.head, sortCols.tail: _*)
+        .saveAsTable(table)
     }
   }
 
-  /** The bucketed sides of the join, as catalog reads (bucket metadata
-    * only flows through the catalog, not raw parquet paths). */
+  /** The q04/q05 join layout (kept as the BucketedJoinSpec entry point). */
+  def ensureLayout(s: SparkSession, dir: String): Unit =
+    Seq("orders", "lineitem").foreach(ensureTable(s, dir, _))
+
+  /** The bucketed tables, as catalog reads (bucket metadata only flows
+    * through the catalog, not raw parquet paths). */
   def orders(s: SparkSession, dir: String): DataFrame = {
-    ensureLayout(s, dir); s.table(s"$Db.orders_${tag(dir)}")
+    ensureTable(s, dir, "orders"); s.table(s"$Db.orders_${tag(dir)}")
   }
   def lineitem(s: SparkSession, dir: String): DataFrame = {
-    ensureLayout(s, dir); s.table(s"$Db.lineitem_${tag(dir)}")
+    ensureTable(s, dir, "lineitem"); s.table(s"$Db.lineitem_${tag(dir)}")
+  }
+  def events(s: SparkSession, dir: String): DataFrame = {
+    ensureTable(s, dir, "events"); s.table(s"$Db.events_${tag(dir)}")
   }
 
   // ---------------------------------------------------------------------

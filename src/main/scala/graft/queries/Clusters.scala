@@ -44,26 +44,38 @@ object Clusters {
     * id in its component — the canonical keep-min-id dedup
     * representative. Deterministic: pure min-semilattice iteration to
     * fixpoint (order-insensitive), `maxIter` a safety valve far above
-    * the O(log diameter) rounds pointer jumping needs. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    * the O(log diameter) rounds pointer jumping needs; exhausting it
+    * without reaching the fixpoint THROWS (the label-sum witness makes
+    * detection free, and non-converged labels are silently-wrong dedup).
+    *
+    * `checkpointDir`: when set, per-round lineage truncation uses
+    * RELIABLE checkpoints into that directory (HDFS/object store on a
+    * cluster) instead of executor-local block-manager checkpoints — the
+    * cluster-mode posture where losing an executor must not lose the
+    * iteration's state. Local mode keeps the default (localCheckpoint):
+    * same truncation semantics, no extra filesystem round-trip. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 30,
+                          checkpointDir: Option[String] = None): DataFrame = {
     val s = pairs.sparkSession
     import s.implicits._
-    // Lazy local checkpoints throughout: lineage still truncates (round
-    // r's plan never replays rounds 1..r-1), but materialization rides
-    // the round's own convergence action instead of a separate eager
-    // job — one driver round-trip per round, half the scheduling
-    // latency of eager checkpoints.
-    val edges = pairs
+    checkpointDir.foreach(s.sparkContext.setCheckpointDir)
+    // Lazy checkpoints throughout: lineage still truncates (round r's
+    // plan never replays rounds 1..r-1), but materialization rides the
+    // round's own convergence action instead of a separate eager job —
+    // one driver round-trip per round, half the scheduling latency of
+    // eager checkpoints.
+    def cp(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(false)
+      else df.localCheckpoint(false)
+    val edges = cp(pairs
       .select($"doc_a".cast("long").as("src"), $"doc_b".cast("long").as("dst"))
-      .union(pairs.select($"doc_b".cast("long"), $"doc_a".cast("long")))
-      .localCheckpoint(false)
+      .union(pairs.select($"doc_b".cast("long"), $"doc_a".cast("long"))))
     // Seed = round 1's hop for free: the node set needs a shuffle anyway
     // (distinct over edge endpoints), so fold the first neighbor-min
     // into that same shuffle — labels start at min(self, neighbors)
     // instead of self, saving one full hop+jump round.
-    var lab = edges.groupBy($"src").agg(min($"dst").as("nl"))
-      .select($"src".as("id"), least($"src", $"nl").as("label"))
-      .localCheckpoint(false)
+    var lab = cp(edges.groupBy($"src").agg(min($"dst").as("nl"))
+      .select($"src".as("id"), least($"src", $"nl").as("label")))
     var prevSum: Option[Long] = None // unknown until round 1's action
     var iter = 0
     var converged = false
@@ -78,10 +90,9 @@ object Clusters {
       // jump: label := label(label) — labels are node ids, so the lookup
       // table is `stepped` itself
       val jump = stepped.select($"id".as("jid"), $"label".as("jlabel"))
-      val next = stepped.join(jump, stepped("label") === jump("jid"), "left")
+      val next = cp(stepped.join(jump, stepped("label") === jump("jid"), "left")
         .select(stepped("id").as("id"),
-          coalesce($"jlabel", stepped("label")).as("label"))
-        .localCheckpoint(false)
+          coalesce($"jlabel", stepped("label")).as("label")))
       // the label-sum is a strictly decreasing convergence witness; this
       // action also materializes `next`'s checkpoint
       val sumRow = next.agg(sum($"label")).first()
@@ -91,6 +102,14 @@ object Clusters {
       prevSum = if (sumRow.isNullAt(0)) None else Some(sumRow.getLong(0))
       iter += 1
     }
+    // Non-converged labels are silently-wrong dedup downstream (q60/q67
+    // would keep/drop the wrong docs); the witness makes detection free,
+    // so failing loud is strictly better than returning.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"(last label-sum ${prevSum.getOrElse("n/a")}); raise maxIter — " +
+          "pointer jumping needs O(log diameter) rounds")
     lab
   }
 
@@ -99,7 +118,8 @@ object Clusters {
     * pipeline materializes the component labeling once per corpus
     * snapshot and every downstream consumer (dedup filter, cluster
     * stats, representative selection) reads it. The labeling is already
-    * block-manager-resident via the final round's localCheckpoint. */
+    * block-manager-resident via the final round's localCheckpoint.
+    * Invalidation: the artifact-cache contract at [[LlmOps]].sigCache. */
   private val ccCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
@@ -153,11 +173,18 @@ object Clusters {
   // ties broken toward the smaller doc_id. Composes the two artifacts
   // this module and q33 already define — labeling ⋈ quality → argmax.
   //
-  // Scale shape: the labeling is component-sized (small), so the join
-  // broadcasts it into the quality scan — the corpus never shuffles —
-  // and the per-cluster argmax is a tiny aggregate over labeled rows
-  // only. max_by with a (quality, -doc_id) struct gives the
-  // deterministic tie-break without a ranking window.
+  // Scale shape: the labeling holds every doc in >= 1 LSH candidate
+  // pair — small on a clean corpus, but on a near-dup-heavy 100 TB
+  // corpus it can be billions of rows, so there is deliberately NO
+  // broadcast() hint here: a hard hint would turn "labeling grew" into
+  // a driver/executor OOM. AQE sees the labeling's actual runtime size
+  // (it is block-manager-resident from the CC iteration) and picks
+  // broadcast when it fits, shuffle when it doesn't — the size check is
+  // the engine's, made at run time against real bytes (contrast q61,
+  // where the eval side is small BY DEFINITION and the hint is safe).
+  // The per-cluster argmax is a tiny aggregate over labeled rows only;
+  // max_by with a (quality, -doc_id) struct gives the deterministic
+  // tie-break without a ranking window.
   // ---------------------------------------------------------------------
   val q67: Q = (s, dir) => {
     import s.implicits._
@@ -165,7 +192,7 @@ object Clusters {
       .withColumn("tk", split($"text", " "))
       .select($"doc_id",
         (size(array_distinct($"tk")).cast("double") / size($"tk")).as("q"))
-    broadcast(clusterLabels(s, dir)).join(quality, "doc_id")
+    clusterLabels(s, dir).join(quality, "doc_id")
       .groupBy($"cluster_id")
       .agg(count(lit(1)).as("n_docs"),
         max_by(struct($"doc_id", $"q"), struct($"q", -$"doc_id")).as("rep"))

@@ -265,7 +265,21 @@ object LlmOps {
     * DISTINCT shingle set equals min-hash over the raw multiset (min is
     * duplicate-insensitive), so one artifact serves both the signature
     * and the exact-Jaccard stages. MEMORY_AND_DISK: spills, never
-    * recomputes. */
+    * recomputes.
+    *
+    * ARTIFACT-CACHE CONTRACT (applies to every per-(session, dir) cache
+    * in this codebase — sigCache, centroidCache, probeCache,
+    * batchProbeCache, Clusters.ccCache, Relational.devCache — and to
+    * the on-disk artifacts keyed by path: the IVF index, the bucketed
+    * layouts, Incremental's maintained tables): an artifact is a
+    * materialization of the dataset AT dir AS OF first use, exactly
+    * like a warehouse's derived tables. REGENERATING the data under an
+    * existing path does not invalidate artifacts — in-session, clear
+    * via the caches' `clear()` / `spark.catalog.clearCache()`; across
+    * JVMs, delete the warehouse/artifact directories. Snapshot-named
+    * dirs (sf0.001/sf0.01/sf0.1 here; date/version-stamped paths in
+    * production) make the problem structurally absent, which is why
+    * the caches carry no mtime fingerprinting. */
   private val sigCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]()
 

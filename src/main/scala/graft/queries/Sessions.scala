@@ -31,10 +31,11 @@ object Sessions {
   //   groupBy(user_id, session_seq) -> per-session stats
   //
   // Scale: both windows share PARTITION BY user_id ORDER BY (us,
-  // event_id), so Catalyst plans ONE Exchange + ONE Sort feeding both
-  // Window operators — and the final aggregate reuses that layout too
-  // (hash(user_id) satisfies the (user_id, session_seq) clustering:
-  // equal keys co-locate), so the WHOLE query is a single-shuffle plan
+  // event_id), so Catalyst plans ONE Sort feeding both Window operators
+  // — and over the user_id-bucketed events layout (Bucketed.events) the
+  // partitioning comes off the SCAN, and the final aggregate reuses it
+  // too (hash(user_id) satisfies the (user_id, session_seq) clustering:
+  // equal keys co-locate), so the WHOLE query is a ZERO-shuffle plan
   // (asserted in SessionsBatchSpec). Nothing here is all-pairs and
   // session state never leaves the user's partition — at 100 TB the only
   // skew risk is a single hyperactive user_id, the same bound as any
@@ -48,7 +49,7 @@ object Sessions {
     import s.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
     val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t(s, dir, "events")
+    Bucketed.events(s, dir)
       .select($"user_id", $"event_id", tsUs($"ts").as("us"),
         cents($"value").as("value_c"))
       .withColumn("prev_us", lag($"us", 1).over(w))
@@ -105,7 +106,9 @@ object Sessions {
   // ---------------------------------------------------------------------
   val q78: Q = (s, dir) => {
     import s.implicits._
-    val ev = t(s, dir, "events")
+    // user_id-bucketed layout: every per-user MIN aggregate and every
+    // user_id join in the stage chain is exchange-free off the scan.
+    val ev = Bucketed.events(s, dir)
       .select($"user_id", $"event_type", tsUs($"ts").as("us"))
     val s1 = ev.filter($"event_type" === "view")
       .groupBy($"user_id").agg(min($"us").as("t1"))
@@ -150,7 +153,9 @@ object Sessions {
   // ---------------------------------------------------------------------
   val q79: Q = (s, dir) => {
     import s.implicits._
-    val act = t(s, dir, "events")
+    // user_id-bucketed layout: the (user_id, day) distinct, the first-seen
+    // aggregate, and the user_id join all co-locate off the scan.
+    val act = Bucketed.events(s, dir)
       .select($"user_id", to_date($"ts").as("day")).distinct()
     val first = act.groupBy($"user_id").agg(min($"day").as("cohort_day"))
     act.join(first, "user_id")

@@ -399,18 +399,25 @@ object TextOps {
   // tokens would cost more than the second scan.
   //
   // Scale shape: the tf table broadcasts while vocab fits (calibrate:
-  // 10M terms × ~24B ≈ 240 MB — still broadcastable on big executors;
-  // beyond that flip to a shuffle join on token and the doc-side agg is
-  // unchanged). All reductions are exact integer sums (< 2^53, so the
-  // one double division at the end is bit-identical cross-engine — the
-  // same Det scheme as q54's quantization audit).
+  // 10M terms × ~24B ≈ 240 MB — still broadcastable on big executors),
+  // and beyond that the join MUST fall back to a shuffle join on token.
+  // That flip is deliberately NOT a hard-coded broadcast() hint: the tf
+  // table is an aggregate, so AQE sees its ACTUAL runtime bytes at the
+  // stage boundary and picks broadcast-hash vs shuffle by the
+  // autoBroadcastJoinThreshold — the size check is the engine's, made
+  // against real bytes, and "vocab grew past the threshold" degrades to
+  // a shuffle join instead of an executor OOM. Both paths are
+  // hash-identical (UnigramJoinPathSpec runs the shuffle path by
+  // forcing the threshold to -1). All reductions are exact integer sums
+  // (< 2^53, so the one double division at the end is bit-identical
+  // cross-engine — the same Det scheme as q54's quantization audit).
   // ---------------------------------------------------------------------
   val q62Bench: Q = (s, dir) => {
     import s.implicits._
     val tok = t(s, dir, "documents")
       .select($"doc_id", explode(split($"text", " ")).as("token"))
     val tf = tok.groupBy($"token").agg(count(lit(1)).as("tf"))
-    tok.join(broadcast(tf), "token")
+    tok.join(tf, "token")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum($"tf").as("sum_tf"))
       .select($"doc_id", $"n_tokens", $"sum_tf",

@@ -39,11 +39,26 @@ object Compact {
   }
 
   /** Rewrite `dir` to ceil(bytes / targetBytes) files if it currently
-    * has more; no-op (rewritten = false) when already compact. */
+    * has more; no-op (rewritten = false) when already compact.
+    *
+    * Crash recovery: a previous call that died between `fs.delete(dir)`
+    * and `fs.rename(tmp, dir)` leaves the data ONLY in the tmp dir —
+    * entry first completes that rename (instead of unconditionally
+    * deleting tmp), so the crash window cannot silently empty the
+    * table. A tmp dir beside a still-populated target is a stale
+    * leftover from a failure BEFORE the delete and is discarded. */
   def compact(s: SparkSession, dir: String, targetBytes: Long): Stats = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val p = new Path(dir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val staleTmp = new Path(dir.stripSuffix("/") + "._compact_tmp")
+    if (fs.exists(staleTmp)) {
+      if (dataFiles(s, dir).isEmpty) {
+        if (fs.exists(p)) fs.delete(p, true) // empty/fileless target
+        if (!fs.rename(staleTmp, p))
+          throw new java.io.IOException(s"recovery rename $staleTmp -> $p failed")
+      } else fs.delete(staleTmp, true) // pre-delete leftover: discard
+    }
     val files = dataFiles(s, dir)
     val bytes = files.map(f => fs.getFileStatus(f).getLen).sum
     val want = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)

@@ -26,12 +26,24 @@ import graft.queries.LlmOps
   * store — it is an unbounded, append-only parquet dataset (that is the
   * semantics of dedup-against-all-history), while per-batch work stays
   * bounded: an equi-join on (band, key) between the batch's signatures
-  * and the store. At 100 TB the store would be bucketed on (band, key)
-  * (see Bucketed.ensureLayout) so the per-batch join co-locates against
-  * the layout instead of shuffling the store. Flags and signatures are
-  * written into batch_id partitions with dynamic partition overwrite, so
-  * a replayed batch (foreachBatch is at-least-once) overwrites its own
-  * partition instead of duplicating output — idempotent end to end.
+  * and the store, with the BATCH side broadcast — a micro-batch is
+  * bounded by construction, so the ever-growing store side streams
+  * through the broadcast hash probe with NO shuffle and NO sort,
+  * per-batch cost O(store scan), not O(store shuffle). (Plan-asserted
+  * in NearDupStreamSpec; strictly better than bucketing the store,
+  * which would still pay a store-wide sorted-bucket read per batch.)
+  *
+  * At-least-once replay safety (foreachBatch's contract), three guards:
+  *  - flags and signatures are written into batch_id partitions with
+  *    dynamic partition overwrite, so a replayed batch overwrites its
+  *    own partitions instead of duplicating output;
+  *  - the store side of the flag join is filtered to batch_id <
+  *    current batch — a replay whose store write succeeded before the
+  *    checkpoint committed must not join against its own stored rows
+  *    (self-flags / bidirectional pairs) and, because the filter keys
+  *    on a partition column, prunes rather than scans them;
+  *  - doc_id =!= dup_of on the final flag set — belt-and-braces for a
+  *    source that legitimately re-delivers a doc_id in a later batch.
   */
 object NearDupStream {
 
@@ -45,49 +57,65 @@ object NearDupStream {
     LlmOps.bandRows(LlmOps.minhashAgg(sh))
   }
 
+  /** The per-batch flag join: the batch's signatures (bounded by the
+    * micro-batch) BROADCAST against the prior-batch store (unbounded) —
+    * the store side streams through the hash probe with no shuffle.
+    * Exposed package-private so the spec can plan-assert exactly the
+    * join the stream runs. */
+  private[graft] def priorFlagJoin(bands: DataFrame, store: DataFrame): DataFrame =
+    broadcast(bands).join(store.select(col("band"), col("key"),
+        col("doc_id").as("dup_of")), Seq("band", "key"))
+      .select(col("doc_id"), col("dup_of"))
+
+  /** One micro-batch of the ingest-dedup pipeline — exposed
+    * package-private so the spec can drive an at-least-once REPLAY
+    * (same batchId twice) directly, the failure mode foreachBatch's
+    * contract allows but MemoryStream won't reproduce on demand. */
+  private[graft] def processBatch(batch: DataFrame, batchId: Long,
+                                  storeDir: String, flagDir: String): Unit = {
+    val spark = batch.sparkSession
+    val bands = bandSignatures(batch).persist()
+    try {
+      val fs = new org.apache.hadoop.fs.Path(storeDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val priorFlags =
+        if (fs.exists(new org.apache.hadoop.fs.Path(storeDir))) {
+          // prior batches ONLY (partition-pruned): a replayed batch must
+          // not see its own store rows
+          priorFlagJoin(bands,
+            spark.read.parquet(storeDir).filter(col("batch_id") < batchId))
+        } else spark.emptyDataFrame
+          .withColumn("doc_id", lit(0L)).withColumn("dup_of", lit(0L))
+      val inBatchFlags = LlmOps.bucketPairs(bands)
+        .select(col("doc_b").as("doc_id"), col("doc_a").as("dup_of"))
+      // a 0-row partitioned write leaves no footer to infer a schema
+      // from, so empty batches write nothing (deterministic recompute
+      // on replay makes the skip idempotent too)
+      def writeNonEmpty(df: DataFrame, dir: String): Unit = {
+        val out = df.withColumn("batch_id", lit(batchId)).persist()
+        try if (out.head(1).nonEmpty) {
+          out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(dir)
+        } finally out.unpersist()
+      }
+      writeNonEmpty(priorFlags.unionByName(inBatchFlags)
+        .filter(col("doc_id") =!= col("dup_of")).distinct(), flagDir)
+      writeNonEmpty(bands, storeDir)
+    } finally bands.unpersist()
+  }
+
   /** Start the ingest-dedup stream. `storeDir` holds the signature store
     * (band, key, doc_id, batch_id); `flagDir` accumulates flagged pairs
     * (doc_id, dup_of, batch_id). Both are plain parquet datasets readable
     * by any downstream batch job. */
   def start(docs: Dataset[Doc], storeDir: String, flagDir: String,
-            checkpointDir: String): StreamingQuery = {
-    val spark = docs.sparkSession
-
-    val processBatch: (Dataset[Doc], Long) => Unit = { (batch, batchId) =>
-      val bands = bandSignatures(batch.toDF()).persist()
-      try {
-        val fs = new org.apache.hadoop.fs.Path(storeDir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val priorFlags =
-          if (fs.exists(new org.apache.hadoop.fs.Path(storeDir))) {
-            val store = spark.read.parquet(storeDir)
-            bands.join(store.select(col("band"), col("key"),
-                col("doc_id").as("dup_of")), Seq("band", "key"))
-              .select(col("doc_id"), col("dup_of"))
-          } else spark.emptyDataFrame
-            .withColumn("doc_id", lit(0L)).withColumn("dup_of", lit(0L))
-        val inBatchFlags = LlmOps.bucketPairs(bands)
-          .select(col("doc_b").as("doc_id"), col("doc_a").as("dup_of"))
-        // a 0-row partitioned write leaves no footer to infer a schema
-        // from, so empty batches write nothing (deterministic recompute
-        // on replay makes the skip idempotent too)
-        def writeNonEmpty(df: DataFrame, dir: String): Unit = {
-          val out = df.withColumn("batch_id", lit(batchId)).persist()
-          try if (out.head(1).nonEmpty) {
-            out.write.mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy("batch_id")
-              .parquet(dir)
-          } finally out.unpersist()
-        }
-        writeNonEmpty(priorFlags.unionByName(inBatchFlags).distinct(), flagDir)
-        writeNonEmpty(bands, storeDir)
-      } finally bands.unpersist()
-    }
-
+            checkpointDir: String): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch(processBatch)
+      .foreachBatch { (batch: Dataset[Doc], batchId: Long) =>
+        processBatch(batch.toDF(), batchId, storeDir, flagDir)
+      }
       .start()
-  }
 }

@@ -62,6 +62,41 @@ class BucketedJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("the window family runs exchange-free over the events layout") {
+    // the round-6 layout extension: q17/q69/q81's windows, q52's
+    // sessionization, and q47's dedup+window all read hash(user_id)
+    // straight off the bucketed events scan — zero ShuffleExchange in
+    // the whole benched plan (the verify-only global sorts are split
+    // into the q*Bench variants, so nothing here needs one)
+    val zeroShuffle: Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)] = Seq(
+      "q17" -> Relational.q17Bench,
+      "q69" -> Relational.q69Bench,
+      "q81" -> Relational.q81Bench,
+      "q52" -> Sessions.q52Bench)
+    zeroShuffle.foreach { case (name, q) =>
+      val plan = graft.PlanSig.initialPlan(q(spark, sfDir))
+      val shuffles = plan.collectWithSubqueries {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty,
+        s"$name must be exchange-free over the events layout:\n$plan")
+    }
+  }
+
+  test("q02 over the events layout matches the raw-parquet plan's rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.Det._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    val plain = graft.Tables.t(spark, sfDir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_id", $"event_type", tsUs($"ts").as("ts_us"), $"value")
+      .orderBy($"user_id")
+    assert(Relational.q02(spark, sfDir).collect().toSeq === plain.collect().toSeq)
+  }
+
   test("q41 matches the plain-parquet join result") {
     val viaBuckets = Bucketed.q41(spark, sfDir)
     val plain = {

@@ -48,6 +48,34 @@ class ClustersSpec extends AnyFunSuite {
     assert(cc(Seq.empty).isEmpty)
   }
 
+  test("exhausting maxIter without the fixpoint throws instead of returning") {
+    val s = spark
+    import s.implicits._
+    // a 64-node path cannot settle in 1 round; silent return here would
+    // hand q60/q67 wrong labels
+    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      Clusters.connectedComponents(pairs, maxIter = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("reliable checkpointing converges to the same labeling") {
+    val s = spark
+    import s.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val got = Clusters.connectedComponents(pairs, checkpointDir = Some(ckpt))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    // the reliable checkpoint actually wrote state into the given dir
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(wrote > 0, "no checkpoint files written")
+  }
+
   test("q60 on the testdata: clusters cover exactly the candidate-pair docs") {
     val s = spark
     import s.implicits._

@@ -8,10 +8,12 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestSession
 
-/** Batch sessionization (q52): the scale claim is ONE exchange + ONE
-  * sort feeding BOTH window operators (lag + running session ordinal
-  * share partitioning and ordering), then a single agg shuffle — plus
-  * the session-semantics invariants every gap sessionizer must hold. */
+/** Batch sessionization (q52): the scale claim is a ZERO-exchange plan
+  * — the user_id-bucketed events layout hands the windows their
+  * partitioning off the scan, ONE sort feeds BOTH window operators
+  * (lag + running session ordinal share partitioning and ordering), and
+  * the aggregate reuses the same clustering — plus the
+  * session-semantics invariants every gap sessionizer must hold. */
 class SessionsBatchSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sfDir = "/root/testdata/sf0.001"
@@ -22,18 +24,19 @@ class SessionsBatchSpec extends AnyFunSuite {
       case p => p
     }
 
-  test("q52 is a SINGLE-shuffle plan: windows and agg share user_id partitioning") {
+  test("q52 is a ZERO-shuffle plan: scan partitioning feeds windows and agg") {
     val plan = sparkPlanOf(Sessions.q52Bench(spark, sfDir))
     val windows = plan.collect { case w: WindowExec => w }
     val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
     val sorts = plan.collect { case s: SortExec => s }
     assert(windows.size === 2, s"expected lag + running-sum windows:\n$plan")
-    // EnsureRequirements accepts hash(user_id) for the (user_id,
-    // session_seq) aggregate's ClusteredDistribution — same-key subsets
-    // co-locate — so the ENTIRE query is one exchange. A second exchange
-    // appearing here means the agg stopped reusing the window layout.
-    assert(shuffles.size === 1,
-      s"expected the windows' exchange to be the only shuffle, got ${shuffles.size}:\n$plan")
+    // The bucketed scan reports hash(user_id); EnsureRequirements
+    // accepts it for the windows AND for the (user_id, session_seq)
+    // aggregate's ClusteredDistribution — same-key subsets co-locate —
+    // so the ENTIRE query runs without a single exchange. Any exchange
+    // appearing here means the layout routing broke.
+    assert(shuffles.isEmpty,
+      s"expected an exchange-free plan, got ${shuffles.size}:\n$plan")
     assert(sorts.size === 1,
       s"both windows must share one (us, event_id) sort, got ${sorts.size}:\n$plan")
   }

@@ -50,4 +50,34 @@ class CompactSpec extends AnyFunSuite {
     assert(stats.rewritten)
     assert(stats.filesAfter >= 4 && stats.filesAfter < 32, s"$stats")
   }
+
+  test("recovers from a crash between delete and rename") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("compact3").toString
+    val dir = base + "/e"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.Tables.t(spark, sfDir, "events")
+      .repartition(8).write.mode("overwrite").parquet(dir)
+    val rows = spark.read.parquet(dir).count()
+
+    // simulate the crash window: data durable ONLY in tmp, target gone
+    val tmp = new org.apache.hadoop.fs.Path(dir + "._compact_tmp")
+    spark.read.parquet(dir).coalesce(1).write.parquet(tmp.toString)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+
+    // next call must recover the tmp dir, not report an empty no-op
+    val stats = Compact.compact(spark, dir, targetBytes = 1L << 30)
+    assert(spark.read.parquet(dir).count() === rows, "recovered data lost")
+    assert(!fs.exists(tmp), "tmp dir must be consumed by recovery")
+    assert(stats.bytes > 0, s"recovery must see the data: $stats")
+
+    // a stale tmp beside a POPULATED target is discarded, data untouched
+    spark.read.parquet(dir).limit(1).write.parquet(tmp.toString)
+    val stats2 = Compact.compact(spark, dir, targetBytes = 1L << 30)
+    assert(spark.read.parquet(dir).count() === rows)
+    assert(!stats2.rewritten) // already one file
+    assert(!fs.exists(tmp), "stale tmp beside populated target is discarded")
+  }
 }
