@@ -64,7 +64,8 @@ object Bench {
         graft.queries.LlmOps.benchVariants ++
         graft.queries.TextOps.benchVariants ++
         graft.queries.Sessions.benchVariants ++
-        graft.queries.ZOrder.benchVariants)
+        graft.queries.ZOrder.benchVariants ++
+        graft.queries.Txn.benchVariants)
       .toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }
     // Warmup: one untimed pass over every query (catches codegen + scan

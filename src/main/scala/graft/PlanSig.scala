@@ -55,7 +55,8 @@ object PlanSig {
         graft.queries.LlmOps.benchVariants ++
         graft.queries.TextOps.benchVariants ++
         graft.queries.Sessions.benchVariants ++
-        graft.queries.ZOrder.benchVariants
+        graft.queries.ZOrder.benchVariants ++
+        graft.queries.Txn.benchVariants
     SparkEntry.queries.map { case (name, fn) =>
       name -> variants.getOrElse(name, fn)
     }.toSeq.sortBy(_._1)

@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.TextOps.queries ++ graft.multimodal.Multimodal.queries ++
       graft.queries.Bucketed.queries ++ graft.queries.Sessions.queries ++
       graft.queries.ZOrder.queries ++ graft.queries.Incremental.queries ++
-      graft.queries.Clusters.queries ++ graft.queries.Scd.queries
+      graft.queries.Clusters.queries ++ graft.queries.Scd.queries ++
+      graft.queries.Txn.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.queries.TextOps.oracles ++ graft.multimodal.Multimodal.oracles ++
       graft.queries.Bucketed.oracles ++ graft.queries.Sessions.oracles ++
       graft.queries.ZOrder.oracles ++ graft.queries.Incremental.oracles ++
-      graft.queries.Clusters.oracles ++ graft.queries.Scd.oracles
+      graft.queries.Clusters.oracles ++ graft.queries.Scd.oracles ++
+      graft.queries.Txn.oracles
 }

@@ -575,6 +575,67 @@ object TextOps {
       |HAVING COUNT(*) > n * $HhFrac
       |ORDER BY cnt DESC, token ASC""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q83: DOCUMENT CHUNKING — the embed-for-retrieval preprocessing step
+  // every LLM data pipeline runs between cleaning and embedding: each
+  // document becomes overlapping token windows of ChunkSize with stride
+  // ChunkStride (overlap = ChunkSize - ChunkStride keeps boundary
+  // context in two chunks). Chunk count is 1 + ceil((n - C) / S), so a
+  // doc that fits in one window yields exactly one chunk and the last
+  // window always reaches the final token — no dropped tail, no
+  // degenerate sub-window tail chunks.
+  //
+  // Scale shape: ZERO shuffles — tokenize, a codegen'd sequence explode
+  // (GenerateExec), and a slice projection, all in one WholeStageCodegen
+  // stage over the scan; output is ~n/S rows per doc written straight
+  // downstream (the embedding batcher). At 100 TB this is the textbook
+  // map-only op: cost is the scan, parallelism is input splits, and the
+  // only knob that matters is output file sizing. The global orderBy
+  // exists solely for the oracle compare (bench variant drops it).
+  // ---------------------------------------------------------------------
+  private val ChunkSize = 32
+  private val ChunkStride = 24
+
+  val q83Bench: Q = (s, dir) => {
+    import s.implicits._
+    val C = ChunkSize; val St = ChunkStride
+    val d = t(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .withColumn("n", size($"toks"))
+    // exact integer ceil((n-C)/S) for n > C (all operands positive)
+    val lastChunk = when($"n" <= C, lit(0L))
+      .otherwise(floor(($"n" - C + (St - 1)).cast("double") / St).cast("long"))
+    d.withColumn("chunk_id", explode(sequence(lit(0L), lastChunk)))
+      .select($"doc_id", $"chunk_id".cast("int").as("chunk_id"),
+        slice($"toks", $"chunk_id".cast("int") * St + 1, lit(C)).as("w"))
+      .select($"doc_id", $"chunk_id",
+        size($"w").cast("long").as("n_tokens"),
+        array_join($"w", " ").as("chunk"))
+  }
+  val q83: Q = (s, dir) => {
+    import s.implicits._
+    q83Bench(s, dir).orderBy($"doc_id", $"chunk_id")
+  }
+  val q83Sql: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |k AS (
+      |  SELECT doc_id, toks,
+      |    unnest(generate_series(0,
+      |      CASE WHEN n <= $ChunkSize THEN 0
+      |           ELSE (n - $ChunkSize + ${ChunkStride - 1}) // $ChunkStride
+      |      END)) AS chunk_id
+      |  FROM d)
+      |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+      |  CAST(len(toks[chunk_id * $ChunkStride + 1 :
+      |             chunk_id * $ChunkStride + $ChunkSize]) AS BIGINT) AS n_tokens,
+      |  array_to_string(toks[chunk_id * $ChunkStride + 1 :
+      |                  chunk_id * $ChunkStride + $ChunkSize], ' ') AS chunk
+      |FROM k
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q29_simhash"        -> q29,
     "q30_jaccard_verify" -> q30,
@@ -587,7 +648,8 @@ object TextOps {
     "q62_unigram_score"  -> q62,
     "q63_lang_rebalance" -> q63,
     "q65_repetition"     -> q65,
-    "q71_heavy_hitters"  -> q71)
+    "q71_heavy_hitters"  -> q71,
+    "q83_chunking"       -> q83)
 
   val oracles: Map[String, String] = Map(
     "q29_simhash"        -> q29Sql,
@@ -601,7 +663,8 @@ object TextOps {
     "q62_unigram_score"  -> q62Sql,
     "q63_lang_rebalance" -> q63Sql,
     "q65_repetition"     -> q65Sql,
-    "q71_heavy_hitters"  -> q71Sql)
+    "q71_heavy_hitters"  -> q71Sql,
+    "q83_chunking"       -> q83Sql)
 
   /** Bench-time overrides minus determinism-only global sorts (see
     * [[Relational.benchVariants]]). Verify runs the sorted forms. */
@@ -613,5 +676,6 @@ object TextOps {
     "q61_decontaminate"  -> q61Bench,
     "q62_unigram_score"  -> q62Bench,
     "q65_repetition"     -> q65Bench,
-    "q71_heavy_hitters"  -> q71Bench)
+    "q71_heavy_hitters"  -> q71Bench,
+    "q83_chunking"       -> q83Bench)
 }

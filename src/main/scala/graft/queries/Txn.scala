@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Det._
+import graft.sinks.TxnTable
+
+/** The daily-maintenance pipeline of q56, rebuilt on the transactional
+  * log ([[graft.sinks.TxnTable]]) — the production shape of "a scheduled
+  * job appends a day": every arrival is an ATOMIC versioned commit,
+  * readers are snapshot-isolated against in-flight writers, botched runs
+  * roll forward by re-committing (never by mutating files), and the
+  * periodic compaction is itself just another commit that in-flight
+  * readers don't see.
+  *
+  * The build (once per dataset, idempotent on the on-disk log):
+  *   v1  overwrite  — history bootstrap (all days but the last two)
+  *   v2  append     — day n-1 (a real incremental arrival)
+  *   v3  append     — day n
+  *   v4  compact    — same rows, fewer files (time travel to v1..v3 intact)
+  *
+  * q82 then reads the LATEST snapshot and must hash-match a from-scratch
+  * DuckDB aggregate over the raw source — maintenance == recompute,
+  * the same contract q56 proves for dynamic-partition maintenance,
+  * here proven for log-committed maintenance. TxnTableSpec covers the
+  * log mechanics themselves (atomicity, conflict, travel, vacuum).
+  */
+object Txn {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def tag(dir: String): String = dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  private[queries] def tableRoot(s: SparkSession, dir: String): String =
+    s.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
+      s"/graft_txn/daily_${tag(dir)}"
+
+  /** One day-slice of the daily aggregate (same shape as q56's). */
+  private def dayAgg(s: SparkSession, dir: String, pred: org.apache.spark.sql.Column): DataFrame = {
+    import s.implicits._
+    graft.Tables.t(s, dir, "events")
+      .withColumn("day", date_format($"ts", "yyyy-MM-dd"))
+      .filter(pred)
+      .groupBy($"day", $"event_type")
+      .agg(count(lit(1)).as("n"), money(sum(cents($"value"))).as("total_value"))
+  }
+
+  /** Idempotent 4-commit build; returns the table root. */
+  def ensureTable(s: SparkSession, dir: String): String = synchronized {
+    import s.implicits._
+    val root = tableRoot(s, dir)
+    if (TxnTable.versions(s, root).size < 4) {
+      val days = Incremental.sourceDays(s, dir)
+      val (hist, tail) = days.splitAt(math.max(1, days.size - 2))
+      TxnTable.overwrite(s, root, dayAgg(s, dir, $"day".isin(hist: _*)))
+      tail.foreach(d => TxnTable.append(s, root, dayAgg(s, dir, $"day" === d)))
+      TxnTable.compactTxn(s, root, targetFiles = 1)
+    }
+    root
+  }
+
+  // ---------------------------------------------------------------------
+  // q82: latest txn snapshot == from-scratch recompute. The bench form
+  // is the pure snapshot read (log resolve + pruned parquet scan of the
+  // manifest's file list); the global orderBy exists only for the
+  // oracle's ordered hash-compare (the Relational.q17 split).
+  // ---------------------------------------------------------------------
+  val q82Bench: Q = (s, dir) => TxnTable.read(s, ensureTable(s, dir))
+  val q82: Q = (s, dir) => {
+    import s.implicits._
+    q82Bench(s, dir).orderBy($"day", $"event_type")
+  }
+  val q82Sql: String =
+    s"""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+       |  COUNT(*) AS n,
+       |  SUM(${sqlCents("value")}) / 100.0 AS total_value
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY day, event_type""".stripMargin
+
+  val queries: Map[String, Q] = Map("q82_txn_snapshot" -> q82)
+  val oracles: Map[String, String] = Map("q82_txn_snapshot" -> q82Sql)
+
+  /** Bench-time override minus the determinism-only global sort (see
+    * [[Relational.benchVariants]]). Verify runs the sorted form. */
+  val benchVariants: Map[String, Q] = Map("q82_txn_snapshot" -> q82Bench)
+}

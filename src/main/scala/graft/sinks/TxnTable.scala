@@ -1,0 +1,237 @@
+package graft.sinks
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal transactional table format — a versioned snapshot log over
+  * immutable parquet data files, closing the "no txn-log" caveat that
+  * Compact/Scd/Incremental each carry in their scaladoc (the reference
+  * has no table format at all: its sink is a raw JSON dump to object
+  * storage + a Glue catalog pointer, reference: airflow/dags/
+  * weather_data_dag.py's load step — atomicity/versioning is exactly
+  * what a production user adds first).
+  *
+  * Layout (all under one table root):
+  * {{{
+  *   <root>/_txn/v0000000001.txt     snapshot manifests, one per commit
+  *   <root>/data/<uuid>/part-*.parquet   immutable data files
+  * }}}
+  *
+  * A manifest is a text file: header line `graft-txn v1 <op>`, then one
+  * data-file path per line (relative to the table root). A snapshot is
+  * the complete file list — never a delta — so a reader resolves ANY
+  * version with one small-file read, O(files) not O(history).
+  *
+  * The four properties a txn log exists for, and how each is carried:
+  *
+  *  - '''Atomic commit''': writers stage data files first (under a
+  *    fresh uuid dir nothing references), then publish by creating the
+  *    next manifest with Hadoop `create(path, overwrite = false)`. The
+  *    manifest appears all-or-nothing: a crash mid-stage leaves only
+  *    unreferenced files (garbage for [[vacuum]], invisible to
+  *    readers). The manifest itself is written tmp → atomic rename.
+  *  - '''Snapshot isolation''': data files are immutable and a reader
+  *    resolves its file list from ONE manifest — concurrent commits
+  *    (appends, compactions) never change what an in-flight reader
+  *    sees. This is why [[compactTxn]] is safe against live readers,
+  *    which plain [[Compact]] (delete + rename in place) is not.
+  *  - '''Optimistic concurrency''': the next version number is the
+  *    lock. Two writers racing to commit version N both stage, but
+  *    `create(vN, overwrite = false)` succeeds for exactly one; the
+  *    loser gets [[TxnConflictException]] and must re-resolve + retry.
+  *    (On HDFS/ABFS atomic-create-no-overwrite is a filesystem
+  *    guarantee; on S3 production systems delegate this one primitive
+  *    to a coordinator — same architecture, different lock.)
+  *  - '''Time travel''': [[readAsOf]] any retained version;
+  *    [[vacuum]] bounds retention by dropping old manifests and then
+  *    deleting data files no retained manifest references.
+  *
+  * Scale posture: the log adds O(1) small-file IO per commit and per
+  * read-resolve; data IO is unchanged (readers get the same pruned
+  * vectorized parquet scan — [[read]] hands Spark the exact file list).
+  * At 100 TB the file LIST is the scaling concern (millions of files →
+  * manifest size), which real formats shard into avro manifests +
+  * manifest lists (Iceberg) — the single-manifest simplification is
+  * deliberate and documented, the commit protocol is the real thing.
+  */
+object TxnTable {
+
+  final class TxnConflictException(msg: String) extends RuntimeException(msg)
+
+  /** One committed snapshot: `files` are table-root-relative. */
+  final case class Snapshot(version: Long, op: String, files: Seq[String])
+
+  private val Header = "graft-txn v1"
+
+  private def fs(s: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(root: String, v: Long): Path =
+    new Path(s"${root.stripSuffix("/")}/_txn/" + f"v$v%010d.txt")
+
+  private val ManifestRe = "^v(\\d{10})\\.txt$".r
+
+  /** All committed versions, ascending. */
+  def versions(s: SparkSession, root: String): Seq[Long] = {
+    val dir = new Path(s"${root.stripSuffix("/")}/_txn")
+    val f = fs(s, root)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.flatMap(st => st.getPath.getName match {
+      case ManifestRe(v) => Some(v.toLong)
+      case _             => None
+    }).sorted
+  }
+
+  /** Read one manifest. */
+  def snapshot(s: SparkSession, root: String, version: Long): Snapshot = {
+    val f = fs(s, root)
+    val in = f.open(manifestPath(root, version))
+    val text = try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+    val lines = text.split("\n").toSeq.filter(_.nonEmpty)
+    require(lines.nonEmpty && lines.head.startsWith(Header),
+      s"corrupt manifest v$version: bad header")
+    Snapshot(version, lines.head.stripPrefix(Header).trim, lines.tail)
+  }
+
+  def latest(s: SparkSession, root: String): Option[Snapshot] =
+    versions(s, root).lastOption.map(snapshot(s, root, _))
+
+  /** The current table as a DataFrame — Spark gets the snapshot's exact
+    * file list, so pruning/pushdown work as on any parquet scan. An
+    * empty table (no snapshot yet, or an overwrite with 0 files) is an
+    * error: schema-less empty reads have no principled schema. */
+  def read(s: SparkSession, root: String): DataFrame =
+    readAsOf(s, root, versions(s, root).lastOption.getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root")))
+
+  /** Time travel: the table exactly as of `version`. */
+  def readAsOf(s: SparkSession, root: String, version: Long): DataFrame = {
+    val snap = snapshot(s, root, version)
+    require(snap.files.nonEmpty, s"snapshot v$version has no data files")
+    val base = root.stripSuffix("/")
+    s.read.parquet(snap.files.map(f => s"$base/$f"): _*)
+  }
+
+  /** Stage `df` as immutable parquet files under data/<uuid>/, return
+    * their root-relative paths. Nothing references them until commit. */
+  private def stage(s: SparkSession, root: String, df: DataFrame): Seq[String] = {
+    val rel = s"data/${java.util.UUID.randomUUID().toString.take(8)}"
+    val dir = s"${root.stripSuffix("/")}/$rel"
+    df.write.mode("errorifexists").parquet(dir)
+    val f = fs(s, root)
+    f.listStatus(new Path(dir)).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(st => s"$rel/${st.getPath.getName}")
+  }
+
+  /** Publish a manifest as version `v` — tmp write + atomic rename into
+    * the create-no-overwrite slot. Throws [[TxnConflictException]] if a
+    * concurrent writer took `v` first. */
+  private[sinks] def commit(s: SparkSession, root: String, v: Long, op: String,
+                            files: Seq[String]): Snapshot = {
+    val f = fs(s, root)
+    val dst = manifestPath(root, v)
+    f.mkdirs(dst.getParent)
+    if (f.exists(dst))
+      throw new TxnConflictException(s"version $v already committed at $root")
+    val tmp = new Path(dst.getParent,
+      s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = f.create(tmp, false)
+    try out.write((s"$Header $op\n" + files.mkString("\n") + "\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    // rename-no-overwrite: atomic publish on HDFS-like filesystems; the
+    // exists() guard above narrows (not closes) the race on raw local FS
+    if (f.exists(dst) || !f.rename(tmp, dst)) {
+      f.delete(tmp, false)
+      throw new TxnConflictException(s"lost commit race for version $v at $root")
+    }
+    Snapshot(v, op, files)
+  }
+
+  private def nextVersion(s: SparkSession, root: String): Long =
+    versions(s, root).lastOption.getOrElse(0L) + 1
+
+  /** Append `df` to the table (creates it at v1 if absent). */
+  def append(s: SparkSession, root: String, df: DataFrame): Snapshot = {
+    val staged = stage(s, root, df)
+    val prior = latest(s, root).map(_.files).getOrElse(Seq.empty)
+    commit(s, root, nextVersion(s, root), "append", prior ++ staged)
+  }
+
+  /** Exactly-once streaming append: the op field carries the micro-batch
+    * id, so a replayed foreachBatch (at-least-once by contract) finds its
+    * own commit in the log and no-ops instead of double-appending —
+    * the txn log is what upgrades the sink to exactly-once, the same
+    * mechanism (idempotent commits keyed by batch id) Delta's streaming
+    * sink uses. Returns None on a replay that was already committed.
+    * The already-committed probe reads O(versions) small manifests;
+    * production formats cache the latest-seen batch id per stream in
+    * the snapshot itself — same contract, one read. */
+  def appendBatch(s: SparkSession, root: String, df: DataFrame,
+                  batchId: Long): Option[Snapshot] = {
+    val opTag = s"append-batch:$batchId"
+    val vs = versions(s, root)
+    if (vs.exists(v => snapshot(s, root, v).op == opTag)) None
+    else {
+      val staged = stage(s, root, df)
+      val prior = vs.lastOption.map(snapshot(s, root, _).files).getOrElse(Seq.empty)
+      Some(commit(s, root, vs.lastOption.getOrElse(0L) + 1, opTag, prior ++ staged))
+    }
+  }
+
+  /** Replace the table content with `df`. Old snapshots stay readable
+    * (their files are immutable) until [[vacuum]]. */
+  def overwrite(s: SparkSession, root: String, df: DataFrame): Snapshot = {
+    val staged = stage(s, root, df)
+    commit(s, root, nextVersion(s, root), "overwrite", staged)
+  }
+
+  /** Transactional compaction: rewrite the current snapshot to
+    * `targetFiles` files and commit the SAME rows as a new version —
+    * in-flight readers of any prior version are untouched (contrast
+    * [[Compact.compact]], which rewrites in place). coalesce = narrow
+    * merge, no shuffle. */
+  def compactTxn(s: SparkSession, root: String, targetFiles: Int): Snapshot = {
+    require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
+    val cur = latest(s, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    val staged = stage(s, root, read(s, root).coalesce(targetFiles))
+    commit(s, root, cur.version + 1, "compact", staged)
+  }
+
+  /** Retention: keep the newest `retainVersions` manifests, drop older
+    * ones, then delete every data file (and empty uuid dir) that no
+    * retained manifest references. Time travel older than the horizon
+    * is gone by design — that is what vacuum means. */
+  def vacuum(s: SparkSession, root: String, retainVersions: Int): Unit = {
+    require(retainVersions >= 1, "must retain at least the current version")
+    val f = fs(s, root)
+    val vs = versions(s, root)
+    val (drop, keep) = vs.splitAt(math.max(0, vs.size - retainVersions))
+    val live: Set[String] =
+      keep.flatMap(v => snapshot(s, root, v).files).toSet
+    drop.foreach(v => f.delete(manifestPath(root, v), false))
+    val base = root.stripSuffix("/")
+    val dataDir = new Path(s"$base/data")
+    if (f.exists(dataDir)) {
+      f.listStatus(dataDir).toSeq.filter(_.isDirectory).foreach { d =>
+        val rel = s"data/${d.getPath.getName}"
+        val parts = f.listStatus(d.getPath).toSeq
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        val (alive, dead) = parts.partition(st =>
+          live.contains(s"$rel/${st.getPath.getName}"))
+        dead.foreach(st => f.delete(st.getPath, false))
+        // no live data left → drop the dir (sidecars like _SUCCESS/.crc
+        // must not keep an orphaned staging dir alive)
+        if (alive.isEmpty) f.delete(d.getPath, true)
+      }
+    }
+  }
+}

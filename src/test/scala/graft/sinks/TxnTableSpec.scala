@@ -1,0 +1,124 @@
+package graft.sinks
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** The four txn-log properties TxnTable exists for: append/overwrite
+  * versioning with time travel, snapshot isolation across compaction,
+  * optimistic-concurrency conflict on a taken version slot, and vacuum
+  * retention (referenced files survive, unreferenced files go, travel
+  * past the horizon fails). The end-to-end maintenance == recompute
+  * contract is the driver-checked q82 oracle. */
+class TxnTableSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("txn_spec").toString + "/tbl"
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  private def df(ids: Int*) = {
+    val s = spark
+    import s.implicits._
+    ids.toDF("id").withColumn("v", col("id") * 10)
+  }
+
+  test("append/overwrite version history with time travel") {
+    val root = freshRoot()
+    val v1 = TxnTable.overwrite(spark, root, df(1, 2))
+    val v2 = TxnTable.append(spark, root, df(3))
+    val v3 = TxnTable.overwrite(spark, root, df(9))
+    assert(Seq(v1.version, v2.version, v3.version) === Seq(1L, 2L, 3L))
+    assert(TxnTable.versions(spark, root) === Seq(1L, 2L, 3L))
+    assert(rows(TxnTable.read(spark, root)) === rows(df(9)))
+    assert(rows(TxnTable.readAsOf(spark, root, 2)) === rows(df(1, 2, 3)))
+    assert(rows(TxnTable.readAsOf(spark, root, 1)) === rows(df(1, 2)))
+  }
+
+  test("compactTxn preserves rows, shrinks files, keeps prior snapshots intact") {
+    val root = freshRoot()
+    TxnTable.overwrite(spark, root, df(1, 2).repartition(4))
+    TxnTable.append(spark, root, df(3, 4).repartition(4))
+    val before = TxnTable.latest(spark, root).get
+    assert(before.files.size > 1)
+    val compacted = TxnTable.compactTxn(spark, root, targetFiles = 1)
+    assert(compacted.files.size === 1)
+    assert(rows(TxnTable.read(spark, root)) === rows(df(1, 2, 3, 4)))
+    // snapshot isolation: a reader pinned to v2 sees the SAME files/rows
+    assert(TxnTable.snapshot(spark, root, before.version).files === before.files)
+    assert(rows(TxnTable.readAsOf(spark, root, before.version)) === rows(df(1, 2, 3, 4)))
+  }
+
+  test("commit into a taken version slot raises TxnConflictException") {
+    val root = freshRoot()
+    TxnTable.overwrite(spark, root, df(1))
+    // a racing writer resolved latest=v1 and committed v2 first:
+    TxnTable.append(spark, root, df(2))
+    // our writer, still believing latest=v1, stages then tries v2 — the
+    // create-no-overwrite slot must reject it
+    val ex = intercept[TxnTable.TxnConflictException] {
+      TxnTable.commit(spark, root, 2L, "append", Seq.empty)
+    }
+    assert(ex.getMessage.contains("version 2"))
+    // the loser's failed commit must not have corrupted the winner's
+    assert(rows(TxnTable.read(spark, root)) === rows(df(1, 2)))
+  }
+
+  test("vacuum drops unreferenced files and old manifests, keeps retained versions readable") {
+    val root = freshRoot()
+    TxnTable.overwrite(spark, root, df(1, 2)) // v1 — will fall off
+    TxnTable.overwrite(spark, root, df(3))    // v2
+    TxnTable.append(spark, root, df(4))       // v3 (shares v2's files)
+    TxnTable.vacuum(spark, root, retainVersions = 2)
+    assert(TxnTable.versions(spark, root) === Seq(2L, 3L))
+    // v2 and v3 still read exactly their snapshots (v3 references v2's
+    // files — shared files must survive the vacuum of v1)
+    assert(rows(TxnTable.readAsOf(spark, root, 2)) === rows(df(3)))
+    assert(rows(TxnTable.read(spark, root)) === rows(df(3, 4)))
+    // v1's files are gone from disk
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/data"))
+    val liveNow = (TxnTable.snapshot(spark, root, 2).files ++
+      TxnTable.snapshot(spark, root, 3).files).toSet
+    val onDisk = dataDirs.flatMap(d => fs.listStatus(d.getPath))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(st => s"data/${st.getPath.getParent.getName}/${st.getPath.getName}")
+      .toSet
+    assert(onDisk === liveNow, "vacuum must delete exactly the unreferenced files")
+    intercept[Exception](TxnTable.readAsOf(spark, root, 1))
+  }
+
+  test("appendBatch is exactly-once under at-least-once replay") {
+    val root = freshRoot()
+    TxnTable.overwrite(spark, root, df(1))
+    assert(TxnTable.appendBatch(spark, root, df(2), batchId = 0L).isDefined)
+    // the replay foreachBatch's contract allows: same batch id again
+    assert(TxnTable.appendBatch(spark, root, df(2), batchId = 0L).isEmpty)
+    assert(rows(TxnTable.read(spark, root)) === rows(df(1, 2)))
+    assert(TxnTable.versions(spark, root) === Seq(1L, 2L))
+    // the next real batch commits normally
+    assert(TxnTable.appendBatch(spark, root, df(3), batchId = 1L).isDefined)
+    assert(rows(TxnTable.read(spark, root)) === rows(df(1, 2, 3)))
+  }
+
+  test("a crash mid-stage leaves readers untouched (atomic commit)") {
+    val root = freshRoot()
+    TxnTable.overwrite(spark, root, df(1))
+    // simulate a writer that staged data but died before publishing:
+    // write a parquet dir under data/ with no manifest referencing it
+    df(99).write.parquet(s"$root/data/orphan-stage")
+    assert(rows(TxnTable.read(spark, root)) === rows(df(1)),
+      "unreferenced staged files must be invisible to readers")
+    // and vacuum collects the orphan
+    TxnTable.vacuum(spark, root, retainVersions = 1)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/data/orphan-stage")))
+  }
+}
