@@ -56,7 +56,8 @@ object PlanSig {
         graft.queries.TextOps.benchVariants ++
         graft.queries.Sessions.benchVariants ++
         graft.queries.ZOrder.benchVariants ++
-        graft.queries.Txn.benchVariants
+        graft.queries.Txn.benchVariants ++
+        graft.multimodal.Multimodal.benchVariants
     SparkEntry.queries.map { case (name, fn) =>
       name -> variants.getOrElse(name, fn)
     }.toSeq.sortBy(_._1)
@@ -81,6 +82,7 @@ object PlanSnapshot {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val sfDir = "/root/testdata/sf0.001"
+    ArtifactCaches.reset(spark) // cold-start shapes (see PlanSnapshotSpec)
     val lines = PlanSig.benchPlans.map { case (name, fn) =>
       s"$name ${PlanSig.render(PlanSig.signature(fn(spark, sfDir)))}"
     }

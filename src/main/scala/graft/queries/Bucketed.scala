@@ -65,9 +65,15 @@ object Bucketed {
     val (key, sortCols) = specs(name)
     s.sql(s"CREATE DATABASE IF NOT EXISTS $Db")
     val table = s"$Db.${name}_${tag(dir)}"
-    if (!s.catalog.tableExists(table)) {
-      val loc = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir") + s"/$Db.db/${name}_${tag(dir)}")
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir") + s"/$Db.db/${name}_${tag(dir)}")
+    // layout validity is decided by the SOURCE's file listing, not by
+    // table existence — regenerated source data forces a rebuild
+    // (graft.SourceStamp; marker written after a successful build)
+    val st = graft.SourceStamp.table(s, dir, name)
+    if (!s.catalog.tableExists(table) ||
+        !graft.SourceStamp.isCurrent(s, loc.toString, st)) {
+      if (s.catalog.tableExists(table)) s.sql(s"DROP TABLE $table")
       val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
       // repartition on the bucket key first: bucketBy writes one file
@@ -78,6 +84,7 @@ object Bucketed {
         .format("parquet")
         .bucketBy(Buckets, key).sortBy(sortCols.head, sortCols.tail: _*)
         .saveAsTable(table)
+      graft.SourceStamp.write(s, loc.toString, st)
     }
   }
 

@@ -84,7 +84,11 @@ object Incremental {
     val path = tableDir(s, dir)
     val loc = new org.apache.hadoop.fs.Path(path)
     val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(loc)) {
+    // rebuild when the SOURCE was regenerated under the same path
+    // (graft.SourceStamp; marker written after a successful build)
+    val st = graft.SourceStamp.table(s, dir, "events")
+    if (!fs.exists(loc) || !graft.SourceStamp.isCurrent(s, path, st)) {
+      if (fs.exists(loc)) fs.delete(loc, true)
       import s.implicits._
       val days = sourceDays(s, dir)
       graft.Tables.t(s, dir, "events")
@@ -94,6 +98,7 @@ object Incremental {
         .agg(count(lit(1)).as("n"), money(sum(cents($"value"))).as("total_value"))
         .write.mode("overwrite").partitionBy("day").parquet(path)
       applyDay(s, dir, days.last)
+      graft.SourceStamp.write(s, path, st)
     }
     path
   }

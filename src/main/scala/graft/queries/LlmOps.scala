@@ -271,21 +271,27 @@ object LlmOps {
     * in this codebase — sigCache, centroidCache, probeCache,
     * batchProbeCache, Clusters.ccCache, Relational.devCache — and to
     * the on-disk artifacts keyed by path: the IVF index, the bucketed
-    * layouts, Incremental's maintained tables): an artifact is a
-    * materialization of the dataset AT dir AS OF first use, exactly
-    * like a warehouse's derived tables. REGENERATING the data under an
-    * existing path does not invalidate artifacts — in-session, clear
-    * via the caches' `clear()` / `spark.catalog.clearCache()`; across
-    * JVMs, delete the warehouse/artifact directories. Snapshot-named
-    * dirs (sf0.001/sf0.01/sf0.1 here; date/version-stamped paths in
-    * production) make the problem structurally absent, which is why
-    * the caches carry no mtime fingerprinting. */
+    * layouts, Incremental's maintained tables, Txn's log): an artifact
+    * is a materialization of the dataset AT dir AS OF build time, and
+    * its validity is decided by a SOURCE FINGERPRINT
+    * ([[graft.SourceStamp]]: name+len+mtime of the source's data
+    * files). In-memory caches carry the stamp in their key (stale
+    * entries are unpersisted and evicted on next access); on-disk
+    * artifacts carry a `_source_stamp` marker their ensure* entry
+    * point re-checks. Regenerating data under an existing path
+    * therefore triggers a rebuild instead of silently serving stale
+    * results — SourceStampSpec proves both paths. */
   private val sigCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]()
+    graft.ArtifactCaches.register(
+      new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), (DataFrame, DataFrame)]())
 
   /** (shingle sets, minhash signatures) for the documents table. */
-  private[graft] def signatures(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    sigCache.computeIfAbsent((s, dir), { _: (SparkSession, String) =>
+  private[graft] def signatures(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val st = graft.SourceStamp.table(s, dir, "documents")
+    graft.SourceStamp.evictStale(sigCache, s, dir, st) {
+      case (a, b) => a.unpersist(); b.unpersist(): Unit
+    }
+    sigCache.computeIfAbsent((s, dir, st), { _: (SparkSession, String, String) =>
       import s.implicits._
       val sig = t(s, dir, "documents")
         .withColumn("tk", split($"text", " "))
@@ -296,6 +302,7 @@ object LlmOps {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       (sig, mh)
     })
+  }
 
   val q25: Q = (s, dir) => {
     import s.implicits._
@@ -555,9 +562,14 @@ object LlmOps {
     import s.implicits._
     s.sql(s"CREATE DATABASE IF NOT EXISTS $IvfDb")
     val table = s"$IvfDb.emb_${tagDir(dir)}"
-    if (!s.catalog.tableExists(table)) {
-      val loc = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir") + s"/$IvfDb.db/emb_${tagDir(dir)}")
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir") + s"/$IvfDb.db/emb_${tagDir(dir)}")
+    // index validity keyed on the SOURCE listing (graft.SourceStamp):
+    // a regenerated embeddings table forces an index rebuild
+    val st = graft.SourceStamp.table(s, dir, "embeddings")
+    if (!s.catalog.tableExists(table) ||
+        !graft.SourceStamp.isCurrent(s, loc.toString, st)) {
+      if (s.catalog.tableExists(table)) s.sql(s"DROP TABLE $table")
       val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
       val quant = t(s, dir, "embeddings")
@@ -573,6 +585,7 @@ object LlmOps {
         .select($"vec_id", $"e", (-$"m.nc").cast("int").as("cell"))
         .write.mode("overwrite").format("parquet")
         .partitionBy("cell").saveAsTable(table)
+      graft.SourceStamp.write(s, loc.toString, st)
     }
     table
   }
@@ -582,10 +595,12 @@ object LlmOps {
     * real IVF implementation keeps centroids resident; ranking K
     * centroids against a probe is query PLANNING, not a cluster job). */
   private val centroidCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Array[(Int, Array[Long])]]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), Array[(Int, Array[Long])]]()
 
-  private def ivfCentroids(s: SparkSession, dir: String): Array[(Int, Array[Long])] =
-    centroidCache.computeIfAbsent((s, dir), { _: (SparkSession, String) =>
+  private def ivfCentroids(s: SparkSession, dir: String): Array[(Int, Array[Long])] = {
+    val st = graft.SourceStamp.table(s, dir, "embeddings")
+    graft.SourceStamp.evictStale(centroidCache, s, dir, st)(_ => ())
+    centroidCache.computeIfAbsent((s, dir, st), { _: (SparkSession, String, String) =>
       import s.implicits._
       t(s, dir, "embeddings")
         .select($"vec_id", quantize($"embedding").as("e"))
@@ -594,6 +609,7 @@ object LlmOps {
         .map(r => (r.getLong(0).toInt, r.getSeq[Long](1).toArray))
         .sortBy(_._1)
     })
+  }
 
   /** Exact quantized cosine on the driver — the same integer dot + IEEE
     * sqrt/divide as [[cosine]] and the oracle's sqlCos, so the planning
@@ -633,16 +649,19 @@ object LlmOps {
     * beside the centroids: in a real deployment the probe arrives as an
     * API argument and this lookup does not exist. */
   private val probeCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Array[Long]]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), Array[Long]]()
 
-  private def corpusProbe(s: SparkSession, dir: String): Array[Long] =
-    probeCache.computeIfAbsent((s, dir), { _: (SparkSession, String) =>
+  private def corpusProbe(s: SparkSession, dir: String): Array[Long] = {
+    val st = graft.SourceStamp.table(s, dir, "embeddings")
+    graft.SourceStamp.evictStale(probeCache, s, dir, st)(_ => ())
+    probeCache.computeIfAbsent((s, dir, st), { _: (SparkSession, String, String) =>
       import s.implicits._
       t(s, dir, "embeddings")
         .select(quantize($"embedding").as("e"))
         .filter($"vec_id" === 0)
         .head().getSeq[Long](0).toArray
     })
+  }
 
   val q46: Q = (s, dir) => ivfSearch(s, dir, corpusProbe(s, dir), 5, excludeId = 0L)
   val q46Sql: String =
@@ -862,13 +881,15 @@ object LlmOps {
   // versus q53's full corpus scan. Recall contract is q46's, per probe.
   // ---------------------------------------------------------------------
   private val batchProbeCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Array[(Int, Array[Long])]]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), Array[(Int, Array[Long])]]()
 
   /** The bench/oracle probe batch (vec_ids 0..BatchProbes-1), collected
     * once per (session, dir) — in production probes arrive as API
     * arguments, like [[ivfSearch]]'s. */
-  private def batchProbes(s: SparkSession, dir: String): Array[(Int, Array[Long])] =
-    batchProbeCache.computeIfAbsent((s, dir), { _: (SparkSession, String) =>
+  private def batchProbes(s: SparkSession, dir: String): Array[(Int, Array[Long])] = {
+    val st = graft.SourceStamp.table(s, dir, "embeddings")
+    graft.SourceStamp.evictStale(batchProbeCache, s, dir, st)(_ => ())
+    batchProbeCache.computeIfAbsent((s, dir, st), { _: (SparkSession, String, String) =>
       import s.implicits._
       t(s, dir, "embeddings")
         .filter($"vec_id" < BatchProbes)
@@ -877,6 +898,7 @@ object LlmOps {
         .map(r => (r.getLong(0).toInt, r.getSeq[Long](1).toArray))
         .sortBy(_._1)
     })
+  }
 
   val q58: Q = (s, dir) => {
     import graft.functions.TopKByScore.topKByScore

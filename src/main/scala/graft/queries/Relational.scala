@@ -1349,12 +1349,15 @@ object Relational {
   // as every artifact cache: see LlmOps.sigCache.
   // ---------------------------------------------------------------------
   private val devCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    graft.ArtifactCaches.register(
+      new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]())
 
   /** (event_type, med_c, dev) for every event — the shared input of the
     * MAD pass and the flagging pass, persisted narrow (3 columns). */
-  private def medDev(s: SparkSession, dir: String): DataFrame =
-    devCache.computeIfAbsent((s, dir), { _: (SparkSession, String) =>
+  private def medDev(s: SparkSession, dir: String): DataFrame = {
+    val st = graft.SourceStamp.table(s, dir, "events")
+    graft.SourceStamp.evictStale(devCache, s, dir, st)(_.unpersist(): Unit)
+    devCache.computeIfAbsent((s, dir, st), { _: (SparkSession, String, String) =>
       import s.implicits._
       val ev = t(s, dir, "events")
         .select($"event_type", cents($"value").as("v_c"))
@@ -1364,6 +1367,7 @@ object Relational {
         .select($"event_type", $"med_c", abs($"v_c" - $"med_c").as("dev"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
+  }
 
   val q80: Q = (s, dir) => {
     import s.implicits._

@@ -46,16 +46,23 @@ object Txn {
       .agg(count(lit(1)).as("n"), money(sum(cents($"value"))).as("total_value"))
   }
 
-  /** Idempotent 4-commit build; returns the table root. */
+  /** Idempotent 4-commit build; returns the table root. Rebuilds from
+    * scratch when the SOURCE was regenerated (graft.SourceStamp). */
   def ensureTable(s: SparkSession, dir: String): String = synchronized {
     import s.implicits._
     val root = tableRoot(s, dir)
-    if (TxnTable.versions(s, root).size < 4) {
+    val st = graft.SourceStamp.table(s, dir, "events")
+    if (TxnTable.versions(s, root).size < 4 ||
+        !graft.SourceStamp.isCurrent(s, root, st)) {
+      val loc = new org.apache.hadoop.fs.Path(root)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
       val days = Incremental.sourceDays(s, dir)
       val (hist, tail) = days.splitAt(math.max(1, days.size - 2))
       TxnTable.overwrite(s, root, dayAgg(s, dir, $"day".isin(hist: _*)))
       tail.foreach(d => TxnTable.append(s, root, dayAgg(s, dir, $"day" === d)))
       TxnTable.compactTxn(s, root, targetFiles = 1)
+      graft.SourceStamp.write(s, root, st)
     }
     root
   }

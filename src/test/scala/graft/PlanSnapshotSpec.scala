@@ -15,6 +15,10 @@ class PlanSnapshotSpec extends AnyFunSuite {
   private val sfDir = "/root/testdata/sf0.001"
 
   test("every query's plan signature matches the committed snapshot") {
+    // signatures are COLD-START plan shapes: a warm, materialized cache
+    // legitimately plans fewer exchanges, so suites that ran earlier in
+    // this JVM must not leak warm state into the comparison
+    ArtifactCaches.reset(spark)
     val committed = scala.io.Source
       .fromInputStream(getClass.getResourceAsStream("/plan_signatures.txt"))
       .getLines().filter(_.nonEmpty).map { line =>
