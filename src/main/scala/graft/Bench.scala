@@ -65,7 +65,8 @@ object Bench {
         graft.queries.TextOps.benchVariants ++
         graft.queries.Sessions.benchVariants ++
         graft.queries.ZOrder.benchVariants ++
-        graft.queries.Txn.benchVariants)
+        graft.queries.Txn.benchVariants ++
+        graft.multimodal.Multimodal.benchVariants)
       .toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }
     // Warmup: one untimed pass over every query (catches codegen + scan
