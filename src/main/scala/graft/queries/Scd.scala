@@ -15,8 +15,10 @@ import graft.Tables.t
   * BROADCAST left join — the dimension table itself never shuffles, and
   * the changed/unchanged fan-out is a Generate (explode) inside the same
   * codegen stage, not a self-union that would scan the dimension twice.
-  * A transactional table format would wrap this in a txn log (Compact's
-  * caveat applies); the relational algebra is exactly this plan.
+  * [[scd2MergeTxn]] wraps the merge in the transactional log
+  * ([[graft.sinks.TxnTable]]): each merge is an atomic, batch-id-
+  * idempotent commit and every pre-merge dimension version stays
+  * time-travelable.
   */
 object Scd {
 
@@ -70,6 +72,21 @@ object Scd {
         lit(true).as("is_current"))
     merged.unionByName(inserts)
   }
+
+  /** SCD-2 MERGE as a TRANSACTIONAL commit — the production shape the
+    * scaladoc above promises: apply `updates` to the CURRENT snapshot
+    * of the dimension stored at txn-table `root` and commit the merged
+    * dimension as a new version. Pre-merge history stays time-travelable
+    * (snapshot isolation: a reader pinned to an older version never sees
+    * the merge), and the commit is idempotent under replay via the
+    * batch-id op tag ([[graft.sinks.TxnTable.replaceBatch]]) — re-running
+    * a committed merge no-ops instead of double-closing versions. */
+  def scd2MergeTxn(s: SparkSession, root: String, updates: DataFrame,
+                   key: String, attr: String, eff: Column,
+                   batchId: Long): Option[graft.sinks.TxnTable.Snapshot] =
+    graft.sinks.TxnTable.replaceBatch(s, root,
+      scd2Apply(graft.sinks.TxnTable.read(s, root), updates, key, attr, eff),
+      batchId)
 
   // ---------------------------------------------------------------------
   // q64: SCD-2 merge over the customer dimension. The "update batch" is

@@ -186,6 +186,20 @@ object TxnTable {
     }
   }
 
+  /** Exactly-once table REPLACEMENT keyed by batch id — the commit
+    * shape of an idempotent MERGE job (e.g. SCD-2, see
+    * `graft.queries.Scd.scd2MergeTxn`): the new snapshot replaces the
+    * table content; a replayed batch finds its own commit in the log
+    * and no-ops (returns None) instead of double-applying the merge. */
+  def replaceBatch(s: SparkSession, root: String, df: DataFrame,
+                   batchId: Long): Option[Snapshot] = {
+    val opTag = s"replace-batch:$batchId"
+    val vs = versions(s, root)
+    if (vs.exists(v => snapshot(s, root, v).op == opTag)) None
+    else Some(commit(s, root, vs.lastOption.getOrElse(0L) + 1, opTag,
+      stage(s, root, df)))
+  }
+
   /** Replace the table content with `df`. Old snapshots stay readable
     * (their files are immutable) until [[vacuum]]. */
   def overwrite(s: SparkSession, root: String, df: DataFrame): Snapshot = {
