@@ -1445,6 +1445,44 @@ object Relational {
       |FROM e
       |ORDER BY user_id, event_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q85: HOPPING event-time windows (3-day window, 1-day hop) — the
+  // overlapping-window aggregate q16's tumbling day can't express, and
+  // the batch form of the sliding windows Structured Streaming runs
+  // (identical semantics: `window(ts, "3 days", "1 day")` is the same
+  // epoch-aligned assignment in both engines' planners). Each event
+  // lands in exactly window/hop = 3 windows.
+  //
+  // Scale shape: the window assignment plans as an EXPAND (3 rows per
+  // event, executor-side, inside the scan's codegen stage — same
+  // operator rollup/cube use) followed by ONE hash aggregate on
+  // (window, event_type) — low-cardinality keys, so the expansion
+  // collapses map-side before the shuffle exactly like q29's vote
+  // explode; no window SORT anywhere (this is groupBy, not an analytic
+  // window). The oracle replays the same assignment with a
+  // generate_series cross join.
+  // ---------------------------------------------------------------------
+  val q85Bench: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy(window($"ts", "3 days", "1 day").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), money(sum(cents($"value"))).as("total_value"))
+      .select(date_format($"w.start", "yyyy-MM-dd").as("w_start"),
+        $"event_type", $"n", $"total_value")
+  }
+  val q85: Q = (s, dir) => {
+    import s.implicits._
+    q85Bench(s, dir).orderBy($"w_start", $"event_type")
+  }
+  val q85Sql: String =
+    s"""SELECT strftime(date_trunc('day', ts) - k * INTERVAL '1 day', '%Y-%m-%d')
+       |    AS w_start,
+       |  event_type, COUNT(*) AS n,
+       |  SUM(${sqlCents("value")}) / 100.0 AS total_value
+       |FROM events, (SELECT unnest(generate_series(0, 2)) AS k) g
+       |GROUP BY 1, 2
+       |ORDER BY w_start, event_type""".stripMargin
+
   /** name -> query function, assembled by [[graft.SparkEntry]]. */
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary"    -> q01,
@@ -1491,7 +1529,8 @@ object Relational {
     "q76_lateral_topk"       -> q76,
     "q77_fingerprint"        -> q77,
     "q80_mad_outliers"       -> q80,
-    "q81_first_nth_value"    -> q81)
+    "q81_first_nth_value"    -> q81,
+    "q85_hopping_window"     -> q85)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary"    -> q01Sql,
@@ -1541,7 +1580,8 @@ object Relational {
     "q76_lateral_topk"       -> q76Sql,
     "q77_fingerprint"        -> q77Sql,
     "q80_mad_outliers"       -> q80Sql,
-    "q81_first_nth_value"    -> q81Sql)
+    "q81_first_nth_value"    -> q81Sql,
+    "q85_hopping_window"     -> q85Sql)
 
   /** Bench-time overrides: same semantics minus determinism-only global
     * sorts (which exist purely for the oracle's ordered hash-compare and
@@ -1551,5 +1591,6 @@ object Relational {
     "q17_running_window"   -> q17Bench,
     "q69_analytic_windows" -> q69Bench,
     "q72_gapfill"          -> q72Bench,
-    "q81_first_nth_value"  -> q81Bench)
+    "q81_first_nth_value"  -> q81Bench,
+    "q85_hopping_window"   -> q85Bench)
 }
