@@ -60,8 +60,12 @@ object TxnTable {
 
   final class TxnConflictException(msg: String) extends RuntimeException(msg)
 
-  /** One committed snapshot: `files` are table-root-relative. */
-  final case class Snapshot(version: Long, op: String, files: Seq[String])
+  /** One committed snapshot: `files` are table-root-relative; `stats`
+    * optionally carries per-file (min, max) of one long column,
+    * recorded at commit time for manifest-level file skipping. */
+  final case class Snapshot(version: Long, op: String, files: Seq[String],
+                            stats: Map[String, (Long, Long)] = Map.empty,
+                            statsCol: Option[String] = None)
 
   private val Header = "graft-txn v1"
 
@@ -96,7 +100,19 @@ object TxnTable {
     val lines = text.split("\n").toSeq.filter(_.nonEmpty)
     require(lines.nonEmpty && lines.head.startsWith(Header),
       s"corrupt manifest v$version: bad header")
-    Snapshot(version, lines.head.stripPrefix(Header).trim, lines.tail)
+    // file lines: `relpath` or `relpath\t<col>:<min>:<max>` (v1 readers
+    // of stats-less manifests and stats-aware readers interoperate)
+    val entries = lines.tail.map { l =>
+      l.split("\t") match {
+        case Array(f)       => (f, None)
+        case Array(f, stat) =>
+          val Array(c, lo, hi) = stat.split(":")
+          (f, Some((c, lo.toLong, hi.toLong)))
+      }
+    }
+    Snapshot(version, lines.head.stripPrefix(Header).trim, entries.map(_._1),
+      entries.collect { case (f, Some((_, lo, hi))) => f -> (lo, hi) }.toMap,
+      entries.collectFirst { case (_, Some((c, _, _))) => c })
   }
 
   def latest(s: SparkSession, root: String): Option[Snapshot] =
@@ -130,11 +146,35 @@ object TxnTable {
       .map(st => s"$rel/${st.getPath.getName}")
   }
 
+  /** Per-file (min, max) of one LONG column over freshly staged files —
+    * ONE Spark job for the whole commit (groupBy input file), the stats
+    * Iceberg keeps in its manifests. Recorded once at write time; every
+    * later [[readPruned]] skips files from the MANIFEST alone, no
+    * footer reads, no listing. */
+  private def fileStats(s: SparkSession, root: String, staged: Seq[String],
+                        statsCol: String): Map[String, (Long, Long)] = {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    val base = root.stripSuffix("/")
+    s.read.parquet(staged.map(f => s"$base/$f"): _*)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(statsCol).cast("long")).as("lo"),
+        max(col(statsCol).cast("long")).as("hi"))
+      .collect()
+      .flatMap { r =>
+        // input_file_name is a URI; staged paths are root-relative
+        val uri = r.getString(0)
+        staged.find(f => uri.endsWith(f)).map(f =>
+          f -> (r.getLong(1), r.getLong(2)))
+      }.toMap
+  }
+
   /** Publish a manifest as version `v` — tmp write + atomic rename into
     * the create-no-overwrite slot. Throws [[TxnConflictException]] if a
     * concurrent writer took `v` first. */
   private[sinks] def commit(s: SparkSession, root: String, v: Long, op: String,
-                            files: Seq[String]): Snapshot = {
+                            files: Seq[String],
+                            stats: Map[String, (Long, Long)] = Map.empty,
+                            statsCol: Option[String] = None): Snapshot = {
     val f = fs(s, root)
     val dst = manifestPath(root, v)
     f.mkdirs(dst.getParent)
@@ -142,8 +182,14 @@ object TxnTable {
       throw new TxnConflictException(s"version $v already committed at $root")
     val tmp = new Path(dst.getParent,
       s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val lines = files.map { file =>
+      (statsCol, stats.get(file)) match {
+        case (Some(c), Some((lo, hi))) => s"$file\t$c:$lo:$hi"
+        case _                         => file
+      }
+    }
     val out = f.create(tmp, false)
-    try out.write((s"$Header $op\n" + files.mkString("\n") + "\n")
+    try out.write((s"$Header $op\n" + lines.mkString("\n") + "\n")
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
     // rename-no-overwrite: atomic publish on HDFS-like filesystems; the
@@ -152,17 +198,25 @@ object TxnTable {
       f.delete(tmp, false)
       throw new TxnConflictException(s"lost commit race for version $v at $root")
     }
-    Snapshot(v, op, files)
+    Snapshot(v, op, files, stats, statsCol)
   }
 
   private def nextVersion(s: SparkSession, root: String): Long =
     versions(s, root).lastOption.getOrElse(0L) + 1
 
-  /** Append `df` to the table (creates it at v1 if absent). */
-  def append(s: SparkSession, root: String, df: DataFrame): Snapshot = {
+  /** Append `df` to the table (creates it at v1 if absent). With
+    * `statsCol` (a LONG column), per-file min/max are computed once at
+    * write time and recorded in the manifest — prior files keep their
+    * recorded stats — enabling [[readPruned]] file skipping. */
+  def append(s: SparkSession, root: String, df: DataFrame,
+             statsCol: Option[String] = None): Snapshot = {
     val staged = stage(s, root, df)
-    val prior = latest(s, root).map(_.files).getOrElse(Seq.empty)
-    commit(s, root, nextVersion(s, root), "append", prior ++ staged)
+    val prior = latest(s, root)
+    val col = statsCol.orElse(prior.flatMap(_.statsCol))
+    val stagedStats = col.map(fileStats(s, root, staged, _)).getOrElse(Map.empty)
+    commit(s, root, nextVersion(s, root), "append",
+      prior.map(_.files).getOrElse(Seq.empty) ++ staged,
+      prior.map(_.stats).getOrElse(Map.empty) ++ stagedStats, col)
   }
 
   /** Exactly-once streaming append: the op field carries the micro-batch
@@ -181,8 +235,12 @@ object TxnTable {
     if (vs.exists(v => snapshot(s, root, v).op == opTag)) None
     else {
       val staged = stage(s, root, df)
-      val prior = vs.lastOption.map(snapshot(s, root, _).files).getOrElse(Seq.empty)
-      Some(commit(s, root, vs.lastOption.getOrElse(0L) + 1, opTag, prior ++ staged))
+      val prior = vs.lastOption.map(snapshot(s, root, _))
+      val col = prior.flatMap(_.statsCol)
+      val stagedStats = col.map(fileStats(s, root, staged, _)).getOrElse(Map.empty)
+      Some(commit(s, root, vs.lastOption.getOrElse(0L) + 1, opTag,
+        prior.map(_.files).getOrElse(Seq.empty) ++ staged,
+        prior.map(_.stats).getOrElse(Map.empty) ++ stagedStats, col))
     }
   }
 
@@ -201,10 +259,15 @@ object TxnTable {
   }
 
   /** Replace the table content with `df`. Old snapshots stay readable
-    * (their files are immutable) until [[vacuum]]. */
-  def overwrite(s: SparkSession, root: String, df: DataFrame): Snapshot = {
+    * (their files are immutable) until [[vacuum]]. `statsCol` as in
+    * [[append]]. */
+  def overwrite(s: SparkSession, root: String, df: DataFrame,
+                statsCol: Option[String] = None): Snapshot = {
     val staged = stage(s, root, df)
-    commit(s, root, nextVersion(s, root), "overwrite", staged)
+    val stagedStats =
+      statsCol.map(fileStats(s, root, staged, _)).getOrElse(Map.empty)
+    commit(s, root, nextVersion(s, root), "overwrite", staged,
+      stagedStats, statsCol)
   }
 
   /** Transactional compaction: rewrite the current snapshot to
@@ -217,7 +280,30 @@ object TxnTable {
     val cur = latest(s, root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
     val staged = stage(s, root, read(s, root).coalesce(targetFiles))
-    commit(s, root, cur.version + 1, "compact", staged)
+    // rewritten files get fresh stats under the table's stats column
+    val stagedStats =
+      cur.statsCol.map(fileStats(s, root, staged, _)).getOrElse(Map.empty)
+    commit(s, root, cur.version + 1, "compact", staged, stagedStats, cur.statsCol)
+  }
+
+  /** Manifest-level FILE SKIPPING: the table restricted to files whose
+    * recorded [min, max] of the stats column intersects [lo, hi] —
+    * decided from the manifest ALONE (no footer reads, no listing: at
+    * 100 TB this is the difference between planning over metadata and
+    * opening a million files). Files without recorded stats are always
+    * kept (skipping must never be unsound), and the returned frame
+    * still carries the residual predicate's correctness: callers apply
+    * their own filter on top, as with any coarse index. */
+  def readPruned(s: SparkSession, root: String, lo: Long, hi: Long): DataFrame = {
+    val snap = latest(s, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    require(snap.files.nonEmpty, s"snapshot v${snap.version} has no data files")
+    val kept = snap.files.filter(f =>
+      snap.stats.get(f).forall { case (fLo, fHi) => fHi >= lo && fLo <= hi })
+    val base = root.stripSuffix("/")
+    if (kept.nonEmpty) s.read.parquet(kept.map(f => s"$base/$f"): _*)
+    else // everything pruned: zero rows, schema from one footer
+      s.read.parquet(s"$base/${snap.files.head}").limit(0)
   }
 
   /** Retention: keep the newest `retainVersions` manifests, drop older

@@ -94,6 +94,38 @@ class TxnTableSpec extends AnyFunSuite {
     intercept[Exception](TxnTable.readAsOf(spark, root, 1))
   }
 
+  test("manifest stats enable file skipping; pruning is sound and survives compaction") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    // three commits, disjoint id ranges, one file each
+    TxnTable.overwrite(spark, root,
+      df(1, 2, 3).coalesce(1), statsCol = Some("id"))
+    TxnTable.append(spark, root, df(10, 11).coalesce(1))   // inherits statsCol
+    TxnTable.append(spark, root, df(20, 21, 22).coalesce(1))
+    val snap = TxnTable.latest(spark, root).get
+    assert(snap.statsCol === Some("id"))
+    assert(snap.files.size === 3 && snap.stats.size === 3)
+    assert(snap.stats.values.toSet === Set((1L, 3L), (10L, 11L), (20L, 22L)))
+
+    // [10, 12] overlaps exactly one file — the scan must touch only it
+    val pruned = TxnTable.readPruned(spark, root, 10L, 12L)
+    assert(pruned.inputFiles.length === 1)
+    assert(rows(pruned.filter(col("id").between(10, 12))) === rows(df(10, 11)))
+    // boundary overlap keeps the file ([3, 9] touches the 1..3 file)
+    assert(TxnTable.readPruned(spark, root, 3L, 9L).inputFiles.length === 1)
+    // a range beyond every file prunes all: zero rows, schema intact
+    val none = TxnTable.readPruned(spark, root, 100L, 200L)
+    assert(none.count() === 0 && none.columns.toSeq === Seq("id", "v"))
+
+    // compaction rewrites files AND their stats; skipping still sound
+    TxnTable.compactTxn(spark, root, targetFiles = 1)
+    val after = TxnTable.latest(spark, root).get
+    assert(after.stats.values.toSet === Set((1L, 22L)))
+    assert(rows(TxnTable.readPruned(spark, root, 10L, 12L)
+      .filter(col("id").between(10, 12))) === rows(df(10, 11)))
+  }
+
   test("appendBatch is exactly-once under at-least-once replay") {
     val root = freshRoot()
     TxnTable.overwrite(spark, root, df(1))
