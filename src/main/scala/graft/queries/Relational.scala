@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables.t
 import graft.Det._
+import org.apache.spark.sql.types.DataTypes
 
 /** Relational operator library, one named query per SURVEY.md §2 row
   * (filters F1-F2, projections P3-P12, union J2, joins J1-J3 generalized,
@@ -1483,6 +1484,63 @@ object Relational {
        |GROUP BY 1, 2
        |ORDER BY w_start, event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q88: exact PEARSON CORRELATION profile — per event_type, the
+  // correlation between event value and hour-of-day (does spend follow
+  // the clock?), the statistical-profiling step beside q73's constraint
+  // audit and q80's robust outliers. Spark's built-in `corr` is a
+  // streaming-float aggregate — parallel double sums are
+  // order-nondeterministic, so its result is neither run-stable nor
+  // engine-comparable. This is the Det-scheme rewrite: the five moments
+  // (Σx, Σy, Σx², Σy², Σxy) are EXACT integer sums (value in cents ×
+  // hour 0–23; accumulated as DECIMAL so 100 TB row counts can't
+  // silently wrap int64 — DuckDB's SUM(BIGINT) widens to HUGEINT, same
+  // exactness), combined into corr's numerator/denominator IN INTEGER
+  // ARITHMETIC (n·Σxy − Σx·Σy — exact, engine-identical), and only the
+  // final three ops are floating: two correctly-rounded IEEE sqrt's and
+  // one division, in identical association order both sides.
+  //
+  // Scale: one scan, one 5-row hash aggregate with map-side partials —
+  // the moments are algebraic, so this is the textbook one-pass
+  // distributed correlation; nothing materializes per-row.
+  // ---------------------------------------------------------------------
+  val q88Bench: Q = (s, dir) => {
+    import s.implicits._
+    val dec = DataTypes.createDecimalType(38, 0)
+    val x = cents($"value").cast(dec)
+    val y = hour($"ts").cast("long").cast(dec)
+    val agg = t(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum((x * x).cast(dec)).as("sxx"), sum((y * y).cast(dec)).as("syy"),
+        sum((x * y).cast(dec)).as("sxy"))
+    agg.select($"event_type", $"n".cast("long").as("n_events"),
+        (($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          (sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double")) *
+            sqrt(($"n" * $"syy" - $"sy" * $"sy").cast("double"))))
+          .as("corr_value_hour"))
+  }
+  val q88: Q = (s, dir) => {
+    import s.implicits._
+    q88Bench(s, dir).orderBy($"event_type")
+  }
+  val q88Sql: String =
+    s"""WITH m AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |    SUM(x) AS sx, SUM(y) AS sy,
+       |    SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+       |  FROM (SELECT event_type, ${sqlCents("value")} AS x,
+       |          CAST(EXTRACT(hour FROM ts) AS BIGINT) AS y
+       |        FROM events)
+       |  GROUP BY event_type)
+       |SELECT event_type, n AS n_events,
+       |  CAST(n * sxy - sx * sy AS DOUBLE) /
+       |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+       |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_value_hour
+       |FROM m
+       |ORDER BY event_type""".stripMargin
+
   /** name -> query function, assembled by [[graft.SparkEntry]]. */
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary"    -> q01,
@@ -1530,7 +1588,8 @@ object Relational {
     "q77_fingerprint"        -> q77,
     "q80_mad_outliers"       -> q80,
     "q81_first_nth_value"    -> q81,
-    "q85_hopping_window"     -> q85)
+    "q85_hopping_window"     -> q85,
+    "q88_corr_profile"       -> q88)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary"    -> q01Sql,
@@ -1581,7 +1640,8 @@ object Relational {
     "q77_fingerprint"        -> q77Sql,
     "q80_mad_outliers"       -> q80Sql,
     "q81_first_nth_value"    -> q81Sql,
-    "q85_hopping_window"     -> q85Sql)
+    "q85_hopping_window"     -> q85Sql,
+    "q88_corr_profile"       -> q88Sql)
 
   /** Bench-time overrides: same semantics minus determinism-only global
     * sorts (which exist purely for the oracle's ordered hash-compare and
@@ -1592,5 +1652,6 @@ object Relational {
     "q69_analytic_windows" -> q69Bench,
     "q72_gapfill"          -> q72Bench,
     "q81_first_nth_value"  -> q81Bench,
-    "q85_hopping_window"   -> q85Bench)
+    "q85_hopping_window"   -> q85Bench,
+    "q88_corr_profile"     -> q88Bench)
 }

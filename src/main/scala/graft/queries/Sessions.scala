@@ -175,16 +175,84 @@ object Sessions {
       |GROUP BY cohort_day, days_since
       |ORDER BY cohort_day, days_since""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q87: event DEBOUNCE — collapse bursts of the same (user, event_type),
+  // keeping the burst opener: an event is kept iff it is the user's
+  // first of that type or arrives > 30 min after the PREVIOUS raw event
+  // of that type (telemetry retry storms, double-clicks, duplicate
+  // webhook deliveries — the ingest hygiene step before event counts
+  // mean anything). Deliberately the lag-based variant (burst extends
+  // while gaps stay <= 30 min) — the session-opener semantics of q52
+  // applied as a filter, not the fixed-window-after-last-KEPT throttle,
+  // which needs running state (that shape lives in the streaming twin,
+  // flatMapGroupsWithState in Sessionize).
+  //
+  // Scale: ONE window (lag) partitioned by (user_id, event_type) — over
+  // the user_id-bucketed events layout HashPartitioning(user_id)
+  // satisfies the (user_id, event_type) clustering, so the window needs
+  // NO exchange, only an in-partition sort off the bucketed order; the
+  // final per-type rollup is a 5-row map-side-combined aggregate. Same
+  // zero-corpus-shuffle posture as q52, same single-hyperactive-user
+  // skew bound.
+  //
+  // Determinism: exact integer gap compare on epoch micros, (us,
+  // event_id) tie-break, cents-quantized value sums.
+  // ---------------------------------------------------------------------
+  private[queries] val DebounceUs: Long = 1800L * 1000000L
+
+  val q87Bench: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id", $"event_type").orderBy($"us", $"event_id")
+    Bucketed.events(s, dir)
+      .select($"user_id", $"event_id", $"event_type", tsUs($"ts").as("us"),
+        cents($"value").as("value_c"))
+      .withColumn("prev_us", lag($"us", 1).over(w))
+      .withColumn("kept",
+        when($"prev_us".isNull || $"us" - $"prev_us" > DebounceUs, 1L).otherwise(0L))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum($"kept").as("n_kept"),
+        money(sum(when($"kept" === 1L, $"value_c").otherwise(0L))).as("kept_value"))
+  }
+  val q87: Q = (s, dir) => {
+    import s.implicits._
+    q87Bench(s, dir).orderBy($"event_type")
+  }
+  val q87Sql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+       |    ${sqlCents("value")} AS value_c
+       |  FROM events),
+       |gaps AS (
+       |  SELECT *, lag(us, 1) OVER w AS prev_us
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY us, event_id)),
+       |flagged AS (
+       |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > $DebounceUs
+       |                 THEN 1 ELSE 0 END AS kept
+       |  FROM gaps)
+       |SELECT event_type, COUNT(*) AS n_events,
+       |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+       |  SUM(CASE WHEN kept = 1 THEN value_c ELSE 0 END) / 100.0 AS kept_value
+       |FROM flagged
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q52_sessionize" -> q52,
     "q78_funnel"     -> q78,
-    "q79_cohort"     -> q79)
+    "q79_cohort"     -> q79,
+    "q87_debounce"   -> q87)
   val oracles: Map[String, String] = Map(
     "q52_sessionize" -> q52Sql,
     "q78_funnel"     -> q78Sql,
-    "q79_cohort"     -> q79Sql)
+    "q79_cohort"     -> q79Sql,
+    "q87_debounce"   -> q87Sql)
 
   /** The benched plan drops only the determinism-only global sort
     * (same split as [[Relational.benchVariants]]). */
-  val benchVariants: Map[String, Q] = Map("q52_sessionize" -> q52Bench)
+  val benchVariants: Map[String, Q] = Map(
+    "q52_sessionize" -> q52Bench,
+    "q87_debounce"   -> q87Bench)
 }

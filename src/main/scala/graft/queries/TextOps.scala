@@ -636,6 +636,102 @@ object TextOps {
       |FROM k
       |ORDER BY doc_id, chunk_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q86: BM25 lexical retrieval — the keyword-ranking half of the
+  // retrieval surface (the vector half is q24/q31/q46/q53/q58): score
+  // every document against a literal query-term set with the BM25 shape
+  //   score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+  // (k1 = 1.2, b = 0.75), take the global top 20. This is the first-pass
+  // ranker of every RAG / retrieval-training corpus build.
+  //
+  // Determinism (the house Det contract, q62's scheme extended):
+  // classical BM25's ln-idf is the one transcendental in the formula,
+  // and ln is NOT bit-guaranteed across libms — so idf here is the
+  // rational odds ratio (N − df + 0.5)/(df + 0.5), i.e. the ln's
+  // argument, not its log. Per-term monotonicity (rarer term ⇒ larger
+  // weight) is preserved; every derived double is then exact-integer
+  // casts composed with correctly-rounded IEEE *,/,+ written in
+  // IDENTICAL association order in both engines, and the 3-term sum is
+  // a fixed-order chain (c0 + c1) + c2 — bit-identical cross-engine.
+  //
+  // Scale: per-doc (dl, tf_t) comes from ONE hash aggregate over
+  // exploded tokens — conditional sums per literal term, NO join with a
+  // vocab table (query terms are a literal set, so tf lives in the same
+  // codegen stage as the scan). Corpus stats (N, Σdl, df_t) are a 1-row
+  // aggregate of that per-doc table, broadcast back as the q78 counter
+  // pattern; the ranking is TakeOrdered(20) — maps keep 20 rows each,
+  // no global sort. Two passes over documents total (stats, score) —
+  // the train-then-score shape, same rationale as q62.
+  // ---------------------------------------------------------------------
+  private[queries] val Bm25Terms = Seq("spark", "window", "join")
+  private val Bm25K = 20
+
+  val q86Bench: Q = (s, dir) => {
+    import s.implicits._
+    val tok = t(s, dir, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+    val tfCols = Bm25Terms.zipWithIndex.map { case (term, i) =>
+      sum(when($"token" === term, 1L).otherwise(0L)).as(s"tf$i")
+    }
+    val perDoc = tok.groupBy($"doc_id")
+      .agg(count(lit(1)).as("dl"), tfCols: _*)
+    val statCols = count(lit(1)).as("n_docs") +: sum($"dl").as("sum_dl") +:
+      Bm25Terms.indices.map { i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")
+      }
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    val scored = perDoc.crossJoin(broadcast(stats))
+    val avgdl = $"sum_dl".cast("double") / $"n_docs".cast("double")
+    // per-term contribution, association order mirrored in q86Sql exactly
+    val contribs = Bm25Terms.indices.map { i =>
+      val tf = col(s"tf$i").cast("double")
+      val idf = (($"n_docs" - col(s"df$i")).cast("double") + lit(0.5)) /
+        (col(s"df$i").cast("double") + lit(0.5))
+      idf * ((tf * lit(2.2)) /
+        (tf + lit(1.2) * (lit(0.25) + (lit(0.75) * $"dl".cast("double")) / avgdl)))
+    }
+    val score = contribs.reduceLeft(_ + _)
+    scored.select(
+        ($"doc_id" +: $"dl" +:
+          Bm25Terms.indices.map(i => col(s"tf$i"))) :+ score.as("score"): _*)
+      .orderBy($"score".desc, $"doc_id")
+      .limit(Bm25K)
+  }
+  val q86: Q = q86Bench
+  val q86Sql: String = {
+    val tfSel = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"SUM(CASE WHEN token = '$t' THEN 1 ELSE 0 END) AS tf$i"
+    }.mkString(",\n      |    ")
+    val dfSel = Bm25Terms.indices.map { i =>
+      s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i"
+    }.mkString(",\n      |    ")
+    val contribs = Bm25Terms.indices.map { i =>
+      s"""(((CAST(n_docs - df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5)) *
+         |    ((CAST(tf$i AS DOUBLE) * 2.2) /
+         |     (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))""".stripMargin
+    }
+    val score = contribs.map(c => s"($c)").reduceLeft((a, b) => s"$a + $b")
+    // SUM(BIGINT) is HUGEINT in DuckDB — CAST back so the driver's
+    // physical-type hash matches Spark's LongType
+    val tfOut = Bm25Terms.indices.map(i => s"CAST(tf$i AS BIGINT) AS tf$i").mkString(", ")
+    s"""WITH tok AS (
+      |  SELECT doc_id, u.t AS token
+      |  FROM documents, unnest(string_split(text, ' ')) AS u(t)),
+      |per_doc AS (
+      |  SELECT doc_id, COUNT(*) AS dl,
+      |    $tfSel
+      |  FROM tok GROUP BY doc_id),
+      |stats AS (
+      |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl,
+      |    $dfSel
+      |  FROM per_doc)
+      |SELECT doc_id, dl, $tfOut,
+      |  $score AS score
+      |FROM per_doc, stats
+      |ORDER BY score DESC, doc_id
+      |LIMIT $Bm25K""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q29_simhash"        -> q29,
     "q30_jaccard_verify" -> q30,
@@ -649,7 +745,8 @@ object TextOps {
     "q63_lang_rebalance" -> q63,
     "q65_repetition"     -> q65,
     "q71_heavy_hitters"  -> q71,
-    "q83_chunking"       -> q83)
+    "q83_chunking"       -> q83,
+    "q86_bm25"           -> q86)
 
   val oracles: Map[String, String] = Map(
     "q29_simhash"        -> q29Sql,
@@ -664,7 +761,8 @@ object TextOps {
     "q63_lang_rebalance" -> q63Sql,
     "q65_repetition"     -> q65Sql,
     "q71_heavy_hitters"  -> q71Sql,
-    "q83_chunking"       -> q83Sql)
+    "q83_chunking"       -> q83Sql,
+    "q86_bm25"           -> q86Sql)
 
   /** Bench-time overrides minus determinism-only global sorts (see
     * [[Relational.benchVariants]]). Verify runs the sorted forms. */

@@ -96,6 +96,52 @@ class PlanAuditSpec extends AnyFunSuite {
     }.isEmpty, s"q58 must bound top-k via the aggregate, not a window:\n$plan")
   }
 
+  test("q86 BM25: two-pass over documents, ranked via TakeOrdered") {
+    val df = TextOps.q86Bench(spark, sfDir)
+    val plan = sparkPlanOf(df)
+    val scans = plan.collectWithSubqueries {
+      case s: FileSourceScanExec if s.toString.contains("documents") => s
+    }
+    assert(scans.size <= 2,
+      s"q86 is the stats+score two-pass design; found ${scans.size} scans")
+    assert(plan.toString.contains("TakeOrderedAndProject"),
+      s"top-20 must plan as TakeOrdered, not a global sort:\n${plan.toString.take(1500)}")
+    // tf per query term rides the per-doc aggregate — no join with a
+    // vocab table anywhere in the plan
+    assert(plan.collect {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.isEmpty, s"q86 must not join a vocab table:\n${plan.toString.take(1500)}")
+  }
+
+  test("q86 BM25 scoring: matched docs outrank unmatched, weights sane") {
+    val rows = TextOps.q86Bench(spark, sfDir).collect()
+    assert(rows.length > 0 && rows.length <= 20)
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.sameElements(scores.sorted.reverse), "descending by score")
+    rows.foreach { r =>
+      val anyTf = (0 to 2).exists(i => r.getAs[Long](s"tf$i") > 0)
+      val sc = r.getAs[Double]("score")
+      assert(sc >= 0.0)
+      if (!anyTf) assert(sc === 0.0, "no matched term must score 0")
+      if (anyTf) assert(sc > 0.0, "a matched term must contribute")
+    }
+  }
+
+  test("q88 correlation: one scan, one aggregate, no window; corr in [-1,1]") {
+    val df = Relational.q88Bench(spark, sfDir)
+    val plan = sparkPlanOf(df)
+    val scans = plan.collectWithSubqueries { case s: FileSourceScanExec => s }
+    assert(scans.size === 1, s"one-pass moments design; found ${scans.size} scans")
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "moments are algebraic — no window")
+    df.collect().foreach { r =>
+      val c = r.getAs[Double]("corr_value_hour")
+      assert(!c.isNaN && c >= -1.0 && c <= 1.0, s"corr out of range: $c")
+    }
+  }
+
   test("q62 carries NO join hint (AQE owns broadcast-vs-shuffle) + two scans") {
     // the broadcast-vs-shuffle flip on the tf table is the ENGINE's
     // runtime-size decision, not a hard-coded hint that OOMs when the

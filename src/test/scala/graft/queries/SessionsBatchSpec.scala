@@ -41,6 +41,44 @@ class SessionsBatchSpec extends AnyFunSuite {
       s"both windows must share one (us, event_id) sort, got ${sorts.size}:\n$plan")
   }
 
+  test("q87 debounce: window is exchange-free off the bucketed layout; " +
+    "only the 5-row type rollup shuffles") {
+    val plan = sparkPlanOf(Sessions.q87Bench(spark, sfDir))
+    val windows = plan.collect { case w: WindowExec => w }
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    val sorts = plan.collect { case s: SortExec => s }
+    assert(windows.size === 1, s"expected one lag window:\n$plan")
+    // hash(user_id) from the bucketed scan satisfies the
+    // (user_id, event_type) window clustering; the only exchange left is
+    // the final event_type rollup of map-side partials (5 keys).
+    assert(shuffles.size === 1,
+      s"expected exactly the rollup exchange, got ${shuffles.size}:\n$plan")
+    assert(sorts.size === 1,
+      s"expected one in-partition (us, event_id) sort, got ${sorts.size}:\n$plan")
+  }
+
+  test("q87 debounce invariants: openers always kept, bursts collapse") {
+    val s = spark
+    import s.implicits._
+    val rows = Sessions.q87(spark, sfDir).collect()
+    val ev = graft.Tables.t(spark, sfDir, "events")
+    val totals = ev.groupBy($"event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val openers = ev.select($"event_type", $"user_id").distinct()
+      .groupBy($"event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(_.getAs[Long]("n_events")).sum === totals.values.sum,
+      "every event is counted exactly once")
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val kept = r.getAs[Long]("n_kept")
+      // the first event of every (user, type) opens a burst and is kept;
+      // kept can never exceed the raw count
+      assert(kept >= openers(t), s"$t: kept $kept < openers ${openers(t)}")
+      assert(kept <= totals(t), s"$t: kept $kept > total ${totals(t)}")
+    }
+  }
+
   test("q52 sessions partition the event log; durations within gap bounds") {
     val s = spark
     import s.implicits._
