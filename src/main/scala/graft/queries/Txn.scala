@@ -86,10 +86,82 @@ object Txn {
        |GROUP BY 1, 2
        |ORDER BY day, event_type""".stripMargin
 
-  val queries: Map[String, Q] = Map("q82_txn_snapshot" -> q82)
-  val oracles: Map[String, String] = Map("q82_txn_snapshot" -> q82Sql)
+  // ---------------------------------------------------------------------
+  // q89: copy-on-write DELETE on the txn table — the GDPR erasure
+  // pipeline end-to-end: a raw-events txn table range-partitioned on
+  // user_id (so the manifest's per-file stats give disjoint user
+  // ranges), a user-range delete that rewrites ONLY the stats-
+  // overlapping files (TxnTableSpec proves the carried files are
+  // untouched by path identity), then an aggregate over the surviving
+  // snapshot that must hash-match DuckDB recomputing from the raw
+  // source WITH the deletion predicate applied — erased means erased,
+  // and nothing else moved.
+  // ---------------------------------------------------------------------
+  private[queries] val DelLo = 101L
+  private[queries] val DelHi = 200L
+
+  private[queries] def rawRoot(s: SparkSession, dir: String): String =
+    s.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
+      s"/graft_txn/events_raw_${tag(dir)}"
+
+  /** Idempotent build: raw events range-partitioned on user_id with
+    * manifest stats, then the v2 delete commit. Rebuilds when the
+    * source was regenerated. */
+  private[queries] def ensureDeleted(s: SparkSession, dir: String): String =
+    synchronized {
+      import s.implicits._
+      val root = rawRoot(s, dir)
+      val st = graft.SourceStamp.table(s, dir, "events")
+      if (TxnTable.versions(s, root).size < 2 ||
+          !graft.SourceStamp.isCurrent(s, root, st)) {
+        val loc = new org.apache.hadoop.fs.Path(root)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+        // range partitioning gives files with disjoint user_id spans, so
+        // the delete's manifest pruning has something to skip — the
+        // same write-side clustering any stats-pruned table needs
+        TxnTable.overwrite(s, root,
+          graft.Tables.t(s, dir, "events")
+            .repartitionByRange(8, $"user_id"),
+          statsCol = Some("user_id"))
+        TxnTable.deleteWhere(s, root,
+          $"user_id".between(DelLo, DelHi), Some((DelLo, DelHi)))
+        graft.SourceStamp.write(s, root, st)
+      }
+      root
+    }
+
+  val q89Bench: Q = (s, dir) => {
+    import s.implicits._
+    TxnTable.read(s, ensureDeleted(s, dir))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct($"user_id").as("n_users"),
+        money(sum(cents($"value"))).as("total_value"))
+  }
+  val q89: Q = (s, dir) => {
+    import s.implicits._
+    q89Bench(s, dir).orderBy($"event_type")
+  }
+  val q89Sql: String =
+    s"""SELECT event_type, COUNT(*) AS n,
+       |  COUNT(DISTINCT user_id) AS n_users,
+       |  SUM(${sqlCents("value")}) / 100.0 AS total_value
+       |FROM events
+       |WHERE user_id NOT BETWEEN $DelLo AND $DelHi
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q82_txn_snapshot" -> q82,
+    "q89_txn_delete"   -> q89)
+  val oracles: Map[String, String] = Map(
+    "q82_txn_snapshot" -> q82Sql,
+    "q89_txn_delete"   -> q89Sql)
 
   /** Bench-time override minus the determinism-only global sort (see
-    * [[Relational.benchVariants]]). Verify runs the sorted form. */
-  val benchVariants: Map[String, Q] = Map("q82_txn_snapshot" -> q82Bench)
+    * [[Relational.benchVariants]]). Verify runs the sorted forms. */
+  val benchVariants: Map[String, Q] = Map(
+    "q82_txn_snapshot" -> q82Bench,
+    "q89_txn_delete"   -> q89Bench)
 }

@@ -306,6 +306,58 @@ object TxnTable {
       s.read.parquet(s"$base/${snap.files.head}").limit(0)
   }
 
+  /** Copy-on-write DELETE: commit a new snapshot without the rows
+    * matching `predicate` (the GDPR / right-to-be-forgotten shape, and
+    * the row-level correction every warehouse table eventually needs).
+    *
+    * Cost is proportional to the data that CHANGES, not the table: when
+    * the caller bounds the predicate on the table's stats column via
+    * `statsRange`, the manifest's per-file [min, max] decides from
+    * metadata alone which files could hold matching rows — only those
+    * are read and rewritten (minus matches); every other file carries
+    * over into the new snapshot by reference, unread and unwritten. At
+    * 100 TB a targeted delete touches a handful of files, not the
+    * corpus. Files without recorded stats are always rewritten —
+    * skipping must never be unsound.
+    *
+    * Caller contract (same as Iceberg's metadata-pruned deletes):
+    * `statsRange` must BOUND the predicate — every row the predicate
+    * matches has its stats column inside [lo, hi]. A narrower range
+    * silently leaves matching rows alive in carried files. Omit it to
+    * rewrite every file (always sound).
+    *
+    * Prior snapshots still read the deleted rows (immutable files,
+    * snapshot isolation) until [[vacuum]] reclaims them — which is also
+    * the compliance horizon: vacuum, not delete, is the point at which
+    * the bytes are gone. */
+  def deleteWhere(s: SparkSession, root: String,
+                  predicate: org.apache.spark.sql.Column,
+                  statsRange: Option[(Long, Long)] = None): Snapshot = {
+    val cur = latest(s, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    val base = root.stripSuffix("/")
+    val (touch, carry) = statsRange match {
+      case Some((lo, hi)) => cur.files.partition(f =>
+        cur.stats.get(f).forall { case (fLo, fHi) => fHi >= lo && fLo <= hi })
+      case None => (cur.files, Seq.empty[String])
+    }
+    val staged =
+      if (touch.isEmpty) Seq.empty[String]
+      else {
+        val rest = s.read.parquet(touch.map(f => s"$base/$f"): _*)
+          .filter(org.apache.spark.sql.functions.not(predicate))
+        // a delete may empty every touched file; a 0-row stage would
+        // write no parquet parts to reference
+        if (rest.isEmpty) Seq.empty[String] else stage(s, root, rest)
+      }
+    val stagedStats =
+      if (staged.nonEmpty) cur.statsCol.map(fileStats(s, root, staged, _))
+        .getOrElse(Map.empty[String, (Long, Long)])
+      else Map.empty[String, (Long, Long)]
+    commit(s, root, cur.version + 1, "delete", carry ++ staged,
+      cur.stats.view.filterKeys(carry.toSet).toMap ++ stagedStats, cur.statsCol)
+  }
+
   /** Retention: keep the newest `retainVersions` manifests, drop older
     * ones, then delete every data file (and empty uuid dir) that no
     * retained manifest references. Time travel older than the horizon

@@ -126,6 +126,53 @@ class TxnTableSpec extends AnyFunSuite {
       .filter(col("id").between(10, 12))) === rows(df(10, 11)))
   }
 
+  test("deleteWhere rewrites only stats-overlapping files; carried files " +
+    "are untouched by path identity; prior snapshots keep the rows") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    // three single-file commits with disjoint id ranges
+    TxnTable.overwrite(spark, root, df(1, 2, 3).coalesce(1), statsCol = Some("id"))
+    TxnTable.append(spark, root, df(10, 11).coalesce(1))
+    TxnTable.append(spark, root, df(20, 21, 22).coalesce(1))
+    val before = TxnTable.latest(spark, root).get
+
+    // delete ids [10, 11] — bounded on the stats column: only the middle
+    // file overlaps, the other two must carry over BY REFERENCE
+    val after = TxnTable.deleteWhere(spark, root,
+      col("id").between(10, 11), Some((10L, 11L)))
+    assert(after.op === "delete")
+    val carried = before.files.filter(f =>
+      before.stats(f) match { case (lo, hi) => hi < 10 || lo > 11 })
+    carried.foreach(f => assert(after.files.contains(f),
+      s"non-overlapping file $f must carry over unrewritten"))
+    // carried files keep their recorded stats verbatim
+    carried.foreach(f => assert(after.stats(f) === before.stats(f)))
+    // the overlapping file is gone from the new snapshot (fully deleted)
+    assert(!after.files.exists(before.stats.get(_).contains((10L, 11L))))
+    assert(rows(TxnTable.read(spark, root)) === rows(df(1, 2, 3, 20, 21, 22)))
+    // snapshot isolation: the pre-delete version still reads every row
+    assert(rows(TxnTable.readAsOf(spark, root, before.version)) ===
+      rows(df(1, 2, 3, 10, 11, 20, 21, 22)))
+
+    // partial delete within a file: survivors are rewritten, stats fresh
+    val after2 = TxnTable.deleteWhere(spark, root,
+      col("id") === 21, Some((21L, 21L)))
+    assert(rows(TxnTable.read(spark, root)) === rows(df(1, 2, 3, 20, 22)))
+    val rewritten = after2.files.filterNot(after.files.contains)
+    assert(rewritten.nonEmpty && rewritten.forall(f =>
+      after2.stats(f)._1 >= 20L && after2.stats(f)._2 <= 22L))
+
+    // no statsRange: still correct (every file rewritten)
+    TxnTable.deleteWhere(spark, root, col("id") < 3)
+    assert(rows(TxnTable.read(spark, root)) === rows(df(3, 20, 22)))
+
+    // unbounded predicate + empty result: delete everything touched
+    val snapAll = TxnTable.deleteWhere(spark, root, lit(true))
+    assert(snapAll.files.isEmpty)
+    intercept[Exception](TxnTable.read(spark, root)) // 0-file snapshot
+  }
+
   test("appendBatch is exactly-once under at-least-once replay") {
     val root = freshRoot()
     TxnTable.overwrite(spark, root, df(1))
