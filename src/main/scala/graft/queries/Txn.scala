@@ -152,16 +152,70 @@ object Txn {
        |GROUP BY event_type
        |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q90: MERGE INTO as a CDC correction — the upsert every warehouse
+  // runs when a late/partial load is discovered: v1 bootstraps the
+  // daily aggregate with the LAST day computed from only half its
+  // events (a simulated partial load), v2 repairs it with one
+  // `TxnTable.mergeInto` keyed on (day, event_type) — updates replace
+  // the short rows, inserts add (day, type) pairs the partial load
+  // missed entirely. The oracle recomputes from scratch: after the
+  // merge, corrected == recomputed, hash-exact. TxnTableSpec proves the
+  // file-skipping mechanics; this proves end-to-end repair semantics.
+  // ---------------------------------------------------------------------
+  private[queries] def mergeRoot(s: SparkSession, dir: String): String =
+    s.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
+      s"/graft_txn/daily_merge_${tag(dir)}"
+
+  private[queries] def ensureMerged(s: SparkSession, dir: String): String =
+    synchronized {
+      import s.implicits._
+      val root = mergeRoot(s, dir)
+      val st = graft.SourceStamp.table(s, dir, "events")
+      if (TxnTable.versions(s, root).size < 2 ||
+          !graft.SourceStamp.isCurrent(s, root, st)) {
+        val loc = new org.apache.hadoop.fs.Path(root)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+        val days = Incremental.sourceDays(s, dir)
+        val last = days.last
+        // partial bootstrap: the last day aggregated from only half its
+        // events (even event_ids) — the corruption the merge repairs
+        val partial = graft.Tables.t(s, dir, "events")
+          .withColumn("day", date_format($"ts", "yyyy-MM-dd"))
+          .filter($"day" =!= last || $"event_id" % 2 === 0)
+          .groupBy($"day", $"event_type")
+          .agg(count(lit(1)).as("n"), money(sum(cents($"value"))).as("total_value"))
+        TxnTable.overwrite(s, root, partial)
+        TxnTable.mergeInto(s, root, dayAgg(s, dir, $"day" === last),
+          keyCols = Seq("day", "event_type"))
+        graft.SourceStamp.write(s, root, st)
+      }
+      root
+    }
+
+  val q90Bench: Q = (s, dir) => TxnTable.read(s, ensureMerged(s, dir))
+  val q90: Q = (s, dir) => {
+    import s.implicits._
+    q90Bench(s, dir).orderBy($"day", $"event_type")
+  }
+  // corrected-by-merge must equal recomputed-from-scratch: the oracle is
+  // deliberately q82's full recompute
+  val q90Sql: String = q82Sql
+
   val queries: Map[String, Q] = Map(
     "q82_txn_snapshot" -> q82,
-    "q89_txn_delete"   -> q89)
+    "q89_txn_delete"   -> q89,
+    "q90_txn_merge"    -> q90)
   val oracles: Map[String, String] = Map(
     "q82_txn_snapshot" -> q82Sql,
-    "q89_txn_delete"   -> q89Sql)
+    "q89_txn_delete"   -> q89Sql,
+    "q90_txn_merge"    -> q90Sql)
 
   /** Bench-time override minus the determinism-only global sort (see
     * [[Relational.benchVariants]]). Verify runs the sorted forms. */
   val benchVariants: Map[String, Q] = Map(
     "q82_txn_snapshot" -> q82Bench,
-    "q89_txn_delete"   -> q89Bench)
+    "q89_txn_delete"   -> q89Bench,
+    "q90_txn_merge"    -> q90Bench)
 }

@@ -275,15 +275,73 @@ object TxnTable {
     * in-flight readers of any prior version are untouched (contrast
     * [[Compact.compact]], which rewrites in place). coalesce = narrow
     * merge, no shuffle. */
-  def compactTxn(s: SparkSession, root: String, targetFiles: Int): Snapshot = {
+  def compactTxn(s: SparkSession, root: String, targetFiles: Int,
+                 sortCols: Seq[String] = Nil): Snapshot = {
     require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
     val cur = latest(s, root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
-    val staged = stage(s, root, read(s, root).coalesce(targetFiles))
+    // With sortCols this is OPTIMIZE-style RECLUSTERING, not just a file
+    // merge: range-partition + in-partition sort gives files DISJOINT
+    // spans of the sort key, which is what turns the manifest's per-file
+    // [min, max] from decoration into an index — after appends have
+    // interleaved key ranges, readPruned degrades to reading everything
+    // until a clustering compaction narrows the spans again.
+    val arranged =
+      if (sortCols.isEmpty) read(s, root).coalesce(targetFiles)
+      else {
+        import org.apache.spark.sql.functions.col
+        read(s, root)
+          .repartitionByRange(targetFiles, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      }
+    val staged = stage(s, root, arranged)
     // rewritten files get fresh stats under the table's stats column
     val stagedStats =
       cur.statsCol.map(fileStats(s, root, staged, _)).getOrElse(Map.empty)
     commit(s, root, cur.version + 1, "compact", staged, stagedStats, cur.statsCol)
+  }
+
+  /** Targeted MERGE (upsert): apply `changes` by `keyCols` — a change
+    * row REPLACES every current row with equal keys, or INSERTS if none
+    * exists. The CDC-apply shape (Delta/Iceberg `MERGE INTO`), committed
+    * as one atomic snapshot.
+    *
+    * File skipping as in [[deleteWhere]]: with `statsRange` bounding the
+    * CHANGES' keys on the stats column, only files whose [min, max]
+    * overlap are rewritten (survivors anti-joined against the change
+    * keys, then unioned with the changes); everything else carries over
+    * by reference. Same caller contract: a range that does not bound
+    * the change keys leaves stale rows alive in carried files (the
+    * update half applies only to touched files). `changes` must have
+    * the table's schema; key equality is null-safe exact. */
+  def mergeInto(s: SparkSession, root: String, changes: DataFrame,
+                keyCols: Seq[String],
+                statsRange: Option[(Long, Long)] = None): Snapshot = {
+    require(keyCols.nonEmpty, "mergeInto needs at least one key column")
+    val cur = latest(s, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    val base = root.stripSuffix("/")
+    val (touch, carry) = statsRange match {
+      case Some((lo, hi)) => cur.files.partition(f =>
+        cur.stats.get(f).forall { case (fLo, fHi) => fHi >= lo && fLo <= hi })
+      case None => (cur.files, Seq.empty[String])
+    }
+    val rewritten =
+      if (touch.isEmpty) changes
+      else {
+        val survivors = s.read.parquet(touch.map(f => s"$base/$f"): _*)
+          .join(changes.select(keyCols.map(org.apache.spark.sql.functions.col): _*),
+            keyCols, "left_anti")
+        survivors.unionByName(changes)
+      }
+    val staged =
+      if (rewritten.isEmpty) Seq.empty[String] else stage(s, root, rewritten)
+    val stagedStats =
+      if (staged.nonEmpty) cur.statsCol.map(fileStats(s, root, staged, _))
+        .getOrElse(Map.empty[String, (Long, Long)])
+      else Map.empty[String, (Long, Long)]
+    commit(s, root, cur.version + 1, "merge", carry ++ staged,
+      cur.stats.view.filterKeys(carry.toSet).toMap ++ stagedStats, cur.statsCol)
   }
 
   /** Manifest-level FILE SKIPPING: the table restricted to files whose

@@ -173,6 +173,69 @@ class TxnTableSpec extends AnyFunSuite {
     intercept[Exception](TxnTable.read(spark, root)) // 0-file snapshot
   }
 
+  test("mergeInto upserts by key, rewrites only overlapping files") {
+    val root = freshRoot()
+    TxnTable.overwrite(spark, root, df(1, 2, 3).coalesce(1), statsCol = Some("id"))
+    TxnTable.append(spark, root, df(10, 11).coalesce(1))
+    TxnTable.append(spark, root, df(20, 21).coalesce(1))
+    val before = TxnTable.latest(spark, root).get
+
+    // update id=10 (v: 100 -> 777), insert id=12 — keys bounded to [10, 12]
+    val s = spark
+    import s.implicits._
+    val changes = Seq((10, 777), (12, 120)).toDF("id", "v")
+    val after = TxnTable.mergeInto(spark, root, changes,
+      keyCols = Seq("id"), statsRange = Some((10L, 12L)))
+    assert(after.op === "merge")
+    // the 1..3 and 20..21 files carry over by reference, stats verbatim
+    val carried = before.files.filter(f =>
+      before.stats(f) match { case (lo, hi) => hi < 10 || lo > 12 })
+    assert(carried.size === 2)
+    carried.foreach { f =>
+      assert(after.files.contains(f), s"$f must carry over")
+      assert(after.stats(f) === before.stats(f))
+    }
+    assert(rows(TxnTable.read(spark, root)) ===
+      rows(df(1, 2, 3, 11, 20, 21)) + Seq[Any](10, 777) + Seq[Any](12, 120))
+    // prior snapshot unchanged (snapshot isolation)
+    assert(rows(TxnTable.readAsOf(spark, root, before.version)) ===
+      rows(df(1, 2, 3, 10, 11, 20, 21)))
+    // replaying the same merge converges to the same table content
+    TxnTable.mergeInto(spark, root, changes, Seq("id"), Some((10L, 12L)))
+    assert(rows(TxnTable.read(spark, root)) ===
+      rows(df(1, 2, 3, 11, 20, 21)) + Seq[Any](10, 777) + Seq[Any](12, 120))
+    // pure insert outside every file's span: nothing rewritten, all carried
+    val ins = TxnTable.mergeInto(spark, root,
+      Seq((50, 500)).toDF("id", "v"), Seq("id"), Some((50L, 50L)))
+    val prev = TxnTable.snapshot(spark, root, ins.version - 1)
+    prev.files.foreach(f => assert(ins.files.contains(f)))
+  }
+
+  test("clustering compaction restores disjoint file spans for skipping") {
+    val root = freshRoot()
+    // interleaved appends: every file spans nearly the whole id range,
+    // so stats-based skipping can prune nothing
+    TxnTable.overwrite(spark, root, df(1, 20, 40).coalesce(1), statsCol = Some("id"))
+    TxnTable.append(spark, root, df(2, 21, 41).coalesce(1))
+    TxnTable.append(spark, root, df(3, 22, 42).coalesce(1))
+    assert(TxnTable.readPruned(spark, root, 20L, 22L).inputFiles.length === 3,
+      "interleaved layout: nothing skippable")
+    // OPTIMIZE-style recluster: 3 files, range-partitioned on id
+    TxnTable.compactTxn(spark, root, targetFiles = 3, sortCols = Seq("id"))
+    val snap = TxnTable.latest(spark, root).get
+    assert(snap.files.size === 3)
+    // spans are now disjoint…
+    val spans = snap.files.map(snap.stats(_)).sortBy(_._1)
+    spans.sliding(2).foreach { case Seq((_, hi), (lo, _)) =>
+      assert(hi < lo, s"overlapping spans after recluster: $spans")
+    }
+    // …and the same point-range read touches a single file, same rows
+    val pruned = TxnTable.readPruned(spark, root, 20L, 22L)
+    assert(pruned.inputFiles.length === 1, s"spans: $spans")
+    assert(rows(pruned.filter(col("id").between(20, 22))) ===
+      rows(df(20, 21, 22)))
+  }
+
   test("appendBatch is exactly-once under at-least-once replay") {
     val root = freshRoot()
     TxnTable.overwrite(spark, root, df(1))
