@@ -19,10 +19,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   <root>/data/<uuid>/part-*.parquet   immutable data files
   * }}}
   *
-  * A manifest is a text file: header line `graft-txn v1 <op>`, then one
-  * data-file path per line (relative to the table root). A snapshot is
-  * the complete file list — never a delta — so a reader resolves ANY
-  * version with one small-file read, O(files) not O(history).
+  * A manifest is a text file: header line `graft-txn v1 <op>`, an
+  * optional `#schema` line carrying the table schema as of the commit
+  * (schema-on-read evolution: see [[evolve]]), then one data-file path
+  * per line (relative to the table root). A snapshot is the complete
+  * file list — never a delta — so a reader resolves ANY version with
+  * one small-file read, O(files) not O(history).
   *
   * The four properties a txn log exists for, and how each is carried:
   *
@@ -62,12 +64,39 @@ object TxnTable {
 
   /** One committed snapshot: `files` are table-root-relative; `stats`
     * optionally carries per-file (min, max) of one long column,
-    * recorded at commit time for manifest-level file skipping. */
+    * recorded at commit time for manifest-level file skipping; `schema`
+    * is the TABLE schema as of this snapshot (schema-on-read: files
+    * written before a column existed simply read it as null). */
   final case class Snapshot(version: Long, op: String, files: Seq[String],
                             stats: Map[String, (Long, Long)] = Map.empty,
-                            statsCol: Option[String] = None)
+                            statsCol: Option[String] = None,
+                            schema: Option[org.apache.spark.sql.types.StructType] = None)
 
   private val Header = "graft-txn v1"
+  // '#' cannot start a data-file path (paths are data/<uuid>/part-*)
+  private val SchemaTag = "#schema\t"
+
+  /** SCHEMA EVOLUTION: the table schema after committing `incoming`
+    * rows — prior columns keep their position and type, genuinely new
+    * columns append. A shared name must keep its exact type (silent
+    * coercion is how tables rot); an incoming frame MISSING prior
+    * columns is fine (its files read those columns as null — schema on
+    * read, the same contract parquet gives every warehouse format). */
+  private def evolve(prior: Option[org.apache.spark.sql.types.StructType],
+                     incoming: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = prior match {
+    case None => incoming
+    case Some(p) =>
+      incoming.fields.foreach { f =>
+        p.fields.find(_.name == f.name).foreach { pf =>
+          require(pf.dataType == f.dataType,
+            s"schema evolution cannot change column '${f.name}': " +
+              s"${pf.dataType.simpleString} -> ${f.dataType.simpleString}")
+        }
+      }
+      org.apache.spark.sql.types.StructType(
+        p.fields ++ incoming.fields.filterNot(f => p.fieldNames.contains(f.name)))
+  }
 
   private def fs(s: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -100,9 +129,16 @@ object TxnTable {
     val lines = text.split("\n").toSeq.filter(_.nonEmpty)
     require(lines.nonEmpty && lines.head.startsWith(Header),
       s"corrupt manifest v$version: bad header")
+    // optional `#schema\t<json>` line right after the header (schema-less
+    // v1 manifests and schema-aware readers interoperate)
+    val schema = lines.tail.headOption.filter(_.startsWith(SchemaTag)).map { l =>
+      org.apache.spark.sql.types.DataType
+        .fromJson(l.stripPrefix(SchemaTag))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
     // file lines: `relpath` or `relpath\t<col>:<min>:<max>` (v1 readers
     // of stats-less manifests and stats-aware readers interoperate)
-    val entries = lines.tail.map { l =>
+    val entries = lines.tail.filterNot(_.startsWith(SchemaTag)).map { l =>
       l.split("\t") match {
         case Array(f)       => (f, None)
         case Array(f, stat) =>
@@ -112,7 +148,8 @@ object TxnTable {
     }
     Snapshot(version, lines.head.stripPrefix(Header).trim, entries.map(_._1),
       entries.collect { case (f, Some((_, lo, hi))) => f -> (lo, hi) }.toMap,
-      entries.collectFirst { case (_, Some((c, _, _))) => c })
+      entries.collectFirst { case (_, Some((c, _, _))) => c },
+      schema)
   }
 
   def latest(s: SparkSession, root: String): Option[Snapshot] =
@@ -126,12 +163,18 @@ object TxnTable {
     readAsOf(s, root, versions(s, root).lastOption.getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root")))
 
-  /** Time travel: the table exactly as of `version`. */
+  /** Time travel: the table exactly as of `version`. With a recorded
+    * schema the read is pinned to it (columns absent from older files
+    * come back null); schema-less legacy snapshots infer from footers. */
   def readAsOf(s: SparkSession, root: String, version: Long): DataFrame = {
     val snap = snapshot(s, root, version)
     require(snap.files.nonEmpty, s"snapshot v$version has no data files")
     val base = root.stripSuffix("/")
-    s.read.parquet(snap.files.map(f => s"$base/$f"): _*)
+    val paths = snap.files.map(f => s"$base/$f")
+    snap.schema match {
+      case Some(sc) => s.read.schema(sc).parquet(paths: _*)
+      case None     => s.read.parquet(paths: _*)
+    }
   }
 
   /** Stage `df` as immutable parquet files under data/<uuid>/, return
@@ -174,7 +217,8 @@ object TxnTable {
   private[sinks] def commit(s: SparkSession, root: String, v: Long, op: String,
                             files: Seq[String],
                             stats: Map[String, (Long, Long)] = Map.empty,
-                            statsCol: Option[String] = None): Snapshot = {
+                            statsCol: Option[String] = None,
+                            schema: Option[org.apache.spark.sql.types.StructType] = None): Snapshot = {
     val f = fs(s, root)
     val dst = manifestPath(root, v)
     f.mkdirs(dst.getParent)
@@ -182,7 +226,7 @@ object TxnTable {
       throw new TxnConflictException(s"version $v already committed at $root")
     val tmp = new Path(dst.getParent,
       s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    val lines = files.map { file =>
+    val lines = schema.map(sc => SchemaTag + sc.json).toSeq ++ files.map { file =>
       (statsCol, stats.get(file)) match {
         case (Some(c), Some((lo, hi))) => s"$file\t$c:$lo:$hi"
         case _                         => file
@@ -198,7 +242,7 @@ object TxnTable {
       f.delete(tmp, false)
       throw new TxnConflictException(s"lost commit race for version $v at $root")
     }
-    Snapshot(v, op, files, stats, statsCol)
+    Snapshot(v, op, files, stats, statsCol, schema)
   }
 
   private def nextVersion(s: SparkSession, root: String): Long =
@@ -216,7 +260,8 @@ object TxnTable {
     val stagedStats = col.map(fileStats(s, root, staged, _)).getOrElse(Map.empty)
     commit(s, root, nextVersion(s, root), "append",
       prior.map(_.files).getOrElse(Seq.empty) ++ staged,
-      prior.map(_.stats).getOrElse(Map.empty) ++ stagedStats, col)
+      prior.map(_.stats).getOrElse(Map.empty) ++ stagedStats, col,
+      Some(evolve(prior.flatMap(_.schema), df.schema)))
   }
 
   /** Exactly-once streaming append: the op field carries the micro-batch
@@ -240,7 +285,8 @@ object TxnTable {
       val stagedStats = col.map(fileStats(s, root, staged, _)).getOrElse(Map.empty)
       Some(commit(s, root, vs.lastOption.getOrElse(0L) + 1, opTag,
         prior.map(_.files).getOrElse(Seq.empty) ++ staged,
-        prior.map(_.stats).getOrElse(Map.empty) ++ stagedStats, col))
+        prior.map(_.stats).getOrElse(Map.empty) ++ stagedStats, col,
+        Some(evolve(prior.flatMap(_.schema), df.schema))))
     }
   }
 
@@ -255,7 +301,7 @@ object TxnTable {
     val vs = versions(s, root)
     if (vs.exists(v => snapshot(s, root, v).op == opTag)) None
     else Some(commit(s, root, vs.lastOption.getOrElse(0L) + 1, opTag,
-      stage(s, root, df)))
+      stage(s, root, df), schema = Some(df.schema)))
   }
 
   /** Replace the table content with `df`. Old snapshots stay readable
@@ -267,7 +313,7 @@ object TxnTable {
     val stagedStats =
       statsCol.map(fileStats(s, root, staged, _)).getOrElse(Map.empty)
     commit(s, root, nextVersion(s, root), "overwrite", staged,
-      stagedStats, statsCol)
+      stagedStats, statsCol, Some(df.schema))
   }
 
   /** Transactional compaction: rewrite the current snapshot to
@@ -298,7 +344,8 @@ object TxnTable {
     // rewritten files get fresh stats under the table's stats column
     val stagedStats =
       cur.statsCol.map(fileStats(s, root, staged, _)).getOrElse(Map.empty)
-    commit(s, root, cur.version + 1, "compact", staged, stagedStats, cur.statsCol)
+    commit(s, root, cur.version + 1, "compact", staged, stagedStats,
+      cur.statsCol, cur.schema.orElse(Some(arranged.schema)))
   }
 
   /** Targeted MERGE (upsert): apply `changes` by `keyCols` — a change
@@ -332,7 +379,7 @@ object TxnTable {
         val survivors = s.read.parquet(touch.map(f => s"$base/$f"): _*)
           .join(changes.select(keyCols.map(org.apache.spark.sql.functions.col): _*),
             keyCols, "left_anti")
-        survivors.unionByName(changes)
+        survivors.unionByName(changes, allowMissingColumns = true)
       }
     val staged =
       if (rewritten.isEmpty) Seq.empty[String] else stage(s, root, rewritten)
@@ -341,7 +388,8 @@ object TxnTable {
         .getOrElse(Map.empty[String, (Long, Long)])
       else Map.empty[String, (Long, Long)]
     commit(s, root, cur.version + 1, "merge", carry ++ staged,
-      cur.stats.view.filterKeys(carry.toSet).toMap ++ stagedStats, cur.statsCol)
+      cur.stats.view.filterKeys(carry.toSet).toMap ++ stagedStats, cur.statsCol,
+      Some(evolve(cur.schema, changes.schema)))
   }
 
   /** Manifest-level FILE SKIPPING: the table restricted to files whose
@@ -359,9 +407,10 @@ object TxnTable {
     val kept = snap.files.filter(f =>
       snap.stats.get(f).forall { case (fLo, fHi) => fHi >= lo && fLo <= hi })
     val base = root.stripSuffix("/")
-    if (kept.nonEmpty) s.read.parquet(kept.map(f => s"$base/$f"): _*)
+    val reader = snap.schema.fold(s.read)(s.read.schema)
+    if (kept.nonEmpty) reader.parquet(kept.map(f => s"$base/$f"): _*)
     else // everything pruned: zero rows, schema from one footer
-      s.read.parquet(s"$base/${snap.files.head}").limit(0)
+      reader.parquet(s"$base/${snap.files.head}").limit(0)
   }
 
   /** Copy-on-write DELETE: commit a new snapshot without the rows
@@ -413,7 +462,8 @@ object TxnTable {
         .getOrElse(Map.empty[String, (Long, Long)])
       else Map.empty[String, (Long, Long)]
     commit(s, root, cur.version + 1, "delete", carry ++ staged,
-      cur.stats.view.filterKeys(carry.toSet).toMap ++ stagedStats, cur.statsCol)
+      cur.stats.view.filterKeys(carry.toSet).toMap ++ stagedStats, cur.statsCol,
+      cur.schema)
   }
 
   /** Retention: keep the newest `retainVersions` manifests, drop older

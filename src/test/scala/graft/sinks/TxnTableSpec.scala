@@ -204,11 +204,14 @@ class TxnTableSpec extends AnyFunSuite {
     TxnTable.mergeInto(spark, root, changes, Seq("id"), Some((10L, 12L)))
     assert(rows(TxnTable.read(spark, root)) ===
       rows(df(1, 2, 3, 11, 20, 21)) + Seq[Any](10, 777) + Seq[Any](12, 120))
-    // pure insert outside every file's span: nothing rewritten, all carried
+    // pure insert outside every file's span: every stats-bearing file
+    // carries over (a 0-row staged part has no stats and is always
+    // "touched" — sound, and it simply disappears)
     val ins = TxnTable.mergeInto(spark, root,
       Seq((50, 500)).toDF("id", "v"), Seq("id"), Some((50L, 50L)))
     val prev = TxnTable.snapshot(spark, root, ins.version - 1)
-    prev.files.foreach(f => assert(ins.files.contains(f)))
+    prev.files.filter(prev.stats.contains)
+      .foreach(f => assert(ins.files.contains(f), s"$f must carry over"))
   }
 
   test("clustering compaction restores disjoint file spans for skipping") {
@@ -234,6 +237,39 @@ class TxnTableSpec extends AnyFunSuite {
     assert(pruned.inputFiles.length === 1, s"spans: $spans")
     assert(rows(pruned.filter(col("id").between(20, 22))) ===
       rows(df(20, 21, 22)))
+  }
+
+  test("schema evolution: appended column reads null for old files, " +
+    "types locked, time travel keeps the old shape") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    TxnTable.overwrite(spark, root, df(1, 2))              // (id, v)
+    val evolved = Seq((3, 30, "x"), (4, 40, "y")).toDF("id", "v", "tag")
+    TxnTable.append(spark, root, evolved)                  // (id, v, tag)
+    val snap = TxnTable.latest(spark, root).get
+    assert(snap.schema.map(_.fieldNames.toSeq) === Some(Seq("id", "v", "tag")))
+    // old files read the new column as null; new files carry it
+    val now = TxnTable.read(spark, root)
+    assert(now.columns.toSeq === Seq("id", "v", "tag"))
+    assert(rows(now) === Set(
+      Seq(1, 10, null), Seq(2, 20, null), Seq(3, 30, "x"), Seq(4, 40, "y")))
+    // time travel to v1 shows the PRE-evolution schema
+    assert(TxnTable.readAsOf(spark, root, 1).columns.toSeq === Seq("id", "v"))
+    // appending the OLD shape into the evolved table is fine (nulls)
+    TxnTable.append(spark, root, df(5))
+    assert(rows(TxnTable.read(spark, root).filter($"id" === 5)) ===
+      Set(Seq(5, 50, null)))
+    // changing a column's type is refused loudly
+    val bad = Seq((9, "not-an-int")).toDF("id", "v")
+    intercept[IllegalArgumentException](TxnTable.append(spark, root, bad))
+    // mergeInto with an evolving change set: survivors gain the column
+    TxnTable.mergeInto(spark, root,
+      Seq((2, 21, "z", true)).toDF("id", "v", "tag", "fresh"), Seq("id"))
+    val merged = TxnTable.read(spark, root)
+    assert(merged.columns.toSeq === Seq("id", "v", "tag", "fresh"))
+    assert(rows(merged.filter($"id" === 2)) === Set(Seq(2, 21, "z", true)))
+    assert(rows(merged.filter($"id" === 1)) === Set(Seq(1, 10, null, null)))
   }
 
   test("appendBatch is exactly-once under at-least-once replay") {
