@@ -264,6 +264,36 @@ object TxnTable {
       Some(evolve(prior.flatMap(_.schema), df.schema)))
   }
 
+  /** [[append]] with bounded optimistic-concurrency retries — the loop
+    * every real writer runs around the commit race: data files are
+    * staged ONCE (they are version-independent — nothing references
+    * them until a manifest does), then each lost [[TxnConflictException]]
+    * re-resolves the new head and re-commits the same staged files on
+    * top of it. The loser of a race never re-reads or re-writes data;
+    * it pays one small-file manifest write per attempt. */
+  def appendWithRetry(s: SparkSession, root: String, df: DataFrame,
+                      statsCol: Option[String] = None,
+                      maxAttempts: Int = 5): Snapshot = {
+    require(maxAttempts >= 1, "need at least one attempt")
+    val staged = stage(s, root, df)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val prior = latest(s, root)
+      val col = statsCol.orElse(prior.flatMap(_.statsCol))
+      val stagedStats = col.map(fileStats(s, root, staged, _)).getOrElse(Map.empty)
+      try {
+        return commit(s, root, prior.map(_.version).getOrElse(0L) + 1, "append",
+          prior.map(_.files).getOrElse(Seq.empty) ++ staged,
+          prior.map(_.stats).getOrElse(Map.empty) ++ stagedStats, col,
+          Some(evolve(prior.flatMap(_.schema), df.schema)))
+      } catch {
+        case e: TxnConflictException if attempt < maxAttempts => // re-resolve
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Exactly-once streaming append: the op field carries the micro-batch
     * id, so a replayed foreachBatch (at-least-once by contract) finds its
     * own commit in the log and no-ops instead of double-appending —

@@ -285,6 +285,30 @@ class TxnTableSpec extends AnyFunSuite {
     assert(rows(TxnTable.read(spark, root)) === rows(df(1, 2, 3)))
   }
 
+  test("appendWithRetry: concurrent writers all land, no rows lost") {
+    val root = freshRoot()
+    TxnTable.overwrite(spark, root, df(0))
+    // two writers interleaving appends of disjoint rows — every lost
+    // commit race must re-resolve and land on top of the winner
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val futs = Seq(Seq(1, 2, 3), Seq(11, 12, 13)).map { ids =>
+      scala.concurrent.Future {
+        ids.foreach(i => TxnTable.appendWithRetry(spark, root, df(i),
+          maxAttempts = 20))
+      }
+    }
+    try scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futs),
+      scala.concurrent.duration.Duration(120, "s"))
+    finally pool.shutdown()
+    assert(rows(TxnTable.read(spark, root)) ===
+      rows(df(0, 1, 2, 3, 11, 12, 13)))
+    // exactly one commit per append: 1 overwrite + 6 appends
+    assert(TxnTable.versions(spark, root) === (1L to 7L))
+  }
+
   test("a crash mid-stage leaves readers untouched (atomic commit)") {
     val root = freshRoot()
     TxnTable.overwrite(spark, root, df(1))
