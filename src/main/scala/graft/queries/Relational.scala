@@ -1507,12 +1507,18 @@ object Relational {
   val q88Bench: Q = (s, dir) => {
     import s.implicits._
     val dec = DataTypes.createDecimalType(38, 0)
-    val x = cents($"value").cast(dec)
-    val y = hour($"ts").cast("long").cast(dec)
+    // per-row products in LONG (exact: x ≤ ~56k cents, x² ≤ ~3.1e9 —
+    // nowhere near 2^63), ONE long→decimal cast each feeding the
+    // wrap-proof decimal ACCUMULATOR — the overflow risk lives in the
+    // sum across 100 TB of rows, not in a single row's product, so the
+    // expensive BigDecimal arithmetic happens once per row per moment
+    // instead of per multiplication
+    val x = cents($"value")
+    val y = hour($"ts").cast("long")
     val agg = t(s, dir, "events")
       .groupBy($"event_type")
       .agg(count(lit(1)).cast(dec).as("n"),
-        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x.cast(dec)).as("sx"), sum(y.cast(dec)).as("sy"),
         sum((x * x).cast(dec)).as("sxx"), sum((y * y).cast(dec)).as("syy"),
         sum((x * y).cast(dec)).as("sxy"))
     agg.select($"event_type", $"n".cast("long").as("n_events"),
