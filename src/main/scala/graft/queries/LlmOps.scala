@@ -1032,6 +1032,66 @@ object LlmOps {
        |ORDER BY split, lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q91: SEMANTIC decontamination — drop training vectors whose nearest
+  // EVAL-set neighbor exceeds a cosine threshold: the embedding-space
+  // sibling of q61's n-gram decontamination (paraphrased leakage that
+  // shares no 8-gram still lands next to its eval twin in embedding
+  // space). Eval membership is deterministic (vec_id % 100 == 0 — in a
+  // real pipeline, the benchmark suite), threshold 0.30 ≈ the observed
+  // p95 of max-sim on this corpus, so the filter does visible work.
+  //
+  // Scale: the eval side is small BY DEFINITION (a benchmark suite) —
+  // the q61 broadcast argument, so broadcast-crossJoin + codegen'd
+  // LongArrayDot scores each train vector against all eval vectors in
+  // one stage; max-sim collapses map-side (every copy of a train row is
+  // born in its partition), so the shuffle carries one row per train
+  // vector, then a 10-key label rollup. Same exact-integer cosine as
+  // q24: bit-identical doubles, exact threshold compare.
+  // ---------------------------------------------------------------------
+  private val DecontamSim = 0.30
+
+  val q91Bench: Q = (s, dir) => {
+    import s.implicits._
+    val quant = t(s, dir, "embeddings")
+      .select($"vec_id", $"label", quantize($"embedding").as("e"))
+    val ev = broadcast(quant.filter($"vec_id" % 100 === 0).select($"e".as("pe")))
+    quant.filter($"vec_id" % 100 =!= 0)
+      .crossJoin(ev)
+      .withColumn("sim",
+        dotLong($"e", $"pe").cast("double") /
+          (sqrt(sqNorm($"e").cast("double")) * sqrt(sqNorm($"pe").cast("double"))))
+      .groupBy($"vec_id", $"label")
+      .agg(max($"sim").as("max_sim"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_train"),
+        sum(when($"max_sim" >= DecontamSim, 1L).otherwise(0L)).as("n_removed"))
+      .withColumn("n_kept", $"n_train" - $"n_removed")
+  }
+  val q91: Q = (s, dir) => {
+    import s.implicits._
+    q91Bench(s, dir).orderBy($"label")
+  }
+  val q91Sql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT)) AS e
+       |  FROM embeddings),
+       |ev AS (SELECT e AS pe FROM q WHERE vec_id % 100 = 0),
+       |m AS (
+       |  SELECT tr.vec_id, tr.label,
+       |    MAX(CAST(list_sum(list_transform(range(1, len(e)+1), i -> e[i] * pe[i])) AS DOUBLE)
+       |      / (sqrt(CAST(list_sum(list_transform(e, x -> x*x)) AS BIGINT)::DOUBLE)
+       |       * sqrt(CAST(list_sum(list_transform(pe, x -> x*x)) AS BIGINT)::DOUBLE))) AS max_sim
+       |  FROM q tr, ev WHERE tr.vec_id % 100 <> 0
+       |  GROUP BY tr.vec_id, tr.label)
+       |SELECT label, COUNT(*) AS n_train,
+       |  CAST(SUM(CASE WHEN max_sim >= $DecontamSim THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |  COUNT(*) - CAST(SUM(CASE WHEN max_sim >= $DecontamSim THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM m
+       |GROUP BY label
+       |ORDER BY label""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q22_exact_dedup"    -> q22,
     "q23_text_stats"     -> q23,
@@ -1046,6 +1106,7 @@ object LlmOps {
     "q54_quantize_audit" -> q54,
     "q57_ingest_pipeline" -> q57,
     "q58_batch_ivf_ann"  -> q58,
+    "q91_sem_decontam"   -> q91,
     "q74_knn_join"       -> q74)
 
   val oracles: Map[String, String] = Map(
@@ -1062,11 +1123,13 @@ object LlmOps {
     "q54_quantize_audit" -> q54Sql,
     "q57_ingest_pipeline" -> q57Sql,
     "q58_batch_ivf_ann"  -> q58Sql,
+    "q91_sem_decontam"   -> q91Sql,
     "q74_knn_join"       -> q74Sql)
 
   /** Bench-time overrides minus determinism-only global sorts (see
     * [[Relational.benchVariants]]). Verify runs the sorted forms. */
   val benchVariants: Map[String, Q] = Map(
-    "q22_exact_dedup" -> q22Bench,
-    "q74_knn_join"    -> q74Bench)
+    "q22_exact_dedup"  -> q22Bench,
+    "q74_knn_join"     -> q74Bench,
+    "q91_sem_decontam" -> q91Bench)
 }
