@@ -70,7 +70,9 @@ object TxnTable {
   final case class Snapshot(version: Long, op: String, files: Seq[String],
                             stats: Map[String, (Long, Long)] = Map.empty,
                             statsCol: Option[String] = None,
-                            schema: Option[org.apache.spark.sql.types.StructType] = None)
+                            schema: Option[org.apache.spark.sql.types.StructType] = None,
+                            blooms: Map[String, Array[Byte]] = Map.empty,
+                            bloomCol: Option[String] = None)
 
   private val Header = "graft-txn v1"
   // '#' cannot start a data-file path (paths are data/<uuid>/part-*)
@@ -136,20 +138,30 @@ object TxnTable {
         .fromJson(l.stripPrefix(SchemaTag))
         .asInstanceOf[org.apache.spark.sql.types.StructType]
     }
-    // file lines: `relpath` or `relpath\t<col>:<min>:<max>` (v1 readers
-    // of stats-less manifests and stats-aware readers interoperate)
+    // file lines: `relpath` + optional tab-separated per-file metadata
+    // fields — `<col>:<min>:<max>` range stats and/or
+    // `bloom:<col>:<base64>` membership filters (readers of older,
+    // field-less manifests interoperate: unknown absence = no pruning)
     val entries = lines.tail.filterNot(_.startsWith(SchemaTag)).map { l =>
-      l.split("\t") match {
-        case Array(f)       => (f, None)
-        case Array(f, stat) =>
-          val Array(c, lo, hi) = stat.split(":")
-          (f, Some((c, lo.toLong, hi.toLong)))
+      val fields = l.split("\t")
+      var stat: Option[(String, Long, Long)] = None
+      var bloom: Option[(String, Array[Byte])] = None
+      fields.drop(1).foreach {
+        case b if b.startsWith("bloom:") =>
+          val Array(_, c, b64) = b.split(":", 3)
+          bloom = Some((c, java.util.Base64.getDecoder.decode(b64)))
+        case st =>
+          val Array(c, lo, hi) = st.split(":")
+          stat = Some((c, lo.toLong, hi.toLong))
       }
+      (fields.head, stat, bloom)
     }
     Snapshot(version, lines.head.stripPrefix(Header).trim, entries.map(_._1),
-      entries.collect { case (f, Some((_, lo, hi))) => f -> (lo, hi) }.toMap,
-      entries.collectFirst { case (_, Some((c, _, _))) => c },
-      schema)
+      entries.collect { case (f, Some((_, lo, hi)), _) => f -> (lo, hi) }.toMap,
+      entries.collectFirst { case (_, Some((c, _, _)), _) => c },
+      schema,
+      entries.collect { case (f, _, Some((_, b))) => f -> b }.toMap,
+      entries.collectFirst { case (_, _, Some((c, _))) => c })
   }
 
   def latest(s: SparkSession, root: String): Option[Snapshot] =
@@ -211,6 +223,34 @@ object TxnTable {
       }.toMap
   }
 
+  /** Per-file BLOOM FILTERS over one integral column, ONE Spark job for
+    * the whole commit (groupBy input file, [[graft.functions.BloomAgg]]
+    * partials merging map-side). Size calculus the caller owns: ~1.2 B
+    * per expected item at 3% fpp, base64 in the manifest — right for
+    * point-lookup keys with bounded per-file cardinality; a million-key
+    * file wants the filter in a sidecar, which is where real formats
+    * keep it (the protocol here is the point, not the envelope). */
+  private def fileBlooms(s: SparkSession, root: String, staged: Seq[String],
+                         bloomCol: String,
+                         expectedItemsPerFile: Long = BloomItemsPerFile)
+      : Map[String, Array[Byte]] = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val base = root.stripSuffix("/")
+    s.read.parquet(staged.map(f => s"$base/$f"): _*)
+      .groupBy(input_file_name().as("f"))
+      .agg(graft.functions.BloomAgg
+        .bloomAgg(col(bloomCol).cast("long"), expectedItemsPerFile, BloomFpp)
+        .as("bf"))
+      .collect()
+      .flatMap { r =>
+        val uri = r.getString(0)
+        staged.find(f => uri.endsWith(f)).map(f => f -> r.getAs[Array[Byte]]("bf"))
+      }.toMap
+  }
+
+  private val BloomItemsPerFile = 10000L
+  private val BloomFpp = 0.03
+
   /** Publish a manifest as version `v` — tmp write + atomic rename into
     * the create-no-overwrite slot. Throws [[TxnConflictException]] if a
     * concurrent writer took `v` first. */
@@ -218,7 +258,9 @@ object TxnTable {
                             files: Seq[String],
                             stats: Map[String, (Long, Long)] = Map.empty,
                             statsCol: Option[String] = None,
-                            schema: Option[org.apache.spark.sql.types.StructType] = None): Snapshot = {
+                            schema: Option[org.apache.spark.sql.types.StructType] = None,
+                            blooms: Map[String, Array[Byte]] = Map.empty,
+                            bloomCol: Option[String] = None): Snapshot = {
     val f = fs(s, root)
     val dst = manifestPath(root, v)
     f.mkdirs(dst.getParent)
@@ -227,10 +269,16 @@ object TxnTable {
     val tmp = new Path(dst.getParent,
       s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val lines = schema.map(sc => SchemaTag + sc.json).toSeq ++ files.map { file =>
-      (statsCol, stats.get(file)) match {
-        case (Some(c), Some((lo, hi))) => s"$file\t$c:$lo:$hi"
-        case _                         => file
+      val statF = (statsCol, stats.get(file)) match {
+        case (Some(c), Some((lo, hi))) => Seq(s"$c:$lo:$hi")
+        case _                         => Seq.empty
       }
+      val bloomF = (bloomCol, blooms.get(file)) match {
+        case (Some(c), Some(b)) =>
+          Seq(s"bloom:$c:${java.util.Base64.getEncoder.encodeToString(b)}")
+        case _ => Seq.empty
+      }
+      (file +: (statF ++ bloomF)).mkString("\t")
     }
     val out = f.create(tmp, false)
     try out.write((s"$Header $op\n" + lines.mkString("\n") + "\n")
@@ -242,7 +290,7 @@ object TxnTable {
       f.delete(tmp, false)
       throw new TxnConflictException(s"lost commit race for version $v at $root")
     }
-    Snapshot(v, op, files, stats, statsCol, schema)
+    Snapshot(v, op, files, stats, statsCol, schema, blooms, bloomCol)
   }
 
   private def nextVersion(s: SparkSession, root: String): Long =
@@ -253,15 +301,19 @@ object TxnTable {
     * write time and recorded in the manifest — prior files keep their
     * recorded stats — enabling [[readPruned]] file skipping. */
   def append(s: SparkSession, root: String, df: DataFrame,
-             statsCol: Option[String] = None): Snapshot = {
+             statsCol: Option[String] = None,
+             bloomCol: Option[String] = None): Snapshot = {
     val staged = stage(s, root, df)
     val prior = latest(s, root)
     val col = statsCol.orElse(prior.flatMap(_.statsCol))
+    val bcol = bloomCol.orElse(prior.flatMap(_.bloomCol))
     val stagedStats = col.map(fileStats(s, root, staged, _)).getOrElse(Map.empty)
+    val stagedBlooms = bcol.map(fileBlooms(s, root, staged, _)).getOrElse(Map.empty)
     commit(s, root, nextVersion(s, root), "append",
       prior.map(_.files).getOrElse(Seq.empty) ++ staged,
       prior.map(_.stats).getOrElse(Map.empty) ++ stagedStats, col,
-      Some(evolve(prior.flatMap(_.schema), df.schema)))
+      Some(evolve(prior.flatMap(_.schema), df.schema)),
+      prior.map(_.blooms).getOrElse(Map.empty) ++ stagedBlooms, bcol)
   }
 
   /** [[append]] with bounded optimistic-concurrency retries — the loop
@@ -338,12 +390,15 @@ object TxnTable {
     * (their files are immutable) until [[vacuum]]. `statsCol` as in
     * [[append]]. */
   def overwrite(s: SparkSession, root: String, df: DataFrame,
-                statsCol: Option[String] = None): Snapshot = {
+                statsCol: Option[String] = None,
+                bloomCol: Option[String] = None): Snapshot = {
     val staged = stage(s, root, df)
     val stagedStats =
       statsCol.map(fileStats(s, root, staged, _)).getOrElse(Map.empty)
+    val stagedBlooms =
+      bloomCol.map(fileBlooms(s, root, staged, _)).getOrElse(Map.empty)
     commit(s, root, nextVersion(s, root), "overwrite", staged,
-      stagedStats, statsCol, Some(df.schema))
+      stagedStats, statsCol, Some(df.schema), stagedBlooms, bloomCol)
   }
 
   /** Transactional compaction: rewrite the current snapshot to
@@ -371,11 +426,14 @@ object TxnTable {
           .sortWithinPartitions(sortCols.map(col): _*)
       }
     val staged = stage(s, root, arranged)
-    // rewritten files get fresh stats under the table's stats column
+    // rewritten files get fresh stats/blooms under the table's columns
     val stagedStats =
       cur.statsCol.map(fileStats(s, root, staged, _)).getOrElse(Map.empty)
+    val stagedBlooms =
+      cur.bloomCol.map(fileBlooms(s, root, staged, _)).getOrElse(Map.empty)
     commit(s, root, cur.version + 1, "compact", staged, stagedStats,
-      cur.statsCol, cur.schema.orElse(Some(arranged.schema)))
+      cur.statsCol, cur.schema.orElse(Some(arranged.schema)),
+      stagedBlooms, cur.bloomCol)
   }
 
   /** Targeted MERGE (upsert): apply `changes` by `keyCols` — a change
@@ -417,9 +475,14 @@ object TxnTable {
       if (staged.nonEmpty) cur.statsCol.map(fileStats(s, root, staged, _))
         .getOrElse(Map.empty[String, (Long, Long)])
       else Map.empty[String, (Long, Long)]
+    val stagedBlooms =
+      if (staged.nonEmpty) cur.bloomCol.map(fileBlooms(s, root, staged, _))
+        .getOrElse(Map.empty[String, Array[Byte]])
+      else Map.empty[String, Array[Byte]]
     commit(s, root, cur.version + 1, "merge", carry ++ staged,
       cur.stats.view.filterKeys(carry.toSet).toMap ++ stagedStats, cur.statsCol,
-      Some(evolve(cur.schema, changes.schema)))
+      Some(evolve(cur.schema, changes.schema)),
+      cur.blooms.view.filterKeys(carry.toSet).toMap ++ stagedBlooms, cur.bloomCol)
   }
 
   /** Manifest-level FILE SKIPPING: the table restricted to files whose
@@ -441,6 +504,28 @@ object TxnTable {
     if (kept.nonEmpty) reader.parquet(kept.map(f => s"$base/$f"): _*)
     else // everything pruned: zero rows, schema from one footer
       reader.parquet(s"$base/${snap.files.head}").limit(0)
+  }
+
+  /** BLOOM-pruned POINT LOOKUP: the table restricted to files whose
+    * per-file bloom filter might contain `value` — the complement of
+    * [[readPruned]]'s range stats: min/max prunes range predicates on
+    * the CLUSTERED column, blooms prune equality probes on ANY column
+    * regardless of layout (the "find this user / this digest" shape that
+    * at 100 TB is otherwise a full scan on an unsorted key). False
+    * positives only cost an extra file read — the caller's residual
+    * filter keeps correctness; files without a filter are always kept
+    * (skipping must never be unsound). */
+  def readPointLookup(s: SparkSession, root: String, value: Long): DataFrame = {
+    val snap = latest(s, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    require(snap.files.nonEmpty, s"snapshot v${snap.version} has no data files")
+    val kept = snap.files.filter(f =>
+      snap.blooms.get(f).forall(b =>
+        graft.functions.BloomAgg.fromBytes(b).mightContainLong(value)))
+    val base = root.stripSuffix("/")
+    val reader = snap.schema.fold(s.read)(s.read.schema)
+    if (kept.nonEmpty) reader.parquet(kept.map(f => s"$base/$f"): _*)
+    else reader.parquet(s"$base/${snap.files.head}").limit(0)
   }
 
   /** Copy-on-write DELETE: commit a new snapshot without the rows
@@ -491,9 +576,14 @@ object TxnTable {
       if (staged.nonEmpty) cur.statsCol.map(fileStats(s, root, staged, _))
         .getOrElse(Map.empty[String, (Long, Long)])
       else Map.empty[String, (Long, Long)]
+    val stagedBlooms =
+      if (staged.nonEmpty) cur.bloomCol.map(fileBlooms(s, root, staged, _))
+        .getOrElse(Map.empty[String, Array[Byte]])
+      else Map.empty[String, Array[Byte]]
     commit(s, root, cur.version + 1, "delete", carry ++ staged,
       cur.stats.view.filterKeys(carry.toSet).toMap ++ stagedStats, cur.statsCol,
-      cur.schema)
+      cur.schema,
+      cur.blooms.view.filterKeys(carry.toSet).toMap ++ stagedBlooms, cur.bloomCol)
   }
 
   /** Retention: keep the newest `retainVersions` manifests, drop older

@@ -285,6 +285,42 @@ class TxnTableSpec extends AnyFunSuite {
     assert(rows(TxnTable.read(spark, root)) === rows(df(1, 2, 3)))
   }
 
+  test("per-file blooms prune point lookups on an unclustered key; " +
+    "carried through delete and refreshed by compaction") {
+    val root = freshRoot()
+    // three single-file commits; ids deliberately interleaved so RANGE
+    // stats could prune nothing — the bloom is what carries the lookup
+    TxnTable.overwrite(spark, root, df(1, 500, 900).coalesce(1),
+      bloomCol = Some("id"))
+    TxnTable.append(spark, root, df(2, 501, 901).coalesce(1)) // inherits bloomCol
+    TxnTable.append(spark, root, df(3, 502, 902).coalesce(1))
+    val snap = TxnTable.latest(spark, root).get
+    assert(snap.bloomCol === Some("id"))
+    assert(snap.blooms.size === 3)
+
+    // id=501 lives in exactly one file — the lookup must touch only it
+    // (a 3%-fpp bloom over 3 items makes a false positive negligible)
+    val hit = TxnTable.readPointLookup(spark, root, 501L)
+    assert(hit.inputFiles.length === 1)
+    assert(rows(hit.filter(col("id") === 501)) === rows(df(501)))
+    // an absent key prunes everything
+    assert(TxnTable.readPointLookup(spark, root, 12345L).inputFiles.length <= 1)
+    assert(TxnTable.readPointLookup(spark, root, 12345L)
+      .filter(col("id") === 12345).count() === 0)
+
+    // delete keeps carried files' blooms usable
+    TxnTable.deleteWhere(spark, root, col("id") === 3)
+    val afterDel = TxnTable.readPointLookup(spark, root, 501L)
+    assert(rows(afterDel.filter(col("id") === 501)) === rows(df(501)))
+
+    // compaction rebuilds blooms for the rewritten files
+    TxnTable.compactTxn(spark, root, targetFiles = 2)
+    val compacted = TxnTable.latest(spark, root).get
+    assert(compacted.blooms.size === compacted.files.size)
+    assert(rows(TxnTable.readPointLookup(spark, root, 900L)
+      .filter(col("id") === 900)) === rows(df(900)))
+  }
+
   test("appendWithRetry: concurrent writers all land, no rows lost") {
     val root = freshRoot()
     TxnTable.overwrite(spark, root, df(0))
