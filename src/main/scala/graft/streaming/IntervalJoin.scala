@@ -28,7 +28,25 @@ object IntervalJoin {
   /** Inner interval join: (purchase, matching prior-hour click) rows.
     * `delay` is each side's late-data tolerance. */
   def purchasesWithPriorClicks(clicks: Dataset[Click], purchases: Dataset[Purchase],
-                               delay: String = "0 seconds"): DataFrame = {
+                               delay: String = "0 seconds"): DataFrame =
+    joined(clicks, purchases, delay, "inner")
+
+  /** LEFT OUTER interval join — the attribution shape "every purchase,
+    * with its prior-hour click IF any": a purchase that never matches
+    * must still come out, but only once it CANNOT match anymore — the
+    * engine holds the unmatched purchase in state and emits the
+    * null-padded row when the click-side watermark passes
+    * `purchase_ts` (the end of its interval), which is exactly the
+    * watermark-finalization semantics append-mode outer joins need.
+    * Until the watermark moves, absence is indistinguishable from
+    * lateness; after it, absence is a fact. State bounds are the same
+    * as the inner form — both sides evict at the interval horizon. */
+  def purchasesWithOptionalClicks(clicks: Dataset[Click], purchases: Dataset[Purchase],
+                                  delay: String = "0 seconds"): DataFrame =
+    joined(clicks, purchases, delay, "left_outer")
+
+  private def joined(clicks: Dataset[Click], purchases: Dataset[Purchase],
+                     delay: String, joinType: String): DataFrame = {
     val c = clicks.withWatermark("click_ts", delay)
       .withColumnRenamed("user_id", "c_user")
     val p = purchases.withWatermark("purchase_ts", delay)
@@ -37,7 +55,8 @@ object IntervalJoin {
       expr(
         """user_id = c_user AND
           |click_ts >= purchase_ts - INTERVAL 1 HOUR AND
-          |click_ts < purchase_ts""".stripMargin))
+          |click_ts < purchase_ts""".stripMargin),
+      joinType)
       .select(col("user_id"), col("event_id"), col("purchase_ts"), col("click_ts"))
   }
 }

@@ -59,4 +59,47 @@ class IntervalJoinSpec extends AnyFunSuite {
         plan.lastProgress.stateOperators.nonEmpty, "expected stateful join operators")
     } finally query.stop()
   }
+
+  test("left outer: unmatched purchase emits null-padded ONLY after the " +
+    "watermark proves no click can arrive") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val clicks = MemoryStream[Click]
+    val purchases = MemoryStream[Purchase]
+    val query = IntervalJoin
+      .purchasesWithOptionalClicks(clicks.toDS(), purchases.toDS())
+      .writeStream.format("memory").queryName("interval_outer_out")
+      .outputMode("append").start()
+    try {
+      // user 1 purchases with a prior click; user 3 purchases with none
+      clicks.addData(Click(1, ts(2400)))
+      purchases.addData(Purchase(1, 201L, ts(3000)), Purchase(3, 301L, ts(3000)))
+      query.processAllAvailable()
+      val early = s.table("interval_outer_out")
+        .select("event_id", "click_ts").collect()
+        .map(r => (r.getLong(0), Option(r.getTimestamp(1))))
+      // the matched row may emit now; the UNMATCHED one must NOT — at
+      // this watermark, absence could still be lateness
+      assert(!early.contains((301L, None)),
+        s"null-padded row emitted before finalization: ${early.toSeq}")
+
+      // advance the CLICK watermark far past purchase_ts 3000 — the
+      // unmatched purchase is now a fact and must emit null-padded
+      // (watermark trails by a batch: two adds)
+      clicks.addData(Click(9, ts(20000)))
+      query.processAllAvailable()
+      clicks.addData(Click(9, ts(20001)))
+      query.processAllAvailable()
+      purchases.addData(Purchase(9, 999L, ts(30000))) // nudge the join along
+      query.processAllAvailable()
+
+      val out = s.table("interval_outer_out")
+        .select("event_id", "click_ts").collect()
+        .map(r => (r.getLong(0), Option(r.getTimestamp(1)))).toSet
+      assert(out.contains((201L, Some(ts(2400)))), s"matched row missing: $out")
+      assert(out.contains((301L, None)), s"finalized null-padded row missing: $out")
+    } finally query.stop()
+  }
 }
