@@ -475,14 +475,17 @@ object Relational {
   // q19: argmax per group (A1 agg form): max(struct) picks the
   // lexicographic max — deterministic tie-break on the orderkey.
   // ---------------------------------------------------------------------
-  val q19: Q = (s, dir) => {
+  val q19Bench: Q = (s, dir) => {
     import s.implicits._
     t(s, dir, "orders")
       .groupBy($"o_custkey")
       .agg(max(struct($"o_totalprice", $"o_orderkey")).as("m"))
       .select($"o_custkey", $"m.o_orderkey".as("best_orderkey"),
               $"m.o_totalprice".as("best_price"))
-      .orderBy($"o_custkey")
+  }
+  val q19: Q = (s, dir) => {
+    import s.implicits._
+    q19Bench(s, dir).orderBy($"o_custkey")
   }
   val q19Sql: String =
     """SELECT o_custkey, o_orderkey AS best_orderkey, o_totalprice AS best_price
@@ -813,7 +816,7 @@ object Relational {
   // express when row counts per day vary). Exact-integer sums keep the
   // frame arithmetic engine-portable.
   // ---------------------------------------------------------------------
-  val q45: Q = (s, dir) => {
+  val q45Bench: Q = (s, dir) => {
     import s.implicits._
     val w = Window.partitionBy($"o_custkey")
       .orderBy(unix_date(to_date($"o_orderdate")))
@@ -822,7 +825,10 @@ object Relational {
       .withColumn("trail30",
         (sum(cents($"o_totalprice")).over(w) / lit(100.0)))
       .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"trail30")
-      .orderBy($"o_custkey", $"o_orderkey")
+  }
+  val q45: Q = (s, dir) => {
+    import s.implicits._
+    q45Bench(s, dir).orderBy($"o_custkey", $"o_orderkey")
   }
   val q45Sql: String =
     s"""SELECT o_custkey, o_orderkey, o_totalprice,
@@ -1265,7 +1271,9 @@ object Relational {
   // exactly the rewrite you'd hand-write at scale; the surface matters
   // because migrating SQL workloads arrive in this form.
   // ---------------------------------------------------------------------
-  val q76: Q = (s, dir) => {
+  // the inner ORDER BY ... LIMIT is the lateral top-k SEMANTICS and
+  // stays in the benched plan; only the outer presentation sort drops
+  val q76Bench: Q = (s, dir) => {
     t(s, dir, "customer").createOrReplaceTempView("customer_v")
     t(s, dir, "orders").createOrReplaceTempView("orders_v")
     s.sql(
@@ -1273,8 +1281,11 @@ object Relational {
         |FROM customer_v c, LATERAL (
         |  SELECT o_orderkey, o_totalprice FROM orders_v o
         |  WHERE o.o_custkey = c.c_custkey
-        |  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) t
-        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) t""".stripMargin)
+  }
+  val q76: Q = (s, dir) => {
+    import s.implicits._
+    q76Bench(s, dir).orderBy($"c_custkey", $"o_totalprice".desc, $"o_orderkey")
   }
   val q76Sql: String =
     """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
@@ -1655,6 +1666,9 @@ object Relational {
     * (sorted) form from [[queries]]. */
   val benchVariants: Map[String, Q] = Map(
     "q17_running_window"   -> q17Bench,
+    "q19_argmax_per_group" -> q19Bench,
+    "q45_range_frame"      -> q45Bench,
+    "q76_lateral_topk"     -> q76Bench,
     "q69_analytic_windows" -> q69Bench,
     "q72_gapfill"          -> q72Bench,
     "q81_first_nth_value"  -> q81Bench,
