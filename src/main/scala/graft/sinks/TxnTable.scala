@@ -364,11 +364,14 @@ object TxnTable {
       val staged = stage(s, root, df)
       val prior = vs.lastOption.map(snapshot(s, root, _))
       val col = prior.flatMap(_.statsCol)
+      val bcol = prior.flatMap(_.bloomCol)
       val stagedStats = col.map(fileStats(s, root, staged, _)).getOrElse(Map.empty)
+      val stagedBlooms = bcol.map(fileBlooms(s, root, staged, _)).getOrElse(Map.empty)
       Some(commit(s, root, vs.lastOption.getOrElse(0L) + 1, opTag,
         prior.map(_.files).getOrElse(Seq.empty) ++ staged,
         prior.map(_.stats).getOrElse(Map.empty) ++ stagedStats, col,
-        Some(evolve(prior.flatMap(_.schema), df.schema))))
+        Some(evolve(prior.flatMap(_.schema), df.schema)),
+        prior.map(_.blooms).getOrElse(Map.empty) ++ stagedBlooms, bcol))
     }
   }
 
@@ -382,8 +385,17 @@ object TxnTable {
     val opTag = s"replace-batch:$batchId"
     val vs = versions(s, root)
     if (vs.exists(v => snapshot(s, root, v).op == opTag)) None
-    else Some(commit(s, root, vs.lastOption.getOrElse(0L) + 1, opTag,
-      stage(s, root, df), schema = Some(df.schema)))
+    else {
+      val staged = stage(s, root, df)
+      // replacement rebuilds file metadata under the table's columns
+      val prior = vs.lastOption.map(snapshot(s, root, _))
+      val col = prior.flatMap(_.statsCol)
+      val bcol = prior.flatMap(_.bloomCol)
+      val stagedStats = col.map(fileStats(s, root, staged, _)).getOrElse(Map.empty)
+      val stagedBlooms = bcol.map(fileBlooms(s, root, staged, _)).getOrElse(Map.empty)
+      Some(commit(s, root, vs.lastOption.getOrElse(0L) + 1, opTag,
+        staged, stagedStats, col, Some(df.schema), stagedBlooms, bcol))
+    }
   }
 
   /** Replace the table content with `df`. Old snapshots stay readable
