@@ -476,7 +476,10 @@ object TxnTable {
     val rewritten =
       if (touch.isEmpty) changes
       else {
-        val survivors = s.read.parquet(touch.map(f => s"$base/$f"): _*)
+        // schema-pinned read: a change set keyed on a post-evolution
+        // column must see null (not AnalysisException) in older files
+        val survivors = cur.schema.fold(s.read)(s.read.schema)
+          .parquet(touch.map(f => s"$base/$f"): _*)
           .join(changes.select(keyCols.map(org.apache.spark.sql.functions.col): _*),
             keyCols, "left_anti")
         survivors.unionByName(changes, allowMissingColumns = true)
@@ -578,7 +581,10 @@ object TxnTable {
     val staged =
       if (touch.isEmpty) Seq.empty[String]
       else {
-        val rest = s.read.parquet(touch.map(f => s"$base/$f"): _*)
+        // schema-pinned read: predicates on post-evolution columns see
+        // null in older files instead of failing to resolve
+        val rest = cur.schema.fold(s.read)(s.read.schema)
+          .parquet(touch.map(f => s"$base/$f"): _*)
           .filter(org.apache.spark.sql.functions.not(predicate))
         // a delete may empty every touched file; a 0-row stage would
         // write no parquet parts to reference
