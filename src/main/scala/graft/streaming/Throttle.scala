@@ -29,7 +29,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * in a later batch is throttled against state as of ITS batch. The
   * batch twin over the full log is the exact-order reference.
   */
-object Throttle {
+object Throttle extends Serializable {
 
   final case class Ev(user_id: Long, event_type: String, ts: Timestamp,
                       value: Double)
@@ -37,6 +37,20 @@ object Throttle {
                         value: Double)
   // not private: the state encoder's generated code instantiates it
   final case class LastKept(ms: Long)
+
+  /** The throttle's core as a pure fold (property-tested in
+    * ThrottleLawsProps): given event times in ascending order and the
+    * carried last-kept time, returns (kept times, new last-kept).
+    * Greedy earliest-first selection — keep t iff t > last + window. */
+  private[graft] def foldKept(sortedTimes: Seq[Long], lastKept: Option[Long],
+                              windowMs: Long): (Seq[Long], Option[Long]) = {
+    val out = Seq.newBuilder[Long]
+    var last = lastKept
+    sortedTimes.foreach { t =>
+      if (last.forall(t > _ + windowMs)) { out += t; last = Some(t) }
+    }
+    (out.result(), last)
+  }
 
   /** Append-mode throttle over a streaming Dataset[Ev]. */
   def throttled(events: Dataset[Ev], windowSeconds: Long,
@@ -54,13 +68,18 @@ object Throttle {
         Iterator.empty
       } else {
         val sorted = evs.toArray.sortBy(e => (e.ts.getTime, e.value))
+        val (kept, last) =
+          foldKept(sorted.map(_.ts.getTime), state.getOption.map(_.ms), windowMs)
+        val keptSet = kept.toSet
+        // ties on ts: foldKept keeps ONE timestamp; emit the first
+        // sorted event carrying it (the (ts, value) sort makes it unique)
         val out = Array.newBuilder[Kept]
-        var last = state.getOption.map(_.ms)
+        val seen = scala.collection.mutable.Set[Long]()
         sorted.foreach { e =>
           val t = e.ts.getTime
-          if (last.forall(t > _ + windowMs)) {
+          if (keptSet.contains(t) && !seen.contains(t)) {
+            seen += t
             out += Kept(key._1, key._2, t, e.value)
-            last = Some(t)
           }
         }
         last.foreach { ms =>
