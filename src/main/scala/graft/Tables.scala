@@ -35,6 +35,12 @@ object Tables {
         if (!spark.conf.getOption(k).contains(v)) spark.conf.set(k, v)
     }
 
+  /** Sanitize a dataset dir into an identifier fragment — THE shared
+    * helper for every per-dataset artifact path/table name (Bucketed
+    * layouts, IVF index, txn roots); one definition so naming can never
+    * silently diverge between modules. */
+  def dirTag(dir: String): String = dir.replaceAll("[^A-Za-z0-9]", "_")
+
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // Every oracle compare assumes UTC day/month bucketing, and events.ts
     // needs the nanos-as-long legacy read; pinned here (guarded) so

@@ -53,8 +53,7 @@ object Bucketed {
     "lineitem" -> ("l_orderkey", Seq("l_orderkey")),
     "events"   -> ("user_id",    Seq("user_id", "ts", "event_id")))
 
-  private def tag(dir: String): String =
-    dir.replaceAll("[^A-Za-z0-9]", "_")
+  private def tag(dir: String): String = graft.Tables.dirTag(dir)
 
   /** Idempotent one-time bucketed layout for one table of (sfDir),
     * bucketed/sorted per [[specs]]. The in-memory catalog does not

@@ -552,7 +552,7 @@ object LlmOps {
   private val IvfProbe = 2
   private val IvfDb = "graft_ivf"
 
-  private def tagDir(dir: String): String = dir.replaceAll("[^A-Za-z0-9]", "_")
+  private def tagDir(dir: String): String = graft.Tables.dirTag(dir)
 
   /** Idempotent one-time IVF index for (sfDir): every embedding row
     * tagged with its nearest-centroid cell, written partitioned by cell.

@@ -30,7 +30,7 @@ object Txn {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private def tag(dir: String): String = dir.replaceAll("[^A-Za-z0-9]", "_")
+  private def tag(dir: String): String = graft.Tables.dirTag(dir)
 
   private[queries] def tableRoot(s: SparkSession, dir: String): String =
     s.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
@@ -52,7 +52,11 @@ object Txn {
     import s.implicits._
     val root = tableRoot(s, dir)
     val st = graft.SourceStamp.table(s, dir, "events")
-    if (TxnTable.versions(s, root).size < 4 ||
+    // op-based idempotence: the build always ENDS with the compact
+    // commit, so "last op is compact" is day-count-independent (a
+    // version COUNT check miscounts for sources with < 3 days and
+    // rebuilds on every call)
+    if (!TxnTable.latest(s, root).exists(_.op == "compact") ||
         !graft.SourceStamp.isCurrent(s, root, st)) {
       val loc = new org.apache.hadoop.fs.Path(root)
       val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)

@@ -206,46 +206,56 @@ object TxnTable {
     * Iceberg keeps in its manifests. Recorded once at write time; every
     * later [[readPruned]] skips files from the MANIFEST alone, no
     * footer reads, no listing. */
-  private def fileStats(s: SparkSession, root: String, staged: Seq[String],
-                        statsCol: String): Map[String, (Long, Long)] = {
+  /** Per-file commit metadata — [min, max] range stats and/or a bloom
+    * filter ([[graft.functions.BloomAgg]]) over the table's recorded
+    * columns — in ONE Spark job for the whole commit regardless of
+    * which are enabled (one groupBy(input_file_name) aggregate, partials
+    * merging map-side; never a job per file or per metadata kind).
+    *
+    * Bloom size calculus the caller owns: ~1.2 B per expected item at
+    * 3% fpp, base64 in the manifest — right for point-lookup keys with
+    * bounded per-file cardinality; a million-key file wants the filter
+    * in a sidecar, which is where real formats keep it (the protocol
+    * here is the point, not the envelope).
+    *
+    * Robust to evolution edges: a staged set that lacks the metadata
+    * column entirely (an old-shape append — [[evolve]] allows it), or a
+    * file whose column is all null, simply gets NO entry — absent
+    * metadata means "never skip this file", which is always sound. */
+  private def fileMeta(s: SparkSession, root: String, staged: Seq[String],
+                       statsCol: Option[String], bloomCol: Option[String])
+      : (Map[String, (Long, Long)], Map[String, Array[Byte]]) = {
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    if (staged.isEmpty || (statsCol.isEmpty && bloomCol.isEmpty))
+      return (Map.empty, Map.empty)
     val base = root.stripSuffix("/")
-    s.read.parquet(staged.map(f => s"$base/$f"): _*)
-      .groupBy(input_file_name().as("f"))
-      .agg(min(col(statsCol).cast("long")).as("lo"),
-        max(col(statsCol).cast("long")).as("hi"))
+    val df = s.read.parquet(staged.map(f => s"$base/$f"): _*)
+    val present = df.columns.toSet
+    val sCol = statsCol.filter(present.contains)
+    val bCol = bloomCol.filter(present.contains)
+    if (sCol.isEmpty && bCol.isEmpty) return (Map.empty, Map.empty)
+    val aggs =
+      sCol.toSeq.flatMap(c => Seq(min(col(c).cast("long")).as("lo"),
+        max(col(c).cast("long")).as("hi"))) ++
+      bCol.toSeq.map(c => graft.functions.BloomAgg
+        .bloomAgg(col(c).cast("long"), BloomItemsPerFile, BloomFpp).as("bf"))
+    val rows = df.groupBy(input_file_name().as("f"))
+      .agg(aggs.head, aggs.tail: _*)
       .collect()
-      .flatMap { r =>
-        // input_file_name is a URI; staged paths are root-relative
-        val uri = r.getString(0)
-        staged.find(f => uri.endsWith(f)).map(f =>
-          f -> (r.getLong(1), r.getLong(2)))
+    // input_file_name is a URI; staged paths are root-relative
+    def fileOf(uri: String): Option[String] = staged.find(uri.endsWith)
+    val stats = if (sCol.isEmpty) Map.empty[String, (Long, Long)]
+      else rows.flatMap { r =>
+        // all-null column in a file -> null min/max -> no stats entry
+        if (r.isNullAt(1) || r.isNullAt(2)) None
+        else fileOf(r.getString(0)).map(f => f -> (r.getLong(1), r.getLong(2)))
       }.toMap
-  }
-
-  /** Per-file BLOOM FILTERS over one integral column, ONE Spark job for
-    * the whole commit (groupBy input file, [[graft.functions.BloomAgg]]
-    * partials merging map-side). Size calculus the caller owns: ~1.2 B
-    * per expected item at 3% fpp, base64 in the manifest — right for
-    * point-lookup keys with bounded per-file cardinality; a million-key
-    * file wants the filter in a sidecar, which is where real formats
-    * keep it (the protocol here is the point, not the envelope). */
-  private def fileBlooms(s: SparkSession, root: String, staged: Seq[String],
-                         bloomCol: String,
-                         expectedItemsPerFile: Long = BloomItemsPerFile)
-      : Map[String, Array[Byte]] = {
-    import org.apache.spark.sql.functions.{col, input_file_name}
-    val base = root.stripSuffix("/")
-    s.read.parquet(staged.map(f => s"$base/$f"): _*)
-      .groupBy(input_file_name().as("f"))
-      .agg(graft.functions.BloomAgg
-        .bloomAgg(col(bloomCol).cast("long"), expectedItemsPerFile, BloomFpp)
-        .as("bf"))
-      .collect()
-      .flatMap { r =>
-        val uri = r.getString(0)
-        staged.find(f => uri.endsWith(f)).map(f => f -> r.getAs[Array[Byte]]("bf"))
+    val blooms = if (bCol.isEmpty) Map.empty[String, Array[Byte]]
+      else rows.flatMap { r =>
+        val i = if (sCol.isEmpty) 1 else 3
+        fileOf(r.getString(0)).map(f => f -> r.getAs[Array[Byte]](i))
       }.toMap
+    (stats, blooms)
   }
 
   private val BloomItemsPerFile = 10000L
@@ -307,8 +317,7 @@ object TxnTable {
     val prior = latest(s, root)
     val col = statsCol.orElse(prior.flatMap(_.statsCol))
     val bcol = bloomCol.orElse(prior.flatMap(_.bloomCol))
-    val stagedStats = col.map(fileStats(s, root, staged, _)).getOrElse(Map.empty)
-    val stagedBlooms = bcol.map(fileBlooms(s, root, staged, _)).getOrElse(Map.empty)
+    val (stagedStats, stagedBlooms) = fileMeta(s, root, staged, col, bcol)
     commit(s, root, nextVersion(s, root), "append",
       prior.map(_.files).getOrElse(Seq.empty) ++ staged,
       prior.map(_.stats).getOrElse(Map.empty) ++ stagedStats, col,
@@ -325,22 +334,30 @@ object TxnTable {
     * it pays one small-file manifest write per attempt. */
   def appendWithRetry(s: SparkSession, root: String, df: DataFrame,
                       statsCol: Option[String] = None,
+                      bloomCol: Option[String] = None,
                       maxAttempts: Int = 5): Snapshot = {
     require(maxAttempts >= 1, "need at least one attempt")
     val staged = stage(s, root, df)
+    // metadata columns resolve against the FIRST head seen; staged file
+    // metadata is computed ONCE (it depends only on the staged files,
+    // not the version we land on) — a retry re-reads manifests, never
+    // data
+    val first = latest(s, root)
+    val col = statsCol.orElse(first.flatMap(_.statsCol))
+    val bcol = bloomCol.orElse(first.flatMap(_.bloomCol))
+    val (stagedStats, stagedBlooms) = fileMeta(s, root, staged, col, bcol)
     var attempt = 0
     while (true) {
       attempt += 1
       val prior = latest(s, root)
-      val col = statsCol.orElse(prior.flatMap(_.statsCol))
-      val stagedStats = col.map(fileStats(s, root, staged, _)).getOrElse(Map.empty)
       try {
         return commit(s, root, prior.map(_.version).getOrElse(0L) + 1, "append",
           prior.map(_.files).getOrElse(Seq.empty) ++ staged,
           prior.map(_.stats).getOrElse(Map.empty) ++ stagedStats, col,
-          Some(evolve(prior.flatMap(_.schema), df.schema)))
+          Some(evolve(prior.flatMap(_.schema), df.schema)),
+          prior.map(_.blooms).getOrElse(Map.empty) ++ stagedBlooms, bcol)
       } catch {
-        case e: TxnConflictException if attempt < maxAttempts => // re-resolve
+        case _: TxnConflictException if attempt < maxAttempts => // re-resolve
       }
     }
     throw new IllegalStateException("unreachable")
@@ -365,8 +382,7 @@ object TxnTable {
       val prior = vs.lastOption.map(snapshot(s, root, _))
       val col = prior.flatMap(_.statsCol)
       val bcol = prior.flatMap(_.bloomCol)
-      val stagedStats = col.map(fileStats(s, root, staged, _)).getOrElse(Map.empty)
-      val stagedBlooms = bcol.map(fileBlooms(s, root, staged, _)).getOrElse(Map.empty)
+      val (stagedStats, stagedBlooms) = fileMeta(s, root, staged, col, bcol)
       Some(commit(s, root, vs.lastOption.getOrElse(0L) + 1, opTag,
         prior.map(_.files).getOrElse(Seq.empty) ++ staged,
         prior.map(_.stats).getOrElse(Map.empty) ++ stagedStats, col,
@@ -391,8 +407,7 @@ object TxnTable {
       val prior = vs.lastOption.map(snapshot(s, root, _))
       val col = prior.flatMap(_.statsCol)
       val bcol = prior.flatMap(_.bloomCol)
-      val stagedStats = col.map(fileStats(s, root, staged, _)).getOrElse(Map.empty)
-      val stagedBlooms = bcol.map(fileBlooms(s, root, staged, _)).getOrElse(Map.empty)
+      val (stagedStats, stagedBlooms) = fileMeta(s, root, staged, col, bcol)
       Some(commit(s, root, vs.lastOption.getOrElse(0L) + 1, opTag,
         staged, stagedStats, col, Some(df.schema), stagedBlooms, bcol))
     }
@@ -405,10 +420,7 @@ object TxnTable {
                 statsCol: Option[String] = None,
                 bloomCol: Option[String] = None): Snapshot = {
     val staged = stage(s, root, df)
-    val stagedStats =
-      statsCol.map(fileStats(s, root, staged, _)).getOrElse(Map.empty)
-    val stagedBlooms =
-      bloomCol.map(fileBlooms(s, root, staged, _)).getOrElse(Map.empty)
+    val (stagedStats, stagedBlooms) = fileMeta(s, root, staged, statsCol, bloomCol)
     commit(s, root, nextVersion(s, root), "overwrite", staged,
       stagedStats, statsCol, Some(df.schema), stagedBlooms, bloomCol)
   }
@@ -439,10 +451,7 @@ object TxnTable {
       }
     val staged = stage(s, root, arranged)
     // rewritten files get fresh stats/blooms under the table's columns
-    val stagedStats =
-      cur.statsCol.map(fileStats(s, root, staged, _)).getOrElse(Map.empty)
-    val stagedBlooms =
-      cur.bloomCol.map(fileBlooms(s, root, staged, _)).getOrElse(Map.empty)
+    val (stagedStats, stagedBlooms) = fileMeta(s, root, staged, cur.statsCol, cur.bloomCol)
     commit(s, root, cur.version + 1, "compact", staged, stagedStats,
       cur.statsCol, cur.schema.orElse(Some(arranged.schema)),
       stagedBlooms, cur.bloomCol)
@@ -476,24 +485,23 @@ object TxnTable {
     val rewritten =
       if (touch.isEmpty) changes
       else {
+        import org.apache.spark.sql.functions.col
         // schema-pinned read: a change set keyed on a post-evolution
         // column must see null (not AnalysisException) in older files
-        val survivors = cur.schema.fold(s.read)(s.read.schema)
+        val existing = cur.schema.fold(s.read)(s.read.schema)
           .parquet(touch.map(f => s"$base/$f"): _*)
-          .join(changes.select(keyCols.map(org.apache.spark.sql.functions.col): _*),
-            keyCols, "left_anti")
+        // null-SAFE key equality (<=>): a null-keyed change row must
+        // REPLACE a null-keyed current row, not duplicate beside it —
+        // usingColumns anti-join would treat null != null
+        val ch = changes.select(keyCols.map(col): _*).dropDuplicates(keyCols)
+        val cond = keyCols.map(k => existing(k) <=> ch(k)).reduce(_ && _)
+        val survivors = existing.join(ch, cond, "left_anti")
         survivors.unionByName(changes, allowMissingColumns = true)
       }
     val staged =
       if (rewritten.isEmpty) Seq.empty[String] else stage(s, root, rewritten)
-    val stagedStats =
-      if (staged.nonEmpty) cur.statsCol.map(fileStats(s, root, staged, _))
-        .getOrElse(Map.empty[String, (Long, Long)])
-      else Map.empty[String, (Long, Long)]
-    val stagedBlooms =
-      if (staged.nonEmpty) cur.bloomCol.map(fileBlooms(s, root, staged, _))
-        .getOrElse(Map.empty[String, Array[Byte]])
-      else Map.empty[String, Array[Byte]]
+    val (stagedStats, stagedBlooms) =
+      fileMeta(s, root, staged, cur.statsCol, cur.bloomCol)
     commit(s, root, cur.version + 1, "merge", carry ++ staged,
       cur.stats.view.filterKeys(carry.toSet).toMap ++ stagedStats, cur.statsCol,
       Some(evolve(cur.schema, changes.schema)),
@@ -590,14 +598,8 @@ object TxnTable {
         // write no parquet parts to reference
         if (rest.isEmpty) Seq.empty[String] else stage(s, root, rest)
       }
-    val stagedStats =
-      if (staged.nonEmpty) cur.statsCol.map(fileStats(s, root, staged, _))
-        .getOrElse(Map.empty[String, (Long, Long)])
-      else Map.empty[String, (Long, Long)]
-    val stagedBlooms =
-      if (staged.nonEmpty) cur.bloomCol.map(fileBlooms(s, root, staged, _))
-        .getOrElse(Map.empty[String, Array[Byte]])
-      else Map.empty[String, Array[Byte]]
+    val (stagedStats, stagedBlooms) =
+      fileMeta(s, root, staged, cur.statsCol, cur.bloomCol)
     commit(s, root, cur.version + 1, "delete", carry ++ staged,
       cur.stats.view.filterKeys(carry.toSet).toMap ++ stagedStats, cur.statsCol,
       cur.schema,
@@ -608,7 +610,13 @@ object TxnTable {
     * ones, then delete every data file (and empty uuid dir) that no
     * retained manifest references. Time travel older than the horizon
     * is gone by design — that is what vacuum means. */
-  def vacuum(s: SparkSession, root: String, retainVersions: Int): Unit = {
+  /** Default in-flight grace for [[vacuum]]: unreferenced files younger
+    * than this are presumed to be a concurrent writer's staged-but-not-
+    * yet-committed data and are left alone. */
+  val DefaultVacuumGraceMs: Long = 30L * 60L * 1000L
+
+  def vacuum(s: SparkSession, root: String, retainVersions: Int,
+             graceMs: Long = DefaultVacuumGraceMs): Unit = {
     require(retainVersions >= 1, "must retain at least the current version")
     val f = fs(s, root)
     val vs = versions(s, root)
@@ -618,13 +626,23 @@ object TxnTable {
     drop.foreach(v => f.delete(manifestPath(root, v), false))
     val base = root.stripSuffix("/")
     val dataDir = new Path(s"$base/data")
+    // A file referenced by NO retained manifest is garbage — unless it
+    // is younger than graceMs: a concurrent writer stages files BEFORE
+    // publishing the manifest that references them, so an unreferenced
+    // young file may be an in-flight commit, and deleting it would make
+    // that writer publish a manifest of dead paths. Same guard every
+    // production format applies (Delta's retention check); pass
+    // graceMs = 0 only when no writer can be in flight (tests, offline
+    // maintenance windows).
+    val horizon = System.currentTimeMillis() - graceMs
     if (f.exists(dataDir)) {
       f.listStatus(dataDir).toSeq.filter(_.isDirectory).foreach { d =>
         val rel = s"data/${d.getPath.getName}"
         val parts = f.listStatus(d.getPath).toSeq
           .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
         val (alive, dead) = parts.partition(st =>
-          live.contains(s"$rel/${st.getPath.getName}"))
+          live.contains(s"$rel/${st.getPath.getName}") ||
+            st.getModificationTime > horizon)
         dead.foreach(st => f.delete(st.getPath, false))
         // no live data left → drop the dir (sidecars like _SUCCESS/.crc
         // must not keep an orphaned staging dir alive)

@@ -74,7 +74,8 @@ class TxnTableSpec extends AnyFunSuite {
     TxnTable.overwrite(spark, root, df(1, 2)) // v1 — will fall off
     TxnTable.overwrite(spark, root, df(3))    // v2
     TxnTable.append(spark, root, df(4))       // v3 (shares v2's files)
-    TxnTable.vacuum(spark, root, retainVersions = 2)
+    // graceMs = 0: no writer is in flight in this test
+    TxnTable.vacuum(spark, root, retainVersions = 2, graceMs = 0L)
     assert(TxnTable.versions(spark, root) === Seq(2L, 3L))
     // v2 and v3 still read exactly their snapshots (v3 references v2's
     // files — shared files must survive the vacuum of v1)
@@ -321,6 +322,41 @@ class TxnTableSpec extends AnyFunSuite {
       .filter(col("id") === 900)) === rows(df(900)))
   }
 
+  test("vacuum grace window spares a concurrent writer's staged files") {
+    val root = freshRoot()
+    TxnTable.overwrite(spark, root, df(1))
+    // simulate an in-flight writer: stage data with NO manifest yet by
+    // writing directly under data/ (exactly what stage() does first)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val inflight = s"$root/data/inflight1"
+    df(99).write.parquet(inflight)
+    val before = fs.listStatus(new org.apache.hadoop.fs.Path(inflight))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    assert(before > 0)
+    // default grace: the young unreferenced files MUST survive
+    TxnTable.vacuum(spark, root, retainVersions = 1)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(inflight)),
+      "vacuum deleted an in-flight writer's staged files")
+    // explicit zero grace (offline maintenance): now they are garbage
+    TxnTable.vacuum(spark, root, retainVersions = 1, graceMs = 0L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(inflight)))
+  }
+
+  test("mergeInto replaces a null-keyed row instead of duplicating it") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    TxnTable.overwrite(spark, root,
+      Seq((Option(1), 10), (Option.empty[Int], 1)).toDF("id", "v"))
+    TxnTable.mergeInto(spark, root,
+      Seq((Option.empty[Int], 2)).toDF("id", "v"), Seq("id"))
+    val out = TxnTable.read(spark, root).collect()
+      .map(r => (Option(r.get(0)), r.getInt(1))).toSet
+    assert(out === Set((Some(1), 10), (None, 2)),
+      s"null-keyed change must REPLACE, got $out")
+  }
+
   test("appendWithRetry: concurrent writers all land, no rows lost") {
     val root = freshRoot()
     TxnTable.overwrite(spark, root, df(0))
@@ -354,7 +390,7 @@ class TxnTableSpec extends AnyFunSuite {
     assert(rows(TxnTable.read(spark, root)) === rows(df(1)),
       "unreferenced staged files must be invisible to readers")
     // and vacuum collects the orphan
-    TxnTable.vacuum(spark, root, retainVersions = 1)
+    TxnTable.vacuum(spark, root, retainVersions = 1, graceMs = 0L)
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/data/orphan-stage")))
