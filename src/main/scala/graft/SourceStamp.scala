@@ -73,6 +73,24 @@ object SourceStamp {
     }
   }
 
+  /** The marker's recorded stamp, if any — for incremental maintainers
+    * that DIFF the recorded listing against the current one (the stamp
+    * is the sorted per-file listing, so set-difference of its lines IS
+    * the file-level delta). */
+  def recorded(s: SparkSession, artifactDir: String): Option[String] = {
+    val m = marker(artifactDir)
+    val fs = m.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(m)) None
+    else {
+      val in = fs.open(m)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+        Some(new String(out.toByteArray, StandardCharsets.UTF_8))
+      } finally in.close()
+    }
+  }
+
   /** Record `st` as `artifactDir`'s source version (call AFTER a
     * successful build). */
   def write(s: SparkSession, artifactDir: String, st: String): Unit = {

@@ -590,6 +590,53 @@ object LlmOps {
     table
   }
 
+  /** INCREMENTAL IVF maintenance — the arrival path of a living index.
+    * When the source dataset grows by NEW FILES (the append-only shape
+    * every ingest produces), only the delta files are read: their
+    * vectors are assigned to the EXISTING centroids and appended into
+    * the index table's cell partitions; indexed files are never
+    * rescanned, never rewritten (path identity asserted in
+    * IvfMaintainSpec). Any non-append change (a rewritten or deleted
+    * source file) falls back to the full rebuild, because cell
+    * assignments derived from retired data cannot be patched.
+    *
+    * Centroids stay FIXED at first-build values — standard IVF serving
+    * (cells drift only at retrain, and retrain IS the rebuild) — and
+    * they are read from the INDEX table itself, so maintenance costs
+    * one delta scan + a K-row broadcast, independent of index size.
+    * The delta diff is the SourceStamp listing itself: recorded lines
+    * vs current lines, set difference = new files. */
+  def ivfMaintain(s: SparkSession, dir: String): String = synchronized {
+    import s.implicits._
+    val table = s"$IvfDb.emb_${tagDir(dir)}"
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir") + s"/$IvfDb.db/emb_${tagDir(dir)}")
+    val st = graft.SourceStamp.table(s, dir, "embeddings")
+    if (!s.catalog.tableExists(table)) return ensureIvfIndex(s, dir)
+    if (graft.SourceStamp.isCurrent(s, loc.toString, st)) return table
+    val rec = graft.SourceStamp.recorded(s, loc.toString).getOrElse("")
+    val recLines = rec.split("\n").filter(_.nonEmpty).toSet
+    val curLines = st.split("\n").filter(_.nonEmpty).toSet
+    if (!recLines.subsetOf(curLines))
+      return ensureIvfIndex(s, dir) // rewrite/delete: retrain from scratch
+    val newNames = (curLines -- recLines).map(_.split(":")(0)).toSeq.sorted
+    val base = s"${dir.stripSuffix("/")}/embeddings.parquet"
+    val delta = s.read.parquet(newNames.map(n => s"$base/$n"): _*)
+      .select($"vec_id", quantize($"embedding").as("e"))
+    val cents = broadcast(s.table(table)
+      .filter($"vec_id".between(1, IvfK))
+      .select($"vec_id".as("c_id"), $"e".as("ce")))
+    delta.crossJoin(cents)
+      .withColumn("csim", cosine($"e", $"ce"))
+      .groupBy($"vec_id")
+      .agg(first($"e").as("e"), max(struct($"csim", (-$"c_id").as("nc"))).as("m"))
+      .select($"vec_id", $"e", (-$"m.nc").cast("int").as("cell"))
+      .write.mode("append").format("parquet")
+      .partitionBy("cell").saveAsTable(table)
+    graft.SourceStamp.write(s, loc.toString, st)
+    table
+  }
+
   /** Driver-held centroid metadata, collected ONCE per (session, dir) —
     * K quantized vectors, the in-memory half of the IVF index (every
     * real IVF implementation keeps centroids resident; ranking K
