@@ -84,7 +84,7 @@ object TxnTable {
     * coercion is how tables rot); an incoming frame MISSING prior
     * columns is fine (its files read those columns as null — schema on
     * read, the same contract parquet gives every warehouse format). */
-  private def evolve(prior: Option[org.apache.spark.sql.types.StructType],
+  private[sinks] def evolve(prior: Option[org.apache.spark.sql.types.StructType],
                      incoming: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.types.StructType = prior match {
     case None => incoming
