@@ -1558,6 +1558,36 @@ object Relational {
        |FROM m
        |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q92: SALTED fact⋈dim join, oracle-proven result-invariant — the
+  // [[Salted]] utility run as a real revenue rollup so the DuckDB gate
+  // (a plain unsalted join) certifies that salting changes the
+  // TOPOLOGY and nothing else. The testdata key isn't skewed; the
+  // hot-key spread itself is measured in SaltedJoinSpec — this entry
+  // pins the half a spec can't: hash-exact equality against an engine
+  // that never saw the salt.
+  // ---------------------------------------------------------------------
+  val q92Bench: Q = (s, dir) => {
+    import s.implicits._
+    val fact = t(s, dir, "orders")
+      .select($"o_custkey".as("custkey"), cents($"o_totalprice").as("price_c"))
+    val dim = t(s, dir, "customer")
+      .select($"c_custkey".as("custkey"), $"c_nationkey")
+    Salted.join(fact, dim, "custkey", shards = 8)
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_orders"), money(sum($"price_c")).as("revenue"))
+  }
+  val q92: Q = (s, dir) => {
+    import s.implicits._
+    q92Bench(s, dir).orderBy($"c_nationkey")
+  }
+  val q92Sql: String =
+    s"""SELECT c_nationkey, COUNT(*) AS n_orders,
+       |  SUM(${sqlCents("o_totalprice")}) / 100.0 AS revenue
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_nationkey
+       |ORDER BY c_nationkey""".stripMargin
+
   /** name -> query function, assembled by [[graft.SparkEntry]]. */
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary"    -> q01,
@@ -1606,7 +1636,8 @@ object Relational {
     "q80_mad_outliers"       -> q80,
     "q81_first_nth_value"    -> q81,
     "q85_hopping_window"     -> q85,
-    "q88_corr_profile"       -> q88)
+    "q88_corr_profile"       -> q88,
+    "q92_salted_join"        -> q92)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary"    -> q01Sql,
@@ -1658,7 +1689,8 @@ object Relational {
     "q80_mad_outliers"       -> q80Sql,
     "q81_first_nth_value"    -> q81Sql,
     "q85_hopping_window"     -> q85Sql,
-    "q88_corr_profile"       -> q88Sql)
+    "q88_corr_profile"       -> q88Sql,
+    "q92_salted_join"        -> q92Sql)
 
   /** Bench-time overrides: same semantics minus determinism-only global
     * sorts (which exist purely for the oracle's ordered hash-compare and
@@ -1673,5 +1705,6 @@ object Relational {
     "q72_gapfill"          -> q72Bench,
     "q81_first_nth_value"  -> q81Bench,
     "q85_hopping_window"   -> q85Bench,
-    "q88_corr_profile"     -> q88Bench)
+    "q88_corr_profile"     -> q88Bench,
+    "q92_salted_join"      -> q92Bench)
 }
