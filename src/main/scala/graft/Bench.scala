@@ -66,6 +66,7 @@ object Bench {
         graft.queries.Sessions.benchVariants ++
         graft.queries.ZOrder.benchVariants ++
         graft.queries.Txn.benchVariants ++
+        graft.queries.Materialized.benchVariants ++
         graft.multimodal.Multimodal.benchVariants)
       .toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }

@@ -57,6 +57,7 @@ object PlanSig {
         graft.queries.Sessions.benchVariants ++
         graft.queries.ZOrder.benchVariants ++
         graft.queries.Txn.benchVariants ++
+        graft.queries.Materialized.benchVariants ++
         graft.multimodal.Multimodal.benchVariants
     SparkEntry.queries.map { case (name, fn) =>
       name -> variants.getOrElse(name, fn)

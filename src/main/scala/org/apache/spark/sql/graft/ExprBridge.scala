@@ -1,7 +1,8 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
 
 /** Column <-> catalyst Expression bridge for graft's custom expressions.
@@ -17,4 +18,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ExprBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** DataFrame over an already-resolved logical plan — needed by the
+    * materialized-view rewriter to hand back a rewritten plan as a
+    * Dataset (`Dataset.ofRows` is `private[sql]`, same situation as
+    * `ExpressionUtils` above). */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Stable per-session identity (`sessionUUID` is `private[sql]`). */
+  def sessionKey(spark: SparkSession): String =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
 }
