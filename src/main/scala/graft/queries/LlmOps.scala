@@ -360,11 +360,25 @@ object LlmOps {
   private val Planes = 4      // q31 ANN: recall-biased (16 buckets)
   private val PlanesDedup = 6 // q36 near-dedup: pair-count-biased (64 buckets)
 
-  /** Embedding width the plane literals are generated for. The testdata
-    * embeddings are 64-wide; a different width would zip_with-pad with
-    * nulls and surface as NULL buckets/sims, not silently wrong answers —
-    * regenerate the literals (and the SQL range bound) to rescale. */
-  private val Dim = 64
+  /** Embedding width, read ONCE per (session, dataset, stamp) from the
+    * embeddings table's schema-bearing first row — plane literals are
+    * generated for exactly this width, so sign-LSH is dimension-generic
+    * like its oracle SQL (which derives bounds from len(e)). The peek is
+    * planning metadata (one row, one column), the same class of
+    * driver-side lookup as the IVF centroids; stamp-keyed per the
+    * ARTIFACT-CACHE CONTRACT so a regenerated dataset re-derives it. */
+  private val dimCache =
+    graft.ArtifactCaches.register(
+      new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), Integer]())
+
+  private[queries] def dimOf(s: SparkSession, dir: String): Int = {
+    val st = graft.SourceStamp.table(s, dir, "embeddings")
+    graft.SourceStamp.evictStale(dimCache, s, dir, st)(_ => ())
+    dimCache.computeIfAbsent((s, dir, st), { _: (SparkSession, String, String) =>
+      Integer.valueOf(t(s, dir, "embeddings")
+        .select(size(col("embedding"))).head().getInt(0))
+    }).intValue()
+  }
 
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -373,17 +387,17 @@ object LlmOps {
   /** plane_p[j] = +1 iff first hex char of md5("p:j") >= '8' — the same
     * uniform coin the oracle SQL derives per row; folded here to a
     * constant so Catalyst sees only a literal array. */
-  private def planeSigns(p: Int): Seq[Long] =
-    (0 until Dim).map(j => if (md5Hex(s"$p:$j").charAt(0) >= '8') 1L else -1L)
+  private def planeSigns(p: Int, dim: Int): Seq[Long] =
+    (0 until dim).map(j => if (md5Hex(s"$p:$j").charAt(0) >= '8') 1L else -1L)
 
   /** dot(e, plane_p) over the precomputed ±1 literal — the codegen'd
     * custom expression; a width-mismatched embedding yields NULL (loud),
     * see [[graft.functions.LongArrayDot]]. */
-  private def planeDot(e: Column, p: Int): Column =
-    dotLong(e, typedLit(planeSigns(p)))
+  private def planeDot(e: Column, p: Int, dim: Int): Column =
+    dotLong(e, typedLit(planeSigns(p, dim)))
 
-  private def lshBucket(e: Column, planes: Int): Column =
-    (0 until planes).map(p => when(planeDot(e, p) > 0, lit(1 << p)).otherwise(lit(0)))
+  private def lshBucket(e: Column, planes: Int, dim: Int): Column =
+    (0 until planes).map(p => when(planeDot(e, p, dim) > 0, lit(1 << p)).otherwise(lit(0)))
       .reduce(_ + _)
 
   private def cosine(a: Column, b: Column): Column =
@@ -416,7 +430,7 @@ object LlmOps {
     import s.implicits._
     val bk = t(s, dir, "embeddings")
       .select($"vec_id", quantize($"embedding").as("e"))
-      .withColumn("bucket", lshBucket($"e", Planes))
+      .withColumn("bucket", lshBucket($"e", Planes, dimOf(s, dir)))
     // probe rows: (pe, primary XOR flip) — a (1+Planes)-row broadcast;
     // buckets are distinct, each vector has one bucket => no dup matches
     val probe = broadcast(bk.filter($"vec_id" === 0)
@@ -459,7 +473,7 @@ object LlmOps {
     import s.implicits._
     val bk = t(s, dir, "embeddings")
       .select($"vec_id", quantize($"embedding").as("e"))
-      .withColumn("bucket", lshBucket($"e", PlanesDedup))
+      .withColumn("bucket", lshBucket($"e", PlanesDedup, dimOf(s, dir)))
     val a = bk.select($"vec_id".as("vec_a"), $"e".as("ea"), $"bucket")
     val b = bk.select($"vec_id".as("vec_b"), $"e".as("eb"), $"bucket".as("bucket_b"))
     a.join(b, $"bucket" === $"bucket_b" && $"vec_a" < $"vec_b")
@@ -499,7 +513,7 @@ object LlmOps {
     import s.implicits._
     val bk = t(s, dir, "embeddings")
       .select($"vec_id", quantize($"embedding").as("e"))
-      .withColumn("bucket", lshBucket($"e", PlanesDedup))
+      .withColumn("bucket", lshBucket($"e", PlanesDedup, dimOf(s, dir)))
     val a = bk.select($"vec_id".as("va"), $"e".as("ea"), $"bucket")
     val b = bk.select($"vec_id".as("vb"), $"e".as("eb"), $"bucket".as("bucket_b"))
     a.join(b, $"bucket" === $"bucket_b" && $"va" =!= $"vb")

@@ -42,7 +42,7 @@ object Materialized {
       s"/graft_mv/daily_${tag(dir)}"
 
   /** The view's defining query — the daily pre-aggregate in exact cents. */
-  private[queries] def defining(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def defining(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.Tables.t(s, dir, "events")
       .withColumn("day", date_format($"ts", "yyyy-MM-dd"))

@@ -732,6 +732,172 @@ object TextOps {
       |LIMIT $Bm25K""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q95: sequence packing — assign documents to fixed-size training
+  // context windows (C tokens) the concatenate-then-split way: within a
+  // shard, documents are laid end to end in deterministic training order
+  // (the content-stable shuffle_key of q50, doc_id tiebreak) and each doc
+  // belongs to the window its FIRST token falls in (bin = prefix-sum of
+  // tokens before it, integer-divided by C). Output is the packing
+  // manifest per (shard, bin): how many docs and tokens each context
+  // holds — what a sequence-packing dataloader consumes.
+  //
+  // Scale shape: packing is embarrassingly parallel ACROSS shards and
+  // sequential only WITHIN one — exactly a window sum over
+  // (partition by shard, order by key). One shuffle into Shards
+  // partitions, a sort within each, and the per-bin rollup collapses
+  // map-side. Shards scales with the cluster (32 here ~ local[32]);
+  // density per bin is shard-count-independent. A global (unsharded)
+  // order would serialize 100 TB through one task — the shard column IS
+  // the scale knob, and it's content-stable, so the packing reproduces
+  // across runs and engines.
+  // ---------------------------------------------------------------------
+  private val PackCtx = 256L
+  private val PackShards = 32L
+
+  val q95Bench: Q = (s, dir) => {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"shard").orderBy($"k", $"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    t(s, dir, "documents")
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_toks"),
+        LlmOps.hashKey($"doc_id").as("k"))
+      .withColumn("shard", pmod($"k", lit(PackShards)))
+      .withColumn("cb", coalesce(sum($"n_toks").over(w), lit(0L)))
+      .groupBy($"shard", expr(s"cb div $PackCtx").as("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("tot_tokens"))
+  }
+  val q95: Q = (s, dir) => {
+    import s.implicits._
+    q95Bench(s, dir).orderBy($"shard", $"bin")
+  }
+  val q95Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+       |    ${LlmOps.sqlHashKey} AS k
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_toks, k % $PackShards AS shard,
+       |    CAST(COALESCE(SUM(n_toks) OVER (PARTITION BY k % $PackShards
+       |      ORDER BY k, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+       |  FROM d)
+       |SELECT shard, cb // $PackCtx AS bin, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_toks) AS BIGINT) AS tot_tokens
+       |FROM c
+       |GROUP BY 1, 2
+       |ORDER BY shard, bin""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q96: PII redaction — the scrubbing pass every public-web training
+  // corpus runs: emails, phone numbers, and IPv4 addresses replaced with
+  // type tokens, plus per-doc counts of what was removed (the audit
+  // trail). The corpus text is synthetic and PII-free, so the PII is
+  // INJECTED deterministically from doc_id (both engines construct the
+  // identical string) — the redactor is then proven to find and remove
+  // exactly it. Patterns stay in the regex subset with identical
+  // semantics in java.util.regex and RE2 (character classes, bounded
+  // repetition — no lookaround, no backrefs).
+  //
+  // Scale shape: pure map — one scan, zero shuffles, regexes inside
+  // WholeStageCodegen; the only cost knob is regex complexity per byte.
+  // ---------------------------------------------------------------------
+  private val ReEmail = "[a-z0-9._]+@[a-z0-9.]+[a-z]"
+  private val RePhone = "\\+1-555-[0-9]{4}"
+  private val ReIp    = "10\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+
+  val q96Bench: Q = (s, dir) => {
+    import s.implicits._
+    val pii = concat($"text",
+      when($"doc_id" % 3 =!= 0,
+        concat(lit(" contact user"), $"doc_id".cast("string"), lit("@example.com")))
+        .otherwise(lit("")),
+      when($"doc_id" % 2 === 0,
+        concat(lit(" call +1-555-"), lpad(($"doc_id" % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      concat(lit(" from 10."), ($"doc_id" % 256).cast("string"), lit(".0.1")))
+    t(s, dir, "documents")
+      .withColumn("pii_text", pii)
+      .select($"doc_id",
+        size(regexp_extract_all($"pii_text", lit(ReEmail), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all($"pii_text", lit(RePhone), lit(0))).cast("long").as("n_phones"),
+        size(regexp_extract_all($"pii_text", lit(ReIp), lit(0))).cast("long").as("n_ips"),
+        regexp_replace(regexp_replace(regexp_replace($"pii_text",
+          ReEmail, "<EMAIL>"), RePhone, "<PHONE>"), ReIp, "<IP>").as("redacted"))
+  }
+  val q96: Q = (s, dir) => {
+    import s.implicits._
+    q96Bench(s, dir).orderBy($"doc_id")
+  }
+  val q96Sql: String = {
+    // same patterns, RE2 spelling (single backslash), global replace
+    val email = "[a-z0-9._]+@[a-z0-9.]+[a-z]"
+    val phone = "\\+1-555-[0-9]{4}"
+    val ip    = "10\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+    s"""WITH p AS (
+       |  SELECT doc_id, text
+       |    || CASE WHEN doc_id % 3 <> 0
+       |         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+       |         ELSE '' END
+       |    || CASE WHEN doc_id % 2 = 0
+       |         THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |         ELSE '' END
+       |    || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' AS pii_text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(pii_text, '$email')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(pii_text, '$phone')) AS BIGINT) AS n_phones,
+       |  CAST(len(regexp_extract_all(pii_text, '$ip')) AS BIGINT) AS n_ips,
+       |  regexp_replace(regexp_replace(regexp_replace(pii_text,
+       |    '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g'),
+       |    '$ip', '<IP>', 'g') AS redacted
+       |FROM p
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q97: inverted index build — term -> (document frequency, posting
+  // list), the structure behind q86's BM25 and any lexical search over
+  // the corpus. df is EXACT (a count, unbounded); the posting list is
+  // the first [[PostingsCap]] doc_ids ascending, kept by the bounded
+  // TopKByScore aggregate (score = -doc_id), NOT by collect_list —
+  // a stop-word's posting list at 100 TB is billions of ids, and an
+  // unbounded grouped collect is the classic executor OOM. The bounded
+  // buffer keeps the aggregate map-side partial (ObjectHashAggregate)
+  // with at most Cap entries per term per partition; full posting lists
+  // at scale would instead be WRITTEN AS ROWS partitioned by term-range
+  // (the layout, not an in-row array, is the index).
+  // ---------------------------------------------------------------------
+  private val PostingsCap = 64
+
+  val q97Bench: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", explode(array_distinct(split($"text", " "))).as("term"))
+      .groupBy($"term")
+      .agg(count(lit(1)).as("df"),
+        graft.functions.TopKByScore
+          .topKByScore(-$"doc_id".cast("double"), $"doc_id", PostingsCap).as("top"))
+      .select($"term", $"df",
+        array_join(transform($"top", x => x.getField("id").cast("string")), ",")
+          .as("postings"))
+  }
+  val q97: Q = (s, dir) => {
+    import s.implicits._
+    q97Bench(s, dir).orderBy($"term")
+  }
+  val q97Sql: String =
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT doc_id, term
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |        FROM documents))
+       |SELECT term, COUNT(*) AS df,
+       |  array_to_string(list_sort(list(doc_id))[1:$PostingsCap], ',') AS postings
+       |FROM pairs
+       |GROUP BY term
+       |ORDER BY term""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q29_simhash"        -> q29,
     "q30_jaccard_verify" -> q30,
@@ -746,7 +912,10 @@ object TextOps {
     "q65_repetition"     -> q65,
     "q71_heavy_hitters"  -> q71,
     "q83_chunking"       -> q83,
-    "q86_bm25"           -> q86)
+    "q86_bm25"           -> q86,
+    "q95_seq_pack"       -> q95,
+    "q96_pii_redact"     -> q96,
+    "q97_postings"       -> q97)
 
   val oracles: Map[String, String] = Map(
     "q29_simhash"        -> q29Sql,
@@ -762,7 +931,10 @@ object TextOps {
     "q65_repetition"     -> q65Sql,
     "q71_heavy_hitters"  -> q71Sql,
     "q83_chunking"       -> q83Sql,
-    "q86_bm25"           -> q86Sql)
+    "q86_bm25"           -> q86Sql,
+    "q95_seq_pack"       -> q95Sql,
+    "q96_pii_redact"     -> q96Sql,
+    "q97_postings"       -> q97Sql)
 
   /** Bench-time overrides minus determinism-only global sorts (see
     * [[Relational.benchVariants]]). Verify runs the sorted forms. */
@@ -775,5 +947,8 @@ object TextOps {
     "q62_unigram_score"  -> q62Bench,
     "q65_repetition"     -> q65Bench,
     "q71_heavy_hitters"  -> q71Bench,
-    "q83_chunking"       -> q83Bench)
+    "q83_chunking"       -> q83Bench,
+    "q95_seq_pack"       -> q95Bench,
+    "q96_pii_redact"     -> q96Bench,
+    "q97_postings"       -> q97Bench)
 }

@@ -207,19 +207,67 @@ object Txn {
   // deliberately q82's full recompute
   val q90Sql: String = q82Sql
 
+  // ---------------------------------------------------------------------
+  // q98: CHANGE DATA FEED of the q90 repair — the row-level diff a
+  // downstream consumer applies to catch up across the merge commit,
+  // computed by TxnTable.changesBetween from ONLY the files the merge
+  // touched (carried files cancel by path and are never read). The
+  // oracle recomputes both table states from the raw source (partial
+  // load vs corrected) and diffs them with EXCEPT — feed == state diff,
+  // the defining equation of CDC.
+  // ---------------------------------------------------------------------
+  private val LastDay = "2024-01-30" // both testdata SFs end on this day
+
+  val q98Bench: Q = (s, dir) => {
+    val root = ensureMerged(s, dir)
+    val vs = TxnTable.versions(s, root)
+    TxnTable.changesBetween(s, root, vs.head, vs.last)
+  }
+  val q98: Q = (s, dir) => {
+    import s.implicits._
+    q98Bench(s, dir).orderBy($"_change_type", $"day", $"event_type")
+  }
+  val q98Sql: String =
+    s"""WITH e AS (
+       |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       |    event_type, event_id, value
+       |  FROM events),
+       |p AS (
+       |  SELECT day, event_type, COUNT(*) AS n,
+       |    SUM(${sqlCents("value")}) / 100.0 AS total_value
+       |  FROM e WHERE day <> '$LastDay' OR event_id % 2 = 0
+       |  GROUP BY 1, 2),
+       |f AS (
+       |  SELECT day, event_type, COUNT(*) AS n,
+       |    SUM(${sqlCents("value")}) / 100.0 AS total_value
+       |  FROM e GROUP BY 1, 2),
+       |diff AS (
+       |  SELECT *, 'insert' AS _change_type
+       |  FROM (SELECT * FROM f EXCEPT SELECT * FROM p)
+       |  UNION ALL
+       |  SELECT *, 'delete' AS _change_type
+       |  FROM (SELECT * FROM p EXCEPT SELECT * FROM f))
+       |SELECT day, event_type, n, total_value, _change_type,
+       |  CAST(1 AS BIGINT) AS _n
+       |FROM diff
+       |ORDER BY _change_type, day, event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q82_txn_snapshot" -> q82,
     "q89_txn_delete"   -> q89,
-    "q90_txn_merge"    -> q90)
+    "q90_txn_merge"    -> q90,
+    "q98_txn_cdf"      -> q98)
   val oracles: Map[String, String] = Map(
     "q82_txn_snapshot" -> q82Sql,
     "q89_txn_delete"   -> q89Sql,
-    "q90_txn_merge"    -> q90Sql)
+    "q90_txn_merge"    -> q90Sql,
+    "q98_txn_cdf"      -> q98Sql)
 
   /** Bench-time override minus the determinism-only global sort (see
     * [[Relational.benchVariants]]). Verify runs the sorted forms. */
   val benchVariants: Map[String, Q] = Map(
     "q82_txn_snapshot" -> q82Bench,
     "q89_txn_delete"   -> q89Bench,
-    "q90_txn_merge"    -> q90Bench)
+    "q90_txn_merge"    -> q90Bench,
+    "q98_txn_cdf"      -> q98Bench)
 }

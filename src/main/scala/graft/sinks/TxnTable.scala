@@ -551,6 +551,57 @@ object TxnTable {
     else reader.parquet(s"$base/${snap.files.head}").limit(0)
   }
 
+  /** CHANGE DATA FEED: the row-level difference between two committed
+    * versions — what a downstream consumer (an incremental materializer,
+    * a cache invalidator, a replication target) applies to catch up from
+    * v1 to v2 without rereading the table.
+    *
+    * Computed from ONLY the files that entered or left the manifest
+    * between the versions: a file carried across versions cancels
+    * exactly, so it is never read — at 100 TB the feed for a targeted
+    * delete/merge costs a few files, not a table scan (same
+    * metadata-first economics as [[deleteWhere]]'s pruning). Rows from
+    * added files count +1, rows from removed files −1, and the per-row
+    * MULTISET net decides the emission: net > 0 → `insert`, net < 0 →
+    * `delete`, net = 0 (the row moved files, e.g. compaction) → nothing.
+    * `_n` carries |net| so duplicate rows keep their multiplicity; a
+    * pure compaction between v1 and v2 therefore yields an EMPTY feed.
+    *
+    * Both sides read under v2's recorded schema (schema-on-read: a
+    * column added after v1 compares as null in removed files — the same
+    * value v2 readers see). Updates appear as delete+insert pairs on the
+    * key, which is the fallback CDC encoding every feed consumer
+    * handles. */
+  def changesBetween(s: SparkSession, root: String, v1: Long, v2: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(v1 <= v2, s"changesBetween: v1=$v1 must be <= v2=$v2")
+    val s1 = snapshot(s, root, v1)
+    val s2 = snapshot(s, root, v2)
+    val base = root.stripSuffix("/")
+    val f1 = s1.files.toSet
+    val added = s2.files.filterNot(f1).map(f => s"$base/$f")
+    val removed = (f1 -- s2.files.toSet).toSeq.sorted.map(f => s"$base/$f")
+    val reader = s2.schema.fold(s.read)(s.read.schema)
+    def side(paths: Seq[String], sign: Int): Option[DataFrame] =
+      if (paths.isEmpty) None
+      else Some(reader.parquet(paths: _*).withColumn("_sign", lit(sign.toLong)))
+    (side(added, 1) ++ side(removed, -1)).reduceOption(_.unionByName(_)) match {
+      case None => // identical file sets: an empty feed with the v2 shape
+        readAsOf(s, root, v2).limit(0)
+          .withColumn("_change_type", lit(""))
+          .withColumn("_n", lit(0L))
+      case Some(all) =>
+        val dataCols = all.columns.filterNot(_ == "_sign").map(col(_))
+        all.groupBy(dataCols: _*)
+          .agg(sum(col("_sign")).as("_net"))
+          .filter(col("_net") =!= 0L)
+          .withColumn("_change_type",
+            when(col("_net") > 0, "insert").otherwise("delete"))
+          .withColumn("_n", abs(col("_net")))
+          .drop("_net")
+    }
+  }
+
   /** Copy-on-write DELETE: commit a new snapshot without the rows
     * matching `predicate` (the GDPR / right-to-be-forgotten shape, and
     * the row-level correction every warehouse table eventually needs).

@@ -52,6 +52,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val err = intercept[Exception](
         s.sql("SELECT json_get_long('{}', concat('k', ''))").collect())
       assert(err.getMessage.contains("literal field name"), err.getMessage)
+      // the MV rewrite rule rides the same extensions (conf-gated): a
+      // matching aggregate on this session substitutes the artifact
+      val sfDir = "/root/testdata/sf0.001"
+      graft.queries.Materialized.ensureMv(s, sfDir)
+      s.conf.set("graft.mv.rewrite", "true")
+      try {
+        val plan = graft.PlanSig
+          .initialPlan(graft.queries.Materialized.defining(s, sfDir))
+          .collectWithSubqueries {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+              f.relation.location.rootPaths.mkString(",")
+          }
+        assert(plan.nonEmpty && plan.forall(_.contains("graft_mv")),
+          s"extension-injected MV rule must substitute the artifact: $plan")
+      } finally s.conf.set("graft.mv.rewrite", "false")
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)

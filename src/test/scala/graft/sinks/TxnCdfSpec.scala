@@ -1,0 +1,88 @@
+package graft.sinks
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Change data feed ([[TxnTable.changesBetween]]): the feed equals the
+  * state diff, carried files are never read, file-moves (compaction)
+  * cancel to an empty feed, and duplicate rows keep their multiplicity.
+  * The end-to-end feed == recomputed-diff contract is the driver's q98
+  * oracle. */
+class TxnCdfSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("txn_cdf").toString + "/tbl"
+
+  private def df(ids: Int*) = {
+    val s = spark
+    import s.implicits._
+    ids.toDF("id").withColumn("v", col("id") * 10)
+  }
+
+  private def feed(root: String, v1: Long, v2: Long): Set[(Int, Int, String, Long)] =
+    TxnTable.changesBetween(spark, root, v1, v2)
+      .collect()
+      .map(r => (r.getAs[Int]("id"), r.getAs[Int]("v"),
+        r.getAs[String]("_change_type"), r.getAs[Long]("_n")))
+      .toSet
+
+  test("append shows as inserts; delete shows as deletes; carried rows absent") {
+    val root = freshRoot()
+    TxnTable.overwrite(spark, root, df(1, 2, 3).repartition(3),
+      statsCol = Some("id"))
+    TxnTable.append(spark, root, df(4), statsCol = Some("id"))
+    assert(feed(root, 1, 2) === Set((4, 40, "insert", 1L)))
+    // delete id=4 only: stats-bounded, so files 1..3 carry by reference
+    TxnTable.deleteWhere(spark, root, col("id") === 4, Some((4L, 4L)))
+    assert(feed(root, 2, 3) === Set((4, 40, "delete", 1L)))
+    // across the whole history the append and its deletion cancel
+    assert(feed(root, 1, 3) === Set.empty)
+  }
+
+  test("the feed reads only changed files, never carried ones") {
+    val root = freshRoot()
+    TxnTable.overwrite(spark, root, df(1, 2, 3).repartition(3),
+      statsCol = Some("id"))
+    TxnTable.append(spark, root, df(4), statsCol = Some("id"))
+    val s1 = TxnTable.snapshot(spark, root, 1)
+    val s2 = TxnTable.snapshot(spark, root, 2)
+    val changed = (s2.files.toSet -- s1.files.toSet) ++
+      (s1.files.toSet -- s2.files.toSet)
+    val scanned = graft.PlanSig
+      .initialPlan(TxnTable.changesBetween(spark, root, 1, 2))
+      .collectWithSubqueries {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.inputFiles.toSeq
+      }.flatten.toSet
+    assert(scanned.nonEmpty)
+    scanned.foreach { p =>
+      assert(changed.exists(p.endsWith),
+        s"feed scanned carried file $p (changed set: $changed)")
+    }
+  }
+
+  test("compaction produces an empty feed (rows moved, nothing changed)") {
+    val root = freshRoot()
+    TxnTable.overwrite(spark, root, df(1, 2, 3, 4).repartition(4))
+    TxnTable.compactTxn(spark, root, targetFiles = 1)
+    assert(feed(root, 1, 2) === Set.empty)
+    // and the empty feed still has the full CDF shape
+    val empty = TxnTable.changesBetween(spark, root, 2, 2)
+    assert(empty.columns.toSeq === Seq("id", "v", "_change_type", "_n"))
+    assert(empty.count() === 0L)
+  }
+
+  test("duplicate rows keep multiset multiplicity in _n") {
+    val root = freshRoot()
+    // v1 holds row (7,70) twice; v2 overwrites with it FIVE times
+    TxnTable.overwrite(spark, root, df(7, 7))
+    TxnTable.overwrite(spark, root, df(7, 7, 7, 7, 7))
+    assert(feed(root, 1, 2) === Set((7, 70, "insert", 3L)))
+    assert(feed(root, 2, 2) === Set.empty)
+  }
+}
