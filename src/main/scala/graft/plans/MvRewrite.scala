@@ -80,6 +80,13 @@ object Mv {
       values: Seq[(String, Expression, String)],
       schema: Seq[(String, DataType)])
 
+  // Session-keyed registry (same lifetime posture as the ARTIFACT-CACHE
+  // CONTRACT at LlmOps.sigCache: entries live for the session; an MvDef
+  // holds only plan metadata, no persisted data, and artifact freshness
+  // is owned by the registering module's SourceStamp check — a
+  // regenerated dataset rebuilds the artifact under the same path, which
+  // the registered digest keeps matching because it names the path, not
+  // file identities).
   private val registry = new ConcurrentHashMap[String, Vector[MvDef]]()
 
   private def key(s: SparkSession): String = ExprBridge.sessionKey(s)

@@ -1153,6 +1153,47 @@ object LlmOps {
        |GROUP BY label
        |ORDER BY label""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q99: deterministic WEIGHTED sampling — pick k documents with
+  // inclusion biased toward a quality weight (n_chars here; any positive
+  // score in practice), the way curated training mixes up-weight long /
+  // high-quality documents. Priority sampling (Duffield/Lund/Thorup):
+  // each doc gets priority u/w with u a content-stable uniform from the
+  // house md5 hash — the k SMALLEST priorities win, so doubling a doc's
+  // weight halves its expected rank. Against q50 (uniform rates per
+  // lang), this is the per-document-weight form of the same idea.
+  //
+  // Determinism: u = hash/2^32 and u/w are two correctly-rounded IEEE
+  // divisions of exactly-representable integers — bit-identical in both
+  // engines (the Det scheme); ties (hash collisions) break on doc_id in
+  // BOTH sort orders. Scale: TakeOrdered — a k-row heap per partition,
+  // then one k×partitions merge on the driver; no global sort, no
+  // shuffle of the corpus.
+  // ---------------------------------------------------------------------
+  private val WSampleK = 100
+
+  val q99Bench: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", $"lang", $"n_chars",
+        ((hashKey($"doc_id").cast("double") / lit(4294967296.0)) /
+          $"n_chars".cast("double")).as("pri"))
+      .orderBy($"pri", $"doc_id").limit(WSampleK)
+  }
+  val q99: Q = (s, dir) => {
+    import s.implicits._
+    q99Bench(s, dir).orderBy($"doc_id")
+  }
+  val q99Sql: String =
+    s"""SELECT doc_id, lang, n_chars, pri FROM (
+       |  SELECT doc_id, lang, n_chars,
+       |    (CAST($sqlHashKey AS DOUBLE) / 4294967296.0)
+       |      / CAST(n_chars AS DOUBLE) AS pri
+       |  FROM documents
+       |  ORDER BY pri, doc_id
+       |  LIMIT $WSampleK)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q22_exact_dedup"    -> q22,
     "q23_text_stats"     -> q23,
@@ -1168,7 +1209,8 @@ object LlmOps {
     "q57_ingest_pipeline" -> q57,
     "q58_batch_ivf_ann"  -> q58,
     "q91_sem_decontam"   -> q91,
-    "q74_knn_join"       -> q74)
+    "q74_knn_join"       -> q74,
+    "q99_weighted_sample" -> q99)
 
   val oracles: Map[String, String] = Map(
     "q22_exact_dedup"    -> q22Sql,
@@ -1185,12 +1227,14 @@ object LlmOps {
     "q57_ingest_pipeline" -> q57Sql,
     "q58_batch_ivf_ann"  -> q58Sql,
     "q91_sem_decontam"   -> q91Sql,
-    "q74_knn_join"       -> q74Sql)
+    "q74_knn_join"       -> q74Sql,
+    "q99_weighted_sample" -> q99Sql)
 
   /** Bench-time overrides minus determinism-only global sorts (see
     * [[Relational.benchVariants]]). Verify runs the sorted forms. */
   val benchVariants: Map[String, Q] = Map(
     "q22_exact_dedup"  -> q22Bench,
     "q74_knn_join"     -> q74Bench,
-    "q91_sem_decontam" -> q91Bench)
+    "q91_sem_decontam" -> q91Bench,
+    "q99_weighted_sample" -> q99Bench)
 }

@@ -71,6 +71,49 @@ object Materialized {
   }
 
   // ---------------------------------------------------------------------
+  // Incremental view maintenance from the change feed: when the RAW
+  // events table is a txn table, the maintained daily aggregate never
+  // recomputes — it FOLDS the row-level feed between the consumer's
+  // last-applied raw version and the head into itself. Deletes subtract,
+  // inserts add (count and exact cents are distributive, the same
+  // algebra the query-side rewrite exploits); groups whose count reaches
+  // zero are purged. Cost ∝ the files the raw commits touched (the
+  // feed's contract), plus a keyed merge into the aggregate.
+  // ---------------------------------------------------------------------
+
+  /** Fold the raw table's feed (v1, v2] into the aggregate at `aggRoot`
+    * (a txn table with the defining query's shape: day, event_type, n,
+    * sum_cents, max-free — max is NOT subtractable, so a feed-maintained
+    * view materializes only the invertible aggregates). The caller owns
+    * the version cursor (v1 = last applied), as any CDC consumer does. */
+  def maintainFromFeed(s: SparkSession, rawRoot: String, aggRoot: String,
+      v1: Long, v2: Long): Unit = {
+    import s.implicits._
+    import graft.sinks.TxnTable
+    val feed = TxnTable.changesBetween(s, rawRoot, v1, v2)
+    val sign = when($"_change_type" === "insert", lit(1L)).otherwise(lit(-1L))
+    val delta = feed
+      .withColumn("day", date_format($"ts", "yyyy-MM-dd"))
+      .groupBy($"day", $"event_type")
+      .agg(sum(sign * $"_n").as("dn"),
+        sum(sign * $"_n" * cents($"value")).as("dcents"))
+    if (!delta.isEmpty) {
+      val cur = TxnTable.read(s, aggRoot)
+        .select($"day".as("cday"), $"event_type".as("ctype"), $"n", $"sum_cents")
+      // right join: ONLY groups the feed touched flow into the merge
+      val changes = cur.join(delta,
+          $"cday" === $"day" && $"ctype" === $"event_type", "right")
+        .select($"day", $"event_type",
+          (coalesce($"n", lit(0L)) + $"dn").as("n"),
+          (coalesce($"sum_cents", lit(0L)) + $"dcents").as("sum_cents"))
+      TxnTable.mergeInto(s, aggRoot, changes, keyCols = Seq("day", "event_type"))
+      // a group the feed emptied is a DELETE on the view, not a zero row
+      if (changes.filter($"n" === 0L).head(1).nonEmpty)
+        TxnTable.deleteWhere(s, aggRoot, $"n" === 0L)
+    }
+  }
+
+  // ---------------------------------------------------------------------
   // q93: exact hit — the raw-table query matches the view's full shape;
   // the rewritten plan is a projection of the artifact (no aggregation).
   // ---------------------------------------------------------------------

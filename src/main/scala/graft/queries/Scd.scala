@@ -143,6 +143,76 @@ object Scd {
       |WHERE c_custkey IS NULL
       |ORDER BY c_custkey, valid_from""".stripMargin
 
-  val queries: Map[String, Q] = Map("q64_scd2_merge" -> q64)
-  val oracles: Map[String, String] = Map("q64_scd2_merge" -> q64Sql)
+  // ---------------------------------------------------------------------
+  // q100: POINT-IN-TIME join — facts joined to the dimension version
+  // that was valid WHEN THE FACT HAPPENED, the query SCD-2 history
+  // exists to answer (revenue by the segment the user was in at event
+  // time, not the segment they're in today). The dimension is built by
+  // [[scd2Apply]] with a version flip at 2024-01-15, mid-way through the
+  // events range, so both sides of the flip carry real rows: the same
+  // user contributes to the old segment before the 15th and the
+  // upgraded one after.
+  //
+  // Join semantics: fact day ∈ [valid_from, valid_to) with NULL
+  // valid_to = open version. Scale shape: the equality on user_id keys
+  // the join (hash/SMJ — AQE picks broadcast when the dimension fits;
+  // no forced hint, per the q67 lesson) and the interval predicate is
+  // the residual filter; SCD-2 guarantees at most one matching version
+  // per (user, day), so the join never fans out.
+  // ---------------------------------------------------------------------
+  val q100: Q = (s, dir) => {
+    import s.implicits._
+    import graft.Det._
+    // the user dimension rides the customer table (events.user_id is
+    // drawn from the customer key range in this schema) — the FACT is
+    // scanned once; only the small dimension derivation scans repeat
+    val users = t(s, dir, "customer").select($"c_custkey".as("user_id"))
+    val dim0 = users.select($"user_id",
+      concat(lit("S"), ($"user_id" % 3).cast("string")).as("segment"),
+      to_date(lit("2024-01-01")).as("valid_from"),
+      lit(null).cast("date").as("valid_to"),
+      lit(true).as("is_current"))
+    val upd = users.filter($"user_id" % 5 === 0)
+      .select($"user_id",
+        concat(lit("UPG_S"), ($"user_id" % 3).cast("string")).as("_u_val"))
+    val dim = scd2Apply(dim0, upd, "user_id", "segment", lit("2024-01-15"))
+      .select($"user_id".as("d_user"), $"segment", $"valid_from", $"valid_to")
+    val e = t(s, dir, "events")
+      .select($"user_id", to_date($"ts").as("d"), cents($"value").as("c"))
+    e.join(dim, $"user_id" === $"d_user" &&
+        $"d" >= $"valid_from" && ($"valid_to".isNull || $"d" < $"valid_to"))
+      .groupBy($"segment")
+      .agg(count(lit(1)).as("n"), money(sum($"c")).as("total_value"))
+      .orderBy($"segment")
+  }
+  val q100Sql: String = {
+    val cents = graft.Det.sqlCents("value")
+    """WITH users AS (SELECT c_custkey AS user_id FROM customer),
+      |dim AS (
+      |  SELECT user_id, 'S' || CAST(user_id % 3 AS VARCHAR) AS segment,
+      |    DATE '2024-01-01' AS valid_from,
+      |    CASE WHEN user_id % 5 = 0 THEN DATE '2024-01-15' END AS valid_to
+      |  FROM users
+      |  UNION ALL
+      |  SELECT user_id, 'UPG_S' || CAST(user_id % 3 AS VARCHAR),
+      |    DATE '2024-01-15', NULL
+      |  FROM users WHERE user_id % 5 = 0),
+      |e AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d, value
+      |  FROM events)
+      |SELECT segment, COUNT(*) AS n,
+      |  SUM(""".stripMargin + cents +
+      """) / 100.0 AS total_value
+      |FROM e JOIN dim ON e.user_id = dim.user_id
+      |  AND d >= valid_from AND (valid_to IS NULL OR d < valid_to)
+      |GROUP BY segment
+      |ORDER BY segment""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q64_scd2_merge" -> q64,
+    "q100_pit_join"  -> q100)
+  val oracles: Map[String, String] = Map(
+    "q64_scd2_merge" -> q64Sql,
+    "q100_pit_join"  -> q100Sql)
 }

@@ -77,6 +77,28 @@ class TxnCdfSpec extends AnyFunSuite {
     assert(empty.count() === 0L)
   }
 
+  test("applying the feed to v1 reproduces v2 — the CDC consumer law") {
+    val root = freshRoot()
+    TxnTable.overwrite(spark, root, df(1, 2, 3).repartition(3),
+      statsCol = Some("id"))
+    TxnTable.append(spark, root, df(4), statsCol = Some("id"))
+    TxnTable.deleteWhere(spark, root, col("id") <= 1, Some((0L, 1L)))
+    val (v1, v2) = (1L, 3L)
+    def multiset(d: org.apache.spark.sql.DataFrame): Set[(Int, Int, Long)] =
+      d.groupBy("id", "v").agg(sum(lit(1L)).as("n")).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    val feed = TxnTable.changesBetween(spark, root, v1, v2)
+    val state1 = TxnTable.readAsOf(spark, root, v1)
+      .groupBy("id", "v").agg(sum(lit(1L)).as("n"))
+    val delta = feed.select(col("id"), col("v"),
+      when(col("_change_type") === "insert", col("_n"))
+        .otherwise(-col("_n")).as("n"))
+    val applied = state1.unionByName(delta)
+      .groupBy("id", "v").agg(sum("n").as("n")).filter(col("n") > 0)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    assert(applied === multiset(TxnTable.readAsOf(spark, root, v2)))
+  }
+
   test("duplicate rows keep multiset multiplicity in _n") {
     val root = freshRoot()
     // v1 holds row (7,70) twice; v2 overwrites with it FIVE times
