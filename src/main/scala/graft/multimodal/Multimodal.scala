@@ -90,10 +90,65 @@ object Multimodal {
     "803e0000", "007d0000", "0200", "1000",        // 16 kHz, 32 kB/s, align 2, 16-bit
     "64617461", "20000000").mkString               // data, 32 bytes
 
+  /** REAL video container demux: each asset's 32 content bytes wrapped
+    * as a minimal valid AVI — RIFF/hdrl/avih/strl headers for a 2×2
+    * 24-bit DIB stream plus a `movi` list holding the bytes as two
+    * 16-byte frame chunks — and genuinely PARSED back by
+    * [[graft.functions.DecodeVideo]] (chunk walk, avih dimensions,
+    * frame extraction, padding rules). Demux is the deterministic,
+    * codec-free stage of video ingest; q102 hash-verifies it end to end
+    * against a DuckDB oracle that re-derives the frames from the raw
+    * hex with no knowledge of AVI at all — if the parser misread one
+    * size field, the frames would not match. */
+  def decodeVideoAssets(df: DataFrame): DataFrame =
+    df.select(col("asset_id"),
+        graft.functions.DecodeVideo.decodeVideo(concat(
+          unhex(lit(AviPrefixHex)),
+          unhex(lit(FrameHdrHex)), substring(col("content"), 1, 16),
+          unhex(lit(FrameHdrHex)), substring(col("content"), 17, 16))).as("v"))
+      .filter(col("v").isNotNull)
+
+  // AVI container constants for 2 frames × 16 bytes (2×2 RGB24, 8-byte
+  // row stride): RIFF + LIST hdrl (avih + LIST strl (strh 'vids'/'DIB ',
+  // strf BITMAPINFOHEADER)) + the LIST movi header; per-frame '00db'
+  // chunk headers interleave with the payload at query time.
+  private def ccHex(s: String): String =
+    s.getBytes("US-ASCII").map("%02x".format(_)).mkString
+  private def u32Hex(v: Long): String =
+    f"${v & 0xff}%02x${(v >> 8) & 0xff}%02x${(v >> 16) & 0xff}%02x${(v >> 24) & 0xff}%02x"
+  private def u16Hex(v: Int): String = f"${v & 0xff}%02x${(v >> 8) & 0xff}%02x"
+
+  private[multimodal] val AviPrefixHex: String = {
+    val avih = ccHex("avih") + u32Hex(56) +
+      u32Hex(40000) + u32Hex(0) + u32Hex(0) + u32Hex(0) + // usec/frame, maxbps, pad, flags
+      u32Hex(2) + u32Hex(0) + u32Hex(1) + u32Hex(16) +    // totalFrames, init, streams, bufsize
+      u32Hex(2) + u32Hex(2) + u32Hex(0) * 4               // width, height, reserved[4]
+    val strh = ccHex("strh") + u32Hex(56) +
+      ccHex("vids") + ccHex("DIB ") + u32Hex(0) +          // type, handler, flags
+      u16Hex(0) + u16Hex(0) + u32Hex(0) +                  // prio, lang, initFrames
+      u32Hex(1) + u32Hex(25) + u32Hex(0) + u32Hex(2) +     // scale, rate, start, length
+      u32Hex(16) + u32Hex(0) + u32Hex(0) +                 // bufsize, quality, sampleSize
+      u16Hex(0) + u16Hex(0) + u16Hex(2) + u16Hex(2)        // rcFrame
+    val strf = ccHex("strf") + u32Hex(40) +
+      u32Hex(40) + u32Hex(2) + u32Hex(2) +                 // biSize, width, height
+      u16Hex(1) + u16Hex(24) + u32Hex(0) + u32Hex(16) +    // planes, bpp, BI_RGB, sizeImage
+      u32Hex(0) * 4                                        // ppm×2, clrUsed, clrImportant
+    val strl = ccHex("LIST") + u32Hex(4 + strh.length / 2 + strf.length / 2) +
+      ccHex("strl") + strh + strf
+    val hdrl = ccHex("LIST") + u32Hex(4 + avih.length / 2 + strl.length / 2) +
+      ccHex("hdrl") + avih + strl
+    val moviHdr = ccHex("LIST") + u32Hex(4 + 2 * (8 + 16)) + ccHex("movi")
+    val riffSize = 4 + hdrl.length / 2 + moviHdr.length / 2 + 2 * (8 + 16)
+    ccHex("RIFF") + u32Hex(riffSize) + ccHex("AVI ") + hdrl + moviHdr
+  }
+  private[multimodal] val FrameHdrHex: String = ccHex("00db") + u32Hex(16)
+
   /** DECODE STUB — the seam where a real pipeline calls a codec the JDK
-    * lacks (now ONLY video demux: e.g. a JNI decoder or a vectorized
-    * Python UDF); the image and audio halves of the seam are real, see
-    * [[decodeImages]] / [[decodeAudioAssets]]. Here it
+    * lacks (now ONLY per-frame video PIXEL decode: e.g. a JNI/FFmpeg
+    * binding or a vectorized Python UDF — container demux itself is
+    * real, see [[decodeVideoAssets]]); the image and audio halves of
+    * the seam are real, see [[decodeImages]] / [[decodeAudioAssets]].
+    * Here it
     * deterministically "decodes" content into fixed-width binary frames
     * so downstream operators exercise the true frame shape: one row per
     * frame, binary payload, frame index. posexplode is a Generate — rows
@@ -225,14 +280,50 @@ object Multimodal {
       |FROM sv GROUP BY asset_id
       |ORDER BY asset_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q102: video demux end to end — every asset wrapped as a 2-frame AVI
+  // and REALLY parsed back ([[decodeVideoAssets]]); the oracle re-derives
+  // width/height/frame bytes from the raw hex with no AVI knowledge, so
+  // a single misread size field in the chunk walk breaks the hash.
+  // ---------------------------------------------------------------------
+  val q102Bench: Q = (s, dir) => {
+    import s.implicits._
+    decodeVideoAssets(assets(s, dir))
+      .select($"asset_id", $"v.width".as("width"), $"v.height".as("height"),
+        $"v.n_frames".as("n_frames"), posexplode($"v.frames"))
+      .select($"asset_id", $"width", $"height", $"n_frames",
+        $"pos".cast("int").as("frame_no"), lower(hex($"col")).as("frame_hex"))
+  }
+  val q102: Q = (s, dir) => {
+    import s.implicits._
+    q102Bench(s, dir).orderBy($"asset_id", $"frame_no")
+  }
+  val q102Sql: String =
+    """WITH a AS (
+      |  SELECT doc_id AS asset_id,
+      |         md5('f0:' || text) || md5('f1:' || text) AS h
+      |  FROM documents),
+      |f AS (
+      |  SELECT asset_id, h, unnest(generate_series(0, 1)) AS frame_no
+      |  FROM a)
+      |SELECT asset_id, 2 AS width, 2 AS height, CAST(2 AS BIGINT) AS n_frames,
+      |  CAST(frame_no AS INT) AS frame_no,
+      |  substr(h, frame_no * 32 + 1, 32) AS frame_hex
+      |FROM f
+      |ORDER BY asset_id, frame_no""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q40_mm_features" -> q40,
-    "q84_audio_decode" -> q84)
+    "q84_audio_decode" -> q84,
+    "q102_video_demux" -> q102)
   val oracles: Map[String, String] = Map(
     "q40_mm_features" -> q40Sql,
-    "q84_audio_decode" -> q84Sql)
+    "q84_audio_decode" -> q84Sql,
+    "q102_video_demux" -> q102Sql)
 
   /** Bench-time override minus the determinism-only global sort (see
     * [[graft.queries.Relational.benchVariants]]). */
-  val benchVariants: Map[String, Q] = Map("q84_audio_decode" -> q84Bench)
+  val benchVariants: Map[String, Q] = Map(
+    "q84_audio_decode" -> q84Bench,
+    "q102_video_demux" -> q102Bench)
 }

@@ -96,11 +96,11 @@ object LlmOps {
   // ---------------------------------------------------------------------
   import graft.functions.GraftFunctions.dotLong
 
-  private def quantize(c: Column): Column =
+  private[queries] def quantize(c: Column): Column =
     transform(c, x => round(x.cast("double") * lit(1000000)).cast("long"))
   // norm² = dot(e, e) via the codegen'd custom expression (LongArrayDot)
   // — the aggregate(...) lambda form is CodegenFallback/interpreted.
-  private def sqNorm(c: Column): Column = dotLong(c, c)
+  private[queries] def sqNorm(c: Column): Column = dotLong(c, c)
 
   val q24: Q = (s, dir) => {
     import s.implicits._

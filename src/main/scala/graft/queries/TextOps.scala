@@ -898,6 +898,109 @@ object TextOps {
        |GROUP BY term
        |ORDER BY term""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q101: HYBRID retrieval — BM25 (q86's lexical leg, reused verbatim)
+  // and brute-force cosine (q24's vector leg) fused by reciprocal rank
+  // fusion: rrf(d) = Σ_legs 1/(K + rank_leg(d)), K = 60, over each leg's
+  // top-20; absent-from-a-leg contributes 0. RRF is THE standard fusion
+  // for keyword+vector first-stage retrieval (Cormack et al.) precisely
+  // because it needs no score calibration between legs — and it is
+  // Det-friendly for free: ranks are integers, so the fusion is a
+  // fixed-order sum of two exact IEEE divisions, bit-identical
+  // cross-engine even though the leg SCORES live on different scales.
+  //
+  // Scale shape: each leg is already bounded (TakeOrdered top-20), so
+  // the fusion joins two 20-row frames — driver-trivial forever; the
+  // legs carry the real cost and keep their own scale stories (q86: two
+  // scans + conditional-sum aggregate; q24: one scan + broadcast probe).
+  // The single-partition rank windows are over 20-row inputs, bounded
+  // by construction.
+  // ---------------------------------------------------------------------
+  private val RrfC = 60.0
+  private val HybridK = 10
+
+  val q101Bench: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.GraftFunctions.dotLong
+    val wScore = org.apache.spark.sql.expressions.Window
+      .orderBy($"score".desc, $"doc_id".asc)
+    val lex = q86Bench(s, dir).select($"doc_id", $"score")
+      .withColumn("lex_rank", row_number().over(wScore).cast("long"))
+      .drop("score")
+    val quant = t(s, dir, "embeddings")
+      .select($"vec_id", LlmOps.quantize($"embedding").as("e"))
+    val probe = broadcast(quant.filter($"vec_id" === 0).select($"e".as("pe")))
+    val wSim = org.apache.spark.sql.expressions.Window
+      .orderBy($"sim".desc, $"doc_id".asc)
+    val vec = quant.filter($"vec_id" =!= 0).crossJoin(probe)
+      .select($"vec_id".as("doc_id"),
+        (dotLong($"e", $"pe").cast("double") /
+          (sqrt(LlmOps.sqNorm($"e").cast("double")) *
+            sqrt(LlmOps.sqNorm($"pe").cast("double")))).as("sim"))
+      .orderBy($"sim".desc, $"doc_id".asc).limit(20)
+      .withColumn("vec_rank", row_number().over(wSim).cast("long"))
+      .drop("sim")
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .select($"doc_id", $"lex_rank", $"vec_rank",
+        (coalesce(lit(1.0) / (lit(RrfC) + $"lex_rank".cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfC) + $"vec_rank".cast("double")), lit(0.0)))
+          .as("rrf"))
+      .orderBy($"rrf".desc, $"doc_id".asc).limit(HybridK)
+  }
+  val q101: Q = q101Bench
+  val q101Sql: String = {
+    val tfSel = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"SUM(CASE WHEN token = '$t' THEN 1 ELSE 0 END) AS tf$i"
+    }.mkString(",\n      |    ")
+    val dfSel = Bm25Terms.indices.map { i =>
+      s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i"
+    }.mkString(",\n      |    ")
+    val contribs = Bm25Terms.indices.map { i =>
+      s"""(((CAST(n_docs - df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5)) *
+         |    ((CAST(tf$i AS DOUBLE) * 2.2) /
+         |     (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))""".stripMargin
+    }
+    val score = contribs.map(c => s"($c)").reduceLeft((a, b) => s"$a + $b")
+    s"""WITH tok AS (
+      |  SELECT doc_id, u.t AS token
+      |  FROM documents, unnest(string_split(text, ' ')) AS u(t)),
+      |per_doc AS (
+      |  SELECT doc_id, COUNT(*) AS dl,
+      |    $tfSel
+      |  FROM tok GROUP BY doc_id),
+      |stats AS (
+      |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl,
+      |    $dfSel
+      |  FROM per_doc),
+      |lex20 AS (
+      |  SELECT doc_id, $score AS score
+      |  FROM per_doc, stats
+      |  ORDER BY score DESC, doc_id LIMIT 20),
+      |lex AS (
+      |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
+      |  FROM lex20),
+      |q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT)) AS e
+      |  FROM embeddings),
+      |probe AS (SELECT e AS pe FROM q WHERE vec_id = 0),
+      |vec20 AS (
+      |  SELECT vec_id AS doc_id,
+      |    CAST(list_sum(list_transform(range(1, len(e)+1), i -> e[i] * pe[i])) AS DOUBLE)
+      |      / (sqrt(CAST(list_sum(list_transform(e, x -> x*x)) AS BIGINT)::DOUBLE)
+      |       * sqrt(CAST(list_sum(list_transform(pe, x -> x*x)) AS BIGINT)::DOUBLE)) AS sim
+      |  FROM q, probe WHERE vec_id <> 0
+      |  ORDER BY sim DESC, vec_id LIMIT 20),
+      |vec AS (
+      |  SELECT doc_id, CAST(row_number() OVER (ORDER BY sim DESC, doc_id) AS BIGINT) AS vec_rank
+      |  FROM vec20)
+      |SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id, lex_rank, vec_rank,
+      |  COALESCE(CAST(1 AS DOUBLE) / ($RrfC + CAST(lex_rank AS DOUBLE)), CAST(0 AS DOUBLE))
+      |    + COALESCE(CAST(1 AS DOUBLE) / ($RrfC + CAST(vec_rank AS DOUBLE)), CAST(0 AS DOUBLE)) AS rrf
+      |FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+      |ORDER BY rrf DESC, doc_id LIMIT $HybridK""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q29_simhash"        -> q29,
     "q30_jaccard_verify" -> q30,
@@ -915,7 +1018,8 @@ object TextOps {
     "q86_bm25"           -> q86,
     "q95_seq_pack"       -> q95,
     "q96_pii_redact"     -> q96,
-    "q97_postings"       -> q97)
+    "q97_postings"       -> q97,
+    "q101_hybrid_rrf"    -> q101)
 
   val oracles: Map[String, String] = Map(
     "q29_simhash"        -> q29Sql,
@@ -934,7 +1038,8 @@ object TextOps {
     "q86_bm25"           -> q86Sql,
     "q95_seq_pack"       -> q95Sql,
     "q96_pii_redact"     -> q96Sql,
-    "q97_postings"       -> q97Sql)
+    "q97_postings"       -> q97Sql,
+    "q101_hybrid_rrf"    -> q101Sql)
 
   /** Bench-time overrides minus determinism-only global sorts (see
     * [[Relational.benchVariants]]). Verify runs the sorted forms. */
