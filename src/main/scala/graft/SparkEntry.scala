@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.Bucketed.queries ++ graft.queries.Sessions.queries ++
       graft.queries.ZOrder.queries ++ graft.queries.Incremental.queries ++
       graft.queries.Clusters.queries ++ graft.queries.Scd.queries ++
-      graft.queries.Txn.queries ++ graft.queries.Materialized.queries
+      graft.queries.Txn.queries ++ graft.queries.Materialized.queries ++
+      graft.queries.PageRank.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -34,5 +35,6 @@ object SparkEntry {
       graft.queries.Bucketed.oracles ++ graft.queries.Sessions.oracles ++
       graft.queries.ZOrder.oracles ++ graft.queries.Incremental.oracles ++
       graft.queries.Clusters.oracles ++ graft.queries.Scd.oracles ++
-      graft.queries.Txn.oracles ++ graft.queries.Materialized.oracles
+      graft.queries.Txn.oracles ++ graft.queries.Materialized.oracles ++
+      graft.queries.PageRank.oracles
 }

@@ -1194,6 +1194,108 @@ object LlmOps {
        |  LIMIT $WSampleK)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q105: EXACT-QUOTA stratified sampling — q50's rate-based cousin with
+  // the guarantee mixture rebalancing actually needs: per stratum
+  // (lang), EXACTLY ceil(P% · n_g) rows survive, not a binomially-noisy
+  // approximation of them. Selection is rank-by-content-hash inside each
+  // stratum (smallest hashes win, doc_id breaks hash ties), so the
+  // sample is reproducible under any partitioning AND any later corpus
+  // permutation — re-running after an append changes which docs win
+  // only where the hash frontier moves.
+  //
+  // Scale shape: one corpus shuffle on lang (the ranking window's
+  // partition key), with both window functions (rank + stratum count)
+  // sharing that single sort — skew note: a dominant stratum makes one
+  // big sort partition; the fix at 100 TB is a two-pass frontier refine
+  // (sample hash quantiles per stratum, broadcast cutoffs, filter, exact
+  // -rank only the boundary sliver) — same topology q25 uses for skew.
+  // ---------------------------------------------------------------------
+  private val QuotaPct = 30
+
+  val q105Bench: Q = (s, dir) => {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"k".asc, $"doc_id".asc)
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+    t(s, dir, "documents")
+      .withColumn("k", conv(substring(md5(concat(lit("q:"), $"doc_id")), 1, 8), 16, 10).cast("long"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("quota", expr("(count(1) OVER (PARTITION BY lang) * " +
+        s"$QuotaPct + 99) div 100"))
+      .filter($"rn" <= $"quota")
+      .select($"doc_id", $"lang", $"rn", $"quota")
+  }
+  val q105: Q = (s, dir) => {
+    import s.implicits._
+    q105Bench(s, dir).orderBy($"lang", $"rn")
+  }
+  val q105Sql: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, lang,
+      |    CAST('0x' || substring(md5('q:' || doc_id), 1, 8) AS BIGINT) AS k
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, lang,
+      |    CAST(row_number() OVER (PARTITION BY lang ORDER BY k, doc_id) AS BIGINT) AS rn,
+      |    (COUNT(*) OVER (PARTITION BY lang) * $QuotaPct + 99) // 100 AS quota
+      |  FROM d)
+      |SELECT doc_id, lang, rn, CAST(quota AS BIGINT) AS quota
+      |FROM r WHERE rn <= quota
+      |ORDER BY lang, rn""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q106: per-DIMENSION embedding normalization (z-score) — the feature
+  // standardization step before distance-based ops (IVF centroids, kNN,
+  // cosine thresholds) when dimensions have wildly different variances.
+  // Det scheme for an op that is mean/variance arithmetic all the way
+  // down: quantized values feed DECIMAL(38,0) accumulators (Spark's
+  // sum(long) WRAPS silently at 100 TB scale and DuckDB's promotes to
+  // HUGEINT — decimal makes both sides exact and identical), and the
+  // algebra is arranged as z = (n·v − Σv) / sqrt(n·Σv² − (Σv)²) so the
+  // ONLY float ops are one correctly-rounded cast, one IEEE sqrt and
+  // one IEEE division on identical integers — bit-exact cross-engine.
+  //
+  // Scale shape: explode to (dim, v) — a Generate, no shuffle — then ONE
+  // aggregate shuffled by dim (64 groups, map-side partials collapse
+  // 32 partitions × 64 dims) and the stats re-joined by dim. The stats
+  // side is bounded by the MODEL dimension (64–4096), small BY
+  // DEFINITION — the q61-class case where a broadcast is safe forever.
+  // ---------------------------------------------------------------------
+  val q106Bench: Q = (s, dir) => {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+      .select($"vec_id", posexplode(quantize($"embedding")))
+      .select($"vec_id", $"pos".cast("int").as("dim"), $"col".as("v"))
+    val stats = e.groupBy($"dim").agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum($"v".cast("decimal(38,0)")).as("s"),
+      sum(($"v" * $"v").cast("decimal(38,0)")).as("sq"))
+    e.join(broadcast(stats), "dim")
+      .select($"vec_id", $"dim",
+        (($"n" * $"v".cast("decimal(38,0)") - $"s").cast("double") /
+          sqrt(($"n" * $"sq" - $"s" * $"s").cast("double"))).as("z"))
+  }
+  val q106: Q = (s, dir) => {
+    import s.implicits._
+    q106Bench(s, dir).orderBy($"vec_id", $"dim")
+  }
+  val q106Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT)) AS e
+      |  FROM embeddings),
+      |x AS (
+      |  SELECT vec_id, unnest(generate_series(1, len(e))) AS i, e FROM q),
+      |v AS (SELECT vec_id, CAST(i - 1 AS INT) AS dim, e[i] AS v FROM x),
+      |st AS (
+      |  SELECT dim, COUNT(*) AS n, SUM(v) AS s, SUM(v * v) AS sq
+      |  FROM v GROUP BY dim)
+      |SELECT vec_id, dim,
+      |  CAST(n * v - s AS DOUBLE) / sqrt(CAST(n * sq - s * s AS DOUBLE)) AS z
+      |FROM v JOIN st USING (dim)
+      |ORDER BY vec_id, dim""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q22_exact_dedup"    -> q22,
     "q23_text_stats"     -> q23,
@@ -1210,7 +1312,9 @@ object LlmOps {
     "q58_batch_ivf_ann"  -> q58,
     "q91_sem_decontam"   -> q91,
     "q74_knn_join"       -> q74,
-    "q99_weighted_sample" -> q99)
+    "q99_weighted_sample" -> q99,
+    "q105_quota_sample"  -> q105,
+    "q106_dim_zscore"    -> q106)
 
   val oracles: Map[String, String] = Map(
     "q22_exact_dedup"    -> q22Sql,
@@ -1228,7 +1332,9 @@ object LlmOps {
     "q58_batch_ivf_ann"  -> q58Sql,
     "q91_sem_decontam"   -> q91Sql,
     "q74_knn_join"       -> q74Sql,
-    "q99_weighted_sample" -> q99Sql)
+    "q99_weighted_sample" -> q99Sql,
+    "q105_quota_sample"  -> q105Sql,
+    "q106_dim_zscore"    -> q106Sql)
 
   /** Bench-time overrides minus determinism-only global sorts (see
     * [[Relational.benchVariants]]). Verify runs the sorted forms. */
@@ -1236,5 +1342,7 @@ object LlmOps {
     "q22_exact_dedup"  -> q22Bench,
     "q74_knn_join"     -> q74Bench,
     "q91_sem_decontam" -> q91Bench,
-    "q99_weighted_sample" -> q99Bench)
+    "q99_weighted_sample" -> q99Bench,
+    "q105_quota_sample" -> q105Bench,
+    "q106_dim_zscore"  -> q106Bench)
 }

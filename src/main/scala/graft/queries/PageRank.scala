@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PageRank centrality — the second iterative graph operator beside
+  * [[Clusters.connectedComponents]], and the one a training-data
+  * pipeline reaches for when "how duplicated is this doc" (CC) becomes
+  * "how CENTRAL is this node": influence scoring over interaction
+  * graphs, seed selection for crawl frontiers, and graph-based quality
+  * weighting of training data (rank mass ∝ how much the corpus links
+  * into a node). The reference has no graph surface at all; this is
+  * pure extension territory (SURVEY §8).
+  *
+  * Determinism (the house Det contract, applied to an ITERATIVE float
+  * algorithm): classic PageRank iterates r' = (1-d)/N + d·Σ r/deg in
+  * doubles, where the Σ is order-nondeterministic across engines and
+  * partitionings. Here ranks live as 1e-12 FIXED-POINT BIGINTs: the
+  * per-edge contribution is `rank div outdeg` (integer division), the
+  * damped update is `base + (85·Σ) div 100` — every step is integer
+  * arithmetic, sums are order-independent, and five rounds later the
+  * ranks are bit-identical in Spark and DuckDB with no float tolerance
+  * anywhere. Quantization error is ≤ outdeg ulps of 1e-12 per node per
+  * round — invisible next to PageRank's own damping convergence, and a
+  * price worth paying for an oracle-checkable iterative operator.
+  *
+  * Scale posture: each round is the classic Pregel superstep — join the
+  * rank table (one row per node) to the edge list on src, aggregate
+  * contributions by dst. That is 2 shuffles/round over edges + nodes,
+  * never all-pairs, no driver-side graph; the one driver scalar is N
+  * (node count — a control input to the base term, same class as the
+  * CC label-sum witness). Per-round `localCheckpoint` truncates lineage
+  * exactly as in CC (reliable-checkpoint option available the same
+  * way). On a real cluster the edge list would be written once bucketed
+  * by src (the [[Bucketed]] pattern) making the rank join exchange-free
+  * on the edge side; rounds are fixed (Iters), so total cost is
+  * Iters × (|E| shuffle) — the known PageRank bill.
+  */
+object PageRank {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Scale = 1000000000000L // 1e12 fixed-point
+  private val Iters = 5
+  // supplier node ids live above customers; testdata keys are < 1e6 at
+  // any generated SF, and the offset is a constant of THIS query's
+  // graph encoding, not of the operator
+  private val SuppOff = 1000000000L
+
+  /** Fixed-point PageRank over a SYMMETRIC distinct edge list
+    * (src, dst) — symmetry means every node has in- and out-edges, so
+    * there is no dangling-mass special case. Returns (node, rank) with
+    * rank the 1e-12-scaled BIGINT after `iters` damped rounds. */
+  def pageRank(edges: DataFrame, iters: Int = Iters,
+               checkpointDir: Option[String] = None): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    checkpointDir.foreach(s.sparkContext.setCheckpointDir)
+    def cp(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(false)
+      else df.localCheckpoint(false)
+    // outdegree rides the edge list once (built + checkpointed before
+    // the loop; every round reuses it)
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("od"))
+    val ed = cp(edges.join(deg, "src"))
+    val n = deg.count() // driver scalar: |V|, the base-term control input
+    require(n > 0, "pageRank on an empty graph")
+    val base = 15L * Scale / (100L * n)
+    var rank = cp(deg.select($"src".as("node"), lit(Scale / n).as("rank")))
+    var i = 0
+    while (i < iters) {
+      rank = cp(ed
+        .join(rank.select($"node".as("src"), $"rank"), "src")
+        .select($"dst".as("node"), expr("rank div od").as("c"))
+        .groupBy($"node").agg(sum($"c").as("sc"))
+        .select($"node", (lit(base) + expr("(85 * sc) div 100")).as("rank")))
+      i += 1
+    }
+    rank
+  }
+
+  // ---------------------------------------------------------------------
+  // q104: purchase-graph centrality — customers and suppliers as nodes,
+  // an (undirected) edge wherever a customer's order contains a
+  // supplier's part, rank after 5 damped rounds, top 50. The bipartite
+  // symmetrized graph makes rank flow customer → supplier → customer:
+  // central suppliers are those reached by well-connected customers,
+  // not merely high-degree ones — exactly what degree (q01-style
+  // counting) cannot express and iteration can.
+  // ---------------------------------------------------------------------
+  val q104Bench: Q = (s, dir) => {
+    import s.implicits._
+    val pairs = graft.Tables.t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_suppkey")
+      .join(graft.Tables.t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey".as("c"), $"l_suppkey".as("sp")).distinct()
+    val edges = pairs
+      .select($"c".as("src"), ($"sp" + SuppOff).as("dst"))
+      .union(pairs.select(($"sp" + SuppOff).as("src"), $"c".as("dst")))
+    pageRank(edges).orderBy($"rank".desc, $"node".asc).limit(50)
+  }
+  val q104: Q = q104Bench // the top-50 sort is the semantics, not cosmetics
+
+  /** DuckDB mirror: the same 5 rounds UNROLLED as chained CTEs (DuckDB
+    * recursive CTEs disallow aggregation in the recursive term), integer
+    * ops only — `//` there == `div` here on positive BIGINTs. */
+  val q104Sql: String = {
+    val rounds = (1 to Iters).map { i =>
+      s"""r$i AS (
+         |  SELECT e.dst AS node,
+         |    15000000000000 // (100 * cnt)
+         |      + (85 * SUM(r${i - 1}.rank // deg.od)) // 100 AS rank
+         |  FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node
+         |         JOIN deg ON deg.src = e.src, n
+         |  GROUP BY e.dst, cnt)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS (
+       |  SELECT c AS src, sp + $SuppOff AS dst FROM p
+       |  UNION ALL SELECT sp + $SuppOff, c FROM p),
+       |deg AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+       |n AS (SELECT COUNT(*) AS cnt FROM deg),
+       |r0 AS (SELECT src AS node, $Scale // cnt AS rank FROM deg, n),
+       |$rounds
+       |SELECT node, CAST(rank AS BIGINT) AS rank
+       |FROM r$Iters ORDER BY rank DESC, node ASC LIMIT 50""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map("q104_pagerank" -> q104)
+  val oracles: Map[String, String] = Map("q104_pagerank" -> q104Sql)
+}

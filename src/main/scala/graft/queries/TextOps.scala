@@ -1001,6 +1001,83 @@ object TextOps {
       |ORDER BY rrf DESC, doc_id LIMIT $HybridK""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q103: CROSS-DOCUMENT LINE DEDUP — the C4/RefinedWeb cleaning step
+  // between exact dedup (q22, whole docs) and near-dedup (q25, fuzzy
+  // docs): an exact-duplicate SPAN appearing in many documents
+  // (boilerplate, licenses, navigation chrome) is removed EVERYWHERE
+  // except its global first occurrence, and each document is reassembled
+  // from its surviving lines. "Line" here is a non-overlapping
+  // LineLen-token span (the corpus has no newlines; the operator is
+  // identical for newline-split lines). First occurrence = the minimum
+  // (doc_id, line_id) — encoded as ONE integer key doc_id*100000+line_id
+  // so the winner is a plain MIN, not a struct argmin, in both engines.
+  //
+  // Scale shape: two shuffles, both necessary — (1) lines hash-partition
+  // by their text for the duplicate-group window (the corpus moves once;
+  // the window needs no join-back, unlike a winners-table join which
+  // would shuffle the same data AND build a table), (2) surviving lines
+  // regroup by doc_id for reassembly (map-side partial aggregation; the
+  // per-doc collect_list is bounded by document length, never by corpus
+  // size). No driver collection, nothing all-pairs; duplicate-heavy
+  // groups are single-key windows — a pathological mega-boilerplate line
+  // (billions of copies) would skew one partition, the documented knob
+  // being the same salting used by q25's BucketCap.
+  // ---------------------------------------------------------------------
+  private val LineLen = 10
+
+  val q103Bench: Q = (s, dir) => {
+    import s.implicits._
+    val L = LineLen
+    val lines = t(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .withColumn("line_id",
+        explode(sequence(lit(0),
+          floor((size($"toks") - 1).cast("double") / L).cast("int"))))
+      .select($"doc_id", $"line_id",
+        array_join(slice($"toks", $"line_id" * L + 1, lit(L)), " ").as("line"))
+      .withColumn("okey", $"doc_id" * 100000L + $"line_id")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"line")
+    val flagged = lines
+      .withColumn("wkey", min($"okey").over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("keep", $"cnt" === 1L || $"okey" === $"wkey")
+    flagged.groupBy($"doc_id").agg(
+      sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
+      sum(when($"keep", 0L).otherwise(1L)).as("n_dropped"),
+      array_join(
+        transform(array_sort(collect_list(when($"keep",
+          struct($"line_id", $"line")))), x => x("line")), " ").as("text_dedup"))
+  }
+  val q103: Q = (s, dir) => {
+    import s.implicits._
+    q103Bench(s, dir).orderBy($"doc_id")
+  }
+  val q103Sql: String = {
+    val L = LineLen
+    s"""WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |l AS (
+      |  SELECT doc_id, toks,
+      |    unnest(generate_series(0, (len(toks) - 1) // $L)) AS line_id
+      |  FROM d),
+      |ln AS (
+      |  SELECT doc_id, line_id,
+      |    array_to_string(toks[line_id * $L + 1 : line_id * $L + $L], ' ') AS line,
+      |    doc_id * 100000 + line_id AS okey
+      |  FROM l),
+      |g AS (
+      |  SELECT *, MIN(okey) OVER (PARTITION BY line) AS wkey,
+      |    COUNT(*) OVER (PARTITION BY line) AS cnt
+      |  FROM ln)
+      |SELECT doc_id,
+      |  CAST(SUM(CASE WHEN cnt = 1 OR okey = wkey THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN cnt = 1 OR okey = wkey THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+      |  COALESCE(string_agg(CASE WHEN cnt = 1 OR okey = wkey THEN line END,
+      |                      ' ' ORDER BY line_id), '') AS text_dedup
+      |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q29_simhash"        -> q29,
     "q30_jaccard_verify" -> q30,
@@ -1019,7 +1096,8 @@ object TextOps {
     "q95_seq_pack"       -> q95,
     "q96_pii_redact"     -> q96,
     "q97_postings"       -> q97,
-    "q101_hybrid_rrf"    -> q101)
+    "q101_hybrid_rrf"    -> q101,
+    "q103_line_dedup"    -> q103)
 
   val oracles: Map[String, String] = Map(
     "q29_simhash"        -> q29Sql,
@@ -1039,7 +1117,8 @@ object TextOps {
     "q95_seq_pack"       -> q95Sql,
     "q96_pii_redact"     -> q96Sql,
     "q97_postings"       -> q97Sql,
-    "q101_hybrid_rrf"    -> q101Sql)
+    "q101_hybrid_rrf"    -> q101Sql,
+    "q103_line_dedup"    -> q103Sql)
 
   /** Bench-time overrides minus determinism-only global sorts (see
     * [[Relational.benchVariants]]). Verify runs the sorted forms. */
@@ -1055,5 +1134,6 @@ object TextOps {
     "q83_chunking"       -> q83Bench,
     "q95_seq_pack"       -> q95Bench,
     "q96_pii_redact"     -> q96Bench,
-    "q97_postings"       -> q97Bench)
+    "q97_postings"       -> q97Bench,
+    "q103_line_dedup"    -> q103Bench)
 }

@@ -657,6 +657,27 @@ object TxnTable {
       cur.blooms.view.filterKeys(carry.toSet).toMap ++ stagedBlooms, cur.bloomCol)
   }
 
+  /** RESTORE — roll the table back to `toVersion` as a NEW commit (the
+    * warehouse-standard undo for a bad load): the restored manifest is a
+    * verbatim copy of the target snapshot's file list, stats, blooms,
+    * and schema, so the operation is METADATA-ONLY — zero data movement
+    * at any table size — and history is linear and preserved: the bad
+    * versions stay time-travelable until [[vacuum]], and
+    * [[changesBetween]] across the restore commit yields exactly the
+    * rows it undid (the feed of the mistake, inverted). Restoring
+    * forward (to a version newer than a prior restore's target) is the
+    * same operation — any retained version is a valid target. Only
+    * versions still within the vacuum retention window can be restored:
+    * vacuum drops old manifests AND their unreferenced files, at which
+    * point this throws on the missing manifest rather than committing a
+    * snapshot with dangling file references. */
+  def restore(s: SparkSession, root: String, toVersion: Long): Snapshot = {
+    val snap = snapshot(s, root, toVersion)
+    commit(s, root, nextVersion(s, root), s"restore:$toVersion",
+      snap.files, snap.stats, snap.statsCol, snap.schema,
+      snap.blooms, snap.bloomCol)
+  }
+
   /** Retention: keep the newest `retainVersions` manifests, drop older
     * ones, then delete every data file (and empty uuid dir) that no
     * retained manifest references. Time travel older than the horizon
