@@ -1078,6 +1078,147 @@ object TextOps {
       |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q107: PARETO FRONTIER (skyline) — the multi-objective selection rule
+  // data curation actually uses ("keep documents no other document beats
+  // on BOTH quality and length") where a single weighted score would
+  // bake in an arbitrary trade-off. A doc is on the frontier iff no doc
+  // is ≥ in both dimensions and > in at least one. Quality is the
+  // integer-scaled distinct-token ratio (q33's metric, Det-safe).
+  //
+  // NOT all-pairs: dominance against the whole corpus reduces to two
+  // window maxima — (1) within each length, only per-length quality
+  // maxima survive (ties keep every duplicate: equal points don't
+  // dominate each other), (2) across lengths, a candidate survives iff
+  // the running max of quality over STRICTLY longer docs (RANGE frame
+  // ending 1 PRECEDING on the desc length ordering — integer lengths
+  // make "strictly longer" = "≥ len+1") is below its own. Shuffle by
+  // len for (1); (2) runs over per-length maxima only — bounded by the
+  // distinct-length domain (≤ max doc length), not corpus size, the
+  // same bounded-by-construction argument as TopKByScore.
+  // ---------------------------------------------------------------------
+  val q107Bench: Q = (s, dir) => {
+    import s.implicits._
+    val d = t(s, dir, "documents").select($"doc_id", $"n_chars".as("len"),
+      expr("size(array_distinct(split(text, ' '))) * CAST(1000000 AS BIGINT)" +
+        " div size(split(text, ' '))").as("qi"))
+    val cand = d
+      .withColumn("m2", max($"qi").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"len")))
+      .filter($"qi" === $"m2")
+    val wG = org.apache.spark.sql.expressions.Window.orderBy($"len".desc)
+      .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    cand.withColumn("m1", max($"qi").over(wG))
+      .filter($"m1".isNull || $"m1" < $"qi")
+      .select($"doc_id", $"len", $"qi")
+  }
+  val q107: Q = (s, dir) => {
+    import s.implicits._
+    q107Bench(s, dir).orderBy($"len".desc, $"doc_id")
+  }
+  val q107Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, n_chars AS len,
+      |    len(list_distinct(string_split(text, ' '))) * 1000000
+      |      // len(string_split(text, ' ')) AS qi
+      |  FROM documents),
+      |c AS (SELECT * FROM d QUALIFY qi = MAX(qi) OVER (PARTITION BY len)),
+      |f AS (
+      |  SELECT *, MAX(qi) OVER (ORDER BY len DESC
+      |    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1
+      |  FROM c)
+      |SELECT doc_id, len, CAST(qi AS BIGINT) AS qi
+      |FROM f WHERE m1 IS NULL OR m1 < qi
+      |ORDER BY len DESC, doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q108: KMV DISTINCT SKETCHES with SET OPERATIONS — cross-source
+  // content overlap without exact distinct-counting. HLL (q39/q68) can
+  // union but cannot intersect; a K-Minimum-Values sketch can do both:
+  // keep the K smallest hashes of each source's distinct shingle set,
+  // merge two sketches by re-taking the K smallest of the union, and
+  // estimate Jaccard as |unionKMV ∩ A ∩ B| / K and the union
+  // cardinality as (K−1)·2^52 / h_K (hashes are 52-bit so they are
+  // EXACT in doubles; Beyer et al., "On Synopses for Distinct-Value
+  // Estimation Under Multiset Operations"). Every estimate is a
+  // deterministic function of the data — the oracle recomputes the
+  // identical sketches, so an approximate structure is exactly checked
+  // (the q39/q71 philosophy).
+  //
+  // Scale shape: per-source distinct hashes (one narrow 8-byte shuffle)
+  // feed the BOUNDED TopKByScore aggregate — few groups × large
+  // candidate sets is exactly the case its map-side K-slot buffers win
+  // (shuffle carries maps × sources × K rows, not the vocabularies).
+  // The pairwise stage joins |sources|² sketch ROWS of K longs each —
+  // planning-scale data forever, while the corpus is touched once.
+  // ---------------------------------------------------------------------
+  private val KmvK = 64
+
+  val q108Bench: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.TopKByScore.topKByScore
+    val K = KmvK
+    val h = t(s, dir, "documents")
+      .where(size(split($"text", " ")) >= 3)
+      .select($"source",
+        explode(array_distinct(LlmOps.shingles3(split($"text", " ")))).as("sh"))
+      .select($"source",
+        conv(substring(md5(concat(lit("k:"), $"sh")), 1, 13), 16, 10)
+          .cast("long").as("h"))
+      .distinct()
+    val sk = h.groupBy($"source")
+      .agg(topKByScore(-$"h".cast("double"), $"h", K).as("arr"))
+      .select($"source", transform($"arr", x => x("id")).as("ks"))
+    val pairs = sk.as("a").join(sk.as("b"), $"a.source" < $"b.source")
+      .select($"a.source".as("src_a"), $"b.source".as("src_b"),
+        $"a.ks".as("ka"), $"b.ks".as("kb"))
+    val u = slice(array_sort(array_union($"ka", $"kb")), 1, K)
+    val inBoth = size(array_intersect($"u", array_intersect($"ka", $"kb")))
+    pairs.withColumn("u", u)
+      .withColumn("j_est", inBoth.cast("double") / lit(K.toDouble))
+      .withColumn("union_est",
+        lit((K - 1) * 4503599627370496.0) / element_at($"u", K).cast("double"))
+      .select($"src_a", $"src_b", $"j_est", $"union_est",
+        ($"j_est" * $"union_est").as("inter_est"))
+  }
+  val q108: Q = (s, dir) => {
+    import s.implicits._
+    q108Bench(s, dir).orderBy($"src_a", $"src_b")
+  }
+  val q108Sql: String = {
+    val K = KmvK
+    s"""WITH d AS (
+      |  SELECT source, string_split(text, ' ') AS tk FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |s AS (
+      |  SELECT DISTINCT source,
+      |    CAST('0x' || substring(md5('k:' || sh), 1, 13) AS BIGINT) AS h
+      |  FROM (SELECT source,
+      |          unnest([array_to_string(tk[i:i+2], ' ')
+      |                  for i in range(1, len(tk) - 1)]) AS sh
+      |        FROM d)),
+      |k AS (
+      |  SELECT source, list(h ORDER BY h) AS ks
+      |  FROM (SELECT source, h,
+      |          row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+      |        FROM s)
+      |  WHERE rn <= $K GROUP BY source),
+      |p AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, a.ks AS ka, b.ks AS kb
+      |  FROM k a JOIN k b ON a.source < b.source),
+      |m AS (
+      |  SELECT src_a, src_b,
+      |    list_sort(list_distinct(ka || kb))[1:$K] AS u,
+      |    list_intersect(ka, kb) AS common
+      |  FROM p)
+      |SELECT src_a, src_b,
+      |  CAST(len(list_intersect(u, common)) AS DOUBLE) / ${K.toDouble} AS j_est,
+      |  ${(K - 1) * 4503599627370496.0} / CAST(u[$K] AS DOUBLE) AS union_est,
+      |  (CAST(len(list_intersect(u, common)) AS DOUBLE) / ${K.toDouble})
+      |    * (${(K - 1) * 4503599627370496.0} / CAST(u[$K] AS DOUBLE)) AS inter_est
+      |FROM m ORDER BY src_a, src_b""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q29_simhash"        -> q29,
     "q30_jaccard_verify" -> q30,
@@ -1097,7 +1238,9 @@ object TextOps {
     "q96_pii_redact"     -> q96,
     "q97_postings"       -> q97,
     "q101_hybrid_rrf"    -> q101,
-    "q103_line_dedup"    -> q103)
+    "q103_line_dedup"    -> q103,
+    "q107_pareto"        -> q107,
+    "q108_kmv_overlap"   -> q108)
 
   val oracles: Map[String, String] = Map(
     "q29_simhash"        -> q29Sql,
@@ -1118,7 +1261,9 @@ object TextOps {
     "q96_pii_redact"     -> q96Sql,
     "q97_postings"       -> q97Sql,
     "q101_hybrid_rrf"    -> q101Sql,
-    "q103_line_dedup"    -> q103Sql)
+    "q103_line_dedup"    -> q103Sql,
+    "q107_pareto"        -> q107Sql,
+    "q108_kmv_overlap"   -> q108Sql)
 
   /** Bench-time overrides minus determinism-only global sorts (see
     * [[Relational.benchVariants]]). Verify runs the sorted forms. */
@@ -1135,5 +1280,7 @@ object TextOps {
     "q95_seq_pack"       -> q95Bench,
     "q96_pii_redact"     -> q96Bench,
     "q97_postings"       -> q97Bench,
-    "q103_line_dedup"    -> q103Bench)
+    "q103_line_dedup"    -> q103Bench,
+    "q107_pareto"        -> q107Bench,
+    "q108_kmv_overlap"   -> q108Bench)
 }
