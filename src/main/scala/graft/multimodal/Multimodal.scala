@@ -312,18 +312,80 @@ object Multimodal {
       |FROM f
       |ORDER BY asset_id, frame_no""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q109: decode → RESIZE, the full image-normalization path — every
+  // asset's first 24 content bytes wrapped as a REAL 4×2 24-bit BMP,
+  // decoded by the REAL JDK codec path ([[decodeImages]]' DecodeImage),
+  // then 2×2 box-filter downscaled by the [[graft.functions.
+  // BoxDownscale]] expression (integer floor-average — the Det-safe
+  // resize kernel). The oracle re-derives the two output pixels from
+  // the raw hex alone — BMP's bottom-up BGR layout, the BT.601 integer
+  // luma, and the box average all re-implemented in SQL with no image
+  // API — so one wrong byte offset in EITHER the codec wrap, the luma,
+  // or the kernel breaks the hash. Scale shape: two chained pure
+  // projections, zero shuffle; the binary columns prune away behind
+  // the 4-column output.
+  // ---------------------------------------------------------------------
+  val q109Bench: Q = (s, dir) => {
+    import s.implicits._
+    assets(s, dir)
+      .select($"asset_id", graft.functions.DecodeImage.decodeImage(
+        concat(unhex(lit(BmpPrefixHex)), substring($"content", 1, 24)))
+        .as("img"))
+      .filter($"img".isNotNull)
+      .select($"asset_id", graft.functions.BoxDownscale.boxDownscale(
+        $"img.gray", $"img.width", $"img.height", lit(2)).as("rz"))
+      .filter($"rz".isNotNull)
+      .select($"asset_id", $"rz.width".as("width"), $"rz.height".as("height"),
+        lower(hex($"rz.gray")).as("gray_hex"))
+  }
+  val q109: Q = (s, dir) => {
+    import s.implicits._
+    q109Bench(s, dir).orderBy($"asset_id")
+  }
+
+  // 4×2 24-bit bottom-up BMP: BITMAPFILEHEADER (14) + BITMAPINFOHEADER
+  // (40); 24 pixel bytes follow (2 rows × 12, stride already 4-aligned).
+  private[multimodal] val BmpPrefixHex: String =
+    ccHex("BM") + u32Hex(78) + u32Hex(0) + u32Hex(54) +
+      u32Hex(40) + u32Hex(4) + u32Hex(2) + u16Hex(1) + u16Hex(24) +
+      u32Hex(0) + u32Hex(24) + u32Hex(0) * 4
+
+  val q109Sql: String = {
+    def b(i: Int) = s"CAST('0x' || substr(h, ${i * 2 + 1}, 2) AS BIGINT)"
+    // BMP rows are bottom-up, pixels are B,G,R: image pixel (x, y) with
+    // y=0 the TOP row lives at data byte (1-y)*12 + x*3
+    def lum(x: Int, y: Int) = {
+      val o = (1 - y) * 12 + x * 3
+      s"((${b(o + 2)} * 299 + ${b(o + 1)} * 587 + ${b(o)} * 114) // 1000)"
+    }
+    def px(ox: Int) =
+      s"((${lum(2 * ox, 0)} + ${lum(2 * ox + 1, 0)} + ${lum(2 * ox, 1)} + ${lum(2 * ox + 1, 1)}) // 4)"
+    s"""WITH a AS (
+      |  SELECT doc_id AS asset_id,
+      |         md5('f0:' || text) || md5('f1:' || text) AS h
+      |  FROM documents)
+      |SELECT asset_id, CAST(2 AS INT) AS width, CAST(1 AS INT) AS height,
+      |  lpad(lower(hex(${px(0)})), 2, '0')
+      |    || lpad(lower(hex(${px(1)})), 2, '0') AS gray_hex
+      |FROM a ORDER BY asset_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q40_mm_features" -> q40,
     "q84_audio_decode" -> q84,
-    "q102_video_demux" -> q102)
+    "q102_video_demux" -> q102,
+    "q109_image_resize" -> q109)
   val oracles: Map[String, String] = Map(
     "q40_mm_features" -> q40Sql,
     "q84_audio_decode" -> q84Sql,
-    "q102_video_demux" -> q102Sql)
+    "q102_video_demux" -> q102Sql,
+    "q109_image_resize" -> q109Sql)
 
   /** Bench-time override minus the determinism-only global sort (see
     * [[graft.queries.Relational.benchVariants]]). */
   val benchVariants: Map[String, Q] = Map(
     "q84_audio_decode" -> q84Bench,
-    "q102_video_demux" -> q102Bench)
+    "q102_video_demux" -> q102Bench,
+    "q109_image_resize" -> q109Bench)
 }
