@@ -67,11 +67,14 @@ object BoxDownscale {
     StructField("height", IntegerType, nullable = false),
     StructField("gray", BinaryType, nullable = false)))
 
-  /** k×k floor-average downscale; null for malformed input. */
+  /** k×k floor-average downscale; null for malformed input. The size
+    * guard multiplies in LONG — `w * h` in int arithmetic can wrap to
+    * g.length for adversarial dims and bypass the check entirely. */
   def downscale(g: Array[Byte], w: Int, h: Int, k: Int): InternalRow = {
-    if (w <= 0 || h <= 0 || k <= 0 || g.length != w * h) return null
-    val ow = (w + k - 1) / k
-    val oh = (h + k - 1) / k
+    if (w <= 0 || h <= 0 || k <= 0 || g.length.toLong != w.toLong * h) return null
+    // ceil-divide in long: w + k - 1 wraps in int when k is near MaxValue
+    val ow = ((w.toLong + k - 1) / k).toInt
+    val oh = ((h.toLong + k - 1) / k).toInt
     val out = new Array[Byte](ow * oh)
     var oy = 0
     while (oy < oh) {
@@ -79,8 +82,10 @@ object BoxDownscale {
       while (ox < ow) {
         val x1 = math.min(ox * k + k, w)
         val y1 = math.min(oy * k + k, h)
-        var sum = 0
-        var cnt = 0
+        // Long sum: a single k×k block can exceed 8.4M pixels (e.g.
+        // whole-image pooling), where an int sum of 255s wraps silently
+        var sum = 0L
+        var cnt = 0L
         var y = oy * k
         while (y < y1) {
           var x = ox * k

@@ -79,8 +79,13 @@ object DecodeVideo {
       val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
 
       // one RIFF chunk walker serves every nesting level; `inMovi` marks
-      // the frame list, where '##db'/'##dc' chunks are frame payloads
-      def walk(start: Int, lim: Int, inMovi: Boolean): Unit = {
+      // the frame list, where '##db'/'##dc' chunks are frame payloads.
+      // Real AVIs nest ≤ 3 lists deep; the depth cap turns an
+      // adversarially deep-nested input into "corrupt" (→ NULL via the
+      // require) instead of a StackOverflowError — an Error would
+      // escape the Exception catch below and kill the task.
+      def walk(start: Int, lim: Int, inMovi: Boolean, depth: Int = 0): Unit = {
+        require(depth <= 16) // not a well-formed AVI
         var off = start
         while (off + 8 <= lim) {
           val id = cc(off)
@@ -92,7 +97,7 @@ object DecodeVideo {
             val lt = cc(dataOff)
             // descend into the lists that matter; unknown lists skip
             if (lt == "hdrl" || lt == "strl" || lt == "movi" || lt == "rec ")
-              walk(dataOff + 4, dataOff + sz, inMovi || lt == "movi")
+              walk(dataOff + 4, dataOff + sz, inMovi || lt == "movi", depth + 1)
           } else if (id == "avih") {
             require(sz >= 40) // AVIMAINHEADER through dwHeight
             declared = u32(dataOff + 16) // dwTotalFrames

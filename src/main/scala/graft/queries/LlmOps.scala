@@ -1271,10 +1271,16 @@ object LlmOps {
       count(lit(1)).cast("decimal(38,0)").as("n"),
       sum($"v".cast("decimal(38,0)")).as("s"),
       sum(($"v" * $"v").cast("decimal(38,0)")).as("sq"))
+    // zero-variance guard: a constant dimension (zero-padded trailing
+    // dims are common in real embedding tables) is 0/0 = NaN without
+    // it, and NaN poisons every downstream distance — z = 0 is the
+    // standard convention (the value IS the mean)
+    val varZ = $"n" * $"sq" - $"s" * $"s"
     e.join(broadcast(stats), "dim")
       .select($"vec_id", $"dim",
-        (($"n" * $"v".cast("decimal(38,0)") - $"s").cast("double") /
-          sqrt(($"n" * $"sq" - $"s" * $"s").cast("double"))).as("z"))
+        when(varZ === lit(java.math.BigDecimal.ZERO), lit(0.0))
+          .otherwise(($"n" * $"v".cast("decimal(38,0)") - $"s").cast("double") /
+            sqrt(varZ.cast("double"))).as("z"))
   }
   val q106: Q = (s, dir) => {
     import s.implicits._
@@ -1292,7 +1298,9 @@ object LlmOps {
       |  SELECT dim, COUNT(*) AS n, SUM(v) AS s, SUM(v * v) AS sq
       |  FROM v GROUP BY dim)
       |SELECT vec_id, dim,
-      |  CAST(n * v - s AS DOUBLE) / sqrt(CAST(n * sq - s * s AS DOUBLE)) AS z
+      |  CASE WHEN n * sq - s * s = 0 THEN CAST(0 AS DOUBLE)
+      |       ELSE CAST(n * v - s AS DOUBLE)
+      |         / sqrt(CAST(n * sq - s * s AS DOUBLE)) END AS z
       |FROM v JOIN st USING (dim)
       |ORDER BY vec_id, dim""".stripMargin
 

@@ -1023,6 +1023,13 @@ object TextOps {
   // groups are single-key windows — a pathological mega-boilerplate line
   // (billions of copies) would skew one partition, the documented knob
   // being the same salting used by q25's BucketCap.
+  //
+  // The winner is min(struct(doc_id, line_id)) — lexicographic struct
+  // MIN, identical semantics in both engines at ANY doc length (an
+  // integer-encoded composite key would silently collide once a
+  // document exceeds the encoding's line capacity). A singleton line's
+  // min IS its own key, so `keep = key == winner` alone also covers the
+  // unique-line case — no occurrence-count window needed.
   // ---------------------------------------------------------------------
   private val LineLen = 10
 
@@ -1036,12 +1043,10 @@ object TextOps {
           floor((size($"toks") - 1).cast("double") / L).cast("int"))))
       .select($"doc_id", $"line_id",
         array_join(slice($"toks", $"line_id" * L + 1, lit(L)), " ").as("line"))
-      .withColumn("okey", $"doc_id" * 100000L + $"line_id")
+      .withColumn("okey", struct($"doc_id", $"line_id"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"line")
     val flagged = lines
-      .withColumn("wkey", min($"okey").over(w))
-      .withColumn("cnt", count(lit(1)).over(w))
-      .withColumn("keep", $"cnt" === 1L || $"okey" === $"wkey")
+      .withColumn("keep", $"okey" === min($"okey").over(w))
     flagged.groupBy($"doc_id").agg(
       sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
       sum(when($"keep", 0L).otherwise(1L)).as("n_dropped"),
@@ -1064,16 +1069,15 @@ object TextOps {
       |ln AS (
       |  SELECT doc_id, line_id,
       |    array_to_string(toks[line_id * $L + 1 : line_id * $L + $L], ' ') AS line,
-      |    doc_id * 100000 + line_id AS okey
+      |    {'d': doc_id, 'l': line_id} AS okey
       |  FROM l),
       |g AS (
-      |  SELECT *, MIN(okey) OVER (PARTITION BY line) AS wkey,
-      |    COUNT(*) OVER (PARTITION BY line) AS cnt
+      |  SELECT *, MIN(okey) OVER (PARTITION BY line) AS wkey
       |  FROM ln)
       |SELECT doc_id,
-      |  CAST(SUM(CASE WHEN cnt = 1 OR okey = wkey THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-      |  CAST(SUM(CASE WHEN cnt = 1 OR okey = wkey THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
-      |  COALESCE(string_agg(CASE WHEN cnt = 1 OR okey = wkey THEN line END,
+      |  CAST(SUM(CASE WHEN okey = wkey THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN okey = wkey THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+      |  COALESCE(string_agg(CASE WHEN okey = wkey THEN line END,
       |                      ' ' ORDER BY line_id), '') AS text_dedup
       |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
@@ -1172,12 +1176,19 @@ object TextOps {
     val pairs = sk.as("a").join(sk.as("b"), $"a.source" < $"b.source")
       .select($"a.source".as("src_a"), $"b.source".as("src_b"),
         $"a.ks".as("ka"), $"b.ks".as("kb"))
+    // Under-full merged sketch (= both sources' full distinct sets fit
+    // in K): the sketch IS the union, so estimates degrade gracefully
+    // to EXACT values — denominator |u|, union = |u| — instead of a
+    // NULL h_K and a /K Jaccard underestimate.
     val u = slice(array_sort(array_union($"ka", $"kb")), 1, K)
     val inBoth = size(array_intersect($"u", array_intersect($"ka", $"kb")))
     pairs.withColumn("u", u)
-      .withColumn("j_est", inBoth.cast("double") / lit(K.toDouble))
+      .withColumn("j_est",
+        inBoth.cast("double") / least(lit(K), size($"u")).cast("double"))
       .withColumn("union_est",
-        lit((K - 1) * 4503599627370496.0) / element_at($"u", K).cast("double"))
+        when(size($"u") < K, size($"u").cast("double"))
+          .otherwise(lit((K - 1) * 4503599627370496.0)
+            / element_at($"u", K).cast("double")))
       .select($"src_a", $"src_b", $"j_est", $"union_est",
         ($"j_est" * $"union_est").as("inter_est"))
   }
@@ -1210,13 +1221,17 @@ object TextOps {
       |  SELECT src_a, src_b,
       |    list_sort(list_distinct(ka || kb))[1:$K] AS u,
       |    list_intersect(ka, kb) AS common
-      |  FROM p)
-      |SELECT src_a, src_b,
-      |  CAST(len(list_intersect(u, common)) AS DOUBLE) / ${K.toDouble} AS j_est,
-      |  ${(K - 1) * 4503599627370496.0} / CAST(u[$K] AS DOUBLE) AS union_est,
-      |  (CAST(len(list_intersect(u, common)) AS DOUBLE) / ${K.toDouble})
-      |    * (${(K - 1) * 4503599627370496.0} / CAST(u[$K] AS DOUBLE)) AS inter_est
-      |FROM m ORDER BY src_a, src_b""".stripMargin
+      |  FROM p),
+      |e AS (
+      |  SELECT src_a, src_b,
+      |    CAST(len(list_intersect(u, common)) AS DOUBLE)
+      |      / CAST(least($K, len(u)) AS DOUBLE) AS j_est,
+      |    CASE WHEN len(u) < $K THEN CAST(len(u) AS DOUBLE)
+      |         ELSE ${(K - 1) * 4503599627370496.0} / CAST(u[$K] AS DOUBLE)
+      |    END AS union_est
+      |  FROM m)
+      |SELECT src_a, src_b, j_est, union_est, j_est * union_est AS inter_est
+      |FROM e ORDER BY src_a, src_b""".stripMargin
   }
 
   val queries: Map[String, Q] = Map(

@@ -44,5 +44,19 @@ class BoxDownscaleSpec extends AnyFunSuite {
     assert(BoxDownscale.downscale(plane(1, 2, 3), 2, 2, 2) == null) // size mismatch
     assert(BoxDownscale.downscale(plane(1, 2, 3, 4), 0, 4, 2) == null)
     assert(BoxDownscale.downscale(plane(1, 2, 3, 4), 2, 2, 0) == null)
+    // adversarial dims whose int product wraps to g.length must not
+    // pass the guard (65536*65536 == 0 in int arithmetic)
+    assert(BoxDownscale.downscale(Array.empty[Byte], 65536, 65536, 2) == null)
+    // k near MaxValue: ceil-divide must not wrap negative
+    val id = BoxDownscale.downscale(plane(7), 1, 1, Int.MaxValue)
+    assert(id != null && id.getBinary(2).toSeq === plane(7).toSeq)
+  }
+
+  test("whole-image pooling of a >8.4M-pixel block does not wrap the sum") {
+    // 4096x4096 all-255: int sum would wrap at 255*16.7M ≈ 4.3e9
+    val g = Array.fill(4096 * 4096)(255.toByte)
+    val row = BoxDownscale.downscale(g, 4096, 4096, 4096)
+    assert(row.getInt(0) === 1 && row.getInt(1) === 1)
+    assert((row.getBinary(2)(0) & 0xff) === 255)
   }
 }

@@ -80,4 +80,22 @@ class DecodeVideoSpec extends AnyFunSuite {
     // not even RIFF-sized
     assert(dec(Array[Byte](1, 2, 3)) == null)
   }
+
+  test("adversarially deep LIST nesting returns NULL, not StackOverflowError") {
+    // 1000 nested 'LIST<size>rec ' levels: real AVIs nest <= 3; the
+    // walker's depth cap must classify this as corrupt (null), because
+    // a StackOverflowError would escape the Exception catch
+    val n = 1000
+    val buf = new Array[Byte](n * 12)
+    var off = 0
+    for (j <- 0 until n) {
+      val size = 4 + 12 * (n - j - 1)
+      cc("LIST").copyToArray(buf, off)
+      u32(size).copyToArray(buf, off + 4)
+      cc("rec ").copyToArray(buf, off + 8)
+      off += 12
+    }
+    val content = cc("AVI ") ++ buf
+    assert(dec(cc("RIFF") ++ u32(content.length) ++ content) == null)
+  }
 }

@@ -76,4 +76,42 @@ class ParetoKmvSpec extends AnyFunSuite {
     }
     assert(checked === est.size && checked > 100)
   }
+
+  test("q108 under-full merged sketch degrades to EXACT estimates") {
+    val s = spark
+    import s.implicits._
+    // two tiny sources whose distinct shingles both fit in K=64: the
+    // merged sketch IS the union, so j/union/inter must be exact
+    val dir = java.nio.file.Files.createTempDirectory("kmv_small").toString
+    Seq(
+      (1L, "a b c d e", "en", "s1", 9L),   // shingles: abc bcd cde
+      (2L, "a b c x y", "en", "s2", 9L),   // shingles: abc bcx cxy
+      (3L, "a b c d y", "en", "s2", 9L)    // shingles: abc bcd cdy
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = TextOps.q108(s, dir).collect()
+    assert(r.length === 1)
+    val (j, u, i) = (r(0).getDouble(2), r(0).getDouble(3), r(0).getDouble(4))
+    // s1 = {abc,bcd,cde}, s2 = {abc,bcx,cxy,bcd,cdy}: union 6, inter 2
+    assert(u === 6.0, s"union_est $u")
+    assert(j === 2.0 / 6.0, s"j_est $j")
+    assert(i === (2.0 / 6.0) * 6.0, s"inter_est $i")
+  }
+
+  test("q106 zero-variance dimension yields z = 0, not NaN") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("zvar").toString
+    Seq(
+      (0L, Seq(0.5f, 1.0f), 0),
+      (1L, Seq(0.5f, 2.0f), 0),
+      (2L, Seq(0.5f, 3.0f), 0) // dim 0 constant, dim 1 varies
+    ).toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val z = LlmOps.q106(s, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(z((0L, 0)) === 0.0 && z((1L, 0)) === 0.0 && z((2L, 0)) === 0.0)
+    assert(!z.values.exists(_.isNaN))
+    assert(z((2L, 1)) > 0.0) // the varying dim still standardizes
+  }
 }
