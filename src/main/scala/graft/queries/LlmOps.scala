@@ -1304,6 +1304,122 @@ object LlmOps {
       |FROM v JOIN st USING (dim)
       |ORDER BY vec_id, dim""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q110: K-MEANS (Lloyd's iteration) — the third iterative operator
+  // beside connectedComponents and PageRank, and the trainer the IVF
+  // index's centroids actually come from in a real pipeline. Three
+  // fixed rounds over quantized vectors with integer-only arithmetic:
+  //  - ASSIGNMENT: argmin_c ‖v−c‖² = argmin_c (‖c‖² − 2·v·c) — the ‖v‖²
+  //    term is constant per row, so the comparison key needs only the
+  //    codegen'd integer dot (LongArrayDot) and a precomputed ‖c‖²;
+  //    ties break to the smaller centroid id via lexicographic struct
+  //    LEAST, deterministic on any engine.
+  //  - UPDATE: per-dimension floor-mean. Spark's `div` truncates toward
+  //    zero while DuckDB's `//` floors — they disagree on NEGATIVE
+  //    sums, so the mean is computed as (Σ + OFF·n) div n − OFF with
+  //    OFF large enough to make the dividend positive: truncation ==
+  //    floor on positives, so both engines produce the same centroid.
+  //  - Seeding: the first K vectors (deterministic; kmeans++ is random
+  //    by construction and has no cross-engine story).
+  // Per-round centroids (K × dim longs) are collected to the driver —
+  // the IVF precedent: K-row centroid sets are PLANNING data, the
+  // corpus never leaves the executors. Each round is one broadcast-
+  // literal projection + one (cluster, dim) aggregate shuffle of K·dim
+  // partials per map task — no all-pairs, no per-row state.
+  // ---------------------------------------------------------------------
+  private val KmK = 8
+  private val KmIters = 3
+  private val KmOff = 1000000000L
+
+  /** Lloyd's K-means over a (vec_id LONG, e ARRAY<LONG>) frame: `iters`
+    * assignment/update rounds seeded from the first `k` vec_ids, then a
+    * FINAL assignment against the trained centroids. Returns (vec_id,
+    * cluster INT, dist2 LONG — exact squared distance). See q110's
+    * header for the fixed-point determinism scheme. The input is
+    * scanned once per round — the 100 TB posture is the house artifact
+    * pattern (persist keyed by SourceStamp, as `signatures` does),
+    * deliberately not inlined so the operator carries no cache
+    * lifetime. */
+  def kmeans(q: DataFrame, k: Int, iters: Int): DataFrame = {
+    val s = q.sparkSession
+    import s.implicits._
+    import graft.functions.GraftFunctions.dotLong
+    def assign(cents: Seq[(Int, Array[Long])]): DataFrame = {
+      val keys = cents.map { case (cid, c) =>
+        val c2 = c.map(x => x * x).sum // ‖c‖², driver-side constant
+        struct((lit(c2) - lit(2L) * dotLong($"e", typedLit(c.toSeq))).as("k"),
+          lit(cid).as("c"))
+      }
+      q.select($"vec_id", $"e", least(keys: _*).as("m"))
+    }
+    var cents: Seq[(Int, Array[Long])] = q.filter($"vec_id" < k)
+      .orderBy($"vec_id").collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Long](1).toArray)).toSeq
+    var i = 0
+    while (i < iters) {
+      cents = assign(cents)
+        .select($"m.c".as("cl"), posexplode($"e"))
+        .groupBy($"cl", $"pos")
+        .agg(expr(s"(sum(col) + ${KmOff}L * count(1)) div count(1)" +
+          s" - ${KmOff}L").as("v"))
+        .groupBy($"cl")
+        .agg(array_sort(collect_list(struct($"pos", $"v"))).as("a"))
+        .select($"cl", transform($"a", x => x("v")).as("c"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
+        .sortBy(_._1).toSeq
+      i += 1
+    }
+    assign(cents)
+      .select($"vec_id", $"m.c".as("cluster"),
+        (dotLong($"e", $"e") + $"m.k").as("dist2"))
+  }
+
+  val q110Bench: Q = (s, dir) => {
+    import s.implicits._
+    kmeans(t(s, dir, "embeddings")
+      .select($"vec_id", quantize($"embedding").as("e")), KmK, KmIters)
+  }
+  val q110: Q = (s, dir) => {
+    import s.implicits._
+    q110Bench(s, dir).orderBy($"vec_id")
+  }
+  val q110Sql: String = {
+    val dot = "list_sum(list_transform(range(1, len(e) + 1), i -> e[i] * c[i]))"
+    val c2 = "list_sum(list_transform(c, x -> x * x))"
+    val rounds = (1 to KmIters).map { r =>
+      s"""a$r AS (
+         |  SELECT q.vec_id, min({'k': $c2 - 2 * $dot, 'c': cid}) AS m
+         |  FROM q, c${r - 1} GROUP BY q.vec_id),
+         |x$r AS (
+         |  SELECT a.m.c AS cl, unnest(generate_series(1, len(q.e))) AS dim, q.e
+         |  FROM a$r a JOIN q USING (vec_id)),
+         |c$r AS (
+         |  SELECT cl AS cid, list(v ORDER BY dim) AS c FROM (
+         |    SELECT cl, dim,
+         |      (SUM(e[dim]) + $KmOff * COUNT(*)) // COUNT(*) - $KmOff AS v
+         |    FROM x$r GROUP BY cl, dim)
+         |  GROUP BY cl)""".stripMargin
+    }.mkString(",\n")
+    // the output assignment runs against the FINAL centroids (c3), so
+    // one extra assignment-only CTE follows the last update round —
+    // a3 is the assignment against c2 that PRODUCED c3, not the result
+    val fin = KmIters + 1
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding::DOUBLE[],
+       |      x -> CAST(round(x * 1000000) AS BIGINT)) AS e
+       |  FROM embeddings),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cid, e AS c
+       |       FROM q WHERE vec_id < $KmK),
+       |$rounds,
+       |a$fin AS (
+       |  SELECT q.vec_id, min({'k': $c2 - 2 * $dot, 'c': cid}) AS m
+       |  FROM q, c$KmIters GROUP BY q.vec_id)
+       |SELECT q.vec_id, CAST(a$fin.m.c AS INT) AS cluster,
+       |  CAST(list_sum(list_transform(e, x -> x * x)) + a$fin.m.k AS BIGINT) AS dist2
+       |FROM a$fin JOIN q USING (vec_id) ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q22_exact_dedup"    -> q22,
     "q23_text_stats"     -> q23,
@@ -1322,7 +1438,8 @@ object LlmOps {
     "q74_knn_join"       -> q74,
     "q99_weighted_sample" -> q99,
     "q105_quota_sample"  -> q105,
-    "q106_dim_zscore"    -> q106)
+    "q106_dim_zscore"    -> q106,
+    "q110_kmeans"        -> q110)
 
   val oracles: Map[String, String] = Map(
     "q22_exact_dedup"    -> q22Sql,
@@ -1342,7 +1459,8 @@ object LlmOps {
     "q74_knn_join"       -> q74Sql,
     "q99_weighted_sample" -> q99Sql,
     "q105_quota_sample"  -> q105Sql,
-    "q106_dim_zscore"    -> q106Sql)
+    "q106_dim_zscore"    -> q106Sql,
+    "q110_kmeans"        -> q110Sql)
 
   /** Bench-time overrides minus determinism-only global sorts (see
     * [[Relational.benchVariants]]). Verify runs the sorted forms. */
@@ -1352,5 +1470,6 @@ object LlmOps {
     "q91_sem_decontam" -> q91Bench,
     "q99_weighted_sample" -> q99Bench,
     "q105_quota_sample" -> q105Bench,
-    "q106_dim_zscore"  -> q106Bench)
+    "q106_dim_zscore"  -> q106Bench,
+    "q110_kmeans"      -> q110Bench)
 }
