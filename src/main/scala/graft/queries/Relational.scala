@@ -1559,6 +1559,74 @@ object Relational {
        |ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q111: SPEARMAN RANK CORRELATION — q88's robust sibling: Pearson
+  // answers "is the relation linear", Spearman "is it monotone", the
+  // version profiling actually wants on heavy-tailed columns (price vs
+  // quantity per return flag). Exact Spearman = Pearson over average
+  // ranks; ties make average ranks half-integers, so ranks are DOUBLED
+  // to stay integer: r2 = 2·rank_min + (tie_count − 1). Scaling both
+  // variables by 2 leaves the correlation untouched, and from there
+  // q88's Det machinery applies verbatim — exact long per-row products,
+  // DECIMAL accumulators, integer moment combination, and exactly two
+  // IEEE sqrts + one division at the end. Spark's built-in corr-of-
+  // ranks would be order-nondeterministic twice over.
+  //
+  // Scale: the price the statistic itself demands — two per-group sort
+  // shuffles (one per ranking) before the one-pass moment aggregate;
+  // groups are few (3 flags) but large, so the sorts are balanced range
+  // partitions, not hot single reducers. The moments still collapse
+  // map-side; nothing materializes per-row after the windows.
+  // ---------------------------------------------------------------------
+  val q111Bench: Q = (s, dir) => {
+    import s.implicits._
+    val dec = DataTypes.createDecimalType(38, 0)
+    val base = t(s, dir, "lineitem").select($"l_returnflag",
+      cents($"l_extendedprice").as("xv"), cents($"l_quantity").as("yv"))
+    val rx = (lit(2L) * rank().over(
+        Window.partitionBy($"l_returnflag").orderBy($"xv")).cast("long") +
+      count(lit(1)).over(Window.partitionBy($"l_returnflag", $"xv")) - 1L)
+    val ry = (lit(2L) * rank().over(
+        Window.partitionBy($"l_returnflag").orderBy($"yv")).cast("long") +
+      count(lit(1)).over(Window.partitionBy($"l_returnflag", $"yv")) - 1L)
+    base.withColumn("x", rx).withColumn("y", ry)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum($"x".cast(dec)).as("sx"), sum($"y".cast(dec)).as("sy"),
+        sum(($"x" * $"x").cast(dec)).as("sxx"),
+        sum(($"y" * $"y").cast(dec)).as("syy"),
+        sum(($"x" * $"y").cast(dec)).as("sxy"))
+      .select($"l_returnflag", $"n".cast("long").as("n_rows"),
+        (($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          (sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double")) *
+            sqrt(($"n" * $"syy" - $"sy" * $"sy").cast("double"))))
+          .as("spearman_price_qty"))
+  }
+  val q111: Q = (s, dir) => {
+    import s.implicits._
+    q111Bench(s, dir).orderBy($"l_returnflag")
+  }
+  val q111Sql: String =
+    s"""WITH r AS (
+       |  SELECT l_returnflag,
+       |    2 * rank() OVER (PARTITION BY l_returnflag ORDER BY xv)
+       |      + COUNT(*) OVER (PARTITION BY l_returnflag, xv) - 1 AS x,
+       |    2 * rank() OVER (PARTITION BY l_returnflag ORDER BY yv)
+       |      + COUNT(*) OVER (PARTITION BY l_returnflag, yv) - 1 AS y
+       |  FROM (SELECT l_returnflag, ${sqlCents("l_extendedprice")} AS xv,
+       |          ${sqlCents("l_quantity")} AS yv
+       |        FROM lineitem)),
+       |m AS (
+       |  SELECT l_returnflag, COUNT(*) AS n,
+       |    SUM(x) AS sx, SUM(y) AS sy,
+       |    SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+       |  FROM r GROUP BY l_returnflag)
+       |SELECT l_returnflag, n AS n_rows,
+       |  CAST(n * sxy - sx * sy AS DOUBLE) /
+       |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+       |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS spearman_price_qty
+       |FROM m ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q92: SALTED fact⋈dim join, oracle-proven result-invariant — the
   // [[Salted]] utility run as a real revenue rollup so the DuckDB gate
   // (a plain unsalted join) certifies that salting changes the
@@ -1637,6 +1705,7 @@ object Relational {
     "q81_first_nth_value"    -> q81,
     "q85_hopping_window"     -> q85,
     "q88_corr_profile"       -> q88,
+    "q111_spearman"          -> q111,
     "q92_salted_join"        -> q92)
 
   val oracles: Map[String, String] = Map(
@@ -1690,6 +1759,7 @@ object Relational {
     "q81_first_nth_value"    -> q81Sql,
     "q85_hopping_window"     -> q85Sql,
     "q88_corr_profile"       -> q88Sql,
+    "q111_spearman"          -> q111Sql,
     "q92_salted_join"        -> q92Sql)
 
   /** Bench-time overrides: same semantics minus determinism-only global
@@ -1706,5 +1776,6 @@ object Relational {
     "q81_first_nth_value"  -> q81Bench,
     "q85_hopping_window"   -> q85Bench,
     "q88_corr_profile"     -> q88Bench,
+    "q111_spearman"        -> q111Bench,
     "q92_salted_join"      -> q92Bench)
 }
