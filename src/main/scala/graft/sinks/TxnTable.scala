@@ -72,11 +72,14 @@ object TxnTable {
                             statsCol: Option[String] = None,
                             schema: Option[org.apache.spark.sql.types.StructType] = None,
                             blooms: Map[String, Array[Byte]] = Map.empty,
-                            bloomCol: Option[String] = None)
+                            bloomCol: Option[String] = None,
+                            tsMs: Option[Long] = None)
 
   private val Header = "graft-txn v1"
   // '#' cannot start a data-file path (paths are data/<uuid>/part-*)
   private val SchemaTag = "#schema\t"
+  // commit wall-clock (epoch ms), for timestamp-based time travel
+  private val TsTag = "#ts\t"
 
   /** SCHEMA EVOLUTION: the table schema after committing `incoming`
     * rows — prior columns keep their position and type, genuinely new
@@ -131,18 +134,19 @@ object TxnTable {
     val lines = text.split("\n").toSeq.filter(_.nonEmpty)
     require(lines.nonEmpty && lines.head.startsWith(Header),
       s"corrupt manifest v$version: bad header")
-    // optional `#schema\t<json>` line right after the header (schema-less
-    // v1 manifests and schema-aware readers interoperate)
-    val schema = lines.tail.headOption.filter(_.startsWith(SchemaTag)).map { l =>
+    // optional '#'-tagged metadata lines after the header — order-
+    // insensitive so old readers/writers interoperate with new tags
+    val schema = lines.find(_.startsWith(SchemaTag)).map { l =>
       org.apache.spark.sql.types.DataType
         .fromJson(l.stripPrefix(SchemaTag))
         .asInstanceOf[org.apache.spark.sql.types.StructType]
     }
+    val tsMs = lines.find(_.startsWith(TsTag)).map(_.stripPrefix(TsTag).toLong)
     // file lines: `relpath` + optional tab-separated per-file metadata
     // fields — `<col>:<min>:<max>` range stats and/or
     // `bloom:<col>:<base64>` membership filters (readers of older,
     // field-less manifests interoperate: unknown absence = no pruning)
-    val entries = lines.tail.filterNot(_.startsWith(SchemaTag)).map { l =>
+    val entries = lines.tail.filterNot(_.startsWith("#")).map { l =>
       val fields = l.split("\t")
       var stat: Option[(String, Long, Long)] = None
       var bloom: Option[(String, Array[Byte])] = None
@@ -161,7 +165,8 @@ object TxnTable {
       entries.collectFirst { case (_, Some((c, _, _)), _) => c },
       schema,
       entries.collect { case (f, _, Some((_, b))) => f -> b }.toMap,
-      entries.collectFirst { case (_, _, Some((c, _))) => c })
+      entries.collectFirst { case (_, _, Some((c, _))) => c },
+      tsMs)
   }
 
   def latest(s: SparkSession, root: String): Option[Snapshot] =
@@ -188,6 +193,27 @@ object TxnTable {
       case None     => s.read.parquet(paths: _*)
     }
   }
+
+  /** The version current as of wall-clock `epochMs`: the newest commit
+    * whose recorded timestamp is ≤ the asked instant. Commit timestamps
+    * live IN the manifest (not file mtimes — copies, backups and
+    * restores of the directory must not rewrite history); legacy
+    * manifests without one fall back to the manifest file's mtime. */
+  def versionAt(s: SparkSession, root: String, epochMs: Long): Option[Long] = {
+    val f = fs(s, root)
+    versions(s, root).reverse.find { v =>
+      val snap = snapshot(s, root, v)
+      snap.tsMs.getOrElse(
+        f.getFileStatus(manifestPath(root, v)).getModificationTime) <= epochMs
+    }
+  }
+
+  /** Timestamp-based time travel: the table as it was at `epochMs`
+    * (AS OF TIMESTAMP to [[readAsOf]]'s AS OF VERSION). */
+  def readAsOfTime(s: SparkSession, root: String, epochMs: Long): DataFrame =
+    readAsOf(s, root, versionAt(s, root, epochMs).getOrElse(
+      throw new IllegalStateException(
+        s"no snapshot at $root as of epoch-ms $epochMs")))
 
   /** Stage `df` as immutable parquet files under data/<uuid>/, return
     * their root-relative paths. Nothing references them until commit. */
@@ -278,7 +304,8 @@ object TxnTable {
       throw new TxnConflictException(s"version $v already committed at $root")
     val tmp = new Path(dst.getParent,
       s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    val lines = schema.map(sc => SchemaTag + sc.json).toSeq ++ files.map { file =>
+    val now = System.currentTimeMillis()
+    val lines = Seq(TsTag + now) ++ schema.map(sc => SchemaTag + sc.json).toSeq ++ files.map { file =>
       val statF = (statsCol, stats.get(file)) match {
         case (Some(c), Some((lo, hi))) => Seq(s"$c:$lo:$hi")
         case _                         => Seq.empty
@@ -300,7 +327,7 @@ object TxnTable {
       f.delete(tmp, false)
       throw new TxnConflictException(s"lost commit race for version $v at $root")
     }
-    Snapshot(v, op, files, stats, statsCol, schema, blooms, bloomCol)
+    Snapshot(v, op, files, stats, statsCol, schema, blooms, bloomCol, Some(now))
   }
 
   private def nextVersion(s: SparkSession, root: String): Long =
