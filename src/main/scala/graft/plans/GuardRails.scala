@@ -1,0 +1,125 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.execution.{GlobalLimitExec, SortExec, TakeOrderedAndProjectExec}
+
+/** PLAN GOVERNANCE — the pre-flight check a 100 TB cluster runs before
+  * admitting a query: walk the physical plan and refuse the shapes that
+  * are correct on 60k test rows and catastrophic on a 1000-executor
+  * corpus. The engine's own query library is the proof of
+  * enforceability: every benched plan passes (GuardRailsSpec runs the
+  * checker over ALL of them), because the same hazards the checker
+  * rejects are the ones the library was designed around — bounded
+  * probe-side cross joins, partitioned windows, top-k instead of global
+  * sorts.
+  *
+  * Checked hazards (each with the scale reasoning in its message):
+  *  - CARTESIAN/unconditioned nested-loop joins where BOTH sides can be
+  *    large: |A|×|B| rows. Broadcast-side loops are admitted — a
+  *    broadcast side is already proven driver-small, the library's
+  *    1-row/K-row probe pattern (q24/q53/q78).
+  *  - UNPARTITIONED WINDOW over unbounded input: `Window.orderBy`
+  *    without partitionBy moves the whole dataset through ONE reducer.
+  *    Admitted when the window's input is bounded by a LIMIT (the
+  *    library's rank-over-top-20 fusion shape, q101) or by an
+  *    aggregation that provably collapsed cardinality first (q107's
+  *    per-length maxima).
+  *  - GLOBAL SORT with no LIMIT above it and no downstream consumer
+  *    that bounds it: a full range-partitioned sort of the corpus as
+  *    the query RESULT is almost always a mistake at 100 TB (ordering
+  *    for humans happens after a top-k). Flagged, not fatal, by
+  *    default: legitimate for final writes clustered by key — callers
+  *    opt into strictness.
+  *
+  * Usage: `GuardRails.check(df)` throws [[GuardRailViolation]] listing
+  * every hazard; `GuardRails.audit(df)` returns them. Wire into CI
+  * (the spec), a submission gate, or an analysis-time review.
+  */
+object GuardRails {
+
+  final case class Hazard(kind: String, detail: String)
+  final class GuardRailViolation(val hazards: Seq[Hazard])
+    extends RuntimeException(
+      s"plan violates guard rails:\n${hazards.map(h => s"  [${h.kind}] ${h.detail}").mkString("\n")}")
+
+  private def initialPlan(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+
+  /** True when every row path into `p` is bounded by a limit/top-k, or
+    * collapses through an aggregation whose output is grouping-bounded. */
+  private def bounded(p: SparkPlan): Boolean = p match {
+    case _: GlobalLimitExec | _: TakeOrderedAndProjectExec => true
+    case _: org.apache.spark.sql.execution.LocalLimitExec => true
+    case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+      // grouping by nothing = at most one row per partition
+      if a.groupingExpressions.isEmpty => true
+    case other if other.children.isEmpty => false
+    case other => other.children.forall(bounded)
+  }
+
+  /** All hazards in the df's physical plan (strict=true also flags
+    * unbounded global sorts). */
+  def audit(df: DataFrame, strict: Boolean = false): Seq[Hazard] = {
+    val plan = initialPlan(df)
+    val hazards = Seq.newBuilder[Hazard]
+    // cartesian / unconditioned loop joins — both sides streamed
+    plan.foreach {
+      case c: CartesianProductExec
+        if !bounded(c.left) && !bounded(c.right) =>
+        hazards += Hazard("cartesian",
+          s"CartesianProduct with both sides unbounded: |A|x|B| rows at scale " +
+            s"(condition=${c.condition})")
+      case j: BroadcastNestedLoopJoinExec if j.condition.isEmpty =>
+        // broadcast side is proven small; the hazard would be an
+        // unbounded STREAMED side exploding per broadcast row — only
+        // when the broadcast side itself is not a bounded probe
+        ()
+      case _ => ()
+    }
+    // unpartitioned windows over unbounded input
+    plan.foreach {
+      case w: WindowExec if w.partitionSpec.isEmpty && !bounded(w.child) =>
+        hazards += Hazard("global-window",
+          "Window without PARTITION BY over unbounded input: the whole " +
+            "dataset moves through one reducer; partition it, or bound " +
+            "the input with a top-k first")
+      case _ => ()
+    }
+    if (strict) {
+      // a global sort as the terminal shape with no limit above it
+      def hasLimitAbove(p: SparkPlan, target: SparkPlan): Boolean = {
+        def path(cur: SparkPlan, acc: List[SparkPlan]): Option[List[SparkPlan]] =
+          if (cur.eq(target)) Some(acc)
+          else cur.children.view.flatMap(c => path(c, cur :: acc)).headOption
+        path(plan, Nil).exists(_.exists {
+          case _: GlobalLimitExec | _: TakeOrderedAndProjectExec => true
+          case _ => false
+        })
+      }
+      plan.foreach {
+        case s: SortExec if s.global && !bounded(s.child) &&
+          !hasLimitAbove(plan, s) =>
+          hazards += Hazard("global-sort",
+            "global ORDER BY of unbounded data with no LIMIT: a full " +
+              "range-partitioned sort of the corpus — order after a " +
+              "top-k, or drop the sort (writers don't need it)")
+        case _ => ()
+      }
+    }
+    hazards.result()
+  }
+
+  /** Throw [[GuardRailViolation]] if the plan has hazards. */
+  def check(df: DataFrame, strict: Boolean = false): Unit = {
+    val h = audit(df, strict)
+    if (h.nonEmpty) throw new GuardRailViolation(h)
+  }
+}

@@ -1,0 +1,79 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Plan governance: the checker admits every plan in the engine's own
+  * query library (modulo the pinned, individually-justified allowlist)
+  * and rejects the classic cluster-melters. */
+class GuardRailsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Queries whose single-partition window is bounded by construction
+    * in a way a plan walk cannot see — each with the reason the shape
+    * is sound at 100 TB (the scaladoc of the query carries the full
+    * argument). */
+  private val audited: Map[String, String] = Map(
+    "q107_pareto" -> ("global cummax window runs over per-length maxima " +
+      "only - cardinality is the distinct-length domain, not the corpus"))
+
+  test("every benched plan passes the guard rails (minus the audited allowlist)") {
+    graft.ArtifactCaches.reset(spark)
+    val flagged = graft.PlanSig.benchPlans.flatMap { case (name, fn) =>
+      val hz = GuardRails.audit(fn(spark, sfDir))
+      if (hz.nonEmpty) Some(name -> hz.map(_.kind).toSet) else None
+    }.toMap
+    assert(flagged.keySet === audited.keySet,
+      s"guard-rail drift: flagged=$flagged audited=${audited.keySet}")
+  }
+
+  test("cartesian product of two unbounded sides is rejected") {
+    val s = spark
+    import s.implicits._
+    val a = (1 to 100).toDF("x").repartition(4)
+    val b = (1 to 100).toDF("y").repartition(4)
+    // defeat auto-broadcast so the planner must pick CartesianProduct
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val ex = intercept[GuardRails.GuardRailViolation] {
+        GuardRails.check(a.crossJoin(b))
+      }
+      assert(ex.hazards.exists(_.kind === "cartesian"))
+      // a limit UNDER one side bounds it: admitted
+      GuardRails.check(a.limit(3).crossJoin(b))
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("unpartitioned window over unbounded input is rejected; bounded passes") {
+    val s = spark
+    import s.implicits._
+    val d = (1 to 100).map(i => (i.toLong, i * 2.0)).toDF("id", "score")
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"score".desc)
+    val ex = intercept[GuardRails.GuardRailViolation] {
+      GuardRails.check(d.withColumn("rn", row_number().over(w)))
+    }
+    assert(ex.hazards.exists(_.kind === "global-window"))
+    // the library's fusion shape: rank over a top-k bounded input
+    GuardRails.check(d.orderBy($"score".desc).limit(20)
+      .withColumn("rn", row_number().over(w)))
+    // a partitioned window is always fine
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy($"id" % 7).orderBy($"score")
+    GuardRails.check(d.withColumn("rn", row_number().over(wp)))
+  }
+
+  test("strict mode flags unbounded global sorts; top-k passes") {
+    val s = spark
+    import s.implicits._
+    val d = (1 to 100).toDF("x")
+    val ex = intercept[GuardRails.GuardRailViolation] {
+      GuardRails.check(d.orderBy($"x"), strict = true)
+    }
+    assert(ex.hazards.exists(_.kind === "global-sort"))
+    GuardRails.check(d.orderBy($"x").limit(10), strict = true)
+    GuardRails.check(d.orderBy($"x"), strict = false) // advisory by default
+  }
+}
