@@ -1234,6 +1234,99 @@ object TextOps {
       |FROM e ORDER BY src_a, src_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q112: BPE TOKENIZER TRAINING — the merge-table computation at the
+  // heart of every modern tokenizer (Sennrich et al.): start from
+  // characters, repeatedly merge the corpus's most frequent adjacent
+  // symbol pair. Five rounds here; output is the merge table (step,
+  // left, right, weighted pair count) — the artifact a tokenizer ships.
+  //
+  // Exactness across engines needs two commitments:
+  //  - symbol sequences are '|'-DELIMITED STRINGS ('|h|e|l|l|o|'), so
+  //    applying merge (a,b) is replace('|a|b|' → '|ab|') — and both
+  //    engines' replace() scans left-to-right non-overlapping, which IS
+  //    BPE's greedy merge order ('|l|l|l|' merges once, leftmost);
+  //    the closing delimiter consumed by one match correctly blocks
+  //    the overlapping next pair.
+  //  - the winning pair is argmax by (weighted count DESC, left ASC,
+  //    right ASC) — a total order, so ties are deterministic.
+  //
+  // Scale shape: the corpus is tokenized and counted ONCE (one shuffle
+  // to the word-count table); every BPE round then runs on the VOCAB
+  // (distinct words × their symbol strings), which is bounded by
+  // language, not corpus size — the known property that makes BPE
+  // training tractable on 100 TB: cost ∝ |vocab| per round after one
+  // corpus pass. The per-round argmax is ONE row to the driver (the
+  // merge table is planning data, the same class as IVF centroids);
+  // the DuckDB oracle keeps the argmax in-plan via scalar subqueries
+  // and must land on the identical 5 merges for the hash to match.
+  // ---------------------------------------------------------------------
+  private val BpeRounds = 5
+
+  val q112Bench: Q = (s, dir) => {
+    import s.implicits._
+    // checkpointed: the corpus pass happens ONCE (the scale claim in
+    // the header is structural, not prose) — every round's pair count
+    // reads the vocab-sized block, not the documents scan lineage
+    val words = t(s, dir, "documents")
+      .select(explode(split($"text", " ")).as("w"))
+      .where(length($"w") > 0)
+      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+      .select(concat(lit("|"),
+        regexp_replace($"w", "(.)", "$1|")).as("s"), $"cnt")
+      .localCheckpoint(false)
+    def pairCounts(df: DataFrame): DataFrame = {
+      val arr = split(expr("substring(s, 2, length(s) - 2)"), "\\|")
+      df.select($"cnt", arr.as("a"))
+        .select($"cnt", expr(
+          "explode(arrays_zip(slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1)))")
+          .as("p"))
+        .groupBy($"p.0".as("l"), $"p.1".as("r"))
+        .agg(sum($"cnt").as("pc"))
+    }
+    var vocab = words
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 1
+    while (step <= BpeRounds) {
+      val Array(best) = pairCounts(vocab)
+        .orderBy($"pc".desc, $"l".asc, $"r".asc).limit(1).collect()
+      val (l, r, pc) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((step, l, r, pc))
+      vocab = vocab.withColumn("s",
+        expr(s"replace(s, '|${l}|${r}|', '|${l}${r}|')"))
+      step += 1
+    }
+    merges.result().toDF("step", "left", "right", "pair_count")
+  }
+  val q112: Q = (s, dir) => {
+    import s.implicits._
+    q112Bench(s, dir).orderBy($"step")
+  }
+  val q112Sql: String = {
+    def round(i: Int) =
+      s"""p$i AS (
+         |  SELECT a[j] AS l, a[j+1] AS r, CAST(SUM(cnt) AS BIGINT) AS pc
+         |  FROM (SELECT cnt, string_split(s[2:-2], '|') AS a FROM w${i - 1}),
+         |       unnest(generate_series(1, len(a) - 1)) AS u(j)
+         |  GROUP BY 1, 2 ORDER BY pc DESC, l ASC, r ASC LIMIT 1),
+         |w$i AS (
+         |  SELECT cnt, replace(s,
+         |    '|' || (SELECT l FROM p$i) || '|' || (SELECT r FROM p$i) || '|',
+         |    '|' || (SELECT l FROM p$i) || (SELECT r FROM p$i) || '|') AS s
+         |  FROM w${i - 1})""".stripMargin
+    val rounds = (1 to BpeRounds).map(round).mkString(",\n")
+    val out = (1 to BpeRounds).map { i =>
+      s"SELECT $i AS step, l AS \"left\", r AS \"right\", pc AS pair_count FROM p$i"
+    }.mkString("\nUNION ALL ")
+    s"""WITH w0 AS (
+       |  SELECT '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS s,
+       |         COUNT(*) AS cnt
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0 GROUP BY 1),
+       |$rounds
+       |SELECT * FROM ($out) ORDER BY step""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q29_simhash"        -> q29,
     "q30_jaccard_verify" -> q30,
@@ -1255,7 +1348,8 @@ object TextOps {
     "q101_hybrid_rrf"    -> q101,
     "q103_line_dedup"    -> q103,
     "q107_pareto"        -> q107,
-    "q108_kmv_overlap"   -> q108)
+    "q108_kmv_overlap"   -> q108,
+    "q112_bpe_merges"    -> q112)
 
   val oracles: Map[String, String] = Map(
     "q29_simhash"        -> q29Sql,
@@ -1278,7 +1372,8 @@ object TextOps {
     "q101_hybrid_rrf"    -> q101Sql,
     "q103_line_dedup"    -> q103Sql,
     "q107_pareto"        -> q107Sql,
-    "q108_kmv_overlap"   -> q108Sql)
+    "q108_kmv_overlap"   -> q108Sql,
+    "q112_bpe_merges"    -> q112Sql)
 
   /** Bench-time overrides minus determinism-only global sorts (see
     * [[Relational.benchVariants]]). Verify runs the sorted forms. */
