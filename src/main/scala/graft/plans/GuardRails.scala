@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.joins.CartesianProductExec
 import org.apache.spark.sql.execution.window.WindowExec
 import org.apache.spark.sql.execution.{GlobalLimitExec, SortExec, TakeOrderedAndProjectExec}
 
@@ -65,27 +65,38 @@ object GuardRails {
     case other => other.children.forall(bounded)
   }
 
+  /** Every node in the plan INCLUDING subquery plans and plans nested
+    * under adaptive nodes — a hazard hidden inside a scalar/IN subquery
+    * must not bypass the gate. */
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] =
+    p.collectWithSubqueries { case x => x }.flatMap {
+      case a: AdaptiveSparkPlanExec => a +: allNodes(a.initialPlan)
+      case x => Seq(x)
+    }
+
   /** All hazards in the df's physical plan (strict=true also flags
-    * unbounded global sorts). */
+    * unbounded global sorts). Note on BroadcastNestedLoopJoin: an
+    * UNCONDITIONED loop join over a broadcast side is admitted — the
+    * broadcast build is itself memory-bounded by the engine (it fails
+    * loud at build time if the side is large), and the library's
+    * 1-row/K-row probe pattern (q24/q53/q110) planfully relies on it;
+    * the unbounded×unbounded hazard can only materialize as
+    * CartesianProduct, which IS checked. */
   def audit(df: DataFrame, strict: Boolean = false): Seq[Hazard] = {
     val plan = initialPlan(df)
+    val nodes = allNodes(plan)
     val hazards = Seq.newBuilder[Hazard]
-    // cartesian / unconditioned loop joins — both sides streamed
-    plan.foreach {
+    // cartesian joins — both sides streamed and unbounded
+    nodes.foreach {
       case c: CartesianProductExec
         if !bounded(c.left) && !bounded(c.right) =>
         hazards += Hazard("cartesian",
           s"CartesianProduct with both sides unbounded: |A|x|B| rows at scale " +
             s"(condition=${c.condition})")
-      case j: BroadcastNestedLoopJoinExec if j.condition.isEmpty =>
-        // broadcast side is proven small; the hazard would be an
-        // unbounded STREAMED side exploding per broadcast row — only
-        // when the broadcast side itself is not a bounded probe
-        ()
       case _ => ()
     }
     // unpartitioned windows over unbounded input
-    plan.foreach {
+    nodes.foreach {
       case w: WindowExec if w.partitionSpec.isEmpty && !bounded(w.child) =>
         hazards += Hazard("global-window",
           "Window without PARTITION BY over unbounded input: the whole " +

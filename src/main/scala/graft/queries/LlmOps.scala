@@ -1350,11 +1350,16 @@ object LlmOps {
         struct((lit(c2) - lit(2L) * dotLong($"e", typedLit(c.toSeq))).as("k"),
           lit(cid).as("c"))
       }
-      q.select($"vec_id", $"e", least(keys: _*).as("m"))
+      // Least requires ≥ 2 args; one live centroid (k=1, or every other
+      // cluster emptied out on degenerate data) is a plain projection
+      val m = if (keys.size == 1) keys.head else least(keys: _*)
+      q.select($"vec_id", $"e", m.as("m"))
     }
     var cents: Seq[(Int, Array[Long])] = q.filter($"vec_id" < k)
       .orderBy($"vec_id").collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Long](1).toArray)).toSeq
+    require(cents.nonEmpty,
+      s"kmeans: no seed vectors (no vec_id < $k in the input)")
     var i = 0
     while (i < iters) {
       cents = assign(cents)

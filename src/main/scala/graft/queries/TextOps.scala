@@ -1263,18 +1263,38 @@ object TextOps {
   // ---------------------------------------------------------------------
   private val BpeRounds = 5
 
+  /** Word-count vocab in BPE symbol encoding, as a stamp-keyed cached
+    * artifact (the sigCache contract): the corpus pass happens ONCE per
+    * dataset snapshot and its lifetime is owned by ArtifactCaches — not
+    * a raw never-unpersisted checkpoint per invocation. Words containing
+    * the delimiter itself are excluded IN BOTH ENGINES: '|' inside a
+    * symbol would make the encoding ambiguous ('|a|||b|' splits into
+    * empty symbols and merge patterns that rewrite unrelated words) —
+    * the corruption would be oracle-invisible since both sides would
+    * compute the same wrong table. Real tokenizers pre-normalize their
+    * delimiter the same way. */
+  private val bpeCache =
+    graft.ArtifactCaches.register(
+      new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]())
+
+  private def bpeVocab(s: SparkSession, dir: String): DataFrame = {
+    val st = graft.SourceStamp.table(s, dir, "documents")
+    graft.SourceStamp.evictStale(bpeCache, s, dir, st)(_.unpersist(): Unit)
+    bpeCache.computeIfAbsent((s, dir, st), { _: (SparkSession, String, String) =>
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(explode(split($"text", " ")).as("w"))
+        .where(length($"w") > 0 && !$"w".contains("|"))
+        .groupBy($"w").agg(count(lit(1)).as("cnt"))
+        .select(concat(lit("|"),
+          regexp_replace($"w", "(.)", "$1|")).as("s"), $"cnt")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+  }
+
   val q112Bench: Q = (s, dir) => {
     import s.implicits._
-    // checkpointed: the corpus pass happens ONCE (the scale claim in
-    // the header is structural, not prose) — every round's pair count
-    // reads the vocab-sized block, not the documents scan lineage
-    val words = t(s, dir, "documents")
-      .select(explode(split($"text", " ")).as("w"))
-      .where(length($"w") > 0)
-      .groupBy($"w").agg(count(lit(1)).as("cnt"))
-      .select(concat(lit("|"),
-        regexp_replace($"w", "(.)", "$1|")).as("s"), $"cnt")
-      .localCheckpoint(false)
+    val words = bpeVocab(s, dir)
     def pairCounts(df: DataFrame): DataFrame = {
       val arr = split(expr("substring(s, 2, length(s) - 2)"), "\\|")
       df.select($"cnt", arr.as("a"))
@@ -1287,14 +1307,25 @@ object TextOps {
     var vocab = words
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var step = 1
-    while (step <= BpeRounds) {
-      val Array(best) = pairCounts(vocab)
+    var exhausted = false
+    while (step <= BpeRounds && !exhausted) {
+      pairCounts(vocab)
         .orderBy($"pc".desc, $"l".asc, $"r".asc).limit(1).collect()
-      val (l, r, pc) = (best.getString(0), best.getString(1), best.getLong(2))
-      merges += ((step, l, r, pc))
-      vocab = vocab.withColumn("s",
-        expr(s"replace(s, '|${l}|${r}|', '|${l}${r}|')"))
-      step += 1
+        .headOption match {
+        case None =>
+          // degenerate corpus (single-symbol words only): stop with the
+          // merges found so far rather than crash mid-training
+          exhausted = true
+        case Some(best) =>
+          val (l, r, pc) = (best.getString(0), best.getString(1), best.getLong(2))
+          merges += ((step, l, r, pc))
+          // symbols are corpus-derived: lit() columns, never string-
+          // interpolated SQL (a quote or backslash in a symbol must be
+          // data, not a parse error)
+          vocab = vocab.withColumn("s", call_function("replace",
+            $"s", lit(s"|$l|$r|"), lit(s"|$l$r|")))
+          step += 1
+      }
     }
     merges.result().toDF("step", "left", "right", "pair_count")
   }
@@ -1322,7 +1353,7 @@ object TextOps {
        |  SELECT '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS s,
        |         COUNT(*) AS cnt
        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-       |  WHERE len(w) > 0 GROUP BY 1),
+       |  WHERE len(w) > 0 AND w NOT LIKE '%|%' GROUP BY 1),
        |$rounds
        |SELECT * FROM ($out) ORDER BY step""".stripMargin
   }

@@ -199,13 +199,24 @@ object TxnTable {
     * live IN the manifest (not file mtimes — copies, backups and
     * restores of the directory must not rewrite history); legacy
     * manifests without one fall back to the manifest file's mtime. */
-  def versionAt(s: SparkSession, root: String, epochMs: Long): Option[Long] = {
+  def versionAt(s: SparkSession, root: String, epochMs: Long): Option[Long] =
+    versions(s, root).reverse.find(commitTs(s, root, _) <= epochMs)
+
+  /** One manifest's commit instant WITHOUT a full snapshot parse —
+    * versionAt scans potentially many manifests and must not pay
+    * schema-JSON + base64-bloom decoding per candidate. */
+  private def commitTs(s: SparkSession, root: String, v: Long): Long = {
     val f = fs(s, root)
-    versions(s, root).reverse.find { v =>
-      val snap = snapshot(s, root, v)
-      snap.tsMs.getOrElse(
-        f.getFileStatus(manifestPath(root, v)).getModificationTime) <= epochMs
-    }
+    val p = manifestPath(root, v)
+    val in = f.open(p)
+    val text = try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+    text.split("\n").find(_.startsWith(TsTag))
+      .map(_.stripPrefix(TsTag).toLong)
+      .getOrElse(f.getFileStatus(p).getModificationTime)
   }
 
   /** Timestamp-based time travel: the table as it was at `epochMs`

@@ -21,13 +21,13 @@ class TopKStateSpec extends AnyFunSuite {
         .zipWithIndex.map { case ((id, s), i) => Ranked(g, i + 1, id, s) }
     }
 
-  /** Rows arrive in emission order and each emission starts at rank 1,
-    * so a group's CURRENT board is the suffix from its last rank-1 row. */
+  /** A group's CURRENT board is its emission in the highest-numbered
+    * batch that touched it (batch ids from foreachBatch — a contractual
+    * ordering, unlike memory-sink row order). */
   private def latestBoards(rows: Seq[(Long, Ranked)]): Map[String, Seq[Ranked]] =
     rows.groupBy(_._2.group).map { case (g, rs) =>
-      val ordered = rs.sortBy(_._1).map(_._2)
-      val start = ordered.lastIndexWhere(_.rank == 1)
-      g -> ordered.drop(start)
+      val lastBatch = rs.map(_._1).max
+      g -> rs.filter(_._1 == lastBatch).map(_._2).sortBy(_.rank)
     }
 
   test("board == batch top-k after every batch, incl. eviction and re-entry") {
@@ -35,21 +35,24 @@ class TopKStateSpec extends AnyFunSuite {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
 
+    val emitted =
+      scala.collection.mutable.ArrayBuffer[(Long, Ranked)]()
     val input = MemoryStream[Scored]
     val query = TopKState.topK(input.toDS(), k = 3)
-      .writeStream.format("memory").queryName("topk_out")
-      .outputMode("update").start()
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Ranked], id: Long) =>
+        val rows = df.collect()
+        emitted.synchronized { emitted ++= rows.map(r => (id, r)) }
+        ()
+      }.start()
     val hist = scala.collection.mutable.ArrayBuffer[Scored]()
     def push(batch: Scored*): Unit = {
       hist ++= batch
       input.addData(batch: _*)
       query.processAllAvailable()
-      // the memory sink in update mode appends each batch's emissions;
-      // tag rows by arrival order so "latest board per group" is exact
-      val rows = s.table("topk_out").as[Ranked].collect().toSeq.zipWithIndex
-        .map { case (r, i) => (i.toLong, r) }
-      // emissions arrive batch by batch in order; latest per group must
-      // equal the batch reference over the full history
+      val rows = emitted.synchronized { emitted.toSeq }
+      // latest board per touched group must equal the batch reference
+      // over the full history
       val got = latestBoards(rows).filter { case (g, _) =>
         batch.exists(_.group == g) // only touched groups re-emit
       }

@@ -35,7 +35,10 @@ class GuardRailsSpec extends AnyFunSuite {
     import s.implicits._
     val a = (1 to 100).toDF("x").repartition(4)
     val b = (1 to 100).toDF("y").repartition(4)
-    // defeat auto-broadcast so the planner must pick CartesianProduct
+    // defeat auto-broadcast so the planner must pick CartesianProduct —
+    // restore the PRIOR value, not a hardcoded default (other suites'
+    // join planning must see the conf they started with)
+    val prior = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val ex = intercept[GuardRails.GuardRailViolation] {
@@ -44,7 +47,15 @@ class GuardRailsSpec extends AnyFunSuite {
       assert(ex.hazards.exists(_.kind === "cartesian"))
       // a limit UNDER one side bounds it: admitted
       GuardRails.check(a.limit(3).crossJoin(b))
-    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      // a hazard INSIDE a scalar subquery must not bypass the gate
+      a.createOrReplaceTempView("gr_a")
+      b.createOrReplaceTempView("gr_b")
+      val sub = intercept[GuardRails.GuardRailViolation] {
+        GuardRails.check(s.sql(
+          "SELECT * FROM gr_a WHERE x < (SELECT max(x + y) FROM gr_a, gr_b)"))
+      }
+      assert(sub.hazards.exists(_.kind === "cartesian"))
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
   test("unpartitioned window over unbounded input is rejected; bounded passes") {
