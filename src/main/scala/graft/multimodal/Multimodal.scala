@@ -15,8 +15,11 @@ import graft.Tables.t
   * tested (DecodeImageSpec). The AUDIO decode path is REAL too:
   * [[decodeAudioAssets]] decodes WAV through `javax.sound.sampled`
   * into exact waveform statistics, oracle-checked end-to-end (q84).
-  * The deterministic stub ([[decodeStub]]) remains ONLY for video
-  * frame demux (no JDK codec) — there the tested
+  * The VIDEO container demux is REAL as well ([[decodeVideoAssets]] —
+  * AVI/RIFF chunk walk, q102), and resize is the REAL integer
+  * box-filter [[graft.functions.BoxDownscale]] (q109); the
+  * deterministic stub ([[decodeStub]]) remains ONLY for per-frame
+  * video PIXEL decode (no JDK codec) — there the tested
   * surface is the Spark-side plumbing a 100 TB media pipeline needs:
   * a BinaryType content column flowing through scans, projections
   * and aggregates; per-asset typed metadata; frame slicing via
