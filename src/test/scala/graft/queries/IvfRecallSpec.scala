@@ -46,4 +46,55 @@ class IvfRecallSpec extends AnyFunSuite {
     assert(recalls.sum >= probes.size * 3,
       s"mean recall@5 below 3/5: $recalls")
   }
+
+  test("kmeans-trained cells recall at least as well as naive first-K seeding") {
+    val s = spark
+    import s.implicits._
+    val K = 8
+    val vecs = graft.Tables.t(spark, srcSf, "embeddings")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.round(x.toDouble * 1000000)).toArray)
+      .toMap
+    // (a) the index's current seeding: cells = argmax cosine to vecs 1..K
+    val seeds = (1L to K).map(vecs)
+    def naiveCell(e: Array[Long]): Int =
+      seeds.zipWithIndex.map { case (c, i) => (-cos(e, c), i) }.min._2
+    val naiveCells = vecs.map { case (id, e) => id -> naiveCell(e) }
+    // (b) cells from the distributed fixed-point kmeans (q110's trainer)
+    val q = graft.Tables.t(spark, srcSf, "embeddings")
+      .select($"vec_id",
+        org.apache.spark.sql.functions.transform($"embedding", x =>
+          org.apache.spark.sql.functions.round(x.cast("double") *
+            org.apache.spark.sql.functions.lit(1000000)).cast("long")).as("e"))
+    val trainedCells = LlmOps.kmeans(q, K, 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // probe sweep with nProbe=2: rank cells by member-mean centroid
+    def recallAt5(cells: Map[Long, Int], pid: Long): Int = {
+      val pe = vecs(pid)
+      val cents = cells.groupBy(_._2).map { case (c, m) =>
+        val es = m.keys.map(vecs).toSeq
+        c -> Array.tabulate(pe.length)(d => es.map(_(d)).sum / es.size)
+      }
+      val top2 = cents.toSeq.map { case (c, ce) => (-cos(pe, ce), c) }
+        .sorted.take(2).map(_._2).toSet
+      val cand = cells.collect {
+        case (id, c) if top2(c) && id != pid => id }.toSeq
+      val got = cand.map(id => (id, cos(vecs(id), pe)))
+        .sortBy { case (id, sim) => (-sim, id) }.take(5).map(_._1).toSet
+      val brute = vecs.toSeq.filter(_._1 != pid)
+        .map { case (id, e) => (id, cos(e, pe)) }
+        .sortBy { case (id, sim) => (-sim, id) }.take(5).map(_._1).toSet
+      (got & brute).size
+    }
+    val probes = Seq(0L, 10L, 20L, 30L, 40L, 50L)
+    val naive = probes.map(recallAt5(naiveCells, _)).sum
+    val trained = probes.map(recallAt5(trainedCells.map {
+      case (id, c) => id -> c }, _)).sum
+    info(s"recall@5 sum over ${probes.size} probes: naive=$naive trained=$trained")
+    // trained cells must not be WORSE (allow one probe of slack for
+    // dataset luck) and must clear the same absolute floor
+    assert(trained >= naive - 1, s"kmeans cells recall $trained < naive $naive - 1")
+    assert(trained >= probes.size * 3, s"trained recall below 3/5: $trained")
+  }
 }
