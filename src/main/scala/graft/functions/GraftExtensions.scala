@@ -56,6 +56,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"topk_by_score requires a literal int k, got $other")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("deflate_size"),
+      new ExpressionInfo(classOf[DeflateSize].getName, "deflate_size"),
+      (args: Seq[Expression]) => DeflateSize(args.head)))
+    ext.injectFunction((
       new FunctionIdentifier("freq_sketch"),
       new ExpressionInfo(classOf[FreqSketch].getName, "freq_sketch"),
       (args: Seq[Expression]) => args(1) match {

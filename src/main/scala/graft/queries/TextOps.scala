@@ -1358,6 +1358,34 @@ object TextOps {
        |SELECT * FROM ($out) ORDER BY step""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q113: COMPRESSION-RATIO quality signal — deflate(text)/len(text),
+  // the corpus-cleaning metric run beside q65's repetition ratios
+  // (Gopher/FineWeb class): templated boilerplate compresses far below
+  // natural prose and near-random noise barely compresses, so one
+  // codegen-adjacent pass separates both tails with no tokenization.
+  // Ratio is integer ppm (compressed·1e6 div raw bytes). JVM-
+  // deterministic (every deflate knob pinned — see DeflateSize) but not
+  // SQL-expressible, so this is a rows-only driver entry (the q39/q49/
+  // q68 class); the real verification is DeflateSizeSpec (golden sizes,
+  // the repetitive ≪ prose ≪ random ordering, determinism) plus the
+  // within-corpus sanity pinned there over this very query.
+  //
+  // Scale shape: pure projection + one bounded TakeOrdered (most-
+  // repetitive 50 docs); the text column never shuffles.
+  // ---------------------------------------------------------------------
+  val q113Bench: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.DeflateSize.deflateSize
+    t(s, dir, "documents")
+      .select($"doc_id", deflateSize($"text").as("comp_len"),
+        length($"text").cast("long").as("raw_len"))
+      .select($"doc_id", $"comp_len",
+        expr("comp_len * CAST(1000000 AS BIGINT) div raw_len").as("ratio_ppm"))
+      .orderBy($"ratio_ppm".asc, $"doc_id".asc).limit(50)
+  }
+  val q113: Q = q113Bench // the top-50 sort is the semantics
+
   val queries: Map[String, Q] = Map(
     "q29_simhash"        -> q29,
     "q30_jaccard_verify" -> q30,
@@ -1380,7 +1408,8 @@ object TextOps {
     "q103_line_dedup"    -> q103,
     "q107_pareto"        -> q107,
     "q108_kmv_overlap"   -> q108,
-    "q112_bpe_merges"    -> q112)
+    "q112_bpe_merges"    -> q112,
+    "q113_comp_ratio"    -> q113)
 
   val oracles: Map[String, String] = Map(
     "q29_simhash"        -> q29Sql,

@@ -31,7 +31,8 @@ class QuerySmokeSpec extends AnyFunSuite {
   // ApproxDistinctSpec, q49 by ApproxPercentileSpec, q68 by
   // SketchRollupSpec (lossless union + error bound).
   private val rowsOnly =
-    Set("q39_approx_distinct", "q49_approx_percentile", "q68_sketch_rollup")
+    Set("q39_approx_distinct", "q49_approx_percentile", "q68_sketch_rollup",
+      "q113_comp_ratio") // deflate is JVM-exact but not SQL-expressible
 
   test("every query has either an oracle or a deliberate rows-only entry") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet

@@ -35,6 +35,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .head().getLong(0) === 7L)
       assert(s.sql("SELECT count_in_set(array('a','b','a','x'), array('a','b')) AS n")
         .head().getLong(0) === 3L)
+      // deflate_size: same pinned-knob compressor as the Scala API
+      assert(s.sql("SELECT deflate_size('aaaaaaaaaaaaaaaaaaaa') AS n")
+        .head().getLong(0) ===
+        DeflateSize.compressedSize("a" * 20 getBytes "UTF-8"))
       // freq_sketch: single heavy item must be present with its count
       assert(s.sql(
         """SELECT filter(freq_sketch(x, 2), e -> e.item = 'a')[0].count_lb AS c
