@@ -54,19 +54,26 @@ case class DeflateSize(child: Expression)
 
 object DeflateSize {
 
+  // one native zlib instance per executor thread, reset() between rows
+  // — constructing/ending a Deflater per row is a native allocation in
+  // the hot loop; reset() restarts the stream with the same pinned
+  // knobs, so sizes are identical to a fresh instance
+  private val local = new ThreadLocal[(Deflater, Array[Byte])] {
+    override def initialValue(): (Deflater, Array[Byte]) =
+      (new Deflater(6, true), new Array[Byte](8192))
+  }
+
   /** Deflate byte count at level 6, default strategy, raw (nowrap)
     * stream — every knob pinned so the size is a pure function of the
     * input bytes. */
   def compressedSize(bytes: Array[Byte]): Long = {
-    val d = new Deflater(6, true)
-    try {
-      d.setInput(bytes)
-      d.finish()
-      val buf = new Array[Byte](8192)
-      var total = 0L
-      while (!d.finished()) total += d.deflate(buf)
-      total
-    } finally d.end()
+    val (d, buf) = local.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total
   }
 
   def deflateSize(c: Column): Column =
