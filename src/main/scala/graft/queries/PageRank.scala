@@ -101,6 +101,49 @@ object PageRank {
     rank
   }
 
+  /** PERSONALIZED PageRank: teleport mass flows only to `seeds`, so
+    * rank measures graph PROXIMITY TO THE SEED SET rather than global
+    * centrality — the "more like these" primitive (recommendation,
+    * crawl frontier expansion, seed-based corpus selection). Same
+    * fixed-point integer scheme as [[pageRank]]; the structural delta
+    * is the base term: Scale·15/(100·|S|) for seed nodes, 0 elsewhere,
+    * applied through a FULL outer join each round — a seed that
+    * receives no contributions this round must still keep its teleport
+    * mass (an inner shape would silently drop it and the mass with
+    * it). Non-seed nodes start at rank 0 and only ever hold flowed
+    * mass. Seeds must be graph nodes. */
+  def personalizedPageRank(edges: DataFrame, seeds: Seq[Long],
+                           iters: Int = Iters,
+                           checkpointDir: Option[String] = None): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    require(seeds.nonEmpty, "personalizedPageRank needs a seed set")
+    checkpointDir.foreach(s.sparkContext.setCheckpointDir)
+    def cp(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(false)
+      else df.localCheckpoint(false)
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("od"))
+    val ed = cp(edges.join(deg, "src"))
+    val base = 15L * Scale / (100L * seeds.size)
+    // the seed table is planning-scale data (a literal handful of ids)
+    val seedBase = seeds.sorted.toDF("node")
+      .select($"node".cast("long").as("node"), lit(base).as("b"))
+    var rank = seedBase.select($"node", lit(Scale / seeds.size).as("rank"))
+    var i = 0
+    while (i < iters) {
+      val contrib = ed
+        .join(rank.select($"node".as("src"), $"rank"), "src")
+        .select($"dst".as("node"), expr("rank div od").as("c"))
+        .groupBy($"node").agg(sum($"c").as("sc"))
+      rank = contrib.join(seedBase, Seq("node"), "full_outer")
+        .select($"node",
+          (coalesce($"b", lit(0L)) +
+            expr("(85 * coalesce(sc, 0L)) div 100")).as("rank"))
+      i += 1
+    }
+    rank
+  }
+
   // ---------------------------------------------------------------------
   // q104: purchase-graph centrality — customers and suppliers as nodes,
   // an (undirected) edge wherever a customer's order contains a
@@ -110,7 +153,7 @@ object PageRank {
   // not merely high-degree ones — exactly what degree (q01-style
   // counting) cannot express and iteration can.
   // ---------------------------------------------------------------------
-  val q104Bench: Q = (s, dir) => {
+  private def purchaseEdges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pairs = graft.Tables.t(s, dir, "lineitem")
       .select($"l_orderkey", $"l_suppkey")
@@ -118,10 +161,14 @@ object PageRank {
         .select($"o_orderkey", $"o_custkey"),
         $"l_orderkey" === $"o_orderkey")
       .select($"o_custkey".as("c"), $"l_suppkey".as("sp")).distinct()
-    val edges = pairs
+    pairs
       .select($"c".as("src"), ($"sp" + SuppOff).as("dst"))
       .union(pairs.select(($"sp" + SuppOff).as("src"), $"c".as("dst")))
-    pageRank(edges).orderBy($"rank".desc, $"node".asc).limit(50)
+  }
+
+  val q104Bench: Q = (s, dir) => {
+    import s.implicits._
+    pageRank(purchaseEdges(s, dir)).orderBy($"rank".desc, $"node".asc).limit(50)
   }
   val q104: Q = q104Bench // the top-50 sort is the semantics, not cosmetics
 
@@ -152,6 +199,58 @@ object PageRank {
        |FROM r$Iters ORDER BY rank DESC, node ASC LIMIT 50""".stripMargin
   }
 
-  val queries: Map[String, Q] = Map("q104_pagerank" -> q104)
-  val oracles: Map[String, String] = Map("q104_pagerank" -> q104Sql)
+  // ---------------------------------------------------------------------
+  // q114: PERSONALIZED PageRank from customers {1, 2} — "which suppliers
+  // (and fellow customers) are closest to these customers' purchase
+  // neighborhoods": the more-like-these primitive, per-seed mass
+  // flowing outward instead of global centrality. Nodes the seeds'
+  // mass never reaches carry no row; integer-zero ranks filter out so
+  // the result is the reached neighborhood ranked by proximity.
+  // ---------------------------------------------------------------------
+  private val PprSeeds = Seq(1L, 2L)
+
+  val q114Bench: Q = (s, dir) => {
+    import s.implicits._
+    personalizedPageRank(purchaseEdges(s, dir), PprSeeds)
+      .filter($"rank" > 0)
+      .orderBy($"rank".desc, $"node".asc).limit(30)
+  }
+  val q114: Q = q114Bench // the top-30 sort is the semantics
+
+  val q114Sql: String = {
+    val base = 15L * Scale / (100L * PprSeeds.size)
+    val init = Scale / PprSeeds.size
+    val seedRows = PprSeeds.sorted
+      .map(v => s"(CAST($v AS BIGINT), CAST($base AS BIGINT))").mkString(", ")
+    val rounds = (1 to Iters).map { i =>
+      s"""r$i AS (
+         |  SELECT COALESCE(c.node, sb.node) AS node,
+         |    COALESCE(sb.b, 0) + (85 * COALESCE(c.sc, 0)) // 100 AS rank
+         |  FROM (SELECT e.dst AS node, SUM(r${i - 1}.rank // deg.od) AS sc
+         |        FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node
+         |             JOIN deg ON deg.src = e.src
+         |        GROUP BY e.dst) c
+         |  FULL JOIN sb ON sb.node = c.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS (
+       |  SELECT c AS src, sp + $SuppOff AS dst FROM p
+       |  UNION ALL SELECT sp + $SuppOff, c FROM p),
+       |deg AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+       |sb AS (SELECT * FROM (VALUES $seedRows) AS t(node, b)),
+       |r0 AS (SELECT node, CAST($init AS BIGINT) AS rank FROM sb),
+       |$rounds
+       |SELECT node, CAST(rank AS BIGINT) AS rank
+       |FROM r$Iters WHERE rank > 0
+       |ORDER BY rank DESC, node ASC LIMIT 30""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q104_pagerank" -> q104,
+    "q114_ppr"      -> q114)
+  val oracles: Map[String, String] = Map(
+    "q104_pagerank" -> q104Sql,
+    "q114_ppr"      -> q114Sql)
 }
