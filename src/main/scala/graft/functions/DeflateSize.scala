@@ -57,17 +57,30 @@ object DeflateSize {
   // one native zlib instance per executor thread, reset() between rows
   // — constructing/ending a Deflater per row is a native allocation in
   // the hot loop; reset() restarts the stream with the same pinned
-  // knobs, so sizes are identical to a fresh instance
-  private val local = new ThreadLocal[(Deflater, Array[Byte])] {
-    override def initialValue(): (Deflater, Array[Byte]) =
-      (new Deflater(6, true), new Array[Byte](8192))
+  // knobs, so sizes are identical to a fresh instance. A Cleaner
+  // end()s the native stream when the owning thread's ThreadLocal
+  // value becomes unreachable, so thread churn (elastic pools,
+  // repeated local sessions) can't pin zlib memory for the JVM's
+  // lifetime.
+  private val cleaner = java.lang.ref.Cleaner.create()
+
+  private final class Slot(val d: Deflater, val buf: Array[Byte]) {
+    // the cleanup lambda must not capture `this`, only the Deflater
+    cleaner.register(this, { val dd = d; () => dd.end() })
+  }
+
+  private val local = new ThreadLocal[Slot] {
+    override def initialValue(): Slot =
+      new Slot(new Deflater(6, true), new Array[Byte](8192))
   }
 
   /** Deflate byte count at level 6, default strategy, raw (nowrap)
     * stream — every knob pinned so the size is a pure function of the
     * input bytes. */
   def compressedSize(bytes: Array[Byte]): Long = {
-    val (d, buf) = local.get()
+    val slot = local.get()
+    val d = slot.d
+    val buf = slot.buf
     d.reset()
     d.setInput(bytes)
     d.finish()

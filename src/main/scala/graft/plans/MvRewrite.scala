@@ -270,12 +270,53 @@ object Mv {
               }
           }
 
+        /** True iff `e` is provably NON-NULL whenever all its inputs are
+          * non-null. `nullIntolerant` alone is NOT enough for the
+          * IsNotNull transfer: it only gives null-in → null-out, and the
+          * transfer needs the converse — a grouping like a non-ANSI
+          * `Cast` can return null on a NON-null input (overflow), which
+          * would make IsNotNull(grouping) strictly stronger than
+          * IsNotNull(col) and silently drop the overflow row. So the
+          * transfer path is restricted to a whitelist of expressions
+          * total on non-null input (decimal arithmetic excluded: its
+          * overflow also nulls under non-ANSI semantics). */
+        def totalOnNonNull(e: Expression): Boolean = e match {
+          case _: DateFormatClass | _: Concat | _: Upper | _: Lower |
+               _: Length | _: Year | _: Month | _: DayOfMonth |
+               _: Hour | _: Minute | _: Second | _: TruncDate |
+               _: TruncTimestamp | _: Substring => true
+          case _: Add | _: Subtract | _: Multiply | _: UnaryMinus |
+               _: Abs =>
+            // integral/float arithmetic wraps or saturates, never nulls;
+            // DecimalType overflow nulls under spark.sql.ansi.enabled=false
+            !e.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType]
+          case _ => false
+        }
+
         /** True iff `hay` contains `needle` with every expression on the
-          * path null-INTOLERANT — then hay is null exactly when needle is
-          * (on needle-null rows), so IsNotNull transfers through it. */
+          * path null-intolerant (null-in → null-out) AND total on
+          * non-null input (non-null-in → non-null-out) — then hay is
+          * null EXACTLY when needle is, so IsNotNull transfers through
+          * it in both directions, unconditionally. */
         def nullLinked(hay: Expression, needle: Expression): Boolean =
           hay == needle ||
-            (hay.nullIntolerant && hay.children.exists(nullLinked(_, needle)))
+            (hay.nullIntolerant && totalOnNonNull(hay) &&
+              hay.children.exists(nullLinked(_, needle)))
+
+        /** The one-directional version (null-in → null-out only): NOT
+          * sufficient on its own — see [[totalOnNonNull]] — but sound
+          * when a companion conjunct already null-guards the artifact
+          * column (the [[translateFilters]] pass-2 rule). */
+        def weakNullLinked(hay: Expression, needle: Expression): Boolean =
+          hay == needle ||
+            (hay.nullIntolerant && hay.children.exists(weakNullLinked(_, needle)))
+
+        /** True iff filter `c` cannot evaluate to TRUE when `a` is null:
+          * `a` occurs in `c` under null-intolerant expressions only, so
+          * c(a=null) is null and the Filter drops the row. */
+        def nullGuards(c: Expression, a: Attribute): Boolean =
+          (c eq a) || c.fastEquals(a) ||
+            (c.nullIntolerant && c.children.exists(nullGuards(_, a)))
 
         /** Filter-conjunct translation: [[inTerms]] plus the IsNotNull
           * transfer — the optimizer's InferFiltersFromConstraints adds
@@ -292,6 +333,35 @@ object Mv {
               }
             }
           case _ => inTerms(e)
+        }
+
+        /** Whole-conjunct-set translation. Pass 1 is [[filterTerms]];
+          * pass 2 rescues IsNotNull conjuncts whose grouping path is
+          * null-intolerant but NOT whitelist-total (e.g. contains a
+          * string→timestamp Cast): the transfer is still sound when some
+          * pass-1-translated conjunct null-guards the same artifact
+          * column, because then BOTH sides already drop the null group —
+          * raw: the guarding conjunct over g(x) is null-intolerant, so
+          * rows where g(x) is null (whether from null x or a non-null x
+          * the path nulls out) never pass; artifact: the translated
+          * guard drops the a-null group. Group membership agrees
+          * exactly, and the extra IsNotNull(a) is redundant-but-harmless
+          * pushdown fuel. */
+        def translateFilters(fs: Seq[Expression]): Option[Seq[Expression]] = {
+          val pass1 = fs.map(e => e -> filterTerms(e))
+          val ok = pass1.collect { case (_, Some(t)) => t }
+          val out = pass1.map {
+            case (_, some @ Some(_)) => some
+            case (IsNotNull(x), None) =>
+              bind(x, leafOut).flatMap { xc =>
+                gmap.collectFirst {
+                  case (gc, a) if weakNullLinked(gc, xc) &&
+                    ok.exists(nullGuards(_, a)) => IsNotNull(a)
+                }
+              }
+            case _ => None
+          }
+          if (out.exists(_.isEmpty)) None else Some(out.map(_.get))
         }
 
         def mapAgg(ae: AggregateExpression, exact: Boolean): Option[Expression] =
@@ -321,12 +391,12 @@ object Mv {
         }
 
         val g2t = g2.map(g => inTerms(f(g)))
-        val ftr = filts.map(filterTerms)
-        if (g2t.exists(_.isEmpty) || ftr.exists(_.isEmpty)) None
+        val ftr = translateFilters(filts)
+        if (g2t.exists(_.isEmpty) || ftr.isEmpty) None
         else {
           val base: LogicalPlan =
-            if (ftr.isEmpty) art
-            else Filter(ftr.map(_.get).reduce(And), art)
+            if (ftr.get.isEmpty) art
+            else Filter(ftr.get.reduce(And), art)
           // EXACT hit iff the query groups at least as fine as the view's
           // full key (every view grouping column appears bare) — then each
           // artifact row IS one result group and aggregates project through.

@@ -1365,8 +1365,14 @@ object LlmOps {
       cents = assign(cents)
         .select($"m.c".as("cl"), posexplode($"e"))
         .groupBy($"cl", $"pos")
-        .agg(expr(s"(sum(col) + ${KmOff}L * count(1)) div count(1)" +
-          s" - ${KmOff}L").as("v"))
+        // sums accumulate as DECIMAL(38,0): quantized components are
+        // ~1e6-scale, so a long sum wraps silently around 9e12 rows per
+        // cluster — exactly the hazard q106's exact-moment accumulators
+        // avoid, and DuckDB promotes to HUGEINT so the oracle already
+        // agrees; `div` is integral divide (→ LONG), truncation == floor
+        // on the offset-positive dividend
+        .agg(expr(s"(sum(cast(col as decimal(38,0))) + ${KmOff}L * count(1))" +
+          s" div count(1) - ${KmOff}L").as("v"))
         .groupBy($"cl")
         .agg(array_sort(collect_list(struct($"pos", $"v"))).as("a"))
         .select($"cl", transform($"a", x => x("v")).as("c"))

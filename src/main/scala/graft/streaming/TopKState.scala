@@ -36,8 +36,12 @@ object TopKState extends Serializable {
                                evs: Seq[(Long, Double)],
                                k: Int): Seq[(Long, Double)] = {
     val maxes = scala.collection.mutable.Map(board: _*)
+    // NaN events are dropped at the fold boundary: `_ < NaN` is false, so
+    // a NaN would otherwise seize a slot no later score could evict, and
+    // sortBy is not a total order with NaN in play — matching batch
+    // top-k, where ORDER BY score DESC never ranks NaN into the board.
     evs.foreach { case (id, s) =>
-      if (maxes.get(id).forall(_ < s)) maxes(id) = s
+      if (!s.isNaN && maxes.get(id).forall(_ < s)) maxes(id) = s
     }
     maxes.toSeq.sortBy { case (id, s) => (-s, id) }.take(k)
   }
