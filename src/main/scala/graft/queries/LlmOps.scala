@@ -544,61 +544,87 @@ object LlmOps {
 
   // ---------------------------------------------------------------------
   // q46: ANN, the IVF (inverted-file) family — the other classic scale
-  // path beside sign-LSH (q31). Vectors are assigned to their nearest of
-  // K fixed centroids (deterministic: the vectors with ids 1..K serve as
-  // centroids; argmax cosine, ties to the smallest centroid id); a query
-  // probes only the nProbe cells nearest ITS probe vector, paying exact
-  // cosine on that fraction of the corpus.
+  // path beside sign-LSH (q31). Cell centroids are TRAINED with the q110
+  // fixed-point kmeans (KmIters Lloyd rounds from the first-K seeds —
+  // trained cells measurably beat naive first-K seeding at equal nProbe,
+  // IvfRecallSpec); vectors are assigned to their argmin-‖e−c‖² cell
+  // (the trainer's own criterion, ties to the smaller cell id); a query
+  // probes only the nProbe cells nearest ITS probe vector under the SAME
+  // L2 key, paying exact cosine on that fraction of the corpus — the
+  // standard IVF-flat split: L2 cell geometry, exact re-rank.
   //
-  // The assignment is an INDEX, not a query step: [[ensureIvfIndex]]
-  // builds (vec_id, e, cell) ONCE per dataset — one broadcast N×K pass
-  // through the codegen'd dot, no shuffle — and persists it as a parquet
-  // table PARTITIONED BY cell (the same build-once contract as
-  // [[Bucketed.ensureLayout]]). A query then (a) ranks the K broadcast
-  // centroids against its probe — a bounded K-row job whose ≤nProbe cell
-  // ids are collected to the driver, exactly the planning step every IVF
-  // implementation runs — and (b) scans ONLY those cell partitions
+  // The training + assignment is an INDEX, not a query step:
+  // [[ensureIvfIndex]] trains once and builds (vec_id, e, cell) ONCE per
+  // dataset — per round one broadcast N×K pass through the codegen'd dot
+  // + one K·dim-partial shuffle — and persists it as a parquet table
+  // PARTITIONED BY cell (the same build-once contract as
+  // [[Bucketed.ensureLayout]]), with the trained centroids in a K-row
+  // companion table. A query then (a) ranks the resident centroids
+  // against its probe on the driver — the planning step every IVF
+  // implementation runs — and (b) scans ONLY the planned cell partitions
   // (static partition pruning, plan-asserted in PlanAuditSpec). At
-  // 100 TB: nProbe/K is the scan-cost knob, and the index amortizes the
-  // N×K assignment across every query instead of re-paying it per probe.
+  // 100 TB: nProbe/K is the scan-cost knob, and the index amortizes
+  // training + assignment across every query instead of re-paying it
+  // per probe.
   // ---------------------------------------------------------------------
   private val IvfK = 8
   private val IvfProbe = 2
   private val IvfDb = "graft_ivf"
+  // the kmeans trainer's knobs (q110) — shared with the IVF build, which
+  // trains its cells with the same fixed-point rounds (KmK aliases IvfK:
+  // one K, one set of trained centroids, one oracle CTE chain)
+  private val KmK = IvfK
+  private val KmIters = 3
+  private val KmOff = 1000000000L
 
   private def tagDir(dir: String): String = graft.Tables.dirTag(dir)
 
-  /** Idempotent one-time IVF index for (sfDir): every embedding row
-    * tagged with its nearest-centroid cell, written partitioned by cell.
-    * Orphaned warehouse locations (ours by construction) are removed
-    * before re-creating, as in [[Bucketed.ensureLayout]]. */
+  private def ivfTable(dir: String): String = s"$IvfDb.emb_${tagDir(dir)}"
+  private def ivfCentsTable(dir: String): String = s"$IvfDb.cents_${tagDir(dir)}"
+
+  /** Idempotent one-time IVF index for (sfDir): centroids TRAINED with
+    * the q110 fixed-point kmeans (measurably better cells than naive
+    * first-K seeding — IvfRecallSpec), every embedding row tagged with
+    * its argmin-‖e−c‖² cell (the trainer's own assignment criterion),
+    * written partitioned by cell, plus a K-row companion table holding
+    * the trained centroids (the resident half of the index — serving
+    * and maintenance read it instead of retraining). Final candidate
+    * scoring stays exact cosine; only the cell geometry is L2, the
+    * standard IVF-flat split. Orphaned warehouse locations (ours by
+    * construction) are removed before re-creating, as in
+    * [[Bucketed.ensureLayout]]. */
   def ensureIvfIndex(s: SparkSession, dir: String): String = synchronized {
     import s.implicits._
     s.sql(s"CREATE DATABASE IF NOT EXISTS $IvfDb")
-    val table = s"$IvfDb.emb_${tagDir(dir)}"
+    val table = ivfTable(dir)
+    val centsTable = ivfCentsTable(dir)
+    val wh = s.conf.get("spark.sql.warehouse.dir")
     val loc = new org.apache.hadoop.fs.Path(
-      s.conf.get("spark.sql.warehouse.dir") + s"/$IvfDb.db/emb_${tagDir(dir)}")
+      wh + s"/$IvfDb.db/emb_${tagDir(dir)}")
+    val centsLoc = new org.apache.hadoop.fs.Path(
+      wh + s"/$IvfDb.db/cents_${tagDir(dir)}")
     // index validity keyed on the SOURCE listing (graft.SourceStamp):
     // a regenerated embeddings table forces an index rebuild
     val st = graft.SourceStamp.table(s, dir, "embeddings")
-    if (!s.catalog.tableExists(table) ||
+    if (!s.catalog.tableExists(table) || !s.catalog.tableExists(centsTable) ||
         !graft.SourceStamp.isCurrent(s, loc.toString, st)) {
-      if (s.catalog.tableExists(table)) s.sql(s"DROP TABLE $table")
       val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
+      for ((tbl, l) <- Seq((table, loc), (centsTable, centsLoc))) {
+        if (s.catalog.tableExists(tbl)) s.sql(s"DROP TABLE $tbl")
+        if (fs.exists(l)) fs.delete(l, true)
+      }
       val quant = t(s, dir, "embeddings")
         .select($"vec_id", quantize($"embedding").as("e"))
-      val cents = broadcast(quant.filter($"vec_id".between(1, IvfK))
-        .select($"vec_id".as("c_id"), $"e".as("ce")))
-      // argmax cosine, smallest c_id on ties; grouped on vec_id alone
-      // (first(e) is well-defined: every candidate row carries the same e)
-      quant.crossJoin(cents)
-        .withColumn("csim", cosine($"e", $"ce"))
-        .groupBy($"vec_id")
-        .agg(first($"e").as("e"), max(struct($"csim", (-$"c_id").as("nc"))).as("m"))
-        .select($"vec_id", $"e", (-$"m.nc").cast("int").as("cell"))
+      val cents = kmeansCentroids(quant, IvfK, KmIters)
+      kmAssign(quant, cents)
+        .select($"vec_id", $"e", $"m.c".cast("int").as("cell"))
         .write.mode("overwrite").format("parquet")
         .partitionBy("cell").saveAsTable(table)
+      cents.map { case (cid, ce) => (cid, ce.toSeq) }
+        .toDF("c_id", "ce")
+        .write.mode("overwrite").format("parquet").saveAsTable(centsTable)
+      // stamp written LAST = commit marker: a crash between the two
+      // writes leaves no stamp, and the next call rebuilds both
       graft.SourceStamp.write(s, loc.toString, st)
     }
     table
@@ -622,11 +648,13 @@ object LlmOps {
     * vs current lines, set difference = new files. */
   def ivfMaintain(s: SparkSession, dir: String): String = synchronized {
     import s.implicits._
-    val table = s"$IvfDb.emb_${tagDir(dir)}"
+    val table = ivfTable(dir)
     val loc = new org.apache.hadoop.fs.Path(
       s.conf.get("spark.sql.warehouse.dir") + s"/$IvfDb.db/emb_${tagDir(dir)}")
     val st = graft.SourceStamp.table(s, dir, "embeddings")
-    if (!s.catalog.tableExists(table)) return ensureIvfIndex(s, dir)
+    if (!s.catalog.tableExists(table) ||
+        !s.catalog.tableExists(ivfCentsTable(dir)))
+      return ensureIvfIndex(s, dir)
     if (graft.SourceStamp.isCurrent(s, loc.toString, st)) return table
     val rec = graft.SourceStamp.recorded(s, loc.toString).getOrElse("")
     val recLines = rec.split("\n").filter(_.nonEmpty).toSet
@@ -637,14 +665,15 @@ object LlmOps {
     val base = s"${dir.stripSuffix("/")}/embeddings.parquet"
     val delta = s.read.parquet(newNames.map(n => s"$base/$n"): _*)
       .select($"vec_id", quantize($"embedding").as("e"))
-    val cents = broadcast(s.table(table)
-      .filter($"vec_id".between(1, IvfK))
-      .select($"vec_id".as("c_id"), $"e".as("ce")))
-    delta.crossJoin(cents)
-      .withColumn("csim", cosine($"e", $"ce"))
-      .groupBy($"vec_id")
-      .agg(first($"e").as("e"), max(struct($"csim", (-$"c_id").as("nc"))).as("m"))
-      .select($"vec_id", $"e", (-$"m.nc").cast("int").as("cell"))
+    // trained centroids from the companion table (K rows): assignment of
+    // the delta uses the SAME argmin-L2 key as the build, so maintained
+    // cells are exactly what a build over (old ∪ delta) WITH THESE
+    // centroids would produce
+    val cents = s.table(ivfCentsTable(dir)).collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1).toSeq
+    kmAssign(delta, cents)
+      .select($"vec_id", $"e", $"m.c".cast("int").as("cell"))
       .write.mode("append").format("parquet")
       .partitionBy("cell").saveAsTable(table)
     graft.SourceStamp.write(s, loc.toString, st)
@@ -661,27 +690,23 @@ object LlmOps {
   private def ivfCentroids(s: SparkSession, dir: String): Array[(Int, Array[Long])] = {
     val st = graft.SourceStamp.table(s, dir, "embeddings")
     graft.SourceStamp.evictStale(centroidCache, s, dir, st)(_ => ())
+    ensureIvfIndex(s, dir)
     centroidCache.computeIfAbsent((s, dir, st), { _: (SparkSession, String, String) =>
-      import s.implicits._
-      t(s, dir, "embeddings")
-        .select($"vec_id", quantize($"embedding").as("e"))
-        .filter($"vec_id".between(1, IvfK))
-        .collect()
-        .map(r => (r.getLong(0).toInt, r.getSeq[Long](1).toArray))
+      s.table(ivfCentsTable(dir)).collect()
+        .map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
         .sortBy(_._1)
     })
   }
 
-  /** Exact quantized cosine on the driver — the same integer dot + IEEE
-    * sqrt/divide as [[cosine]] and the oracle's sqlCos, so the planning
-    * tie-break (psim DESC, c_id ASC) is bit-identical across engines
-    * (dots are ≤ 64·(1e6)² ≈ 6.4e13 ≪ 2^53: exact in double). */
-  private def cosLocal(a: Array[Long], b: Array[Long]): Double = {
-    var dot = 0L; var na = 0L; var nb = 0L; var i = 0
-    while (i < a.length) {
-      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
-    }
-    dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+  /** The planning key on the driver: ‖c‖² − 2·p·c, the same integer
+    * argmin-L2 criterion [[kmAssign]] uses for cell assignment — probe
+    * planning and corpus assignment share one geometry, and the exact
+    * long arithmetic is bit-identical to the oracle's (components are
+    * ~1e6-scale, 64 dims: no overflow). */
+  private def l2KeyLocal(c: Array[Long], p: Array[Long]): Long = {
+    var c2 = 0L; var dot = 0L; var i = 0
+    while (i < c.length) { c2 += c(i) * c(i); dot += p(i) * c(i); i += 1 }
+    c2 - 2L * dot
   }
 
   /** The IVF search API: top-k neighbors of a caller-supplied quantized
@@ -696,8 +721,8 @@ object LlmOps {
     import s.implicits._
     val idx = s.table(ensureIvfIndex(s, dir))
     val probeCells: Seq[Int] = ivfCentroids(s, dir)
-      .map { case (cId, ce) => (cId, cosLocal(ce, probeVec)) }
-      .sortBy { case (cId, psim) => (-psim, cId) }
+      .map { case (cId, ce) => (cId, l2KeyLocal(ce, probeVec)) }
+      .sortBy { case (cId, k2) => (k2, cId) }
       .take(IvfProbe).map(_._1).toSeq
     idx.filter($"vec_id" =!= excludeId && $"cell".isin(probeCells: _*))
       .select($"vec_id", cosine($"e", typedLit(probeVec.toSeq)).as("sim"))
@@ -724,30 +749,64 @@ object LlmOps {
     })
   }
 
+  /** Shared oracle CTE chain: quantized corpus `q`, first-K seeds `c0`,
+    * KmIters fixed-point Lloyd rounds (text-identical to q110's, so the
+    * cross-engine fixed point is proven once), trained centroids exposed
+    * as `cents(c_id, ce)` — the SQL twin of [[kmeansCentroids]] as the
+    * IVF build runs it. */
+  private def kmCentsSqlCtes: String = {
+    val dot = "list_sum(list_transform(range(1, len(e) + 1), i -> e[i] * c[i]))"
+    val c2 = "list_sum(list_transform(c, x -> x * x))"
+    val rounds = (1 to KmIters).map { r =>
+      s"""a$r AS (
+         |  SELECT q.vec_id, min({'k': $c2 - 2 * $dot, 'c': cid}) AS m
+         |  FROM q, c${r - 1} GROUP BY q.vec_id),
+         |x$r AS (
+         |  SELECT a.m.c AS cl, unnest(generate_series(1, len(q.e))) AS dim, q.e
+         |  FROM a$r a JOIN q USING (vec_id)),
+         |c$r AS (
+         |  SELECT cl AS cid, list(v ORDER BY dim) AS c FROM (
+         |    SELECT cl, dim,
+         |      (SUM(e[dim]) + $KmOff * COUNT(*)) // COUNT(*) - $KmOff AS v
+         |    FROM x$r GROUP BY cl, dim)
+         |  GROUP BY cl)""".stripMargin
+    }.mkString(",\n")
+    s"""q AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding::DOUBLE[],
+       |      x -> CAST(round(x * 1000000) AS BIGINT)) AS e
+       |  FROM embeddings),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cid, e AS c
+       |       FROM q WHERE vec_id < $KmK),
+       |$rounds,
+       |cents AS (SELECT cid AS c_id, c AS ce FROM c$KmIters)""".stripMargin
+  }
+
+  // the assignment + planning keys over cents(c_id, ce): argmin-L2
+  // struct-min, exactly kmAssign's key
+  private def sqlDotCe = "list_sum(list_transform(range(1, len(e) + 1), i -> e[i] * ce[i]))"
+  private def sqlDotCePe = "list_sum(list_transform(range(1, len(pe) + 1), i -> pe[i] * ce[i]))"
+  private def sqlC2Ce = "list_sum(list_transform(ce, x -> x * x))"
+
   val q46: Q = (s, dir) => ivfSearch(s, dir, corpusProbe(s, dir), 5, excludeId = 0L)
   val q46Sql: String =
-    s"""WITH q AS (SELECT vec_id,
-       |    list_transform(embedding::DOUBLE[], x -> CAST(round(x*1000000) AS BIGINT)) AS e
-       |  FROM embeddings),
-       |cents AS (SELECT vec_id AS c_id, e AS ce FROM q
-       |          WHERE vec_id BETWEEN 1 AND $IvfK),
-       |scored AS (
-       |  SELECT a.vec_id, a.e, c.c_id, ${sqlCos("a.e", "c.ce")} AS csim
-       |  FROM q a CROSS JOIN cents c WHERE a.vec_id <> 0),
+    s"""WITH $kmCentsSqlCtes,
+       |am AS (
+       |  SELECT q.vec_id, min({'k': $sqlC2Ce - 2 * $sqlDotCe, 'c': c_id}) AS m
+       |  FROM q, cents GROUP BY q.vec_id),
        |assigned AS (
-       |  SELECT vec_id, e, c_id AS cell FROM (
-       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-       |      ORDER BY csim DESC, c_id ASC) AS rn FROM scored)
-       |  WHERE rn = 1),
+       |  SELECT q.vec_id, q.e, CAST(am.m.c AS INT) AS cell
+       |  FROM am JOIN q USING (vec_id)),
        |probe AS (SELECT e AS pe FROM q WHERE vec_id = 0),
        |probe_cells AS (
        |  SELECT c_id AS probe_cell FROM (
-       |    SELECT c.c_id, ${sqlCos("c.ce", "p.pe")} AS psim
+       |    SELECT c.c_id, $sqlC2Ce - 2 * $sqlDotCePe AS pk
        |    FROM cents c CROSS JOIN probe p
-       |    ORDER BY psim DESC, c_id ASC LIMIT $IvfProbe))
+       |    ORDER BY pk ASC, c_id ASC LIMIT $IvfProbe))
        |SELECT a.vec_id, ${sqlCos("a.e", "p.pe")} AS sim
        |FROM assigned a JOIN probe_cells pc ON a.cell = pc.probe_cell
        |CROSS JOIN probe p
+       |WHERE a.vec_id <> 0
        |ORDER BY sim DESC, vec_id ASC
        |LIMIT 5""".stripMargin
 
@@ -969,8 +1028,8 @@ object LlmOps {
     // driver-side planning: nProbe cells per probe (psim DESC, c_id ASC)
     val plan: Seq[(Long, Int, Seq[Long])] = batchProbes(s, dir).toSeq.flatMap {
       case (pid, pe) =>
-        cents.map { case (cId, ce) => (cId, cosLocal(ce, pe)) }
-          .sortBy { case (cId, psim) => (-psim, cId) }
+        cents.map { case (cId, ce) => (cId, l2KeyLocal(ce, pe)) }
+          .sortBy { case (cId, k2) => (k2, cId) }
           .take(IvfProbe)
           .map { case (cId, _) => (pid.toLong, cId, pe.toSeq) }
     }
@@ -987,23 +1046,19 @@ object LlmOps {
       .orderBy($"probe_id", $"rank")
   }
   val q58Sql: String =
-    s"""WITH q AS (SELECT vec_id,
-       |    list_transform(embedding::DOUBLE[], x -> CAST(round(x*1000000) AS BIGINT)) AS e
-       |  FROM embeddings),
-       |cents AS (SELECT vec_id AS c_id, e AS ce FROM q
-       |          WHERE vec_id BETWEEN 1 AND $IvfK),
+    s"""WITH $kmCentsSqlCtes,
+       |am AS (
+       |  SELECT q.vec_id, min({'k': $sqlC2Ce - 2 * $sqlDotCe, 'c': c_id}) AS m
+       |  FROM q, cents GROUP BY q.vec_id),
        |assigned AS (
-       |  SELECT vec_id, e, c_id AS cell FROM (
-       |    SELECT a.vec_id, a.e, c.c_id, ROW_NUMBER() OVER (PARTITION BY a.vec_id
-       |      ORDER BY ${sqlCos("a.e", "c.ce")} DESC, c.c_id ASC) AS rn
-       |    FROM q a CROSS JOIN cents c)
-       |  WHERE rn = 1),
+       |  SELECT q.vec_id, q.e, CAST(am.m.c AS INT) AS cell
+       |  FROM am JOIN q USING (vec_id)),
        |probes AS (SELECT vec_id AS probe_id, e AS pe FROM q
        |           WHERE vec_id < $BatchProbes),
        |probe_cells AS (
        |  SELECT probe_id, pe, c_id AS p_cell FROM (
        |    SELECT p.probe_id, p.pe, c.c_id, ROW_NUMBER() OVER (PARTITION BY p.probe_id
-       |      ORDER BY ${sqlCos("c.ce", "p.pe")} DESC, c.c_id ASC) AS crn
+       |      ORDER BY $sqlC2Ce - 2 * $sqlDotCePe ASC, c.c_id ASC) AS crn
        |    FROM probes p CROSS JOIN cents c)
        |  WHERE crn <= $IvfProbe),
        |scored AS (
@@ -1327,10 +1382,6 @@ object LlmOps {
   // literal projection + one (cluster, dim) aggregate shuffle of K·dim
   // partials per map task — no all-pairs, no per-row state.
   // ---------------------------------------------------------------------
-  private val KmK = 8
-  private val KmIters = 3
-  private val KmOff = 1000000000L
-
   /** Lloyd's K-means over a (vec_id LONG, e ARRAY<LONG>) frame: `iters`
     * assignment/update rounds seeded from the first `k` vec_ids, then a
     * FINAL assignment against the trained centroids. Returns (vec_id,
@@ -1340,21 +1391,36 @@ object LlmOps {
     * pattern (persist keyed by SourceStamp, as `signatures` does),
     * deliberately not inlined so the operator carries no cache
     * lifetime. */
-  def kmeans(q: DataFrame, k: Int, iters: Int): DataFrame = {
+  /** One assignment pass: each (vec_id, e) row tagged with
+    * `m = struct(k, c)` where c = argmin_c ‖e−c‖² over the driver-held
+    * centroid list and k = ‖c‖² − 2·e·c (so dist² = ‖e‖² + k). Ties
+    * break to the smaller centroid id via lexicographic struct LEAST —
+    * deterministic on any engine. Shared by the trainer's rounds, the
+    * final kmeans output, and the IVF index build/maintain (cells ARE
+    * kmeans assignments). */
+  private[queries] def kmAssign(q: DataFrame,
+                                cents: Seq[(Int, Array[Long])]): DataFrame = {
     val s = q.sparkSession
     import s.implicits._
-    import graft.functions.GraftFunctions.dotLong
-    def assign(cents: Seq[(Int, Array[Long])]): DataFrame = {
-      val keys = cents.map { case (cid, c) =>
-        val c2 = c.map(x => x * x).sum // ‖c‖², driver-side constant
-        struct((lit(c2) - lit(2L) * dotLong($"e", typedLit(c.toSeq))).as("k"),
-          lit(cid).as("c"))
-      }
-      // Least requires ≥ 2 args; one live centroid (k=1, or every other
-      // cluster emptied out on degenerate data) is a plain projection
-      val m = if (keys.size == 1) keys.head else least(keys: _*)
-      q.select($"vec_id", $"e", m.as("m"))
+    val keys = cents.map { case (cid, c) =>
+      val c2 = c.map(x => x * x).sum // ‖c‖², driver-side constant
+      struct((lit(c2) - lit(2L) * dotLong($"e", typedLit(c.toSeq))).as("k"),
+        lit(cid).as("c"))
     }
+    // Least requires ≥ 2 args; one live centroid (k=1, or every other
+    // cluster emptied out on degenerate data) is a plain projection
+    val m = if (keys.size == 1) keys.head else least(keys: _*)
+    q.select($"vec_id", $"e", m.as("m"))
+  }
+
+  /** The TRAINER half of [[kmeans]]: `iters` Lloyd rounds from the
+    * first-`k` seeds, returning the trained centroids — K × dim longs of
+    * driver-held planning data. Public because the IVF index build
+    * consumes exactly this (train once, assign cells, persist). */
+  def kmeansCentroids(q: DataFrame, k: Int,
+                      iters: Int): Seq[(Int, Array[Long])] = {
+    val s = q.sparkSession
+    import s.implicits._
     var cents: Seq[(Int, Array[Long])] = q.filter($"vec_id" < k)
       .orderBy($"vec_id").collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Long](1).toArray)).toSeq
@@ -1362,7 +1428,7 @@ object LlmOps {
       s"kmeans: no seed vectors (no vec_id < $k in the input)")
     var i = 0
     while (i < iters) {
-      cents = assign(cents)
+      cents = kmAssign(q, cents)
         .select($"m.c".as("cl"), posexplode($"e"))
         .groupBy($"cl", $"pos")
         // sums accumulate as DECIMAL(38,0): quantized components are
@@ -1380,7 +1446,13 @@ object LlmOps {
         .sortBy(_._1).toSeq
       i += 1
     }
-    assign(cents)
+    cents
+  }
+
+  def kmeans(q: DataFrame, k: Int, iters: Int): DataFrame = {
+    val s = q.sparkSession
+    import s.implicits._
+    kmAssign(q, kmeansCentroids(q, k, iters))
       .select($"vec_id", $"m.c".as("cluster"),
         (dotLong($"e", $"e") + $"m.k").as("dist2"))
   }
@@ -1394,42 +1466,18 @@ object LlmOps {
     import s.implicits._
     q110Bench(s, dir).orderBy($"vec_id")
   }
-  val q110Sql: String = {
-    val dot = "list_sum(list_transform(range(1, len(e) + 1), i -> e[i] * c[i]))"
-    val c2 = "list_sum(list_transform(c, x -> x * x))"
-    val rounds = (1 to KmIters).map { r =>
-      s"""a$r AS (
-         |  SELECT q.vec_id, min({'k': $c2 - 2 * $dot, 'c': cid}) AS m
-         |  FROM q, c${r - 1} GROUP BY q.vec_id),
-         |x$r AS (
-         |  SELECT a.m.c AS cl, unnest(generate_series(1, len(q.e))) AS dim, q.e
-         |  FROM a$r a JOIN q USING (vec_id)),
-         |c$r AS (
-         |  SELECT cl AS cid, list(v ORDER BY dim) AS c FROM (
-         |    SELECT cl, dim,
-         |      (SUM(e[dim]) + $KmOff * COUNT(*)) // COUNT(*) - $KmOff AS v
-         |    FROM x$r GROUP BY cl, dim)
-         |  GROUP BY cl)""".stripMargin
-    }.mkString(",\n")
-    // the output assignment runs against the FINAL centroids (c3), so
-    // one extra assignment-only CTE follows the last update round —
-    // a3 is the assignment against c2 that PRODUCED c3, not the result
-    val fin = KmIters + 1
-    s"""WITH q AS (
-       |  SELECT vec_id,
-       |    list_transform(embedding::DOUBLE[],
-       |      x -> CAST(round(x * 1000000) AS BIGINT)) AS e
-       |  FROM embeddings),
-       |c0 AS (SELECT CAST(vec_id AS INT) AS cid, e AS c
-       |       FROM q WHERE vec_id < $KmK),
-       |$rounds,
-       |a$fin AS (
-       |  SELECT q.vec_id, min({'k': $c2 - 2 * $dot, 'c': cid}) AS m
-       |  FROM q, c$KmIters GROUP BY q.vec_id)
-       |SELECT q.vec_id, CAST(a$fin.m.c AS INT) AS cluster,
-       |  CAST(list_sum(list_transform(e, x -> x * x)) + a$fin.m.k AS BIGINT) AS dist2
-       |FROM a$fin JOIN q USING (vec_id) ORDER BY vec_id""".stripMargin
-  }
+  // the output assignment runs against the FINAL trained centroids
+  // (kmCentsSqlCtes' `cents`) — one assignment-only CTE after the last
+  // update round; a$KmIters inside the chain is the assignment against
+  // the PREVIOUS round's centroids, not the result
+  val q110Sql: String =
+    s"""WITH $kmCentsSqlCtes,
+       |af AS (
+       |  SELECT q.vec_id, min({'k': $sqlC2Ce - 2 * $sqlDotCe, 'c': c_id}) AS m
+       |  FROM q, cents GROUP BY q.vec_id)
+       |SELECT q.vec_id, CAST(af.m.c AS INT) AS cluster,
+       |  CAST(list_sum(list_transform(e, x -> x * x)) + af.m.k AS BIGINT) AS dist2
+       |FROM af JOIN q USING (vec_id) ORDER BY vec_id""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "q22_exact_dedup"    -> q22,

@@ -42,9 +42,11 @@ class IvfRecallSpec extends AnyFunSuite {
       assert(recall >= 2, s"probe $pid: recall@5 = $recall/5 (ivf=$ivf brute=$brute)")
       recall
     }
-    // average across probes must clear a stricter floor than any single one
-    assert(recalls.sum >= probes.size * 3,
-      s"mean recall@5 below 3/5: $recalls")
+    info(s"index recall@5 per probe: ${probes.zip(recalls)}")
+    // average across probes must clear a stricter floor than any single
+    // one — raised from 3/5 when the index moved to kmeans-trained cells
+    assert(recalls.sum >= probes.size * 3 + 1,
+      s"mean recall@5 below the trained floor: $recalls")
   }
 
   test("kmeans-trained cells recall at least as well as naive first-K seeding") {
