@@ -8,8 +8,8 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestSession
 
-/** Multimodal plumbing: binary content column + typed metadata, decode
-  * stub → frames, frame sampling, nibble feature extraction. Values are
+/** Multimodal plumbing: binary content column + typed metadata, real
+  * demux → frames, frame sampling, nibble feature extraction. Values are
   * pinned against a JVM-side md5 reimplementation so the synthetic
   * corpus is provably deterministic. */
 class MultimodalSpec extends AnyFunSuite {
@@ -39,14 +39,14 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.length === 64) // 32 bytes
   }
 
-  test("decodeStub: fixed-width binary frames, indexed, no content column downstream") {
-    val frames = Multimodal.decodeStub(Multimodal.assets(spark, sfDir), frameBytes = 8)
-    assert(frames.columns.toSeq === Seq("asset_id", "kind", "frame_no", "frame"))
+  test("videoFrames: real demuxed binary frames, indexed, content pruned downstream") {
+    val frames = Multimodal.videoFrames(Multimodal.assets(spark, sfDir))
+    assert(frames.columns.toSeq === Seq("asset_id", "frame_no", "frame"))
     assert(frames.schema("frame").dataType === BinaryType)
     val perAsset = frames.groupBy("asset_id").count().select("count").distinct().collect()
-    assert(perAsset.map(_.getLong(0)).toSeq === Seq(4L)) // 32 bytes / 8
-    assert(frames.select(length(col("frame"))).distinct().head().getInt(0) === 8)
-    // frame 0 is the first 8 bytes of the content
+    assert(perAsset.map(_.getLong(0)).toSeq === Seq(2L)) // 2 chunks × 16 bytes
+    assert(frames.select(length(col("frame"))).distinct().head().getInt(0) === 16)
+    // frame 0 is the first 16 bytes of the content
     val a0 = Multimodal.assets(spark, sfDir).filter(col("asset_id") === 0)
       .select(hex(col("content"))).head().getString(0)
     val f0 = frames.filter(col("asset_id") === 0 && col("frame_no") === 0)
@@ -55,11 +55,31 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("sampleFrames keeps every k-th frame") {
-    val frames = Multimodal.decodeStub(Multimodal.assets(spark, sfDir))
+    val frames = Multimodal.videoFrames(Multimodal.assets(spark, sfDir))
     val sampled = Multimodal.sampleFrames(frames, 2)
     assert(sampled.count() === frames.count() / 2)
     assert(sampled.select("frame_no").distinct().collect()
-      .map(_.getInt(0)).sorted.toSeq === Seq(0, 2))
+      .map(_.getInt(0)).sorted.toSeq === Seq(0))
+  }
+
+  test("decodeFrames: JDK-decoded luma equals a JVM-side DIB reference") {
+    val decoded = Multimodal.decodeFrames(Multimodal.assets(spark, sfDir))
+    val row = decoded.filter(col("asset_id") === 0 && col("frame_no") === 1)
+      .select(col("img.width"), col("img.height"), lower(hex(col("img.gray"))))
+      .head()
+    assert(row.getInt(0) === 2 && row.getInt(1) === 2)
+    // reference: frame 1 = content bytes 16..31, bottom-up BGR, stride 8
+    val doc = graft.Tables.t(spark, sfDir, "documents")
+      .filter(col("doc_id") === 0).select("text").head().getString(0)
+    val bytes = MessageDigest.getInstance("MD5").digest(("f1:" + doc).getBytes("UTF-8"))
+      .map(b => b & 0xff)
+    def lum(x: Int, y: Int): Int = {
+      val o = (1 - y) * 8 + x * 3
+      (bytes(o + 2) * 299 + bytes(o + 1) * 587 + bytes(o) * 114) / 1000
+    }
+    val expected = Seq(lum(0, 0), lum(1, 0), lum(0, 1), lum(1, 1))
+      .map("%02x".format(_)).mkString
+    assert(row.getString(2) === expected)
   }
 
   test("avgPool resize: fixed-length thumbnail, pinned against JVM bytes") {
