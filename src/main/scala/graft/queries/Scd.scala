@@ -10,11 +10,17 @@ import graft.Tables.t
   * date) and opens a new one, no-op updates and untouched keys pass
   * through, history rows are immutable.
   *
-  * Scale shape: the update batch is small relative to the dimension BY
-  * DEFINITION (a day's changes vs all-time history), so the merge is a
+  * Scale shape: the update batch is USUALLY small relative to the
+  * dimension (a day's changes vs all-time history), so the merge wants a
   * BROADCAST left join — the dimension table itself never shuffles, and
   * the changed/unchanged fan-out is a Generate (explode) inside the same
   * codegen stage, not a self-union that would scan the dimension twice.
+  * But "usually" is not a plan invariant: a CDC backfill can replay a
+  * large feed through the same API, so the broadcast hint is SIZE-GATED
+  * — applied only when the optimizer's own estimate of the batch fits
+  * the session's autoBroadcastJoinThreshold, and otherwise left to the
+  * engine, which degrades to a shuffle join instead of an executor OOM
+  * (the q62 lesson; both paths hash-identical, ScdSpec runs both).
   * [[scd2MergeTxn]] wraps the merge in the transactional log
   * ([[graft.sinks.TxnTable]]): each merge is an atomic, batch-id-
   * idempotent commit and every pre-merge dimension version stays
@@ -46,8 +52,19 @@ object Scd {
   def scd2Apply(dim: DataFrame, updates: DataFrame, key: String,
                 attr: String, eff: Column): DataFrame = {
     val uCols = updates.columns
-    val upd = broadcast(updates.select(
-      col(uCols(0)).as("_u_key"), col(uCols(1)).as("_u_val")))
+    val upd0 = updates.select(
+      col(uCols(0)).as("_u_key"), col(uCols(1)).as("_u_val"))
+    // size-gated hint: only claim the batch is broadcastable when the
+    // optimizer's estimate agrees it fits the configured threshold —
+    // an oversized batch (CDC backfill) keeps the un-hinted plan and
+    // the engine's shuffle fallback
+    val thresh = BigInt(
+      updates.sparkSession.sessionState.conf.autoBroadcastJoinThreshold)
+    val upd =
+      if (thresh > 0 &&
+          upd0.queryExecution.optimizedPlan.stats.sizeInBytes <= thresh)
+        broadcast(upd0)
+      else upd0
     val joined = dim.join(upd,
       dim(key) === upd("_u_key") && dim("is_current"), "left")
     val changed = col("_u_key").isNotNull && col("_u_val") =!= col(attr)

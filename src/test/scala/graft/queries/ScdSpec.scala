@@ -93,6 +93,37 @@ class ScdSpec extends AnyFunSuite {
     assert(once.exceptAll(twice).count() === 0)
   }
 
+  test("oversized batch drops the broadcast hint; shuffle path is hash-identical") {
+    val s = spark
+    import s.implicits._
+    def hinted(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.nonEmpty
+    // default threshold: the tiny batch is hinted
+    assert(hinted(applied), "small batch should carry the broadcast hint")
+    // threshold -1 disables broadcast entirely: the gate must NOT hint
+    // (a CDC backfill keeps the engine's shuffle fallback), and the
+    // result is identical either way
+    val base = applied.collect().map(_.toSeq).toSet
+    withThreshold("-1") {
+      val un = applied
+      assert(!hinted(un), "gate must drop the hint when broadcast is off")
+      val bhj = un.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }
+      assert(bhj.isEmpty, "no broadcast join may survive threshold -1")
+      assert(un.collect().map(_.toSeq).toSet === base)
+    }
+  }
+
+  private def withThreshold[T](v: String)(body: => T): T = {
+    val k = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(k)
+    spark.conf.set(k, v)
+    try body finally spark.conf.set(k, old)
+  }
+
   test("q64 on testdata: one current row per key, changed keys doubled") {
     val s = spark
     import s.implicits._
