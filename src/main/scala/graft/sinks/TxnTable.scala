@@ -411,14 +411,15 @@ object TxnTable {
     * production formats cache the latest-seen batch id per stream in
     * the snapshot itself — same contract, one read. */
   def appendBatch(s: SparkSession, root: String, df: DataFrame,
-                  batchId: Long): Option[Snapshot] = {
+                  batchId: Long,
+                  statsCol: Option[String] = None): Option[Snapshot] = {
     val opTag = s"append-batch:$batchId"
     val vs = versions(s, root)
     if (vs.exists(v => snapshot(s, root, v).op == opTag)) None
     else {
       val staged = stage(s, root, df)
       val prior = vs.lastOption.map(snapshot(s, root, _))
-      val col = prior.flatMap(_.statsCol)
+      val col = statsCol.orElse(prior.flatMap(_.statsCol))
       val bcol = prior.flatMap(_.bloomCol)
       val (stagedStats, stagedBlooms) = fileMeta(s, root, staged, col, bcol)
       Some(commit(s, root, vs.lastOption.getOrElse(0L) + 1, opTag,
@@ -435,7 +436,8 @@ object TxnTable {
     * table content; a replayed batch finds its own commit in the log
     * and no-ops (returns None) instead of double-applying the merge. */
   def replaceBatch(s: SparkSession, root: String, df: DataFrame,
-                   batchId: Long): Option[Snapshot] = {
+                   batchId: Long,
+                   statsCol: Option[String] = None): Option[Snapshot] = {
     val opTag = s"replace-batch:$batchId"
     val vs = versions(s, root)
     if (vs.exists(v => snapshot(s, root, v).op == opTag)) None
@@ -443,7 +445,7 @@ object TxnTable {
       val staged = stage(s, root, df)
       // replacement rebuilds file metadata under the table's columns
       val prior = vs.lastOption.map(snapshot(s, root, _))
-      val col = prior.flatMap(_.statsCol)
+      val col = statsCol.orElse(prior.flatMap(_.statsCol))
       val bcol = prior.flatMap(_.bloomCol)
       val (stagedStats, stagedBlooms) = fileMeta(s, root, staged, col, bcol)
       Some(commit(s, root, vs.lastOption.getOrElse(0L) + 1, opTag,

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.sinks.TxnTable
+
+/** [[NearDupTxn]]: the signature store tracks a mutating document txn
+  * table through append / delete / merge / restore, and after every
+  * sync equals a from-scratch rebuild over the source's current
+  * snapshot — the IVM contract for dedup state. */
+class NearDupTxnSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val srcSf = "/root/testdata/sf0.001"
+
+  private def storeRows(storeRoot: String): Set[(Int, String, Long)] =
+    TxnTable.read(spark, storeRoot)
+      .select(col("band").cast("int"), col("key"), col("doc_id"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+
+  private def rebuiltRows(docsRoot: String): Set[(Int, String, Long)] =
+    NearDupTxn.signatures(
+        TxnTable.read(spark, docsRoot).select(col("doc_id"), col("text")))
+      .select(col("band").cast("int"), col("key"), col("doc_id"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+
+  test("store == full rebuild after append, delete, merge, and restore") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.Tables.t(spark, srcSf, "documents")
+      .select($"doc_id", $"text")
+    val docsRoot = Files.createTempDirectory("ndtxn_docs").toString
+    val storeRoot = Files.createTempDirectory("ndtxn_store").toString
+
+    // v1: initial corpus -> full build
+    TxnTable.append(spark, docsRoot, docs.filter($"doc_id" < 200),
+      statsCol = Some("doc_id"))
+    assert(NearDupTxn.sync(spark, docsRoot, storeRoot) === 1L)
+    assert(storeRows(storeRoot) === rebuiltRows(docsRoot))
+    assert(NearDupTxn.syncedVersion(spark, storeRoot) === Some(1L))
+
+    // repeat sync with no source change: metadata-only no-op
+    val nVersions = TxnTable.versions(spark, storeRoot).size
+    assert(NearDupTxn.sync(spark, docsRoot, storeRoot) === 1L)
+    assert(TxnTable.versions(spark, storeRoot).size === nVersions)
+
+    // v2: APPEND new docs -> only the delta is signed
+    TxnTable.append(spark, docsRoot, docs.filter($"doc_id".between(200, 299)))
+    assert(NearDupTxn.sync(spark, docsRoot, storeRoot) === 2L)
+    assert(storeRows(storeRoot) === rebuiltRows(docsRoot))
+
+    // v3: DELETE a slice -> its signature rows disappear
+    TxnTable.deleteWhere(spark, docsRoot, col("doc_id") % 7 === 0,
+      statsRange = Some((0L, 299L)))
+    assert(NearDupTxn.sync(spark, docsRoot, storeRoot) === 3L)
+    val afterDelete = storeRows(storeRoot)
+    assert(afterDelete === rebuiltRows(docsRoot))
+    assert(!afterDelete.exists(_._3 % 7 == 0), "deleted docs still signed")
+
+    // v4: MERGE rewrites some texts -> their signatures are re-derived
+    val changes = TxnTable.read(spark, docsRoot)
+      .filter($"doc_id" % 11 === 0)
+      .withColumn("text", concat($"text", lit(" merged merged merged")))
+    TxnTable.mergeInto(spark, docsRoot, changes, Seq("doc_id"),
+      statsRange = Some((0L, 299L)))
+    assert(NearDupTxn.sync(spark, docsRoot, storeRoot) === 4L)
+    assert(storeRows(storeRoot) === rebuiltRows(docsRoot))
+
+    // v5: RESTORE the source to v2 (pre-delete, pre-merge) — restore is
+    // a roll-forward commit, so the sync is an ordinary incremental diff
+    TxnTable.restore(spark, docsRoot, 2L)
+    assert(NearDupTxn.sync(spark, docsRoot, storeRoot) === 5L)
+    val afterRestore = storeRows(storeRoot)
+    assert(afterRestore === rebuiltRows(docsRoot))
+    assert(afterRestore.exists(_._3 % 7 == 0), "restore must resurrect signatures")
+  }
+}
