@@ -73,18 +73,35 @@ object Bench {
     // Warmup: one untimed pass over every query (catches codegen + scan
     // setup; failures here are also failures in the timed pass and are
     // reported there). NonFatal only — an OOM must crash, not mis-report.
-    ordered.foreach { case (_, fn) =>
-      try materialize(fn(spark, sfDir)) catch { case NonFatal(_) => () }
+    // The guard-rail gate runs here too: a plan with a cluster-melter
+    // hazard (graft.plans.GuardRails, minus the justified allowlist) is
+    // REFUSED — reported as an error, never timed — so a future query
+    // cannot get benched un-audited.
+    val gated = scala.collection.mutable.LinkedHashMap[String, String]()
+    ordered.foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, sfDir)
+        val hz = graft.plans.GuardRails.gate(name, df)
+        if (hz.nonEmpty)
+          gated(name) = hz.map(h => s"[${h.kind}] ${h.detail}")
+            .mkString("guard-rail refusal: ", "; ", "")
+        else materialize(df)
+      } catch { case NonFatal(_) => () }
     }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = ordered.map { case (name, fn) =>
       val times = (1 to timedRuns).map { _ =>
-        val t0 = System.nanoTime()
-        try { materialize(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
-        catch { case NonFatal(e) =>
-          errors.getOrElseUpdate(name,
-            Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+        if (gated.contains(name)) {
+          errors.getOrElseUpdate(name, gated(name).take(200))
           -1.0
+        } else {
+          val t0 = System.nanoTime()
+          try { materialize(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+          catch { case NonFatal(e) =>
+            errors.getOrElseUpdate(name,
+              Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+            -1.0
+          }
         }
       }
       name -> (if (times.contains(-1.0)) -1.0 else times.min)

@@ -12,13 +12,9 @@ class GuardRailsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sfDir = "/root/testdata/sf0.001"
 
-  /** Queries whose single-partition window is bounded by construction
-    * in a way a plan walk cannot see — each with the reason the shape
-    * is sound at 100 TB (the scaladoc of the query carries the full
-    * argument). */
-  private val audited: Map[String, String] = Map(
-    "q107_pareto" -> ("global cummax window runs over per-length maxima " +
-      "only - cardinality is the distinct-length domain, not the corpus"))
+  // the justified allowlist lives in GuardRails itself, shared with the
+  // run-time gates (Bench refuses, Verify logs)
+  private val audited: Map[String, String] = GuardRails.auditedAllowlist
 
   test("every benched plan passes the guard rails (minus the audited allowlist)") {
     graft.ArtifactCaches.reset(spark)
