@@ -439,6 +439,66 @@ object TextOps {
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q117: BIGRAM-LM FAMILIARITY — the perplexity-filter stand-in one
+  // level up from q62's unigram frequencies (KenLM-class quality
+  // filters score documents by how predictable their text is under a
+  // corpus LM; garbage and boilerplate sit at the two tails). The model
+  // is the conditional MLE P(w2|w1) = c(w1,w2)/c(w1), with both counts
+  // taken over bigram HISTORY positions so the estimate is a proper
+  // conditional (Σ_w2 P(w2|w1) = 1). Logs/perplexity are deliberately
+  // NOT taken: ln() is not correctly-rounded and diverges across
+  // engines, so the score stays in exact integers — per-bigram
+  // probability in ppm via integral division (n12·1e6 div n1, positive
+  // → truncation == floor == DuckDB's //), summed exactly; the one
+  // double is the final mean (exact longs through one IEEE divide, the
+  // Det scheme).
+  //
+  // Scale shape: the q62 posture one key wider — bigrams explode once
+  // into the (w1,w2) count table and the (w1) history table (two aggs
+  // over one generate), then score via joins AQE sizes at runtime (no
+  // broadcast hint: the bigram vocab is corpus-dependent and heavy-
+  // tailed — exactly the q62 flip argument), and the final per-doc
+  // rollup shuffles counts, not text.
+  // ---------------------------------------------------------------------
+  val q117Bench: Q = (s, dir) => {
+    import s.implicits._
+    val bg = t(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("a"))
+      .filter(size($"a") >= 2)
+      .select($"doc_id", explode(expr(
+        "arrays_zip(slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1))"))
+        .as("p"))
+      .select($"doc_id", $"p.0".as("w1"), $"p.1".as("w2"))
+    val c1 = bg.groupBy($"w1").agg(count(lit(1)).as("n1"))
+    val c12 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("n12"))
+    bg.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(expr("n12 * 1000000L div n1")).as("sum_p_ppm"))
+      .select($"doc_id", $"n_bigrams", $"sum_p_ppm",
+        ($"sum_p_ppm".cast("double") / $"n_bigrams").as("mean_p_ppm"))
+  }
+  val q117: Q = (s, dir) => {
+    import s.implicits._
+    q117Bench(s, dir).orderBy($"doc_id")
+  }
+  val q117Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS a FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |bg AS (
+      |  SELECT doc_id, a[i] AS w1, a[i+1] AS w2
+      |  FROM tok, unnest(generate_series(1, len(a) - 1)) AS u(i)),
+      |c1 AS (SELECT w1, COUNT(*) AS n1 FROM bg GROUP BY w1),
+      |c12 AS (SELECT w1, w2, COUNT(*) AS n12 FROM bg GROUP BY w1, w2)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  CAST(SUM((n12 * 1000000) // n1) AS BIGINT) AS sum_p_ppm,
+      |  CAST(SUM((n12 * 1000000) // n1) AS DOUBLE) / COUNT(*) AS mean_p_ppm
+      |FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q63: DATA-MIXTURE REBALANCING — cap every language at N docs,
   // keeping a deterministic hash-ranked subset (the content-stable
   // shuffle key from q50, so the kept set is stable across runs,
@@ -1490,6 +1550,7 @@ object TextOps {
     "q59_top_terms"      -> q59,
     "q61_decontaminate"  -> q61,
     "q62_unigram_score"  -> q62,
+    "q117_bigram_lm"     -> q117,
     "q63_lang_rebalance" -> q63,
     "q65_repetition"     -> q65,
     "q71_heavy_hitters"  -> q71,
@@ -1516,6 +1577,7 @@ object TextOps {
     "q59_top_terms"      -> q59Sql,
     "q61_decontaminate"  -> q61Sql,
     "q62_unigram_score"  -> q62Sql,
+    "q117_bigram_lm"     -> q117Sql,
     "q63_lang_rebalance" -> q63Sql,
     "q65_repetition"     -> q65Sql,
     "q71_heavy_hitters"  -> q71Sql,
@@ -1540,6 +1602,7 @@ object TextOps {
     "q35_fingerprint"    -> q35Bench,
     "q61_decontaminate"  -> q61Bench,
     "q62_unigram_score"  -> q62Bench,
+    "q117_bigram_lm"     -> q117Bench,
     "q65_repetition"     -> q65Bench,
     "q71_heavy_hitters"  -> q71Bench,
     "q83_chunking"       -> q83Bench,
