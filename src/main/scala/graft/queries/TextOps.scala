@@ -454,8 +454,10 @@ object TextOps {
   // Det scheme).
   //
   // Scale shape: the q62 posture one key wider — bigrams explode once
-  // into the (w1,w2) count table and the (w1) history table (two aggs
-  // over one generate), then score via joins AQE sizes at runtime (no
+  // into the (w1,w2) count table, and the (w1) history table ROLLS UP
+  // from it (Σ_w2 c(w1,w2) = c(w1): a vocab-sized agg instead of a
+  // second corpus-wide shuffle), then score via joins AQE sizes at
+  // runtime (no
   // broadcast hint: the bigram vocab is corpus-dependent and heavy-
   // tailed — exactly the q62 flip argument), and the final per-doc
   // rollup shuffles counts, not text.
@@ -469,8 +471,11 @@ object TextOps {
         "arrays_zip(slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1))"))
         .as("p"))
       .select($"doc_id", $"p.0".as("w1"), $"p.1".as("w2"))
-    val c1 = bg.groupBy($"w1").agg(count(lit(1)).as("n1"))
     val c12 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("n12"))
+    // history counts ROLL UP from the bigram table (Σ_w2 c(w1,w2) =
+    // c(w1)): one corpus scan + one vocab-sized agg instead of a third
+    // corpus scan + corpus-wide shuffle
+    val c1 = c12.groupBy($"w1").agg(sum($"n12").as("n1"))
     bg.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
@@ -489,8 +494,8 @@ object TextOps {
       |bg AS (
       |  SELECT doc_id, a[i] AS w1, a[i+1] AS w2
       |  FROM tok, unnest(generate_series(1, len(a) - 1)) AS u(i)),
-      |c1 AS (SELECT w1, COUNT(*) AS n1 FROM bg GROUP BY w1),
-      |c12 AS (SELECT w1, w2, COUNT(*) AS n12 FROM bg GROUP BY w1, w2)
+      |c12 AS (SELECT w1, w2, COUNT(*) AS n12 FROM bg GROUP BY w1, w2),
+      |c1 AS (SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM c12 GROUP BY w1)
       |SELECT doc_id, COUNT(*) AS n_bigrams,
       |  CAST(SUM((n12 * 1000000) // n1) AS BIGINT) AS sum_p_ppm,
       |  CAST(SUM((n12 * 1000000) // n1) AS DOUBLE) / COUNT(*) AS mean_p_ppm
