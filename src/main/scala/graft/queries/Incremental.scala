@@ -46,14 +46,27 @@ object Incremental {
   }
 
   /** One day's aggregate rows, from a ts-range-pruned source scan.
-    * Reads the RAW parquet (int64 nano ts) so the range predicate
-    * reaches the footer stats — IncrementalSpec asserts the pushdown. */
+    * Reads the RAW parquet so the range predicate reaches the footer
+    * stats — IncrementalSpec asserts the pushdown. The predicate
+    * adapts to the source's PHYSICAL encoding: the driver testdata
+    * stores ts as int64 TIMESTAMP(NANOS) (read as LONG under the
+    * legacy conf → compare against nanos), while any other dataset
+    * with a true TimestampType ts gets timestamp-literal bounds —
+    * both forms push down (the sf1 stress pass surfaced the
+    * nanos-only assumption, NOTES_r08). */
   private[queries] def dayAgg(s: SparkSession, dir: String, day: String): DataFrame = {
     import s.implicits._
     val (lo, hi) = dayBoundsNs(day)
     graft.Tables.ensureSessionConf(s)
-    s.read.parquet(s"$dir/events.parquet")
-      .filter($"ts" >= lo && $"ts" < hi)
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val inDay = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        $"ts" >= lo && $"ts" < hi
+      case _ =>
+        $"ts" >= timestamp_micros(lit(lo / 1000L)) &&
+          $"ts" < timestamp_micros(lit(hi / 1000L))
+    }
+    raw.filter(inDay)
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"), money(sum(cents($"value"))).as("total_value"))
       .withColumn("day", lit(day))

@@ -55,6 +55,32 @@ class IncrementalSpec extends AnyFunSuite {
       s"day bounds not pushed to the source scan: $pushed")
   }
 
+  test("dayAgg adapts to a TimestampType source: same values, still pushed") {
+    val s = spark
+    import s.implicits._
+    // re-encode the events table with a true timestamp ts (the shape
+    // any non-driver dataset has; the driver's is int64 nanos)
+    val dir = java.nio.file.Files.createTempDirectory("inc_tsenc").toString
+    graft.Tables.t(spark, sfDir, "events")
+      .write.parquet(s"$dir/events.parquet")
+    val day = Incremental.sourceDays(spark, sfDir).head
+    val want = Incremental.dayAgg(spark, sfDir, day)
+      .orderBy($"event_type").collect().map(_.toSeq).toSeq
+    val got = Incremental.dayAgg(spark, dir, day)
+      .orderBy($"event_type").collect().map(_.toSeq).toSeq
+    assert(got === want, "timestamp-encoded source must aggregate identically")
+    val plan = Incremental.dayAgg(spark, dir, day)
+      .queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.initialPlan
+        case p => p
+      }
+    val scan = plan.collectWithSubqueries { case f: FileSourceScanExec => f }.head
+    val pushed = scan.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(ts") && pushed.contains("LessThan(ts"),
+      s"day bounds not pushed on the timestamp encoding: $pushed")
+  }
+
   test("maintained content equals a direct full aggregate (in-session)") {
     val s = spark
     import s.implicits._
