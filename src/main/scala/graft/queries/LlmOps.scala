@@ -1479,6 +1479,66 @@ object LlmOps {
        |  CAST(list_sum(list_transform(e, x -> x * x)) + af.m.k AS BIGINT) AS dist2
        |FROM af JOIN q USING (vec_id) ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q118: CLUSTER-BALANCED CORPUS SELECTION — semantic-diversity
+  // sampling, the step modern pipelines run between clustering and
+  // mixing (cap every semantic mode so dominant clusters can't swamp
+  // the mixture; cf. cluster-then-sample dedup/diversity recipes):
+  // assign vectors with the TRAINED kmeans (q110's operator, bit-exact
+  // cross-engine), then keep at most ClusterSampleCap per cluster by
+  // content-stable hash rank (q105's scheme: smallest md5 prefixes win,
+  // vec_id breaks ties) — reproducible under any partitioning and any
+  // later corpus permutation; small clusters survive whole, which is
+  // the point of balancing.
+  //
+  // Scale shape: assignment is the kmeans pass (broadcast K·dim dot,
+  // no shuffle); ranking is ONE shuffle partitioned by cluster. With
+  // serving-sized K (here 8) that caps reducer parallelism at K — the
+  // honest note: a 100 TB diversity pass runs K in the thousands
+  // (parallelism restored) and/or the q105 two-pass frontier refine
+  // (broadcast per-cluster hash cutoffs, exact-rank only the boundary
+  // sliver). Output shuffles (vec_id, cluster, rank) — never vectors.
+  // ---------------------------------------------------------------------
+  private val ClusterSampleCap = 40
+
+  val q118Bench: Q = (s, dir) => {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cluster").orderBy($"k".asc, $"vec_id".asc)
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy($"cluster")
+    q110Bench(s, dir).select($"vec_id", $"cluster")
+      .withColumn("k", conv(substring(md5(concat(lit("cb:"), $"vec_id")), 1, 8),
+        16, 10).cast("long"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n_cluster", count(lit(1)).over(wc))
+      .filter($"rn" <= ClusterSampleCap)
+      .select($"vec_id", $"cluster", $"rn", $"n_cluster")
+  }
+  val q118: Q = (s, dir) => {
+    import s.implicits._
+    q118Bench(s, dir).orderBy($"cluster", $"rn")
+  }
+  val q118Sql: String =
+    s"""WITH $kmCentsSqlCtes,
+       |af AS (
+       |  SELECT q.vec_id, min({'k': $sqlC2Ce - 2 * $sqlDotCe, 'c': c_id}) AS m
+       |  FROM q, cents GROUP BY q.vec_id),
+       |asg AS (SELECT vec_id, CAST(m.c AS INT) AS cluster FROM af),
+       |keyed AS (
+       |  SELECT vec_id, cluster,
+       |    CAST('0x' || substring(md5('cb:' || vec_id), 1, 8) AS BIGINT) AS k
+       |  FROM asg),
+       |ranked AS (
+       |  SELECT vec_id, cluster,
+       |    ROW_NUMBER() OVER (PARTITION BY cluster
+       |      ORDER BY k ASC, vec_id ASC) AS rn,
+       |    COUNT(*) OVER (PARTITION BY cluster) AS n_cluster
+       |  FROM keyed)
+       |SELECT vec_id, cluster, CAST(rn AS BIGINT) AS rn,
+       |  CAST(n_cluster AS BIGINT) AS n_cluster
+       |FROM ranked WHERE rn <= $ClusterSampleCap
+       |ORDER BY cluster, rn""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q22_exact_dedup"    -> q22,
     "q23_text_stats"     -> q23,
@@ -1498,7 +1558,8 @@ object LlmOps {
     "q99_weighted_sample" -> q99,
     "q105_quota_sample"  -> q105,
     "q106_dim_zscore"    -> q106,
-    "q110_kmeans"        -> q110)
+    "q110_kmeans"        -> q110,
+    "q118_cluster_sample" -> q118)
 
   val oracles: Map[String, String] = Map(
     "q22_exact_dedup"    -> q22Sql,
@@ -1519,7 +1580,8 @@ object LlmOps {
     "q99_weighted_sample" -> q99Sql,
     "q105_quota_sample"  -> q105Sql,
     "q106_dim_zscore"    -> q106Sql,
-    "q110_kmeans"        -> q110Sql)
+    "q110_kmeans"        -> q110Sql,
+    "q118_cluster_sample" -> q118Sql)
 
   /** Bench-time overrides minus determinism-only global sorts (see
     * [[Relational.benchVariants]]). Verify runs the sorted forms. */
@@ -1530,5 +1592,6 @@ object LlmOps {
     "q99_weighted_sample" -> q99Bench,
     "q105_quota_sample" -> q105Bench,
     "q106_dim_zscore"  -> q106Bench,
-    "q110_kmeans"      -> q110Bench)
+    "q110_kmeans"      -> q110Bench,
+    "q118_cluster_sample" -> q118Bench)
 }
