@@ -78,8 +78,13 @@ object NearDupTxn {
 
   /** Bring the signature store at `storeRoot` up to date with the
     * document txn table at `docsRoot`. Returns the source version the
-    * store is now synced to; a no-change call is a metadata-only no-op. */
-  def sync(s: SparkSession, docsRoot: String, storeRoot: String): Long = {
+    * store is now synced to; a no-change call is a metadata-only no-op.
+    * Serialized per JVM: a sync is two commits (delete, then the
+    * marker-carrying append) and two interleaved syncs would race them
+    * into TxnConflictExceptions; cross-JVM writers are still safe — the
+    * store's optimistic commits make a lost race loud, and replaying
+    * the failed sync converges (the idempotence argument above). */
+  def sync(s: SparkSession, docsRoot: String, storeRoot: String): Long = synchronized {
     val srcVer = TxnTable.latest(s, docsRoot).getOrElse(throw new IllegalStateException(
       s"no committed snapshot at $docsRoot")).version
     syncedVersion(s, storeRoot) match {
