@@ -112,6 +112,20 @@ object NearDupTxn {
     }
   }
 
+  /** Flag an incoming batch against the synced store: banded signatures
+    * of the batch (bounded) BROADCAST against the store's CURRENT
+    * snapshot — [[NearDupStream.priorFlagJoin]]'s topology, served from
+    * the txn-maintained state. Because the store tracks source deletes,
+    * a document the corpus has forgotten no longer flags anything —
+    * dedup-respects-deletes, the property NearDupTxnSpec pins (the
+    * GDPR composition: delete + sync + re-ingest must re-admit). */
+  def flagBatch(s: SparkSession, storeRoot: String,
+                batch: DataFrame): DataFrame =
+    NearDupStream.priorFlagJoin(signatures(batch),
+      TxnTable.read(s, storeRoot))
+      .filter(col("doc_id") =!= col("dup_of"))
+      .distinct()
+
   private def rebuild(s: SparkSession, docsRoot: String, storeRoot: String,
                       srcVer: Long): Long = {
     // statsCol=doc_id from first build: every later incremental delete

@@ -77,4 +77,34 @@ class NearDupTxnSpec extends AnyFunSuite {
     assert(afterRestore === rebuiltRows(docsRoot))
     assert(afterRestore.exists(_._3 % 7 == 0), "restore must resurrect signatures")
   }
+
+  test("flagBatch respects source deletes (the GDPR re-admit composition)") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.Tables.t(spark, srcSf, "documents")
+      .select($"doc_id", $"text")
+    val docsRoot = Files.createTempDirectory("ndtxn_docs2").toString
+    val storeRoot = Files.createTempDirectory("ndtxn_store2").toString
+    TxnTable.append(spark, docsRoot, docs.filter($"doc_id" < 100),
+      statsCol = Some("doc_id"))
+    NearDupTxn.sync(spark, docsRoot, storeRoot)
+
+    // an exact re-ingest of a stored long document flags against it
+    val victim = docs.filter($"doc_id" === 42 && length($"text") > 50)
+      .select(lit(900042L).as("doc_id"), $"text")
+    assert(victim.count() === 1, "test needs doc 42 with enough shingles")
+    val flagged = NearDupTxn.flagBatch(spark, storeRoot, victim)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(flagged.contains((900042L, 42L)),
+      s"re-ingest of a stored doc must flag against it: ${flagged.toSeq}")
+
+    // forget the doc, sync — the SAME batch must no longer flag to 42
+    TxnTable.deleteWhere(spark, docsRoot, col("doc_id") === 42,
+      statsRange = Some((42L, 42L)))
+    NearDupTxn.sync(spark, docsRoot, storeRoot)
+    val after = NearDupTxn.flagBatch(spark, storeRoot, victim)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!after.exists(_._2 == 42L),
+      s"deleted doc still flagging: ${after.toSeq}")
+  }
 }
