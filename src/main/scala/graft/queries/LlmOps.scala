@@ -1491,8 +1491,12 @@ object LlmOps {
   // later corpus permutation; small clusters survive whole, which is
   // the point of balancing.
   //
-  // Scale shape: assignment is the kmeans pass (broadcast K·dim dot,
-  // no shuffle); ranking is ONE shuffle partitioned by cluster. With
+  // Scale shape: the cluster assignment is NOT recomputed — the IVF
+  // index ([[ensureIvfIndex]]) already persists exactly this labeling
+  // (same K, same trainer rounds, same argmin-L2 key, so cell ≡
+  // q110's cluster bit-for-bit), and the selection reads it — the
+  // build-once/read-many economics every repeated corpus operation
+  // wants. Ranking is ONE shuffle partitioned by cluster; with
   // serving-sized K (here 8) that caps reducer parallelism at K — the
   // honest note: a 100 TB diversity pass runs K in the thousands
   // (parallelism restored) and/or the q105 two-pass frontier refine
@@ -1506,7 +1510,8 @@ object LlmOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"cluster").orderBy($"k".asc, $"vec_id".asc)
     val wc = org.apache.spark.sql.expressions.Window.partitionBy($"cluster")
-    q110Bench(s, dir).select($"vec_id", $"cluster")
+    s.table(ensureIvfIndex(s, dir))
+      .select($"vec_id", $"cell".cast("int").as("cluster"))
       .withColumn("k", conv(substring(md5(concat(lit("cb:"), $"vec_id")), 1, 8),
         16, 10).cast("long"))
       .withColumn("rn", row_number().over(w).cast("long"))
