@@ -73,13 +73,19 @@ object TxnTable {
                             schema: Option[org.apache.spark.sql.types.StructType] = None,
                             blooms: Map[String, Array[Byte]] = Map.empty,
                             bloomCol: Option[String] = None,
-                            tsMs: Option[Long] = None)
+                            tsMs: Option[Long] = None,
+                            deletes: Seq[String] = Seq.empty,
+                            deleteCol: Option[String] = None)
 
   private val Header = "graft-txn v1"
   // '#' cannot start a data-file path (paths are data/<uuid>/part-*)
   private val SchemaTag = "#schema\t"
   // commit wall-clock (epoch ms), for timestamp-based time travel
   private val TsTag = "#ts\t"
+  // merge-on-read equality deletes: the key column + one tag line per
+  // delete-key file ([[deleteKeysMor]]); readers anti-join them out
+  private val DelColTag = "#delcol\t"
+  private val DeleteTag = "#delete\t"
 
   /** SCHEMA EVOLUTION: the table schema after committing `incoming`
     * rows — prior columns keep their position and type, genuinely new
@@ -142,6 +148,10 @@ object TxnTable {
         .asInstanceOf[org.apache.spark.sql.types.StructType]
     }
     val tsMs = lines.find(_.startsWith(TsTag)).map(_.stripPrefix(TsTag).toLong)
+    val deleteCol = lines.find(_.startsWith(DelColTag))
+      .map(_.stripPrefix(DelColTag))
+    val deletes = lines.filter(_.startsWith(DeleteTag))
+      .map(_.stripPrefix(DeleteTag))
     // file lines: `relpath` + optional tab-separated per-file metadata
     // fields — `<col>:<min>:<max>` range stats and/or
     // `bloom:<col>:<base64>` membership filters (readers of older,
@@ -166,7 +176,7 @@ object TxnTable {
       schema,
       entries.collect { case (f, _, Some((_, b))) => f -> b }.toMap,
       entries.collectFirst { case (_, _, Some((c, _))) => c },
-      tsMs)
+      tsMs, deletes, deleteCol)
   }
 
   def latest(s: SparkSession, root: String): Option[Snapshot] =
@@ -182,15 +192,28 @@ object TxnTable {
 
   /** Time travel: the table exactly as of `version`. With a recorded
     * schema the read is pinned to it (columns absent from older files
-    * come back null); schema-less legacy snapshots infer from footers. */
+    * come back null); schema-less legacy snapshots infer from footers.
+    * A snapshot carrying merge-on-read delete files
+    * ([[deleteKeysMor]]) anti-joins them out at read time — the MoR
+    * contract: deletes cost O(deleted keys) at write, the merge is
+    * paid by readers until [[compactDeletes]] folds it in. */
   def readAsOf(s: SparkSession, root: String, version: Long): DataFrame = {
     val snap = snapshot(s, root, version)
     require(snap.files.nonEmpty, s"snapshot v$version has no data files")
     val base = root.stripSuffix("/")
     val paths = snap.files.map(f => s"$base/$f")
-    snap.schema match {
+    val data = snap.schema match {
       case Some(sc) => s.read.schema(sc).parquet(paths: _*)
       case None     => s.read.parquet(paths: _*)
+    }
+    (snap.deletes, snap.deleteCol) match {
+      case (ds, Some(c)) if ds.nonEmpty =>
+        import org.apache.spark.sql.functions.col
+        val keys = s.read.parquet(ds.map(f => s"$base/$f"): _*)
+          .select(col(c).as("_del_key")).distinct()
+        // null-safe: a null-keyed delete row must remove null-keyed data
+        data.join(keys, data(c) <=> keys("_del_key"), "left_anti")
+      case _ => data
     }
   }
 
@@ -307,7 +330,9 @@ object TxnTable {
                             statsCol: Option[String] = None,
                             schema: Option[org.apache.spark.sql.types.StructType] = None,
                             blooms: Map[String, Array[Byte]] = Map.empty,
-                            bloomCol: Option[String] = None): Snapshot = {
+                            bloomCol: Option[String] = None,
+                            deletes: Seq[String] = Seq.empty,
+                            deleteCol: Option[String] = None): Snapshot = {
     val f = fs(s, root)
     val dst = manifestPath(root, v)
     f.mkdirs(dst.getParent)
@@ -316,7 +341,12 @@ object TxnTable {
     val tmp = new Path(dst.getParent,
       s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val now = System.currentTimeMillis()
-    val lines = Seq(TsTag + now) ++ schema.map(sc => SchemaTag + sc.json).toSeq ++ files.map { file =>
+    require(deletes.isEmpty || deleteCol.nonEmpty,
+      "merge-on-read delete files need a recorded delete column")
+    val delLines = deleteCol.filter(_ => deletes.nonEmpty)
+      .map(c => DelColTag + c).toSeq ++ deletes.map(DeleteTag + _)
+    val lines = Seq(TsTag + now) ++ schema.map(sc => SchemaTag + sc.json).toSeq ++
+      delLines ++ files.map { file =>
       val statF = (statsCol, stats.get(file)) match {
         case (Some(c), Some((lo, hi))) => Seq(s"$c:$lo:$hi")
         case _                         => Seq.empty
@@ -338,7 +368,8 @@ object TxnTable {
       f.delete(tmp, false)
       throw new TxnConflictException(s"lost commit race for version $v at $root")
     }
-    Snapshot(v, op, files, stats, statsCol, schema, blooms, bloomCol, Some(now))
+    Snapshot(v, op, files, stats, statsCol, schema, blooms, bloomCol, Some(now),
+      deletes, deleteCol)
   }
 
   private def nextVersion(s: SparkSession, root: String): Long =
@@ -360,7 +391,8 @@ object TxnTable {
       prior.map(_.files).getOrElse(Seq.empty) ++ staged,
       prior.map(_.stats).getOrElse(Map.empty) ++ stagedStats, col,
       Some(evolve(prior.flatMap(_.schema), df.schema)),
-      prior.map(_.blooms).getOrElse(Map.empty) ++ stagedBlooms, bcol)
+      prior.map(_.blooms).getOrElse(Map.empty) ++ stagedBlooms, bcol,
+      prior.map(_.deletes).getOrElse(Seq.empty), prior.flatMap(_.deleteCol))
   }
 
   /** [[append]] with bounded optimistic-concurrency retries — the loop
@@ -393,7 +425,8 @@ object TxnTable {
           prior.map(_.files).getOrElse(Seq.empty) ++ staged,
           prior.map(_.stats).getOrElse(Map.empty) ++ stagedStats, col,
           Some(evolve(prior.flatMap(_.schema), df.schema)),
-          prior.map(_.blooms).getOrElse(Map.empty) ++ stagedBlooms, bcol)
+          prior.map(_.blooms).getOrElse(Map.empty) ++ stagedBlooms, bcol,
+          prior.map(_.deletes).getOrElse(Seq.empty), prior.flatMap(_.deleteCol))
       } catch {
         case _: TxnConflictException if attempt < maxAttempts => // re-resolve
       }
@@ -426,7 +459,8 @@ object TxnTable {
         prior.map(_.files).getOrElse(Seq.empty) ++ staged,
         prior.map(_.stats).getOrElse(Map.empty) ++ stagedStats, col,
         Some(evolve(prior.flatMap(_.schema), df.schema)),
-        prior.map(_.blooms).getOrElse(Map.empty) ++ stagedBlooms, bcol))
+        prior.map(_.blooms).getOrElse(Map.empty) ++ stagedBlooms, bcol,
+        prior.map(_.deletes).getOrElse(Seq.empty), prior.flatMap(_.deleteCol)))
     }
   }
 
@@ -516,6 +550,7 @@ object TxnTable {
     require(keyCols.nonEmpty, "mergeInto needs at least one key column")
     val cur = latest(s, root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
+    requireNoMor(cur, "mergeInto")
     val base = root.stripSuffix("/")
     val (touch, carry) = statsRange match {
       case Some((lo, hi)) => cur.files.partition(f =>
@@ -556,9 +591,20 @@ object TxnTable {
     * kept (skipping must never be unsound), and the returned frame
     * still carries the residual predicate's correctness: callers apply
     * their own filter on top, as with any coarse index. */
+  /** Raw-file code paths (pruned reads, CDC diffs, copy-on-write
+    * rewrites) bypass [[readAsOf]]'s anti-join and would silently
+    * resurrect MoR-deleted rows — they refuse until the deletes are
+    * folded in. */
+  private def requireNoMor(snap: Snapshot, what: String): Unit =
+    require(snap.deletes.isEmpty,
+      s"$what reads data files directly and snapshot v${snap.version} carries " +
+        s"${snap.deletes.size} merge-on-read delete file(s) - run " +
+        "compactDeletes (or compactTxn) first")
+
   def readPruned(s: SparkSession, root: String, lo: Long, hi: Long): DataFrame = {
     val snap = latest(s, root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
+    requireNoMor(snap, "readPruned")
     require(snap.files.nonEmpty, s"snapshot v${snap.version} has no data files")
     val kept = snap.files.filter(f =>
       snap.stats.get(f).forall { case (fLo, fHi) => fHi >= lo && fLo <= hi })
@@ -581,6 +627,7 @@ object TxnTable {
   def readPointLookup(s: SparkSession, root: String, value: Long): DataFrame = {
     val snap = latest(s, root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
+    requireNoMor(snap, "readPointLookup")
     require(snap.files.nonEmpty, s"snapshot v${snap.version} has no data files")
     val kept = snap.files.filter(f =>
       snap.blooms.get(f).forall(b =>
@@ -617,6 +664,8 @@ object TxnTable {
     require(v1 <= v2, s"changesBetween: v1=$v1 must be <= v2=$v2")
     val s1 = snapshot(s, root, v1)
     val s2 = snapshot(s, root, v2)
+    requireNoMor(s1, "changesBetween")
+    requireNoMor(s2, "changesBetween")
     val base = root.stripSuffix("/")
     val f1 = s1.files.toSet
     val added = s2.files.filterNot(f1).map(f => s"$base/$f")
@@ -671,6 +720,7 @@ object TxnTable {
                   statsRange: Option[(Long, Long)] = None): Snapshot = {
     val cur = latest(s, root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
+    requireNoMor(cur, "deleteWhere (copy-on-write)")
     val base = root.stripSuffix("/")
     val (touch, carry) = statsRange match {
       case Some((lo, hi)) => cur.files.partition(f =>
@@ -697,6 +747,59 @@ object TxnTable {
       cur.blooms.view.filterKeys(carry.toSet).toMap ++ stagedBlooms, cur.bloomCol)
   }
 
+  /** MERGE-ON-READ equality delete — the O(deleted keys) counterpart of
+    * the copy-on-write [[deleteWhere]]: commit a small parquet of
+    * deleted KEYS and leave every data file untouched; readers
+    * anti-join the keys out ([[readAsOf]]) until [[compactDeletes]]
+    * folds them in. This is the Iceberg equality-delete-file shape, and
+    * the missing half of the delete cost model: at 100 TB a GDPR
+    * delete of a handful of keys must not rewrite the terabyte files
+    * that contain them — CoW pays the rewrite at delete time for
+    * merge-free reads, MoR pays a per-read anti-join for a
+    * metadata-cheap delete; tables pick per workload and [[compactTxn]]
+    * / [[compactDeletes]] moves between the regimes. Consecutive MoR
+    * deletes accumulate delete files; the delete column is fixed at
+    * first use (one anti-join key — the equality-delete contract).
+    * Raw-file code paths (readPruned / readPointLookup /
+    * changesBetween / CoW deleteWhere / mergeInto) REFUSE while MoR
+    * deletes are live: they bypass the read-path merge and would
+    * silently resurrect rows. Snapshot isolation and time travel are
+    * unchanged — an old version without the delete files still reads
+    * the deleted rows, and [[vacuum]] treats delete files as
+    * referenced data. */
+  def deleteKeysMor(s: SparkSession, root: String, keyCol: String,
+                    keys: DataFrame): Snapshot = {
+    val cur = latest(s, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    cur.schema.foreach(sc => require(sc.fieldNames.contains(keyCol),
+      s"delete column '$keyCol' is not a table column"))
+    require(cur.deleteCol.forall(_ == keyCol),
+      s"table already carries MoR deletes on '${cur.deleteCol.getOrElse("")}'" +
+        "; one equality-delete key per table")
+    import org.apache.spark.sql.functions.col
+    val staged = stage(s, root, keys.select(col(keyCol)).distinct())
+    commit(s, root, cur.version + 1, "delete-mor", cur.files, cur.stats,
+      cur.statsCol, cur.schema, cur.blooms, cur.bloomCol,
+      cur.deletes ++ staged, Some(keyCol))
+  }
+
+  /** Fold live merge-on-read delete files into the data: ONE rewrite of
+    * the merged table, after which the snapshot carries no delete files
+    * and every raw-file reader works again — the compaction bill CoW
+    * would have paid per delete, paid once per maintenance window. */
+  def compactDeletes(s: SparkSession, root: String): Snapshot = {
+    val cur = latest(s, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    if (cur.deletes.isEmpty) return cur
+    val merged = read(s, root) // the anti-joined view IS the new content
+    val staged = stage(s, root, merged)
+    val (stagedStats, stagedBlooms) =
+      fileMeta(s, root, staged, cur.statsCol, cur.bloomCol)
+    commit(s, root, cur.version + 1, "compact-deletes", staged, stagedStats,
+      cur.statsCol, cur.schema.orElse(Some(merged.schema)),
+      stagedBlooms, cur.bloomCol)
+  }
+
   /** RESTORE — roll the table back to `toVersion` as a NEW commit (the
     * warehouse-standard undo for a bad load): the restored manifest is a
     * verbatim copy of the target snapshot's file list, stats, blooms,
@@ -715,7 +818,7 @@ object TxnTable {
     val snap = snapshot(s, root, toVersion)
     commit(s, root, nextVersion(s, root), s"restore:$toVersion",
       snap.files, snap.stats, snap.statsCol, snap.schema,
-      snap.blooms, snap.bloomCol)
+      snap.blooms, snap.bloomCol, snap.deletes, snap.deleteCol)
   }
 
   /** Retention: keep the newest `retainVersions` manifests, drop older
@@ -734,7 +837,12 @@ object TxnTable {
     val vs = versions(s, root)
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - retainVersions))
     val live: Set[String] =
-      keep.flatMap(v => snapshot(s, root, v).files).toSet
+      keep.flatMap { v =>
+        val sn = snapshot(s, root, v)
+        // MoR delete-key files are referenced data too — vacuuming one
+        // would silently resurrect its deleted rows
+        sn.files ++ sn.deletes
+      }.toSet
     drop.foreach(v => f.delete(manifestPath(root, v), false))
     val base = root.stripSuffix("/")
     val dataDir = new Path(s"$base/data")
