@@ -19,12 +19,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   <root>/data/<uuid>/part-*.parquet   immutable data files
   * }}}
   *
-  * A manifest is a text file: header line `graft-txn v1 <op>`, an
-  * optional `#schema` line carrying the table schema as of the commit
-  * (schema-on-read evolution: see [[evolve]]), then one data-file path
-  * per line (relative to the table root). A snapshot is the complete
-  * file list — never a delta — so a reader resolves ANY version with
-  * one small-file read, O(files) not O(history).
+  * A manifest is a text file: header line `graft-txn v1 <op>`,
+  * optional order-insensitive `#`-tagged metadata lines (`#schema` —
+  * the table schema as of the commit, schema-on-read evolution per
+  * [[evolve]]; `#ts` — the commit instant; `#delcol`/`#delete` —
+  * merge-on-read equality-delete files, [[deleteKeysMor]]), then one
+  * data-file path per line (relative to the table root). A snapshot is
+  * the complete file list — never a delta — so a reader resolves ANY
+  * version with one small-file read, O(files) not O(history).
   *
   * The four properties a txn log exists for, and how each is carried:
   *
