@@ -39,6 +39,12 @@ import graft.sinks.TxnTable
   * version (roll-forward), so the feed from the synced version to the
   * restored head is an ordinary diff. NearDupTxnSpec pins store ==
   * full-rebuild equivalence after append, delete, merge, and restore.
+  *
+  * Boundary: a source carrying LIVE merge-on-read deletes
+  * ([[TxnTable.deleteKeysMor]]) cannot feed changesBetween — the sync
+  * surfaces that actionable refusal; run `compactDeletes` on the source
+  * first (CDC over un-compacted MoR deletes is a known next step:
+  * the delete files themselves are the delete rows).
   */
 object NearDupTxn {
 
