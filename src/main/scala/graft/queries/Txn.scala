@@ -252,16 +252,76 @@ object Txn {
        |FROM diff
        |ORDER BY _change_type, day, event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q119: MERGE-ON-READ delete end-to-end — q89's GDPR erasure at the
+  // opposite point of the delete cost model: [[TxnTable.deleteKeysMor]]
+  // commits ONLY the deleted user ids (zero data rewrite — path
+  // identity is TxnMorDeleteSpec's claim; the ORACLE here certifies
+  // the merged READ), and the aggregate over the read-time anti-join
+  // must hash-match DuckDB recomputing from the raw source with the
+  // same keys removed. Erased means erased on the MoR path too —
+  // BEFORE any compaction folds the deletes in.
+  // ---------------------------------------------------------------------
+  private[queries] def morRoot(s: SparkSession, dir: String): String =
+    s.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
+      s"/graft_txn/events_mor_${tag(dir)}"
+
+  /** Idempotent build: raw events with manifest stats, then the v2
+    * MoR-delete commit of every 13th user's id. */
+  private[queries] def ensureMorDeleted(s: SparkSession, dir: String): String =
+    synchronized {
+      import s.implicits._
+      val root = morRoot(s, dir)
+      val st = graft.SourceStamp.table(s, dir, "events")
+      if (TxnTable.versions(s, root).size < 2 ||
+          !graft.SourceStamp.isCurrent(s, root, st)) {
+        val loc = new org.apache.hadoop.fs.Path(root)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+        TxnTable.overwrite(s, root,
+          graft.Tables.t(s, dir, "events").repartitionByRange(8, $"user_id"),
+          statsCol = Some("user_id"))
+        TxnTable.deleteKeysMor(s, root, "user_id",
+          graft.Tables.t(s, dir, "events")
+            .filter($"user_id" % 13 === 0).select($"user_id").distinct())
+        graft.SourceStamp.write(s, root, st)
+      }
+      root
+    }
+
+  val q119Bench: Q = (s, dir) => {
+    import s.implicits._
+    TxnTable.read(s, ensureMorDeleted(s, dir))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct($"user_id").as("n_users"),
+        money(sum(cents($"value"))).as("total_value"))
+  }
+  val q119: Q = (s, dir) => {
+    import s.implicits._
+    q119Bench(s, dir).orderBy($"event_type")
+  }
+  val q119Sql: String =
+    s"""SELECT event_type, COUNT(*) AS n,
+       |  COUNT(DISTINCT user_id) AS n_users,
+       |  SUM(${sqlCents("value")}) / 100.0 AS total_value
+       |FROM events
+       |WHERE user_id % 13 <> 0
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q82_txn_snapshot" -> q82,
     "q89_txn_delete"   -> q89,
     "q90_txn_merge"    -> q90,
-    "q98_txn_cdf"      -> q98)
+    "q98_txn_cdf"      -> q98,
+    "q119_txn_mor_delete" -> q119)
   val oracles: Map[String, String] = Map(
     "q82_txn_snapshot" -> q82Sql,
     "q89_txn_delete"   -> q89Sql,
     "q90_txn_merge"    -> q90Sql,
-    "q98_txn_cdf"      -> q98Sql)
+    "q98_txn_cdf"      -> q98Sql,
+    "q119_txn_mor_delete" -> q119Sql)
 
   /** Bench-time override minus the determinism-only global sort (see
     * [[Relational.benchVariants]]). Verify runs the sorted forms. */
@@ -269,5 +329,6 @@ object Txn {
     "q82_txn_snapshot" -> q82Bench,
     "q89_txn_delete"   -> q89Bench,
     "q90_txn_merge"    -> q90Bench,
-    "q98_txn_cdf"      -> q98Bench)
+    "q98_txn_cdf"      -> q98Bench,
+    "q119_txn_mor_delete" -> q119Bench)
 }
