@@ -3,7 +3,7 @@ import org.apache.spark.sql.SparkSession
 import scala.util.control.NonFatal
 
 /** Benchmark main. Emits ONE JSON line
-  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  * `{"queries":{...},"errors":{...},"sf":...,"metric":"total","unit":"sec","value":N}`.
   *
   * Round-comparable by construction: a warmup pass (absorbs JVM/codegen/
   * session init, not billed to any query), then per query the MIN of
@@ -111,7 +111,10 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    // Headline fields LAST: the driver stores only the tail of a long
+    // line, so the per-query dict goes first and the total/errors/sf
+    // survive any front-truncation (round-8 artifact lost the total).
+    println(s"""{"queries":$qs,"errors":$errJson,"sf":"$sfDir","metric":"total","unit":"sec","value":$total}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
