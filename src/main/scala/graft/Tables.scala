@@ -19,10 +19,15 @@ object Tables {
   /** Scan a testdata table. Column pruning + predicate pushdown reach the
     * parquet scan because this is a plain declarative read (no collect).
     *
-    * `events.ts` is stored as parquet TIMESTAMP(NANOS), which Spark 4
-    * rejects natively; we read nanos as LONG (legacy conf, set dynamically
-    * so it also holds under a driver-provided session) and truncate to a
-    * micros TimestampType — the same truncation DuckDB's `epoch_us` does.
+    * `events.ts` has shipped in two physical forms across testdata
+    * generations: TIMESTAMP(NANOS) — which Spark 4 rejects natively, so
+    * it reads as LONG under the legacy nanos conf and truncates to
+    * micros here — and naive TIMESTAMP(MICROS) (isAdjustedToUTC=false),
+    * which Spark reads as TIMESTAMP_NTZ. Both normalize to a micros
+    * TimestampType INSTANT under the pinned UTC session, the value
+    * DuckDB's `epoch_us` computes for either encoding — every consumer
+    * (unix_micros, windows, watermarks) sees one type regardless of the
+    * generator's encoding choice.
     */
   /** Session settings every scan depends on. Sessions the repo builds
     * (Bench/Verify/Explain/tests) set these at construction; this guarded
@@ -47,12 +52,16 @@ object Tables {
     // correctness doesn't depend on the driver-provided session's conf.
     ensureSessionConf(spark)
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // nanos→micros truncation applies ONLY to events.ts (the one
-    // TIMESTAMP(NANOS) column in the testdata) — a blanket name+type match
-    // would corrupt any future table whose LONG ts is already micros.
-    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) if name == "events" =>
+    // ts normalization applies ONLY to events.ts — a blanket name+type
+    // match would corrupt any future table whose LONG ts is already
+    // micros or whose NTZ column means a true local time.
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) if name == "events" =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(TimestampNTZType) if name == "events" =>
+        // naive micros == UTC wall clock; the session is pinned UTC, so
+        // this cast is exactly "attach the UTC instant", not a tz shift
+        df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }
   }
