@@ -127,7 +127,7 @@ object Txn {
         TxnTable.overwrite(s, root,
           graft.Tables.t(s, dir, "events")
             .repartitionByRange(8, $"user_id"),
-          statsCol = Some("user_id"))
+          statsCols = Seq("user_id"))
         TxnTable.deleteWhere(s, root,
           $"user_id".between(DelLo, DelHi), Some((DelLo, DelHi)))
         graft.SourceStamp.write(s, root, st)
@@ -280,7 +280,7 @@ object Txn {
         if (fs.exists(loc)) fs.delete(loc, true)
         TxnTable.overwrite(s, root,
           graft.Tables.t(s, dir, "events").repartitionByRange(8, $"user_id"),
-          statsCol = Some("user_id"))
+          statsCols = Seq("user_id"))
         TxnTable.deleteKeysMor(s, root, "user_id",
           graft.Tables.t(s, dir, "events")
             .filter($"user_id" % 13 === 0).select($"user_id").distinct())

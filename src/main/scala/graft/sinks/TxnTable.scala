@@ -65,29 +65,52 @@ object TxnTable {
   final class TxnConflictException(msg: String) extends RuntimeException(msg)
 
   /** One committed snapshot: `files` are table-root-relative; `stats`
-    * optionally carries per-file (min, max) of one long column,
-    * recorded at commit time for manifest-level file skipping; `schema`
-    * is the TABLE schema as of this snapshot (schema-on-read: files
-    * written before a column existed simply read it as null). */
+    * optionally carries per-file per-COLUMN (min, max) of the recorded
+    * long `statsCols`, written at commit time for manifest-level file
+    * skipping on ANY of them ([[readPruned]]); `blooms` likewise per
+    * file per recorded `bloomCols` ([[readPointLookup]]); `schema` is
+    * the TABLE schema as of this snapshot (schema-on-read: files
+    * written before a column existed simply read it as null);
+    * `deleteCols` is the (possibly composite) merge-on-read
+    * equality-delete key ([[deleteKeysMor]]). Column ORDER is
+    * meaningful: the first stats column is the table's primary
+    * clustering column — the one [[compactTxn]] sorts by and the
+    * column-less [[readPruned]]/`statsRange` compatibility paths
+    * address. */
   final case class Snapshot(version: Long, op: String, files: Seq[String],
-                            stats: Map[String, (Long, Long)] = Map.empty,
-                            statsCol: Option[String] = None,
+                            stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
+                            statsCols: Seq[String] = Nil,
                             schema: Option[org.apache.spark.sql.types.StructType] = None,
-                            blooms: Map[String, Array[Byte]] = Map.empty,
-                            bloomCol: Option[String] = None,
+                            blooms: Map[String, Map[String, Array[Byte]]] = Map.empty,
+                            bloomCols: Seq[String] = Nil,
                             tsMs: Option[Long] = None,
                             deletes: Seq[String] = Seq.empty,
-                            deleteCol: Option[String] = None)
+                            deleteCols: Seq[String] = Nil) {
+    /** Primary (first-recorded) columns — the single-column views most
+      * call sites and older specs address. */
+    def statsCol: Option[String] = statsCols.headOption
+    def bloomCol: Option[String] = bloomCols.headOption
+    def deleteCol: Option[String] = deleteCols.headOption
+    /** Per-file range of one column (the file-keyed single-column view). */
+    def statsOf(col: String): Map[String, (Long, Long)] =
+      stats.flatMap { case (f, m) => m.get(col).map(f -> _) }
+  }
 
   private val Header = "graft-txn v1"
   // '#' cannot start a data-file path (paths are data/<uuid>/part-*)
   private val SchemaTag = "#schema\t"
   // commit wall-clock (epoch ms), for timestamp-based time travel
   private val TsTag = "#ts\t"
-  // merge-on-read equality deletes: the key column + one tag line per
-  // delete-key file ([[deleteKeysMor]]); readers anti-join them out
+  // merge-on-read equality deletes: the (possibly composite,
+  // tab-separated) key columns + one tag line per delete-key file
+  // ([[deleteKeysMor]]); readers anti-join them out
   private val DelColTag = "#delcol\t"
   private val DeleteTag = "#delete\t"
+  // recorded metadata column SETS, in priority order (first = primary
+  // clustering column). Older manifests lack these tags; the reader
+  // falls back to deriving them from the per-file fields.
+  private val StatsColsTag = "#statscols\t"
+  private val BloomColsTag = "#bloomcols\t"
 
   /** SCHEMA EVOLUTION: the table schema after committing `incoming`
     * rows — prior columns keep their position and type, genuinely new
@@ -150,35 +173,45 @@ object TxnTable {
         .asInstanceOf[org.apache.spark.sql.types.StructType]
     }
     val tsMs = lines.find(_.startsWith(TsTag)).map(_.stripPrefix(TsTag).toLong)
-    val deleteCol = lines.find(_.startsWith(DelColTag))
-      .map(_.stripPrefix(DelColTag))
+    val deleteCols = lines.find(_.startsWith(DelColTag))
+      .map(_.stripPrefix(DelColTag).split("\t").toSeq.filter(_.nonEmpty))
+      .getOrElse(Nil)
     val deletes = lines.filter(_.startsWith(DeleteTag))
       .map(_.stripPrefix(DeleteTag))
+    def colsTag(tag: String): Option[Seq[String]] = lines.find(_.startsWith(tag))
+      .map(_.stripPrefix(tag).split("\t").toSeq.filter(_.nonEmpty))
     // file lines: `relpath` + optional tab-separated per-file metadata
     // fields — `<col>:<min>:<max>` range stats and/or
-    // `bloom:<col>:<base64>` membership filters (readers of older,
-    // field-less manifests interoperate: unknown absence = no pruning)
+    // `bloom:<col>:<base64>` membership filters, any number of each
+    // (readers of older, field-less manifests interoperate: unknown
+    // absence = no pruning)
     val entries = lines.tail.filterNot(_.startsWith("#")).map { l =>
       val fields = l.split("\t")
-      var stat: Option[(String, Long, Long)] = None
-      var bloom: Option[(String, Array[Byte])] = None
+      val stat = Map.newBuilder[String, (Long, Long)]
+      val bloom = Map.newBuilder[String, Array[Byte]]
       fields.drop(1).foreach {
         case b if b.startsWith("bloom:") =>
           val Array(_, c, b64) = b.split(":", 3)
-          bloom = Some((c, java.util.Base64.getDecoder.decode(b64)))
+          bloom += c -> java.util.Base64.getDecoder.decode(b64)
         case st =>
           val Array(c, lo, hi) = st.split(":")
-          stat = Some((c, lo.toLong, hi.toLong))
+          stat += c -> (lo.toLong, hi.toLong)
       }
-      (fields.head, stat, bloom)
+      (fields.head, stat.result(), bloom.result())
     }
+    // legacy manifests (no cols tags) derive the column sets from the
+    // per-file fields — single-column by construction there
+    val statsCols = colsTag(StatsColsTag).getOrElse(
+      entries.flatMap(_._2.keys).distinct)
+    val bloomCols = colsTag(BloomColsTag).getOrElse(
+      entries.flatMap(_._3.keys).distinct)
     Snapshot(version, lines.head.stripPrefix(Header).trim, entries.map(_._1),
-      entries.collect { case (f, Some((_, lo, hi)), _) => f -> (lo, hi) }.toMap,
-      entries.collectFirst { case (_, Some((c, _, _)), _) => c },
+      entries.collect { case (f, st, _) if st.nonEmpty => f -> st }.toMap,
+      statsCols,
       schema,
-      entries.collect { case (f, _, Some((_, b))) => f -> b }.toMap,
-      entries.collectFirst { case (_, _, Some((c, _))) => c },
-      tsMs, deletes, deleteCol)
+      entries.collect { case (f, _, bl) if bl.nonEmpty => f -> bl }.toMap,
+      bloomCols,
+      tsMs, deletes, deleteCols)
   }
 
   def latest(s: SparkSession, root: String): Option[Snapshot] =
@@ -208,15 +241,16 @@ object TxnTable {
       case Some(sc) => s.read.schema(sc).parquet(paths: _*)
       case None     => s.read.parquet(paths: _*)
     }
-    (snap.deletes, snap.deleteCol) match {
-      case (ds, Some(c)) if ds.nonEmpty =>
-        import org.apache.spark.sql.functions.col
-        val keys = s.read.parquet(ds.map(f => s"$base/$f"): _*)
-          .select(col(c).as("_del_key")).distinct()
-        // null-safe: a null-keyed delete row must remove null-keyed data
-        data.join(keys, data(c) <=> keys("_del_key"), "left_anti")
-      case _ => data
-    }
+    if (snap.deletes.nonEmpty && snap.deleteCols.nonEmpty) {
+      import org.apache.spark.sql.functions.col
+      val keys = s.read.parquet(snap.deletes.map(f => s"$base/$f"): _*)
+        .select(snap.deleteCols.map(c => col(c).as(s"_del_$c")): _*).distinct()
+      // null-safe per component: a null-keyed delete row must remove
+      // null-keyed data; composite keys match on EVERY component
+      val cond = snap.deleteCols
+        .map(c => data(c) <=> keys(s"_del_$c")).reduce(_ && _)
+      data.join(keys, cond, "left_anti")
+    } else data
   }
 
   /** The version current as of wall-clock `epochMs`: the newest commit
@@ -263,16 +297,14 @@ object TxnTable {
       .map(st => s"$rel/${st.getPath.getName}")
   }
 
-  /** Per-file (min, max) of one LONG column over freshly staged files —
-    * ONE Spark job for the whole commit (groupBy input file), the stats
-    * Iceberg keeps in its manifests. Recorded once at write time; every
-    * later [[readPruned]] skips files from the MANIFEST alone, no
-    * footer reads, no listing. */
-  /** Per-file commit metadata — [min, max] range stats and/or a bloom
-    * filter ([[graft.functions.BloomAgg]]) over the table's recorded
-    * columns — in ONE Spark job for the whole commit regardless of
-    * which are enabled (one groupBy(input_file_name) aggregate, partials
-    * merging map-side; never a job per file or per metadata kind).
+  /** Per-file commit metadata — [min, max] range stats and/or bloom
+    * filters ([[graft.functions.BloomAgg]]) over the table's recorded
+    * column SETS — in ONE Spark job for the whole commit regardless of
+    * how many columns are enabled (one groupBy(input_file_name)
+    * aggregate carrying every column's partials, merging map-side;
+    * never a job per file, per column, or per metadata kind — the same
+    * economics as Iceberg manifests, which record all tracked columns'
+    * stats from the one write pass).
     *
     * Bloom size calculus the caller owns: ~1.2 B per expected item at
     * 3% fpp, base64 in the manifest — right for point-lookup keys with
@@ -280,43 +312,51 @@ object TxnTable {
     * in a sidecar, which is where real formats keep it (the protocol
     * here is the point, not the envelope).
     *
-    * Robust to evolution edges: a staged set that lacks the metadata
+    * Robust to evolution edges: a staged set that lacks a metadata
     * column entirely (an old-shape append — [[evolve]] allows it), or a
-    * file whose column is all null, simply gets NO entry — absent
-    * metadata means "never skip this file", which is always sound. */
+    * file whose column is all null, simply gets NO entry for that
+    * column — absent metadata means "never skip this file", which is
+    * always sound. */
   private def fileMeta(s: SparkSession, root: String, staged: Seq[String],
-                       statsCol: Option[String], bloomCol: Option[String])
-      : (Map[String, (Long, Long)], Map[String, Array[Byte]]) = {
+                       statsCols: Seq[String], bloomCols: Seq[String])
+      : (Map[String, Map[String, (Long, Long)]],
+         Map[String, Map[String, Array[Byte]]]) = {
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
-    if (staged.isEmpty || (statsCol.isEmpty && bloomCol.isEmpty))
+    if (staged.isEmpty || (statsCols.isEmpty && bloomCols.isEmpty))
       return (Map.empty, Map.empty)
     val base = root.stripSuffix("/")
     val df = s.read.parquet(staged.map(f => s"$base/$f"): _*)
     val present = df.columns.toSet
-    val sCol = statsCol.filter(present.contains)
-    val bCol = bloomCol.filter(present.contains)
-    if (sCol.isEmpty && bCol.isEmpty) return (Map.empty, Map.empty)
+    val sCols = statsCols.filter(present.contains)
+    val bCols = bloomCols.filter(present.contains)
+    if (sCols.isEmpty && bCols.isEmpty) return (Map.empty, Map.empty)
     val aggs =
-      sCol.toSeq.flatMap(c => Seq(min(col(c).cast("long")).as("lo"),
-        max(col(c).cast("long")).as("hi"))) ++
-      bCol.toSeq.map(c => graft.functions.BloomAgg
-        .bloomAgg(col(c).cast("long"), BloomItemsPerFile, BloomFpp).as("bf"))
+      sCols.flatMap(c => Seq(min(col(c).cast("long")).as(s"lo_$c"),
+        max(col(c).cast("long")).as(s"hi_$c"))) ++
+      bCols.map(c => graft.functions.BloomAgg
+        .bloomAgg(col(c).cast("long"), BloomItemsPerFile, BloomFpp).as(s"bf_$c"))
     val rows = df.groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
     // input_file_name is a URI; staged paths are root-relative
     def fileOf(uri: String): Option[String] = staged.find(uri.endsWith)
-    val stats = if (sCol.isEmpty) Map.empty[String, (Long, Long)]
-      else rows.flatMap { r =>
-        // all-null column in a file -> null min/max -> no stats entry
-        if (r.isNullAt(1) || r.isNullAt(2)) None
-        else fileOf(r.getString(0)).map(f => f -> (r.getLong(1), r.getLong(2)))
-      }.toMap
-    val blooms = if (bCol.isEmpty) Map.empty[String, Array[Byte]]
-      else rows.flatMap { r =>
-        val i = if (sCol.isEmpty) 1 else 3
-        fileOf(r.getString(0)).map(f => f -> r.getAs[Array[Byte]](i))
-      }.toMap
+    val stats = rows.flatMap { r =>
+      fileOf(r.getString(0)).map { f =>
+        f -> sCols.zipWithIndex.flatMap { case (c, i) =>
+          // all-null column in a file -> null min/max -> no entry
+          if (r.isNullAt(1 + 2 * i) || r.isNullAt(2 + 2 * i)) None
+          else Some(c -> (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)))
+        }.toMap
+      }
+    }.filter(_._2.nonEmpty).toMap
+    val bloomBase = 1 + 2 * sCols.size
+    val blooms = rows.flatMap { r =>
+      fileOf(r.getString(0)).map { f =>
+        f -> bCols.zipWithIndex.flatMap { case (c, i) =>
+          Option(r.getAs[Array[Byte]](bloomBase + i)).map(c -> _)
+        }.toMap
+      }
+    }.filter(_._2.nonEmpty).toMap
     (stats, blooms)
   }
 
@@ -328,13 +368,13 @@ object TxnTable {
     * concurrent writer took `v` first. */
   private[sinks] def commit(s: SparkSession, root: String, v: Long, op: String,
                             files: Seq[String],
-                            stats: Map[String, (Long, Long)] = Map.empty,
-                            statsCol: Option[String] = None,
+                            stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
+                            statsCols: Seq[String] = Nil,
                             schema: Option[org.apache.spark.sql.types.StructType] = None,
-                            blooms: Map[String, Array[Byte]] = Map.empty,
-                            bloomCol: Option[String] = None,
+                            blooms: Map[String, Map[String, Array[Byte]]] = Map.empty,
+                            bloomCols: Seq[String] = Nil,
                             deletes: Seq[String] = Seq.empty,
-                            deleteCol: Option[String] = None): Snapshot = {
+                            deleteCols: Seq[String] = Nil): Snapshot = {
     val f = fs(s, root)
     val dst = manifestPath(root, v)
     f.mkdirs(dst.getParent)
@@ -343,21 +383,27 @@ object TxnTable {
     val tmp = new Path(dst.getParent,
       s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val now = System.currentTimeMillis()
-    require(deletes.isEmpty || deleteCol.nonEmpty,
-      "merge-on-read delete files need a recorded delete column")
-    val delLines = deleteCol.filter(_ => deletes.nonEmpty)
-      .map(c => DelColTag + c).toSeq ++ deletes.map(DeleteTag + _)
+    require(deletes.isEmpty || deleteCols.nonEmpty,
+      "merge-on-read delete files need recorded delete column(s)")
+    (statsCols ++ bloomCols ++ deleteCols).foreach(c => require(
+      !c.contains("\t") && !c.contains(":") && !c.contains("\n"),
+      s"metadata column name '$c' collides with the manifest encoding"))
+    val delLines = (if (deletes.nonEmpty)
+        Seq(DelColTag + deleteCols.mkString("\t")) else Seq.empty) ++
+      deletes.map(DeleteTag + _)
+    val colLines =
+      (if (statsCols.nonEmpty) Seq(StatsColsTag + statsCols.mkString("\t"))
+       else Seq.empty) ++
+      (if (bloomCols.nonEmpty) Seq(BloomColsTag + bloomCols.mkString("\t"))
+       else Seq.empty)
     val lines = Seq(TsTag + now) ++ schema.map(sc => SchemaTag + sc.json).toSeq ++
-      delLines ++ files.map { file =>
-      val statF = (statsCol, stats.get(file)) match {
-        case (Some(c), Some((lo, hi))) => Seq(s"$c:$lo:$hi")
-        case _                         => Seq.empty
-      }
-      val bloomF = (bloomCol, blooms.get(file)) match {
-        case (Some(c), Some(b)) =>
-          Seq(s"bloom:$c:${java.util.Base64.getEncoder.encodeToString(b)}")
-        case _ => Seq.empty
-      }
+      colLines ++ delLines ++ files.map { file =>
+      val fileStats = stats.getOrElse(file, Map.empty)
+      val fileBlooms = blooms.getOrElse(file, Map.empty)
+      val statF = statsCols.flatMap(c =>
+        fileStats.get(c).map { case (lo, hi) => s"$c:$lo:$hi" })
+      val bloomF = bloomCols.flatMap(c => fileBlooms.get(c).map(b =>
+        s"bloom:$c:${java.util.Base64.getEncoder.encodeToString(b)}"))
       (file +: (statF ++ bloomF)).mkString("\t")
     }
     val out = f.create(tmp, false)
@@ -370,31 +416,37 @@ object TxnTable {
       f.delete(tmp, false)
       throw new TxnConflictException(s"lost commit race for version $v at $root")
     }
-    Snapshot(v, op, files, stats, statsCol, schema, blooms, bloomCol, Some(now),
-      deletes, deleteCol)
+    Snapshot(v, op, files, stats, statsCols, schema, blooms, bloomCols, Some(now),
+      deletes, deleteCols)
   }
 
   private def nextVersion(s: SparkSession, root: String): Long =
     versions(s, root).lastOption.getOrElse(0L) + 1
 
   /** Append `df` to the table (creates it at v1 if absent). With
-    * `statsCol` (a LONG column), per-file min/max are computed once at
-    * write time and recorded in the manifest — prior files keep their
-    * recorded stats — enabling [[readPruned]] file skipping. */
+    * `statsCols` (LONG columns, first = primary clustering column),
+    * per-file per-column min/max are computed once at write time and
+    * recorded in the manifest — prior files keep their recorded stats —
+    * enabling [[readPruned]] file skipping on any of them; `bloomCols`
+    * likewise for [[readPointLookup]] equality probes. Passing Nil
+    * inherits the table's recorded column sets. */
   def append(s: SparkSession, root: String, df: DataFrame,
-             statsCol: Option[String] = None,
-             bloomCol: Option[String] = None): Snapshot = {
+             statsCols: Seq[String] = Nil,
+             bloomCols: Seq[String] = Nil): Snapshot = {
     val staged = stage(s, root, df)
     val prior = latest(s, root)
-    val col = statsCol.orElse(prior.flatMap(_.statsCol))
-    val bcol = bloomCol.orElse(prior.flatMap(_.bloomCol))
-    val (stagedStats, stagedBlooms) = fileMeta(s, root, staged, col, bcol)
+    val cols = if (statsCols.nonEmpty) statsCols
+      else prior.map(_.statsCols).getOrElse(Nil)
+    val bcols = if (bloomCols.nonEmpty) bloomCols
+      else prior.map(_.bloomCols).getOrElse(Nil)
+    val (stagedStats, stagedBlooms) = fileMeta(s, root, staged, cols, bcols)
     commit(s, root, nextVersion(s, root), "append",
       prior.map(_.files).getOrElse(Seq.empty) ++ staged,
-      prior.map(_.stats).getOrElse(Map.empty) ++ stagedStats, col,
+      prior.map(_.stats).getOrElse(Map.empty) ++ stagedStats, cols,
       Some(evolve(prior.flatMap(_.schema), df.schema)),
-      prior.map(_.blooms).getOrElse(Map.empty) ++ stagedBlooms, bcol,
-      prior.map(_.deletes).getOrElse(Seq.empty), prior.flatMap(_.deleteCol))
+      prior.map(_.blooms).getOrElse(Map.empty) ++ stagedBlooms, bcols,
+      prior.map(_.deletes).getOrElse(Seq.empty),
+      prior.map(_.deleteCols).getOrElse(Nil))
   }
 
   /** [[append]] with bounded optimistic-concurrency retries — the loop
@@ -405,8 +457,8 @@ object TxnTable {
     * top of it. The loser of a race never re-reads or re-writes data;
     * it pays one small-file manifest write per attempt. */
   def appendWithRetry(s: SparkSession, root: String, df: DataFrame,
-                      statsCol: Option[String] = None,
-                      bloomCol: Option[String] = None,
+                      statsCols: Seq[String] = Nil,
+                      bloomCols: Seq[String] = Nil,
                       maxAttempts: Int = 5): Snapshot = {
     require(maxAttempts >= 1, "need at least one attempt")
     val staged = stage(s, root, df)
@@ -415,9 +467,11 @@ object TxnTable {
     // not the version we land on) — a retry re-reads manifests, never
     // data
     val first = latest(s, root)
-    val col = statsCol.orElse(first.flatMap(_.statsCol))
-    val bcol = bloomCol.orElse(first.flatMap(_.bloomCol))
-    val (stagedStats, stagedBlooms) = fileMeta(s, root, staged, col, bcol)
+    val cols = if (statsCols.nonEmpty) statsCols
+      else first.map(_.statsCols).getOrElse(Nil)
+    val bcols = if (bloomCols.nonEmpty) bloomCols
+      else first.map(_.bloomCols).getOrElse(Nil)
+    val (stagedStats, stagedBlooms) = fileMeta(s, root, staged, cols, bcols)
     var attempt = 0
     while (true) {
       attempt += 1
@@ -425,10 +479,11 @@ object TxnTable {
       try {
         return commit(s, root, prior.map(_.version).getOrElse(0L) + 1, "append",
           prior.map(_.files).getOrElse(Seq.empty) ++ staged,
-          prior.map(_.stats).getOrElse(Map.empty) ++ stagedStats, col,
+          prior.map(_.stats).getOrElse(Map.empty) ++ stagedStats, cols,
           Some(evolve(prior.flatMap(_.schema), df.schema)),
-          prior.map(_.blooms).getOrElse(Map.empty) ++ stagedBlooms, bcol,
-          prior.map(_.deletes).getOrElse(Seq.empty), prior.flatMap(_.deleteCol))
+          prior.map(_.blooms).getOrElse(Map.empty) ++ stagedBlooms, bcols,
+          prior.map(_.deletes).getOrElse(Seq.empty),
+          prior.map(_.deleteCols).getOrElse(Nil))
       } catch {
         case _: TxnConflictException if attempt < maxAttempts => // re-resolve
       }
@@ -447,22 +502,24 @@ object TxnTable {
     * the snapshot itself — same contract, one read. */
   def appendBatch(s: SparkSession, root: String, df: DataFrame,
                   batchId: Long,
-                  statsCol: Option[String] = None): Option[Snapshot] = {
+                  statsCols: Seq[String] = Nil): Option[Snapshot] = {
     val opTag = s"append-batch:$batchId"
     val vs = versions(s, root)
     if (vs.exists(v => snapshot(s, root, v).op == opTag)) None
     else {
       val staged = stage(s, root, df)
       val prior = vs.lastOption.map(snapshot(s, root, _))
-      val col = statsCol.orElse(prior.flatMap(_.statsCol))
-      val bcol = prior.flatMap(_.bloomCol)
-      val (stagedStats, stagedBlooms) = fileMeta(s, root, staged, col, bcol)
+      val cols = if (statsCols.nonEmpty) statsCols
+        else prior.map(_.statsCols).getOrElse(Nil)
+      val bcols = prior.map(_.bloomCols).getOrElse(Nil)
+      val (stagedStats, stagedBlooms) = fileMeta(s, root, staged, cols, bcols)
       Some(commit(s, root, vs.lastOption.getOrElse(0L) + 1, opTag,
         prior.map(_.files).getOrElse(Seq.empty) ++ staged,
-        prior.map(_.stats).getOrElse(Map.empty) ++ stagedStats, col,
+        prior.map(_.stats).getOrElse(Map.empty) ++ stagedStats, cols,
         Some(evolve(prior.flatMap(_.schema), df.schema)),
-        prior.map(_.blooms).getOrElse(Map.empty) ++ stagedBlooms, bcol,
-        prior.map(_.deletes).getOrElse(Seq.empty), prior.flatMap(_.deleteCol)))
+        prior.map(_.blooms).getOrElse(Map.empty) ++ stagedBlooms, bcols,
+        prior.map(_.deletes).getOrElse(Seq.empty),
+        prior.map(_.deleteCols).getOrElse(Nil)))
     }
   }
 
@@ -473,7 +530,7 @@ object TxnTable {
     * and no-ops (returns None) instead of double-applying the merge. */
   def replaceBatch(s: SparkSession, root: String, df: DataFrame,
                    batchId: Long,
-                   statsCol: Option[String] = None): Option[Snapshot] = {
+                   statsCols: Seq[String] = Nil): Option[Snapshot] = {
     val opTag = s"replace-batch:$batchId"
     val vs = versions(s, root)
     if (vs.exists(v => snapshot(s, root, v).op == opTag)) None
@@ -481,24 +538,25 @@ object TxnTable {
       val staged = stage(s, root, df)
       // replacement rebuilds file metadata under the table's columns
       val prior = vs.lastOption.map(snapshot(s, root, _))
-      val col = statsCol.orElse(prior.flatMap(_.statsCol))
-      val bcol = prior.flatMap(_.bloomCol)
-      val (stagedStats, stagedBlooms) = fileMeta(s, root, staged, col, bcol)
+      val cols = if (statsCols.nonEmpty) statsCols
+        else prior.map(_.statsCols).getOrElse(Nil)
+      val bcols = prior.map(_.bloomCols).getOrElse(Nil)
+      val (stagedStats, stagedBlooms) = fileMeta(s, root, staged, cols, bcols)
       Some(commit(s, root, vs.lastOption.getOrElse(0L) + 1, opTag,
-        staged, stagedStats, col, Some(df.schema), stagedBlooms, bcol))
+        staged, stagedStats, cols, Some(df.schema), stagedBlooms, bcols))
     }
   }
 
   /** Replace the table content with `df`. Old snapshots stay readable
-    * (their files are immutable) until [[vacuum]]. `statsCol` as in
-    * [[append]]. */
+    * (their files are immutable) until [[vacuum]]. `statsCols` /
+    * `bloomCols` as in [[append]]. */
   def overwrite(s: SparkSession, root: String, df: DataFrame,
-                statsCol: Option[String] = None,
-                bloomCol: Option[String] = None): Snapshot = {
+                statsCols: Seq[String] = Nil,
+                bloomCols: Seq[String] = Nil): Snapshot = {
     val staged = stage(s, root, df)
-    val (stagedStats, stagedBlooms) = fileMeta(s, root, staged, statsCol, bloomCol)
+    val (stagedStats, stagedBlooms) = fileMeta(s, root, staged, statsCols, bloomCols)
     commit(s, root, nextVersion(s, root), "overwrite", staged,
-      stagedStats, statsCol, Some(df.schema), stagedBlooms, bloomCol)
+      stagedStats, statsCols, Some(df.schema), stagedBlooms, bloomCols)
   }
 
   /** Transactional compaction: rewrite the current snapshot to
@@ -527,10 +585,10 @@ object TxnTable {
       }
     val staged = stage(s, root, arranged)
     // rewritten files get fresh stats/blooms under the table's columns
-    val (stagedStats, stagedBlooms) = fileMeta(s, root, staged, cur.statsCol, cur.bloomCol)
+    val (stagedStats, stagedBlooms) = fileMeta(s, root, staged, cur.statsCols, cur.bloomCols)
     commit(s, root, cur.version + 1, "compact", staged, stagedStats,
-      cur.statsCol, cur.schema.orElse(Some(arranged.schema)),
-      stagedBlooms, cur.bloomCol)
+      cur.statsCols, cur.schema.orElse(Some(arranged.schema)),
+      stagedBlooms, cur.bloomCols)
   }
 
   /** Targeted MERGE (upsert): apply `changes` by `keyCols` — a change
@@ -539,13 +597,13 @@ object TxnTable {
     * as one atomic snapshot.
     *
     * File skipping as in [[deleteWhere]]: with `statsRange` bounding the
-    * CHANGES' keys on the stats column, only files whose [min, max]
-    * overlap are rewritten (survivors anti-joined against the change
-    * keys, then unioned with the changes); everything else carries over
-    * by reference. Same caller contract: a range that does not bound
-    * the change keys leaves stale rows alive in carried files (the
-    * update half applies only to touched files). `changes` must have
-    * the table's schema; key equality is null-safe exact. */
+    * CHANGES' keys on the PRIMARY stats column, only files whose
+    * [min, max] overlap are rewritten (survivors anti-joined against the
+    * change keys, then unioned with the changes); everything else
+    * carries over by reference. Same caller contract: a range that does
+    * not bound the change keys leaves stale rows alive in carried files
+    * (the update half applies only to touched files). `changes` must
+    * have the table's schema; key equality is null-safe exact. */
   def mergeInto(s: SparkSession, root: String, changes: DataFrame,
                 keyCols: Seq[String],
                 statsRange: Option[(Long, Long)] = None): Snapshot = {
@@ -556,7 +614,7 @@ object TxnTable {
     val base = root.stripSuffix("/")
     val (touch, carry) = statsRange match {
       case Some((lo, hi)) => cur.files.partition(f =>
-        cur.stats.get(f).forall { case (fLo, fHi) => fHi >= lo && fLo <= hi })
+        primaryStats(cur, f).forall { case (fLo, fHi) => fHi >= lo && fLo <= hi })
       case None => (cur.files, Seq.empty[String])
     }
     val rewritten =
@@ -578,38 +636,52 @@ object TxnTable {
     val staged =
       if (rewritten.isEmpty) Seq.empty[String] else stage(s, root, rewritten)
     val (stagedStats, stagedBlooms) =
-      fileMeta(s, root, staged, cur.statsCol, cur.bloomCol)
+      fileMeta(s, root, staged, cur.statsCols, cur.bloomCols)
     commit(s, root, cur.version + 1, "merge", carry ++ staged,
-      cur.stats.view.filterKeys(carry.toSet).toMap ++ stagedStats, cur.statsCol,
+      cur.stats.view.filterKeys(carry.toSet).toMap ++ stagedStats, cur.statsCols,
       Some(evolve(cur.schema, changes.schema)),
-      cur.blooms.view.filterKeys(carry.toSet).toMap ++ stagedBlooms, cur.bloomCol)
+      cur.blooms.view.filterKeys(carry.toSet).toMap ++ stagedBlooms, cur.bloomCols)
   }
 
-  /** Manifest-level FILE SKIPPING: the table restricted to files whose
-    * recorded [min, max] of the stats column intersects [lo, hi] —
-    * decided from the manifest ALONE (no footer reads, no listing: at
-    * 100 TB this is the difference between planning over metadata and
-    * opening a million files). Files without recorded stats are always
-    * kept (skipping must never be unsound), and the returned frame
-    * still carries the residual predicate's correctness: callers apply
-    * their own filter on top, as with any coarse index. */
-  /** Raw-file code paths (pruned reads, CDC diffs, copy-on-write
-    * rewrites) bypass [[readAsOf]]'s anti-join and would silently
-    * resurrect MoR-deleted rows — they refuse until the deletes are
-    * folded in. */
+  /** Raw-file code paths (pruned reads, copy-on-write rewrites) bypass
+    * [[readAsOf]]'s anti-join and would silently resurrect MoR-deleted
+    * rows — they refuse until the deletes are folded in.
+    * ([[changesBetween]] is the exception: it diffs EFFECTIVE content,
+    * folding delete files in as keyed delete events.) */
   private def requireNoMor(snap: Snapshot, what: String): Unit =
     require(snap.deletes.isEmpty,
       s"$what reads data files directly and snapshot v${snap.version} carries " +
         s"${snap.deletes.size} merge-on-read delete file(s) - run " +
         "compactDeletes (or compactTxn) first")
 
-  def readPruned(s: SparkSession, root: String, lo: Long, hi: Long): DataFrame = {
+  /** The primary stats column's recorded range for one file — the
+    * single-column view [[deleteWhere]]/[[mergeInto]]'s `statsRange`
+    * and the column-less [[readPruned]] overload address. */
+  private def primaryStats(snap: Snapshot, f: String): Option[(Long, Long)] =
+    snap.statsCols.headOption.flatMap(c => snap.stats.get(f).flatMap(_.get(c)))
+
+  /** Manifest-level FILE SKIPPING: the table restricted to files whose
+    * recorded [min, max] of stats column `col` intersects [lo, hi] —
+    * decided from the manifest ALONE (no footer reads, no listing: at
+    * 100 TB this is the difference between planning over metadata and
+    * opening a million files). Any RECORDED column can prune — the
+    * clustered primary gives tight disjoint spans after a clustering
+    * [[compactTxn]]; secondary columns prune exactly as well as their
+    * values correlate with file layout (e.g. an ingest-time column on
+    * append-ordered files), which is Iceberg's multi-column min/max
+    * contract too. Files without recorded stats for `col` are always
+    * kept (skipping must never be unsound), and the returned frame
+    * still carries the residual predicate's correctness: callers apply
+    * their own filter on top, as with any coarse index. */
+  def readPruned(s: SparkSession, root: String, col: String,
+                 lo: Long, hi: Long): DataFrame = {
     val snap = latest(s, root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
     requireNoMor(snap, "readPruned")
     require(snap.files.nonEmpty, s"snapshot v${snap.version} has no data files")
     val kept = snap.files.filter(f =>
-      snap.stats.get(f).forall { case (fLo, fHi) => fHi >= lo && fLo <= hi })
+      snap.stats.get(f).flatMap(_.get(col))
+        .forall { case (fLo, fHi) => fHi >= lo && fLo <= hi })
     val base = root.stripSuffix("/")
     val reader = snap.schema.fold(s.read)(s.read.schema)
     if (kept.nonEmpty) reader.parquet(kept.map(f => s"$base/$f"): _*)
@@ -617,27 +689,42 @@ object TxnTable {
       reader.parquet(s"$base/${snap.files.head}").limit(0)
   }
 
+  /** [[readPruned]] on the PRIMARY (first-recorded) stats column. */
+  def readPruned(s: SparkSession, root: String, lo: Long, hi: Long): DataFrame = {
+    val snap = latest(s, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    readPruned(s, root, snap.statsCols.headOption.getOrElse(""), lo, hi)
+  }
+
   /** BLOOM-pruned POINT LOOKUP: the table restricted to files whose
-    * per-file bloom filter might contain `value` — the complement of
-    * [[readPruned]]'s range stats: min/max prunes range predicates on
-    * the CLUSTERED column, blooms prune equality probes on ANY column
-    * regardless of layout (the "find this user / this digest" shape that
-    * at 100 TB is otherwise a full scan on an unsorted key). False
-    * positives only cost an extra file read — the caller's residual
-    * filter keeps correctness; files without a filter are always kept
-    * (skipping must never be unsound). */
-  def readPointLookup(s: SparkSession, root: String, value: Long): DataFrame = {
+    * per-file bloom filter on `col` might contain `value` — the
+    * complement of [[readPruned]]'s range stats: min/max prunes range
+    * predicates on the CLUSTERED column, blooms prune equality probes
+    * on ANY recorded column regardless of layout (the "find this user /
+    * this digest" shape that at 100 TB is otherwise a full scan on an
+    * unsorted key). False positives only cost an extra file read — the
+    * caller's residual filter keeps correctness; files without a filter
+    * for `col` are always kept (skipping must never be unsound). */
+  def readPointLookup(s: SparkSession, root: String, col: String,
+                      value: Long): DataFrame = {
     val snap = latest(s, root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
     requireNoMor(snap, "readPointLookup")
     require(snap.files.nonEmpty, s"snapshot v${snap.version} has no data files")
     val kept = snap.files.filter(f =>
-      snap.blooms.get(f).forall(b =>
+      snap.blooms.get(f).flatMap(_.get(col)).forall(b =>
         graft.functions.BloomAgg.fromBytes(b).mightContainLong(value)))
     val base = root.stripSuffix("/")
     val reader = snap.schema.fold(s.read)(s.read.schema)
     if (kept.nonEmpty) reader.parquet(kept.map(f => s"$base/$f"): _*)
     else reader.parquet(s"$base/${snap.files.head}").limit(0)
+  }
+
+  /** [[readPointLookup]] on the PRIMARY (first-recorded) bloom column. */
+  def readPointLookup(s: SparkSession, root: String, value: Long): DataFrame = {
+    val snap = latest(s, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    readPointLookup(s, root, snap.bloomCols.headOption.getOrElse(""), value)
   }
 
   /** CHANGE DATA FEED: the row-level difference between two committed
@@ -660,23 +747,86 @@ object TxnTable {
     * column added after v1 compares as null in removed files — the same
     * value v2 readers see). Updates appear as delete+insert pairs on the
     * key, which is the fallback CDC encoding every feed consumer
-    * handles. */
+    * handles.
+    *
+    * MERGE-ON-READ NATIVE: live equality-delete files
+    * ([[deleteKeysMor]]) are part of the versioned state — a delete
+    * file IS a set of keyed delete rows, so the feed folds them in
+    * rather than refusing (the one raw-file path that can, because the
+    * diff is computed against EFFECTIVE content, not raw files):
+    *  - data files added/removed between the versions contribute only
+    *    their EFFECTIVE rows (keys live at that version anti-joined
+    *    out) — a row that was already MoR-deleted at v1 and whose file
+    *    is removed by v2 emits nothing, exactly as readers saw it;
+    *  - a delete file that appears between v1 and v2 emits `delete`
+    *    events carrying the PRE-IMAGE: its newly-deleted keys (minus
+    *    keys already dead at v1) semi-join the carried data files —
+    *    the only case where carried files are read, and then only
+    *    through a key-probe the consumer's own apply would need anyway;
+    *  - a delete file that disappears while its data files carry
+    *    (a [[restore]] to a pre-delete version) emits the resurrected
+    *    rows as `insert`s — the inverted feed of the mistake;
+    *  - [[compactDeletes]] rewrites every file while removing the
+    *    delete files, and the effective-content diff cancels to an
+    *    EMPTY feed, same as any compaction.
+    * When the delete-file set is unchanged between the versions
+    * (appends while deletes are live — the common CDC window), carried
+    * files are still never read: the key-diff is empty by file-list
+    * identity, from the manifests alone. */
   def changesBetween(s: SparkSession, root: String, v1: Long, v2: Long): DataFrame = {
     import org.apache.spark.sql.functions._
     require(v1 <= v2, s"changesBetween: v1=$v1 must be <= v2=$v2")
     val s1 = snapshot(s, root, v1)
     val s2 = snapshot(s, root, v2)
-    requireNoMor(s1, "changesBetween")
-    requireNoMor(s2, "changesBetween")
     val base = root.stripSuffix("/")
     val f1 = s1.files.toSet
+    val f2 = s2.files.toSet
     val added = s2.files.filterNot(f1).map(f => s"$base/$f")
-    val removed = (f1 -- s2.files.toSet).toSeq.sorted.map(f => s"$base/$f")
+    val removed = (f1 -- f2).toSeq.sorted.map(f => s"$base/$f")
+    val carried = s2.files.filter(f1).map(f => s"$base/$f")
     val reader = s2.schema.fold(s.read)(s.read.schema)
-    def side(paths: Seq[String], sign: Int): Option[DataFrame] =
-      if (paths.isEmpty) None
-      else Some(reader.parquet(paths: _*).withColumn("_sign", lit(sign.toLong)))
-    (side(added, 1) ++ side(removed, -1)).reduceOption(_.unionByName(_)) match {
+    // the equality-delete key columns are fixed per table at first use,
+    // so whichever snapshot carries deletes names the same (possibly
+    // composite) key
+    val delCols: Seq[String] =
+      if (s2.deleteCols.nonEmpty) s2.deleteCols else s1.deleteCols
+    def keysOf(files: Seq[String]): Option[DataFrame] =
+      if (files.isEmpty) None
+      else Some(s.read.parquet(files.map(f => s"$base/$f"): _*)
+        .select(delCols.map(c => col(c).as(s"_del_$c")): _*).distinct())
+    lazy val d1 = keysOf(s1.deletes)
+    lazy val d2 = keysOf(s2.deletes)
+    // null-safe per component throughout: a null-keyed delete row kills
+    // null-keyed data; composite keys match on EVERY component
+    def dataCond(df: DataFrame, k: DataFrame) =
+      delCols.map(c => df(c) <=> k(s"_del_$c")).reduce(_ && _)
+    def minusKeys(df: DataFrame, keys: Option[DataFrame]): DataFrame =
+      keys.fold(df)(k => df.join(k, dataCond(df, k), "left_anti"))
+    def keyDiff(a: Option[DataFrame], b: Option[DataFrame]): Option[DataFrame] =
+      a.map(aa => b.fold(aa)(bb => aa.join(bb,
+        delCols.map(c => aa(s"_del_$c") <=> bb(s"_del_$c")).reduce(_ && _),
+        "left_anti")))
+    def side(df: DataFrame, sign: Int): DataFrame =
+      df.withColumn("_sign", lit(sign.toLong))
+    val sides = Seq.newBuilder[DataFrame]
+    if (added.nonEmpty) sides += side(minusKeys(reader.parquet(added: _*), d2), 1)
+    if (removed.nonEmpty) sides += side(minusKeys(reader.parquet(removed: _*), d1), -1)
+    // carried data files matter ONLY when the delete-file set changed —
+    // decided from the manifests, so the common live-delete CDC window
+    // (appends on top of an unchanged delete set) stays carried-file-free
+    if (carried.nonEmpty && s1.deletes.toSet != s2.deletes.toSet) {
+      lazy val carriedDf = reader.parquet(carried: _*)
+      def probe(keys: Option[DataFrame], sign: Int): Unit = keys.foreach { k =>
+        sides += side(
+          carriedDf.join(k, dataCond(carriedDf, k), "left_semi"), sign)
+      }
+      // keys only enter D through files, so D2∖D1 lives in the NEW
+      // delete files (minus keys v1 already had) — changed files are
+      // all that is read beyond the key-probe of carried data
+      probe(keyDiff(keysOf(s2.deletes.filterNot(s1.deletes.toSet)), d1), -1)
+      probe(keyDiff(keysOf(s1.deletes.filterNot(s2.deletes.toSet)), d2), 1)
+    }
+    sides.result().reduceOption(_.unionByName(_)) match {
       case None => // identical file sets: an empty feed with the v2 shape
         readAsOf(s, root, v2).limit(0)
           .withColumn("_change_type", lit(""))
@@ -726,7 +876,7 @@ object TxnTable {
     val base = root.stripSuffix("/")
     val (touch, carry) = statsRange match {
       case Some((lo, hi)) => cur.files.partition(f =>
-        cur.stats.get(f).forall { case (fLo, fHi) => fHi >= lo && fLo <= hi })
+        primaryStats(cur, f).forall { case (fLo, fHi) => fHi >= lo && fLo <= hi })
       case None => (cur.files, Seq.empty[String])
     }
     val staged =
@@ -742,11 +892,11 @@ object TxnTable {
         if (rest.isEmpty) Seq.empty[String] else stage(s, root, rest)
       }
     val (stagedStats, stagedBlooms) =
-      fileMeta(s, root, staged, cur.statsCol, cur.bloomCol)
+      fileMeta(s, root, staged, cur.statsCols, cur.bloomCols)
     commit(s, root, cur.version + 1, "delete", carry ++ staged,
-      cur.stats.view.filterKeys(carry.toSet).toMap ++ stagedStats, cur.statsCol,
+      cur.stats.view.filterKeys(carry.toSet).toMap ++ stagedStats, cur.statsCols,
       cur.schema,
-      cur.blooms.view.filterKeys(carry.toSet).toMap ++ stagedBlooms, cur.bloomCol)
+      cur.blooms.view.filterKeys(carry.toSet).toMap ++ stagedBlooms, cur.bloomCols)
   }
 
   /** MERGE-ON-READ equality delete — the O(deleted keys) counterpart of
@@ -760,29 +910,46 @@ object TxnTable {
     * merge-free reads, MoR pays a per-read anti-join for a
     * metadata-cheap delete; tables pick per workload and [[compactTxn]]
     * / [[compactDeletes]] moves between the regimes. Consecutive MoR
-    * deletes accumulate delete files; the delete column is fixed at
-    * first use (one anti-join key — the equality-delete contract).
-    * Raw-file code paths (readPruned / readPointLookup /
-    * changesBetween / CoW deleteWhere / mergeInto) REFUSE while MoR
-    * deletes are live: they bypass the read-path merge and would
-    * silently resurrect rows. Snapshot isolation and time travel are
+    * deletes accumulate delete files; the delete key — one column or a
+    * COMPOSITE column list (real GDPR keys are often (user_id, source))
+    * — is fixed at first use (one anti-join key per table — the
+    * equality-delete contract; composite keys match null-safe on every
+    * component).
+    * Raw-file code paths (readPruned / readPointLookup / CoW
+    * deleteWhere / mergeInto) REFUSE while MoR deletes are live: they
+    * bypass the read-path merge and would silently resurrect rows
+    * ([[changesBetween]] instead folds the delete files in as keyed
+    * delete events — CDC stays live through a MoR delete).
+    * Snapshot isolation and time travel are
     * unchanged — an old version without the delete files still reads
     * the deleted rows, and [[vacuum]] treats delete files as
     * referenced data. */
   def deleteKeysMor(s: SparkSession, root: String, keyCol: String,
+                    keys: DataFrame): Snapshot =
+    deleteKeysMor(s, root, Seq(keyCol), keys)
+
+  /** Composite-key form: `keys` carries one row per deleted key tuple
+    * over `keyCols`; rows matching EVERY component (null-safe) merge
+    * out. Same refuse/fold semantics as the single-column form — the
+    * key column LIST is fixed at first use. */
+  def deleteKeysMor(s: SparkSession, root: String, keyCols: Seq[String],
                     keys: DataFrame): Snapshot = {
+    require(keyCols.nonEmpty, "deleteKeysMor needs at least one key column")
+    require(keyCols.distinct == keyCols,
+      s"duplicate delete key columns: $keyCols")
     val cur = latest(s, root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
-    cur.schema.foreach(sc => require(sc.fieldNames.contains(keyCol),
-      s"delete column '$keyCol' is not a table column"))
-    require(cur.deleteCol.forall(_ == keyCol),
-      s"table already carries MoR deletes on '${cur.deleteCol.getOrElse("")}'" +
+    cur.schema.foreach(sc => keyCols.foreach(c =>
+      require(sc.fieldNames.contains(c),
+        s"delete column '$c' is not a table column")))
+    require(cur.deleteCols.isEmpty || cur.deleteCols == keyCols,
+      s"table already carries MoR deletes on '${cur.deleteCols.mkString(",")}'" +
         "; one equality-delete key per table")
     import org.apache.spark.sql.functions.col
-    val staged = stage(s, root, keys.select(col(keyCol)).distinct())
+    val staged = stage(s, root, keys.select(keyCols.map(col): _*).distinct())
     commit(s, root, cur.version + 1, "delete-mor", cur.files, cur.stats,
-      cur.statsCol, cur.schema, cur.blooms, cur.bloomCol,
-      cur.deletes ++ staged, Some(keyCol))
+      cur.statsCols, cur.schema, cur.blooms, cur.bloomCols,
+      cur.deletes ++ staged, keyCols)
   }
 
   /** Fold live merge-on-read delete files into the data: ONE rewrite of
@@ -796,10 +963,10 @@ object TxnTable {
     val merged = read(s, root) // the anti-joined view IS the new content
     val staged = stage(s, root, merged)
     val (stagedStats, stagedBlooms) =
-      fileMeta(s, root, staged, cur.statsCol, cur.bloomCol)
+      fileMeta(s, root, staged, cur.statsCols, cur.bloomCols)
     commit(s, root, cur.version + 1, "compact-deletes", staged, stagedStats,
-      cur.statsCol, cur.schema.orElse(Some(merged.schema)),
-      stagedBlooms, cur.bloomCol)
+      cur.statsCols, cur.schema.orElse(Some(merged.schema)),
+      stagedBlooms, cur.bloomCols)
   }
 
   /** RESTORE — roll the table back to `toVersion` as a NEW commit (the
@@ -819,8 +986,8 @@ object TxnTable {
   def restore(s: SparkSession, root: String, toVersion: Long): Snapshot = {
     val snap = snapshot(s, root, toVersion)
     commit(s, root, nextVersion(s, root), s"restore:$toVersion",
-      snap.files, snap.stats, snap.statsCol, snap.schema,
-      snap.blooms, snap.bloomCol, snap.deletes, snap.deleteCol)
+      snap.files, snap.stats, snap.statsCols, snap.schema,
+      snap.blooms, snap.bloomCols, snap.deletes, snap.deleteCols)
   }
 
   /** Retention: keep the newest `retainVersions` manifests, drop older

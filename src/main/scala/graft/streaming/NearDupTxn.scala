@@ -40,11 +40,11 @@ import graft.sinks.TxnTable
   * restored head is an ordinary diff. NearDupTxnSpec pins store ==
   * full-rebuild equivalence after append, delete, merge, and restore.
   *
-  * Boundary: a source carrying LIVE merge-on-read deletes
-  * ([[TxnTable.deleteKeysMor]]) cannot feed changesBetween — the sync
-  * surfaces that actionable refusal; run `compactDeletes` on the source
-  * first (CDC over un-compacted MoR deletes is a known next step:
-  * the delete files themselves are the delete rows).
+  * Merge-on-read deletes on the source ([[TxnTable.deleteKeysMor]])
+  * need no special case either: changesBetween is MoR-native — a live
+  * equality-delete file feeds as keyed delete events carrying the
+  * pre-image — so the sync tracks a GDPR-style MoR delete exactly like
+  * a copy-on-write one, without waiting for a source `compactDeletes`.
   */
 object NearDupTxn {
 
@@ -138,7 +138,7 @@ object NearDupTxn {
     // prunes store files by the manifest's recorded [min, max]
     TxnTable.replaceBatch(s, storeRoot,
       signatures(TxnTable.read(s, docsRoot).select(col("doc_id"), col("text"))),
-      srcVer, statsCol = Some("doc_id"))
+      srcVer, statsCols = Seq("doc_id"))
     srcVer
   }
 }

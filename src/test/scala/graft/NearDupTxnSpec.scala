@@ -37,7 +37,7 @@ class NearDupTxnSpec extends AnyFunSuite {
 
     // v1: initial corpus -> full build
     TxnTable.append(spark, docsRoot, docs.filter($"doc_id" < 200),
-      statsCol = Some("doc_id"))
+      statsCols = Seq("doc_id"))
     assert(NearDupTxn.sync(spark, docsRoot, storeRoot) === 1L)
     assert(storeRows(storeRoot) === rebuiltRows(docsRoot))
     assert(NearDupTxn.syncedVersion(spark, storeRoot) === Some(1L))
@@ -76,6 +76,18 @@ class NearDupTxnSpec extends AnyFunSuite {
     val afterRestore = storeRows(storeRoot)
     assert(afterRestore === rebuiltRows(docsRoot))
     assert(afterRestore.exists(_._3 % 7 == 0), "restore must resurrect signatures")
+
+    // v6: MERGE-ON-READ delete on the source, NO compactDeletes — the
+    // MoR-native feed emits the delete file as keyed delete events and
+    // the sync folds them like any other delete
+    TxnTable.deleteKeysMor(spark, docsRoot, "doc_id",
+      docs.filter($"doc_id" % 13 === 0).select($"doc_id"))
+    assert(TxnTable.latest(spark, docsRoot).get.deletes.nonEmpty,
+      "test needs LIVE MoR delete files on the source")
+    assert(NearDupTxn.sync(spark, docsRoot, storeRoot) === 6L)
+    val afterMor = storeRows(storeRoot)
+    assert(afterMor === rebuiltRows(docsRoot))
+    assert(!afterMor.exists(_._3 % 13 == 0), "MoR-deleted docs still signed")
   }
 
   test("flagBatch respects source deletes (the GDPR re-admit composition)") {
@@ -86,7 +98,7 @@ class NearDupTxnSpec extends AnyFunSuite {
     val docsRoot = Files.createTempDirectory("ndtxn_docs2").toString
     val storeRoot = Files.createTempDirectory("ndtxn_store2").toString
     TxnTable.append(spark, docsRoot, docs.filter($"doc_id" < 100),
-      statsCol = Some("doc_id"))
+      statsCols = Seq("doc_id"))
     NearDupTxn.sync(spark, docsRoot, storeRoot)
 
     // an exact re-ingest of a stored long document flags against it

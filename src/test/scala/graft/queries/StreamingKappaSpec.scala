@@ -71,9 +71,32 @@ class StreamingKappaSpec extends AnyFunSuite {
         rows(agg(TxnTable.read(spark, rawRoot))),
         "after batch 1 the maintained aggregate must equal recompute")
 
-      // every raw arrival is a distinct atomic commit, every one folded
-      assert(TxnTable.versions(spark, rawRoot).size === 3)
-      assert(cursor === 3L)
+      // mid-stream MERGE-ON-READ erasure on the raw table (the GDPR
+      // path): a small keyed delete file, no data rewrite — the
+      // MoR-native feed emits its keys as delete events with the
+      // pre-image, and the SAME maintain call folds them
+      TxnTable.deleteKeysMor(spark, rawRoot, "event_type",
+        Seq("a").toDF("event_type"))
+      val delVer = TxnTable.versions(spark, rawRoot).last
+      assert(TxnTable.latest(spark, rawRoot).get.deletes.nonEmpty,
+        "the erasure must stay merge-on-read (live delete files)")
+      Materialized.maintainFromFeed(spark, rawRoot, aggRoot, cursor, delVer)
+      cursor = delVer
+      assert(rows(TxnTable.read(spark, aggRoot)) ===
+        rows(agg(TxnTable.read(spark, rawRoot))),
+        "after the MoR erasure the maintained aggregate must equal recompute")
+
+      // and the loop keeps running on top of the LIVE delete set —
+      // exactly-once commits, feed windows, IVM, no compaction needed
+      input.addData(("2024-01-03", "c", 4.5), ("2024-01-04", "d", 7.0))
+      query.processAllAvailable()
+      assert(rows(TxnTable.read(spark, aggRoot)) ===
+        rows(agg(TxnTable.read(spark, rawRoot))),
+        "after a batch on live MoR deletes the aggregate must equal recompute")
+
+      // every raw mutation is a distinct atomic commit, every one folded
+      assert(TxnTable.versions(spark, rawRoot).size === 5)
+      assert(cursor === 5L)
     } finally query.stop()
   }
 }

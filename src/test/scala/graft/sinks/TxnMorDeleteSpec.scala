@@ -10,8 +10,10 @@ import graft.SparkTestSession
 /** Merge-on-read equality deletes ([[TxnTable.deleteKeysMor]]): deletes
   * cost O(keys) and rewrite nothing (file path identity), readers merge
   * them out, time travel still sees pre-delete rows, raw-file paths
-  * refuse until [[TxnTable.compactDeletes]] folds the deletes in, and
-  * vacuum treats delete files as referenced data. */
+  * refuse until [[TxnTable.compactDeletes]] folds the deletes in
+  * (except the change feed, which is MoR-native and emits the delete
+  * file as keyed delete events), and vacuum treats delete files as
+  * referenced data. */
 class TxnMorDeleteSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
@@ -23,7 +25,7 @@ class TxnMorDeleteSpec extends AnyFunSuite {
     import s.implicits._
     TxnTable.append(spark, root,
       (0L until 100L).map(i => (i, s"v$i", i % 7)).toDF("id", "payload", "grp"),
-      statsCol = Some("id"))
+      statsCols = Seq("id"))
   }
 
   test("MoR delete: no rewrite, merged reads, time travel intact") {
@@ -78,10 +80,21 @@ class TxnMorDeleteSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       TxnTable.deleteWhere(spark, root, col("id") === 1L)
     }
-    intercept[IllegalArgumentException] {
-      val v = TxnTable.latest(spark, root).get.version
-      TxnTable.changesBetween(spark, root, v - 1, v)
-    }
+    // ...but the change feed is MoR-native: the delete file feeds as
+    // keyed delete events carrying the pre-image (v1 -> v2 here is
+    // exactly the deleteKeysMor commit)
+    val feedDel = TxnTable.changesBetween(spark, root, 1, 2)
+      .collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("payload"),
+        r.getAs[String]("_change_type"), r.getAs[Long]("_n"))).toSet
+    assert(feedDel === Set((10L, "v10", "delete", 1L),
+      (11L, "v11", "delete", 1L)))
+    // and an append window on top of the (unchanged) live delete set
+    // feeds just the inserts
+    val feedApp = TxnTable.changesBetween(spark, root, 2, 3)
+      .collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("_change_type"))).toSet
+    assert(feedApp === Set((200L, "insert")))
 
     // compaction folds the deletes in: same content, no delete files,
     // raw-file paths work again
@@ -94,6 +107,40 @@ class TxnMorDeleteSpec extends AnyFunSuite {
     val morVersion = compacted.version - 1
     TxnTable.restore(spark, root, morVersion)
     assert(TxnTable.latest(spark, root).get.deletes.nonEmpty)
+    assert(TxnTable.read(spark, root).collect().map(_.toSeq).toSet === before)
+  }
+
+  test("composite-key MoR delete: every component must match (null-safe); " +
+    "feed and fold honor the tuple key") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot
+    seed(root) // (id, payload, grp) with grp = id % 7
+    // (3, 3) matches row 3 (3 % 7 = 3); (10, 4) and (5, 999) each agree
+    // on only ONE component (10 % 7 = 3, 5 % 7 = 5) and must NOT delete
+    val keys = Seq((3L, 3L), (10L, 4L), (5L, 999L)).toDF("id", "grp")
+    val snap = TxnTable.deleteKeysMor(spark, root, Seq("id", "grp"), keys)
+    assert(snap.deleteCols === Seq("id", "grp"))
+    val ids = TxnTable.read(spark, root).select($"id")
+      .collect().map(_.getLong(0)).toSet
+    assert(!ids(3L) && ids(10L) && ids(5L),
+      s"composite key must match on EVERY component: $ids")
+    assert(TxnTable.read(spark, root).count() === 99L)
+
+    // a different key list is refused (the key is fixed at first use)
+    intercept[IllegalArgumentException] {
+      TxnTable.deleteKeysMor(spark, root, Seq("grp", "id"), keys)
+    }
+    // the MoR-native feed emits the composite-keyed pre-image
+    val v = snap.version
+    val feed = TxnTable.changesBetween(spark, root, v - 1, v)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("payload"),
+        r.getAs[String]("_change_type"))).toSet
+    assert(feed === Set((3L, "v3", "delete")))
+    // compaction folds the tuple-keyed deletes exactly
+    val before = TxnTable.read(spark, root).collect().map(_.toSeq).toSet
+    TxnTable.compactDeletes(spark, root)
+    assert(TxnTable.latest(spark, root).get.deletes.isEmpty)
     assert(TxnTable.read(spark, root).collect().map(_.toSeq).toSet === before)
   }
 

@@ -29,7 +29,7 @@ class TxnRestoreSpec extends AnyFunSuite {
 
   test("restore rolls reads back; history and the undo feed are intact") {
     val root = freshRoot()
-    TxnTable.overwrite(spark, root, df(1, 2, 3), statsCol = Some("id"))
+    TxnTable.overwrite(spark, root, df(1, 2, 3), statsCols = Seq("id"))
     TxnTable.append(spark, root, df(4))
     TxnTable.append(spark, root, df(5))
     val snap = TxnTable.restore(spark, root, 1) // v4
@@ -47,7 +47,7 @@ class TxnRestoreSpec extends AnyFunSuite {
   test("restore is metadata-only: file list is path-identical, nothing staged") {
     val root = freshRoot()
     TxnTable.overwrite(spark, root, df(1, 2, 3).repartition(3),
-      statsCol = Some("id"))
+      statsCols = Seq("id"))
     TxnTable.append(spark, root, df(4))
     val before = dataFiles(root)
     TxnTable.restore(spark, root, 1)
@@ -59,8 +59,8 @@ class TxnRestoreSpec extends AnyFunSuite {
   test("restore forward re-targets any retained version; stats keep pruning") {
     val root = freshRoot()
     TxnTable.overwrite(spark, root, df(1, 2, 3).repartition(3),
-      statsCol = Some("id"))
-    TxnTable.append(spark, root, df(40), statsCol = Some("id"))
+      statsCols = Seq("id"))
+    TxnTable.append(spark, root, df(40), statsCols = Seq("id"))
     TxnTable.restore(spark, root, 1) // v3: back to 1..3
     TxnTable.restore(spark, root, 2) // v4: forward again
     assert(idsOf(TxnTable.read(spark, root)) === Set(1, 2, 3, 40))

@@ -101,13 +101,13 @@ class TxnTableSpec extends AnyFunSuite {
     val root = freshRoot()
     // three commits, disjoint id ranges, one file each
     TxnTable.overwrite(spark, root,
-      df(1, 2, 3).coalesce(1), statsCol = Some("id"))
+      df(1, 2, 3).coalesce(1), statsCols = Seq("id"))
     TxnTable.append(spark, root, df(10, 11).coalesce(1))   // inherits statsCol
     TxnTable.append(spark, root, df(20, 21, 22).coalesce(1))
     val snap = TxnTable.latest(spark, root).get
     assert(snap.statsCol === Some("id"))
     assert(snap.files.size === 3 && snap.stats.size === 3)
-    assert(snap.stats.values.toSet === Set((1L, 3L), (10L, 11L), (20L, 22L)))
+    assert(snap.statsOf("id").values.toSet === Set((1L, 3L), (10L, 11L), (20L, 22L)))
 
     // [10, 12] overlaps exactly one file — the scan must touch only it
     val pruned = TxnTable.readPruned(spark, root, 10L, 12L)
@@ -122,9 +122,49 @@ class TxnTableSpec extends AnyFunSuite {
     // compaction rewrites files AND their stats; skipping still sound
     TxnTable.compactTxn(spark, root, targetFiles = 1)
     val after = TxnTable.latest(spark, root).get
-    assert(after.stats.values.toSet === Set((1L, 22L)))
+    assert(after.statsOf("id").values.toSet === Set((1L, 22L)))
     assert(rows(TxnTable.readPruned(spark, root, 10L, 12L)
       .filter(col("id").between(10, 12))) === rows(df(10, 11)))
+  }
+
+  test("multi-column manifest stats + blooms: a SECOND column prunes to " +
+    "one file; both recorded in one commit") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    // three single-file commits, disjoint on BOTH id and grp, with a
+    // bloom on a third column (uid) — all from the one fileMeta job
+    def df3(g: Long, u: Long, ids: Long*) =
+      ids.map(i => (i, g, u, i * 10)).toDF("id", "grp", "uid", "v")
+    TxnTable.overwrite(spark, root, df3(100L, 7L, 1L, 2L).coalesce(1),
+      statsCols = Seq("id", "grp"), bloomCols = Seq("uid"))
+    TxnTable.append(spark, root, df3(200L, 8L, 10L, 11L).coalesce(1))
+    TxnTable.append(spark, root, df3(300L, 9L, 20L, 21L).coalesce(1))
+    val snap = TxnTable.latest(spark, root).get
+    assert(snap.statsCols === Seq("id", "grp") && snap.bloomCols === Seq("uid"))
+    assert(snap.stats.values.forall(_.keySet === Set("id", "grp")))
+
+    // the PRIMARY column prunes (compat overload addresses it)
+    assert(TxnTable.readPruned(spark, root, 10L, 11L).inputFiles.length === 1)
+    // the SECOND column prunes to one file through the manifest alone
+    val byGrp = TxnTable.readPruned(spark, root, "grp", 200L, 200L)
+    assert(byGrp.inputFiles.length === 1)
+    assert(rows(byGrp.select(col("id"), col("v"))) === rows(df(10, 11)))
+    // and a range matching nothing prunes everything, schema intact
+    assert(TxnTable.readPruned(spark, root, "grp", 500L, 600L).count() === 0)
+
+    // bloom point lookup on the third column
+    val hit = TxnTable.readPointLookup(spark, root, "uid", 8L)
+    assert(hit.inputFiles.length === 1)
+    assert(rows(hit.select(col("id"), col("v"))) === rows(df(10, 11)))
+
+    // a clustering compaction keeps BOTH columns' fresh stats
+    TxnTable.compactTxn(spark, root, targetFiles = 3, sortCols = Seq("id"))
+    val after = TxnTable.latest(spark, root).get
+    assert(after.statsCols === Seq("id", "grp"))
+    assert(after.stats.values.forall(_.keySet === Set("id", "grp")))
+    assert(TxnTable.readPruned(spark, root, "grp", 300L, 300L)
+      .inputFiles.length === 1)
   }
 
   test("deleteWhere rewrites only stats-overlapping files; carried files " +
@@ -133,7 +173,7 @@ class TxnTableSpec extends AnyFunSuite {
     import s.implicits._
     val root = freshRoot()
     // three single-file commits with disjoint id ranges
-    TxnTable.overwrite(spark, root, df(1, 2, 3).coalesce(1), statsCol = Some("id"))
+    TxnTable.overwrite(spark, root, df(1, 2, 3).coalesce(1), statsCols = Seq("id"))
     TxnTable.append(spark, root, df(10, 11).coalesce(1))
     TxnTable.append(spark, root, df(20, 21, 22).coalesce(1))
     val before = TxnTable.latest(spark, root).get
@@ -144,13 +184,13 @@ class TxnTableSpec extends AnyFunSuite {
       col("id").between(10, 11), Some((10L, 11L)))
     assert(after.op === "delete")
     val carried = before.files.filter(f =>
-      before.stats(f) match { case (lo, hi) => hi < 10 || lo > 11 })
+      before.statsOf("id")(f) match { case (lo, hi) => hi < 10 || lo > 11 })
     carried.foreach(f => assert(after.files.contains(f),
       s"non-overlapping file $f must carry over unrewritten"))
     // carried files keep their recorded stats verbatim
     carried.foreach(f => assert(after.stats(f) === before.stats(f)))
     // the overlapping file is gone from the new snapshot (fully deleted)
-    assert(!after.files.exists(before.stats.get(_).contains((10L, 11L))))
+    assert(!after.files.exists(before.statsOf("id").get(_).contains((10L, 11L))))
     assert(rows(TxnTable.read(spark, root)) === rows(df(1, 2, 3, 20, 21, 22)))
     // snapshot isolation: the pre-delete version still reads every row
     assert(rows(TxnTable.readAsOf(spark, root, before.version)) ===
@@ -162,7 +202,7 @@ class TxnTableSpec extends AnyFunSuite {
     assert(rows(TxnTable.read(spark, root)) === rows(df(1, 2, 3, 20, 22)))
     val rewritten = after2.files.filterNot(after.files.contains)
     assert(rewritten.nonEmpty && rewritten.forall(f =>
-      after2.stats(f)._1 >= 20L && after2.stats(f)._2 <= 22L))
+      after2.statsOf("id")(f)._1 >= 20L && after2.statsOf("id")(f)._2 <= 22L))
 
     // no statsRange: still correct (every file rewritten)
     TxnTable.deleteWhere(spark, root, col("id") < 3)
@@ -176,7 +216,7 @@ class TxnTableSpec extends AnyFunSuite {
 
   test("mergeInto upserts by key, rewrites only overlapping files") {
     val root = freshRoot()
-    TxnTable.overwrite(spark, root, df(1, 2, 3).coalesce(1), statsCol = Some("id"))
+    TxnTable.overwrite(spark, root, df(1, 2, 3).coalesce(1), statsCols = Seq("id"))
     TxnTable.append(spark, root, df(10, 11).coalesce(1))
     TxnTable.append(spark, root, df(20, 21).coalesce(1))
     val before = TxnTable.latest(spark, root).get
@@ -190,7 +230,7 @@ class TxnTableSpec extends AnyFunSuite {
     assert(after.op === "merge")
     // the 1..3 and 20..21 files carry over by reference, stats verbatim
     val carried = before.files.filter(f =>
-      before.stats(f) match { case (lo, hi) => hi < 10 || lo > 12 })
+      before.statsOf("id")(f) match { case (lo, hi) => hi < 10 || lo > 12 })
     assert(carried.size === 2)
     carried.foreach { f =>
       assert(after.files.contains(f), s"$f must carry over")
@@ -219,7 +259,7 @@ class TxnTableSpec extends AnyFunSuite {
     val root = freshRoot()
     // interleaved appends: every file spans nearly the whole id range,
     // so stats-based skipping can prune nothing
-    TxnTable.overwrite(spark, root, df(1, 20, 40).coalesce(1), statsCol = Some("id"))
+    TxnTable.overwrite(spark, root, df(1, 20, 40).coalesce(1), statsCols = Seq("id"))
     TxnTable.append(spark, root, df(2, 21, 41).coalesce(1))
     TxnTable.append(spark, root, df(3, 22, 42).coalesce(1))
     assert(TxnTable.readPruned(spark, root, 20L, 22L).inputFiles.length === 3,
@@ -229,7 +269,7 @@ class TxnTableSpec extends AnyFunSuite {
     val snap = TxnTable.latest(spark, root).get
     assert(snap.files.size === 3)
     // spans are now disjoint…
-    val spans = snap.files.map(snap.stats(_)).sortBy(_._1)
+    val spans = snap.files.map(snap.statsOf("id")(_)).sortBy(_._1)
     spans.sliding(2).foreach { case Seq((_, hi), (lo, _)) =>
       assert(hi < lo, s"overlapping spans after recluster: $spans")
     }
@@ -292,7 +332,7 @@ class TxnTableSpec extends AnyFunSuite {
     // three single-file commits; ids deliberately interleaved so RANGE
     // stats could prune nothing — the bloom is what carries the lookup
     TxnTable.overwrite(spark, root, df(1, 500, 900).coalesce(1),
-      bloomCol = Some("id"))
+      bloomCols = Seq("id"))
     TxnTable.append(spark, root, df(2, 501, 901).coalesce(1)) // inherits bloomCol
     TxnTable.append(spark, root, df(3, 502, 902).coalesce(1))
     val snap = TxnTable.latest(spark, root).get
