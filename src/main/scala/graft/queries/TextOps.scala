@@ -1476,9 +1476,11 @@ object TextOps {
     import s.implicits._
     val merges = bpeMerges(s, dir) // ordered by step
     val enc0 = concat(lit("|"), regexp_replace($"text", "(.)", "$1|"))
-    val encoded = merges.foldLeft(enc0) { case (c, (_, l, r, _)) =>
-      call_function("replace", c, lit(s"|$l|$r|"), lit(s"|$l$r|"))
-    }
+    // ONE expression for the whole merge table (plan depth constant in
+    // vocabulary size — the chained-replace form it is spec-pinned
+    // equal to would stack 32k nodes at a production vocabulary)
+    val encoded = graft.functions.BpeEncode.bpeEncode(enc0,
+      merges.map { case (_, l, r, _) => (l, r) })
     t(s, dir, "documents")
       .filter(!$"text".contains("|"))
       .select($"doc_id",
