@@ -567,14 +567,36 @@ object LlmOps {
   // training + assignment across every query instead of re-paying it
   // per probe.
   // ---------------------------------------------------------------------
-  private val IvfK = 8
-  private val IvfProbe = 2
+  // IVF/kmeans knobs: session confs with these defaults — nProbe is the
+  // per-query recall/cost dial (see IvfRecallSpec's measured curve), K
+  // and the Lloyd rounds are BUILD knobs (they bake into the persisted
+  // index at ensureIvfIndex time; serving adapts to whatever K the
+  // companion centroid table holds). The STATIC oracle SQL (q46/q58/
+  // q110/q118) pins the defaults — the driver's gate runs there; a
+  // production session re-tunes via conf and owns the divergence from
+  // the test oracle, exactly like any index parameter.
+  private val IvfKDefault = 8
+  private val IvfProbeDefault = 2
+  private val KmItersDefault = 3
+
+  private def confPosInt(s: SparkSession, key: String, dflt: Int): Int = {
+    val v = s.conf.getOption(key).map(_.trim.toInt).getOrElse(dflt)
+    require(v >= 1, s"$key must be >= 1, got $v")
+    v
+  }
+  private[queries] def ivfK(s: SparkSession): Int =
+    confPosInt(s, "graft.ivf.k", IvfKDefault)
+  private[queries] def ivfProbe(s: SparkSession): Int =
+    confPosInt(s, "graft.ivf.nprobe", IvfProbeDefault)
+  private[queries] def kmIters(s: SparkSession): Int =
+    confPosInt(s, "graft.kmeans.iters", KmItersDefault)
+
   private val IvfDb = "graft_ivf"
   // the kmeans trainer's knobs (q110) — shared with the IVF build, which
   // trains its cells with the same fixed-point rounds (KmK aliases IvfK:
   // one K, one set of trained centroids, one oracle CTE chain)
-  private val KmK = IvfK
-  private val KmIters = 3
+  private val KmK = IvfKDefault
+  private val KmIters = KmItersDefault
   private val KmOff = 1000000000L
 
   private def tagDir(dir: String): String = graft.Tables.dirTag(dir)
@@ -615,7 +637,7 @@ object LlmOps {
       }
       val quant = t(s, dir, "embeddings")
         .select($"vec_id", quantize($"embedding").as("e"))
-      val cents = kmeansCentroids(quant, IvfK, KmIters)
+      val cents = kmeansCentroids(quant, ivfK(s), kmIters(s))
       kmAssign(quant, cents)
         .select($"vec_id", $"e", $"m.c".cast("int").as("cell"))
         .write.mode("overwrite").format("parquet")
@@ -723,7 +745,7 @@ object LlmOps {
     val probeCells: Seq[Int] = ivfCentroids(s, dir)
       .map { case (cId, ce) => (cId, l2KeyLocal(ce, probeVec)) }
       .sortBy { case (cId, k2) => (k2, cId) }
-      .take(IvfProbe).map(_._1).toSeq
+      .take(ivfProbe(s)).map(_._1).toSeq
     idx.filter($"vec_id" =!= excludeId && $"cell".isin(probeCells: _*))
       .select($"vec_id", cosine($"e", typedLit(probeVec.toSeq)).as("sim"))
       .orderBy($"sim".desc, $"vec_id".asc)
@@ -802,7 +824,7 @@ object LlmOps {
        |  SELECT c_id AS probe_cell FROM (
        |    SELECT c.c_id, $sqlC2Ce - 2 * $sqlDotCePe AS pk
        |    FROM cents c CROSS JOIN probe p
-       |    ORDER BY pk ASC, c_id ASC LIMIT $IvfProbe))
+       |    ORDER BY pk ASC, c_id ASC LIMIT $IvfProbeDefault))
        |SELECT a.vec_id, ${sqlCos("a.e", "p.pe")} AS sim
        |FROM assigned a JOIN probe_cells pc ON a.cell = pc.probe_cell
        |CROSS JOIN probe p
@@ -1030,7 +1052,7 @@ object LlmOps {
       case (pid, pe) =>
         cents.map { case (cId, ce) => (cId, l2KeyLocal(ce, pe)) }
           .sortBy { case (cId, k2) => (k2, cId) }
-          .take(IvfProbe)
+          .take(ivfProbe(s))
           .map { case (cId, _) => (pid.toLong, cId, pe.toSeq) }
     }
     val allCells = plan.map(_._2).distinct
@@ -1060,7 +1082,7 @@ object LlmOps {
        |    SELECT p.probe_id, p.pe, c.c_id, ROW_NUMBER() OVER (PARTITION BY p.probe_id
        |      ORDER BY $sqlC2Ce - 2 * $sqlDotCePe ASC, c.c_id ASC) AS crn
        |    FROM probes p CROSS JOIN cents c)
-       |  WHERE crn <= $IvfProbe),
+       |  WHERE crn <= $IvfProbeDefault),
        |scored AS (
        |  SELECT pc.probe_id, a.vec_id, ${sqlCos("a.e", "pc.pe")} AS sim
        |  FROM assigned a JOIN probe_cells pc ON a.cell = pc.p_cell
@@ -1460,7 +1482,7 @@ object LlmOps {
   val q110Bench: Q = (s, dir) => {
     import s.implicits._
     kmeans(t(s, dir, "embeddings")
-      .select($"vec_id", quantize($"embedding").as("e")), KmK, KmIters)
+      .select($"vec_id", quantize($"embedding").as("e")), ivfK(s), kmIters(s))
   }
   val q110: Q = (s, dir) => {
     import s.implicits._
@@ -1496,26 +1518,49 @@ object LlmOps {
   // (same K, same trainer rounds, same argmin-L2 key, so cell ≡
   // q110's cluster bit-for-bit), and the selection reads it — the
   // build-once/read-many economics every repeated corpus operation
-  // wants. Ranking is ONE shuffle partitioned by cluster; with
-  // serving-sized K (here 8) that caps reducer parallelism at K — the
-  // honest note: a 100 TB diversity pass runs K in the thousands
-  // (parallelism restored) and/or the q105 two-pass frontier refine
-  // (broadcast per-cluster hash cutoffs, exact-rank only the boundary
-  // sliver). Output shuffles (vec_id, cluster, rank) — never vectors.
+  // wants. Selection is the q105 TWO-PASS FRONTIER REFINE, so the cap
+  // never window-sorts the corpus inside K reducer partitions:
+  //   pass 1 — per-cluster frontier via [[TopKByScore]] (score = −k):
+  //     a bounded-buffer map-side partial aggregate (maps × K × Cap
+  //     rows to the shuffle, parallelism NOT capped at K) yields each
+  //     cluster's Cap-th smallest hash and its exact member count;
+  //   pass 2 — broadcast the K-row frontier, keep only the boundary
+  //     sliver (k ≤ frontier, ties inclusive — every row excluded
+  //     ranks strictly after every kept one, so ranks are unchanged),
+  //     and exact-rank the ≤ K·(Cap+ties) survivors in a window that
+  //     is now trivially small.
+  // Exactness: a row ranked ≤ Cap in the full ordering has k ≤ the
+  // Cap-th smallest k, so the sliver contains it; rows with k above
+  // the frontier cannot displace ranks below it. Output is therefore
+  // row-identical to the single-window form (ClusterSampleSpec pins
+  // this), and the oracle keeps the window shape. At a production K in
+  // the thousands both passes scale with the corpus, not with K.
   // ---------------------------------------------------------------------
   private val ClusterSampleCap = 40
 
   val q118Bench: Q = (s, dir) => {
+    import graft.functions.TopKByScore.topKByScore
     import s.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"cluster").orderBy($"k".asc, $"vec_id".asc)
-    val wc = org.apache.spark.sql.expressions.Window.partitionBy($"cluster")
-    s.table(ensureIvfIndex(s, dir))
+    val keyed = s.table(ensureIvfIndex(s, dir))
       .select($"vec_id", $"cell".cast("int").as("cluster"))
       .withColumn("k", conv(substring(md5(concat(lit("cb:"), $"vec_id")), 1, 8),
         16, 10).cast("long"))
+    // pass 1: frontier (Cap-th smallest k; the whole cluster when it is
+    // smaller than the cap) + exact count, one bounded aggregate.
+    // −k as the score is exact: k is a 32-bit hash prefix, far inside
+    // double's 2^53 integer range.
+    val frontier = keyed.groupBy($"cluster")
+      .agg(topKByScore(-$"k".cast("double"), $"vec_id", ClusterSampleCap).as("top"),
+        count(lit(1)).as("n_cluster"))
+      .select($"cluster", $"n_cluster",
+        (-element_at($"top", size($"top"))("score")).cast("long").as("frontier_k"))
+    // pass 2: boundary sliver only (ties at the frontier stay in), then
+    // the exact rank the single-window form would have assigned
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cluster").orderBy($"k".asc, $"vec_id".asc)
+    keyed.join(broadcast(frontier), "cluster")
+      .filter($"k" <= $"frontier_k")
       .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("n_cluster", count(lit(1)).over(wc))
       .filter($"rn" <= ClusterSampleCap)
       .select($"vec_id", $"cluster", $"rn", $"n_cluster")
   }

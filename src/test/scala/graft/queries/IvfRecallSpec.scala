@@ -49,6 +49,48 @@ class IvfRecallSpec extends AnyFunSuite {
       s"mean recall@5 below the trained floor: $recalls")
   }
 
+  test("recall@5 curve over nProbe 1..K: monotone, exhaustive at K") {
+    val s = spark
+    import s.implicits._
+    val K = 8
+    val vecs = graft.Tables.t(spark, srcSf, "embeddings")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.round(x.toDouble * 1000000)).toArray)
+      .toMap
+    val probes = Seq(0L, 10L, 20L, 30L)
+    def brute5(pid: Long): Set[Long] = {
+      val pe = vecs(pid)
+      vecs.toSeq.filter(_._1 != pid)
+        .map { case (id, e) => (id, cos(e, pe)) }
+        .sortBy { case (id, sim) => (-sim, id) }.take(5).map(_._1).toSet
+    }
+    val wants = probes.map(p => p -> brute5(p)).toMap
+    // the nProbe session conf is the recall/cost dial: measure the curve
+    val curve = (1 to K).map { nProbe =>
+      spark.conf.set("graft.ivf.nprobe", nProbe.toString)
+      try {
+        nProbe -> probes.map { pid =>
+          val got = LlmOps.ivfSearch(spark, srcSf, vecs(pid), 5, excludeId = pid)
+            .collect().map(_.getLong(0)).toSet
+          (wants(pid) & got).size
+        }
+      } finally spark.conf.unset("graft.ivf.nprobe")
+    }
+    info(s"recall@5 per nProbe (probes $probes): $curve")
+    // planned cells are a ranked PREFIX, so per-probe candidates grow
+    // with nProbe, and a true top-5 member found stays found: the curve
+    // is monotone EXACTLY (no slack needed — regression = bug)
+    curve.sliding(2).foreach { case Seq((p1, r1), (p2, r2)) =>
+      r1.zip(r2).zip(probes).foreach { case ((a, b), pid) =>
+        assert(a <= b, s"recall fell $a -> $b for probe $pid at nProbe $p1->$p2")
+      }
+    }
+    // nProbe = K probes every cell: exact brute force by construction
+    assert(curve.last._2.forall(_ == 5),
+      s"nProbe=K must be exhaustive: ${curve.last}")
+  }
+
   test("kmeans-trained cells recall at least as well as naive first-K seeding") {
     val s = spark
     import s.implicits._
