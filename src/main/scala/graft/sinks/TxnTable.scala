@@ -606,17 +606,27 @@ object TxnTable {
     * have the table's schema; key equality is null-safe exact. */
   def mergeInto(s: SparkSession, root: String, changes: DataFrame,
                 keyCols: Seq[String],
-                statsRange: Option[(Long, Long)] = None): Snapshot = {
+                statsRange: Option[(Long, Long)] = None): Snapshot =
+    mergeIntoBounded(s, root, changes, keyCols,
+      primaryBounds(s, root, statsRange))
+
+  /** [[mergeInto]] with MULTI-COLUMN bounds: each (column, lo, hi)
+    * entry asserts the change keys' values of that RECORDED stats
+    * column all lie in [lo, hi]; a file any bound proves disjoint
+    * carries by reference. More bounds = more skipping — the payoff of
+    * multi-column manifest stats on the write path. Same caller
+    * contract per bound as `statsRange`. */
+  def mergeIntoBounded(s: SparkSession, root: String, changes: DataFrame,
+                       keyCols: Seq[String],
+                       bounds: Seq[(String, Long, Long)]): Snapshot = {
     require(keyCols.nonEmpty, "mergeInto needs at least one key column")
     val cur = latest(s, root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
     requireNoMor(cur, "mergeInto")
     val base = root.stripSuffix("/")
-    val (touch, carry) = statsRange match {
-      case Some((lo, hi)) => cur.files.partition(f =>
-        primaryStats(cur, f).forall { case (fLo, fHi) => fHi >= lo && fLo <= hi })
-      case None => (cur.files, Seq.empty[String])
-    }
+    val (carry, touch) =
+      if (bounds.isEmpty) (Seq.empty[String], cur.files)
+      else cur.files.partition(provablyDisjoint(cur, _, bounds))
     val rewritten =
       if (touch.isEmpty) changes
       else {
@@ -659,6 +669,18 @@ object TxnTable {
     * and the column-less [[readPruned]] overload address. */
   private def primaryStats(snap: Snapshot, f: String): Option[(Long, Long)] =
     snap.statsCols.headOption.flatMap(c => snap.stats.get(f).flatMap(_.get(c)))
+
+  /** Multi-column skip decision: a file is PROVABLY untouched when ANY
+    * bounded column's recorded [min, max] is disjoint from its bound —
+    * the intersection semantics of a conjunctive predicate. A column
+    * without recorded stats for a file proves nothing (kept — skipping
+    * must never be unsound). */
+  private def provablyDisjoint(snap: Snapshot, f: String,
+                               bounds: Seq[(String, Long, Long)]): Boolean =
+    bounds.exists { case (c, lo, hi) =>
+      snap.stats.get(f).flatMap(_.get(c))
+        .exists { case (fLo, fHi) => fHi < lo || fLo > hi }
+    }
 
   /** Manifest-level FILE SKIPPING: the table restricted to files whose
     * recorded [min, max] of stats column `col` intersects [lo, hi] —
@@ -869,16 +891,34 @@ object TxnTable {
     * the bytes are gone. */
   def deleteWhere(s: SparkSession, root: String,
                   predicate: org.apache.spark.sql.Column,
-                  statsRange: Option[(Long, Long)] = None): Snapshot = {
+                  statsRange: Option[(Long, Long)] = None): Snapshot =
+    deleteWhereBounded(s, root, predicate, primaryBounds(s, root, statsRange))
+
+  /** The bound used by the single-range compatibility signatures: the
+    * caller's [lo, hi] applied to the PRIMARY stats column (no recorded
+    * columns → no bound → every file rewritten, always sound). */
+  private def primaryBounds(s: SparkSession, root: String,
+      statsRange: Option[(Long, Long)]): Seq[(String, Long, Long)] =
+    statsRange.toSeq.flatMap { case (lo, hi) =>
+      latest(s, root).flatMap(_.statsCols.headOption).map(c => (c, lo, hi))
+    }
+
+  /** [[deleteWhere]] with MULTI-COLUMN bounds: each (column, lo, hi)
+    * entry asserts every predicate-matching row has that RECORDED stats
+    * column inside [lo, hi] (the conjunctive form of the single-range
+    * caller contract); a file ANY bound proves disjoint carries over by
+    * reference — strictly more skipping than the primary-column-only
+    * range whenever a second column correlates with layout. */
+  def deleteWhereBounded(s: SparkSession, root: String,
+                         predicate: org.apache.spark.sql.Column,
+                         bounds: Seq[(String, Long, Long)]): Snapshot = {
     val cur = latest(s, root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
     requireNoMor(cur, "deleteWhere (copy-on-write)")
     val base = root.stripSuffix("/")
-    val (touch, carry) = statsRange match {
-      case Some((lo, hi)) => cur.files.partition(f =>
-        primaryStats(cur, f).forall { case (fLo, fHi) => fHi >= lo && fLo <= hi })
-      case None => (cur.files, Seq.empty[String])
-    }
+    val (carry, touch) =
+      if (bounds.isEmpty) (Seq.empty[String], cur.files)
+      else cur.files.partition(provablyDisjoint(cur, _, bounds))
     val staged =
       if (touch.isEmpty) Seq.empty[String]
       else {

@@ -167,6 +167,47 @@ class TxnTableSpec extends AnyFunSuite {
       .inputFiles.length === 1)
   }
 
+  test("multi-column bounds: a second column carries files the primary " +
+    "range cannot prune") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    def df3(g: Long, ids: Long*) =
+      ids.map(i => (i, g, i * 10)).toDF("id", "grp", "v")
+    // ids INTERLEAVE across files (primary range prunes nothing), grp is
+    // disjoint per file (the second bound carries 2 of 3)
+    TxnTable.overwrite(spark, root, df3(100L, 1L, 20L, 40L).coalesce(1),
+      statsCols = Seq("id", "grp"))
+    TxnTable.append(spark, root, df3(200L, 2L, 21L, 41L).coalesce(1))
+    TxnTable.append(spark, root, df3(300L, 3L, 22L, 42L).coalesce(1))
+    val before = TxnTable.latest(spark, root).get
+
+    val after = TxnTable.deleteWhereBounded(spark, root,
+      col("id") === 21L && col("grp") === 200L,
+      Seq(("id", 21L, 21L), ("grp", 200L, 200L)))
+    // the grp=100 and grp=300 files carry BY REFERENCE
+    val carried = before.files.filter(f =>
+      before.statsOf("grp")(f) match { case (lo, hi) => hi < 200 || lo > 200 })
+    assert(carried.size === 2)
+    carried.foreach(f => assert(after.files.contains(f),
+      s"grp-disjoint file $f must carry over unrewritten"))
+    assert(TxnTable.read(spark, root).count() === 8L)
+    assert(!TxnTable.read(spark, root).filter($"id" === 21L).head(1).nonEmpty)
+
+    // same bounds shape on the merge path: update id=22 in the grp=300
+    // file only; the other two carry by reference
+    val before2 = TxnTable.latest(spark, root).get
+    val after2 = TxnTable.mergeIntoBounded(spark, root,
+      Seq((22L, 300L, 777L)).toDF("id", "grp", "v"), Seq("id", "grp"),
+      Seq(("id", 22L, 22L), ("grp", 300L, 300L)))
+    val carried2 = before2.files.filter(f =>
+      before2.statsOf("grp")(f) match { case (lo, hi) => hi < 300 || lo > 300 })
+    carried2.foreach(f => assert(after2.files.contains(f),
+      s"grp-disjoint file $f must carry over unrewritten"))
+    assert(TxnTable.read(spark, root).filter($"id" === 22L)
+      .head().getLong(2) === 777L)
+  }
+
   test("deleteWhere rewrites only stats-overlapping files; carried files " +
     "are untouched by path identity; prior snapshots keep the rows") {
     val s = spark

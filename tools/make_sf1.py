@@ -19,7 +19,13 @@ import os
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
 SHARDS = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-OFF = 10_000_000
+# Offset rules: far above any base key's spread (max ~600k), and NOT a
+# divisor of q64's synthetic +10M insert-key offset - otherwise shard
+# k's real keys collide with shard k-5's synthetic SCD inserts and the
+# update batch carries two rows for one key (surfaced at the first sf1
+# run with OFF=10M: q64 row diff). 3M divides into 10M with remainder
+# 1M > any key spread, so no (i, j) shard pair can collide.
+OFF = 3_000_000
 
 # table -> columns shifted by shard*OFF
 SHIFT = {
