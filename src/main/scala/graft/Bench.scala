@@ -31,6 +31,37 @@ object Bench {
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Host-calibration constant: a fixed single-thread CPU loop plus a
+    * fixed 32-task shuffle job, timed in the SAME session right before
+    * the warmup. Emitted as `"cal"` so round-over-round totals can be
+    * normalized mechanically (two consecutive rounds lost headline
+    * comparability to driver-host speed drift — ~2x between rounds,
+    * with contention outliers). min-of-3 for the same one-sided-noise
+    * reason as the query timings; the workload is version-pinned (FNV
+    * hash loop + range/groupBy count) so the constant means the same
+    * thing every round. */
+  private def calibrate(spark: SparkSession): (Double, Double) = {
+    def cpuOnce(): Double = {
+      val t0 = System.nanoTime()
+      var h = 0xcbf29ce484222325L; var i = 0L
+      while (i < 200000000L) { h = (h ^ i) * 0x100000001b3L; i += 1 }
+      if (h == 42L) println("") // keep the loop observable
+      (System.nanoTime() - t0) / 1e9
+    }
+    def shuffleOnce(): Double = {
+      val t0 = System.nanoTime()
+      materialize(spark.range(0L, 4000000L, 1L, 32)
+        .selectExpr("id % 1024 AS k").groupBy("k").count())
+      (System.nanoTime() - t0) / 1e9
+    }
+    shuffleOnce() // untimed warmup: session + shuffle machinery init
+    val cpu = (1 to 3).map(_ => cpuOnce()).min
+    val sh = (1 to 3).map(_ => shuffleOnce()).min
+    (cpu, sh)
+  }
+
+  private def r3(v: Double): Double = math.rint(v * 1000) / 1000
+
   /** JSON string escape covering every control char — an exception
     * message with \b or NUL must not break the one-line protocol. */
   private def jstr(s: String): String = "\"" + s.flatMap {
@@ -70,6 +101,7 @@ object Bench {
         graft.multimodal.Multimodal.benchVariants)
       .toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }
+    val (calCpu, calShuffle) = calibrate(spark)
     // Warmup: one untimed pass over every query (catches codegen + scan
     // setup; failures here are also failures in the timed pass and are
     // reported there). NonFatal only — an OOM must crash, not mis-report.
@@ -111,10 +143,23 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
-    // Headline fields LAST: the driver stores only the tail of a long
-    // line, so the per-query dict goes first and the total/errors/sf
-    // survive any front-truncation (round-8 artifact lost the total).
-    println(s"""{"queries":$qs,"errors":$errJson,"sf":"$sfDir","metric":"total","unit":"sec","value":$total}""")
+    val cal = s""""cal":${r3(calCpu + calShuffle)},"cal_cpu":${r3(calCpu)},"cal_shuffle":${r3(calShuffle)}"""
+    val full = s"""{"queries":$qs,"errors":$errJson,$cal,"sf":"$sfDir","metric":"total","unit":"sec","value":$total}"""
+    // Full record (per-query dict) to stdout AND to a file: the driver
+    // keeps only the last ~2000 chars of output, which a 119-query line
+    // cannot fit (r8 AND r9 artifacts both had "parsed": null for
+    // exactly this reason), so the durable per-query record lives in
+    // the file and NOTES cites it.
+    println(full)
+    try {
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (full + "\n").getBytes("UTF-8"))
+    } catch { case NonFatal(_) => () }
+    // Headline line LAST and COMPACT (~200 chars): fits the driver's
+    // tail window whole even with the sbt epilogue after it, so the
+    // driver's parser finally gets a complete JSON line.
+    println(s"""{"metric":"total","unit":"sec","value":${r3(total)},$cal,"nq":${results.size},"nerr":${errors.size},"sf":"$sfDir","queries_file":"BENCH_FULL.json"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

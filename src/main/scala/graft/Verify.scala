@@ -16,8 +16,25 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The STATIC oracle SQL pins the IVF/kmeans defaults (q46/q58/q110/
+    // q118 interpolate them at compile time) while the DataFrame paths
+    // read session confs — a session that re-tunes the knobs would make
+    // this gate compare plans built with DIFFERENT parameters and fail
+    // for a non-bug reason. Refuse to certify under non-default knobs.
+    Seq("graft.ivf.k", "graft.ivf.nprobe", "graft.kmeans.iters").foreach { k =>
+      require(spark.conf.getOption(k).isEmpty,
+        s"$k is set: the pinned oracles assume the defaults — unset it " +
+          "(production sessions may re-tune, but then own the divergence " +
+          "from the test oracle)")
+    }
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev loop: SPARK_GRAFT_ONLY=q107 dumps just the named queries (the
+    // driver sets no filter); oracle_sql.json still carries every entry.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
+      .foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         // advisory here (correctness must still be measured); Bench is

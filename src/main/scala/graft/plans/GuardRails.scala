@@ -65,6 +65,48 @@ object GuardRails {
     case other => other.children.forall(bounded)
   }
 
+  /** ORDERED-DOMAIN WALK: a global window is admitted when its input
+    * (through transparent unary nodes — project/sort/exchange/filter)
+    * is a grouped FINAL aggregation and the window's ORDER BY
+    * references only the aggregation's grouping attributes. The
+    * aggregation provably collapsed cardinality to the distinct-key
+    * domain BEFORE the single-reducer pass, so the window walks a
+    * domain, not the corpus — the skyline/cumulative-distribution
+    * shape (q107: cummax of per-length maxima over distinct lengths).
+    * The residual risk is a corpus-sized grouping key (groupBy doc_id
+    * then a global walk would pass this check); that shape is a design
+    * smell the checker cannot distinguish from a legitimate
+    * high-cardinality domain statically, and it is still strictly
+    * tighter than the allowlist it replaces — the admitted plan must
+    * actually aggregate first, which the pre-round-10 q107 (window +
+    * filter collapse) did not even do. Partial-only aggregates do NOT
+    * qualify: a map-side partial max collapses nothing globally, so
+    * the walk stops at the first aggregate and requires it to sit
+    * above the exchange (Final/Complete mode). */
+  private def groupedDomainWalk(w: WindowExec): Boolean = {
+    @scala.annotation.tailrec
+    def firstHard(p: SparkPlan): SparkPlan = p match {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      case u if u.children.size == 1 &&
+        !u.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec] &&
+        !u.isInstanceOf[WindowExec] => firstHard(u.children.head)
+      case other => other
+    }
+    firstHard(w.child) match {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+        if a.groupingExpressions.nonEmpty &&
+          a.aggregateExpressions.forall(ae =>
+            ae.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Final ||
+            ae.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Complete) =>
+        val groupAttrs = org.apache.spark.sql.catalyst.expressions.AttributeSet(
+          a.groupingExpressions.map(_.toAttribute))
+        val orderRefs = org.apache.spark.sql.catalyst.expressions.AttributeSet(
+          w.orderSpec.flatMap(_.references))
+        orderRefs.subsetOf(groupAttrs)
+      case _ => false
+    }
+  }
+
   /** Every node in the plan INCLUDING subquery plans and plans nested
     * under adaptive nodes — a hazard hidden inside a scalar/IN subquery
     * must not bypass the gate. */
@@ -97,7 +139,8 @@ object GuardRails {
     }
     // unpartitioned windows over unbounded input
     nodes.foreach {
-      case w: WindowExec if w.partitionSpec.isEmpty && !bounded(w.child) =>
+      case w: WindowExec if w.partitionSpec.isEmpty && !bounded(w.child) &&
+        !groupedDomainWalk(w) =>
         hazards += Hazard("global-window",
           "Window without PARTITION BY over unbounded input: the whole " +
             "dataset moves through one reducer; partition it, or bound " +
@@ -139,9 +182,10 @@ object GuardRails {
     * 100 TB (the query's scaladoc carries the full argument). Pinned
     * here so the spec's sweep and the run-time gates ([[gate]], used by
     * graft.Bench / graft.Verify) enforce the same list. */
-  val auditedAllowlist: Map[String, String] = Map(
-    "q107_pareto" -> ("global cummax window runs over per-length maxima " +
-      "only - cardinality is the distinct-length domain, not the corpus"))
+  val auditedAllowlist: Map[String, String] = Map.empty
+  // (q107 was the single entry through round 9; its plan now aggregates
+  // per-length maxima BEFORE the global cummax, so [[groupedDomainWalk]]
+  // verifies the bound from the plan itself and the list is empty.)
 
   /** The RUN-TIME gate: hazards for `name`'s plan, empty when the query
     * is on the justified allowlist. Bench refuses to time a violating

@@ -1155,30 +1155,34 @@ object TextOps {
   // is ≥ in both dimensions and > in at least one. Quality is the
   // integer-scaled distinct-token ratio (q33's metric, Det-safe).
   //
-  // NOT all-pairs: dominance against the whole corpus reduces to two
-  // window maxima — (1) within each length, only per-length quality
-  // maxima survive (ties keep every duplicate: equal points don't
-  // dominate each other), (2) across lengths, a candidate survives iff
-  // the running max of quality over STRICTLY longer docs (RANGE frame
-  // ending 1 PRECEDING on the desc length ordering — integer lengths
-  // make "strictly longer" = "≥ len+1") is below its own. Shuffle by
-  // len for (1); (2) runs over per-length maxima only — bounded by the
-  // distinct-length domain (≤ max doc length), not corpus size, the
-  // same bounded-by-construction argument as TopKByScore.
+  // NOT all-pairs: dominance against the whole corpus reduces to a
+  // per-length aggregate plus one tiny window — (1) `groupBy(len).max
+  // (qi)` collapses the corpus to the distinct-length domain with a
+  // map-side partial max (kilobytes shuffled, NOT the corpus — the
+  // pre-round-10 form shuffled every document by len for a partitioned
+  // window; this one never shuffles documents at all), (2) across
+  // lengths, a length's maximum survives iff the running max over
+  // STRICTLY longer lengths (RANGE frame ending 1 PRECEDING on the
+  // desc ordering — integer lengths make "strictly longer" = "≥
+  // len+1") is below it. The global window walks per-length maxima
+  // only — the aggregation sits below it in the plan, which is exactly
+  // the shape GuardRails.groupedDomainWalk admits WITHOUT an
+  // allowlist. (3) a broadcast equi-join on (len, qi) recovers every
+  // tied document (equal points don't dominate each other); the
+  // frontier is ≤ distinct-lengths rows, trivially broadcastable.
   // ---------------------------------------------------------------------
   val q107Bench: Q = (s, dir) => {
     import s.implicits._
     val d = t(s, dir, "documents").select($"doc_id", $"n_chars".as("len"),
       expr("size(array_distinct(split(text, ' '))) * CAST(1000000 AS BIGINT)" +
         " div size(split(text, ' '))").as("qi"))
-    val cand = d
-      .withColumn("m2", max($"qi").over(
-        org.apache.spark.sql.expressions.Window.partitionBy($"len")))
-      .filter($"qi" === $"m2")
+    val perLen = d.groupBy($"len").agg(max($"qi").as("mq"))
     val wG = org.apache.spark.sql.expressions.Window.orderBy($"len".desc)
       .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    cand.withColumn("m1", max($"qi").over(wG))
-      .filter($"m1".isNull || $"m1" < $"qi")
+    val frontier = perLen.withColumn("m1", max($"mq").over(wG))
+      .filter($"m1".isNull || $"m1" < $"mq")
+      .select($"len".as("f_len"), $"mq")
+    d.join(broadcast(frontier), $"len" === $"f_len" && $"qi" === $"mq")
       .select($"doc_id", $"len", $"qi")
   }
   val q107: Q = (s, dir) => {

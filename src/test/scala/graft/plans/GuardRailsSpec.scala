@@ -72,6 +72,31 @@ class GuardRailsSpec extends AnyFunSuite {
     GuardRails.check(d.withColumn("rn", row_number().over(wp)))
   }
 
+  test("ordered-domain walk: grouped aggregate below a global window on the group key passes") {
+    val s = spark
+    import s.implicits._
+    val d = (1 to 1000).map(i => (i % 37, i.toDouble)).toDF("k", "v")
+    val agg = d.groupBy($"k").agg(max($"v").as("mv"))
+    val wk = org.apache.spark.sql.expressions.Window.orderBy($"k".desc)
+    // the q107 shape: cummax over the distinct-key domain — admitted
+    // because the FINAL aggregation below the window collapsed
+    // cardinality and the order key is a grouping attribute
+    GuardRails.check(agg.withColumn("cm", max($"mv").over(wk)))
+    // ordering by the AGGREGATED value is NOT a domain walk (the key
+    // domain argument doesn't apply to mv): still rejected
+    val wv = org.apache.spark.sql.expressions.Window.orderBy($"mv".desc)
+    val ex = intercept[GuardRails.GuardRailViolation] {
+      GuardRails.check(agg.withColumn("rn", row_number().over(wv)))
+    }
+    assert(ex.hazards.exists(_.kind === "global-window"))
+    // no aggregation below at all: rejected as before
+    val ex2 = intercept[GuardRails.GuardRailViolation] {
+      GuardRails.check(d.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window.orderBy($"k"))))
+    }
+    assert(ex2.hazards.exists(_.kind === "global-window"))
+  }
+
   test("strict mode flags unbounded global sorts; top-k passes") {
     val s = spark
     import s.implicits._
