@@ -615,6 +615,18 @@ object LlmOps {
     * standard IVF-flat split. Orphaned warehouse locations (ours by
     * construction) are removed before re-creating, as in
     * [[Bucketed.ensureLayout]]. */
+  /** Index validity stamp: the SOURCE listing plus the BUILD knobs — a
+    * changed K or Lloyd-round count is a retrain request, and an index
+    * built under different knobs must not be served as current (found
+    * by the K=256 scale measurement: without the knob line, raising
+    * graft.ivf.k silently reused the K=8 index). The knob line is
+    * constant while knobs are constant, so [[ivfMaintain]]'s
+    * new-files-only delta diff (set difference of lines) is untouched
+    * by it. */
+  private def ivfStamp(s: SparkSession, dir: String): String =
+    graft.SourceStamp.table(s, dir, "embeddings") +
+      s"\n#build:k=${ivfK(s)}:iters=${kmIters(s)}"
+
   def ensureIvfIndex(s: SparkSession, dir: String): String = synchronized {
     import s.implicits._
     s.sql(s"CREATE DATABASE IF NOT EXISTS $IvfDb")
@@ -625,9 +637,10 @@ object LlmOps {
       wh + s"/$IvfDb.db/emb_${tagDir(dir)}")
     val centsLoc = new org.apache.hadoop.fs.Path(
       wh + s"/$IvfDb.db/cents_${tagDir(dir)}")
-    // index validity keyed on the SOURCE listing (graft.SourceStamp):
-    // a regenerated embeddings table forces an index rebuild
-    val st = graft.SourceStamp.table(s, dir, "embeddings")
+    // index validity keyed on the SOURCE listing + build knobs
+    // ([[ivfStamp]]): a regenerated embeddings table OR a re-tuned
+    // K/iters forces an index rebuild
+    val st = ivfStamp(s, dir)
     if (!s.catalog.tableExists(table) || !s.catalog.tableExists(centsTable) ||
         !graft.SourceStamp.isCurrent(s, loc.toString, st)) {
       val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -645,6 +658,11 @@ object LlmOps {
       cents.map { case (cid, ce) => (cid, ce.toSeq) }
         .toDF("c_id", "ce")
         .write.mode("overwrite").format("parquet").saveAsTable(centsTable)
+      // an in-session RETRAIN (knob change) recreates the same-named
+      // tables: drop Spark's cached file listing or a prior reader's
+      // plan serves the deleted files (surfaced by the second-K spec)
+      s.catalog.refreshTable(table)
+      s.catalog.refreshTable(centsTable)
       // stamp written LAST = commit marker: a crash between the two
       // writes leaves no stamp, and the next call rebuilds both
       graft.SourceStamp.write(s, loc.toString, st)
@@ -673,7 +691,9 @@ object LlmOps {
     val table = ivfTable(dir)
     val loc = new org.apache.hadoop.fs.Path(
       s.conf.get("spark.sql.warehouse.dir") + s"/$IvfDb.db/emb_${tagDir(dir)}")
-    val st = graft.SourceStamp.table(s, dir, "embeddings")
+    // knob-aware stamp: a knob change fails the subset check below (the
+    // old #build line is not in the current stamp) -> full retrain
+    val st = ivfStamp(s, dir)
     if (!s.catalog.tableExists(table) ||
         !s.catalog.tableExists(ivfCentsTable(dir)))
       return ensureIvfIndex(s, dir)
@@ -710,7 +730,9 @@ object LlmOps {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), Array[(Int, Array[Long])]]()
 
   private def ivfCentroids(s: SparkSession, dir: String): Array[(Int, Array[Long])] = {
-    val st = graft.SourceStamp.table(s, dir, "embeddings")
+    // knob-aware stamp: an in-session K change must not serve the prior
+    // build's cached centroids
+    val st = ivfStamp(s, dir)
     graft.SourceStamp.evictStale(centroidCache, s, dir, st)(_ => ())
     ensureIvfIndex(s, dir)
     centroidCache.computeIfAbsent((s, dir, st), { _: (SparkSession, String, String) =>

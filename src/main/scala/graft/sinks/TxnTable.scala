@@ -85,7 +85,8 @@ object TxnTable {
                             bloomCols: Seq[String] = Nil,
                             tsMs: Option[Long] = None,
                             deletes: Seq[String] = Seq.empty,
-                            deleteCols: Seq[String] = Nil) {
+                            deleteCols: Seq[String] = Nil,
+                            transforms: Seq[Transform] = Nil) {
     /** Primary (first-recorded) columns — the single-column views most
       * call sites and older specs address. */
     def statsCol: Option[String] = statsCols.headOption
@@ -94,6 +95,52 @@ object TxnTable {
     /** Per-file range of one column (the file-keyed single-column view). */
     def statsOf(col: String): Map[String, (Long, Long)] =
       stats.flatMap { case (f, m) => m.get(col).map(f -> _) }
+  }
+
+  /** HIDDEN PARTITIONING (Iceberg-style partition transform): a derived
+    * partition value recorded in the MANIFEST, not the schema — writers
+    * cluster staged files by it automatically and each staged file's
+    * transform value range lands in the manifest from the PATH alone
+    * (zero data reads), so pruning on the transform is
+    * layout-independent: it keeps working after appends interleave the
+    * source column's raw ranges, because each file is split by
+    * transform value at write time. Queries never see the column (it is
+    * derived, never stored — the "hidden" in hidden partitioning);
+    * pruning addresses it through [[readPruned]] by its derived name.
+    *
+    *  - `day(src)`   — epoch-day of a timestamp/date column; name
+    *    `day_src`. The time-partitioning every fact table wants.
+    *  - `bucket(n, src)` — `pmod(xxhash64(src), n)`; name
+    *    `bucketN_src`. Point-lookup pruning on an unsorted key: an
+    *    equality probe reads 1/n of the files regardless of layout.
+    *
+    * Cite: Iceberg partition-spec transforms (public spec §Partitioning
+    * — identity/bucket/truncate/year/month/day/hour); same contract,
+    * text-manifest envelope. */
+  final case class Transform(kind: String, src: String, param: Int) {
+    require(kind == "day" || kind == "bucket", s"unknown transform kind '$kind'")
+    require(kind != "bucket" || param >= 1, s"bucket($param): need n >= 1")
+    /** The derived column name per-file stats are recorded under. */
+    def name: String = kind match {
+      case "day"    => s"day_$src"
+      case "bucket" => s"bucket${param}_$src"
+    }
+    /** The derived LONG value for a row of `df`. */
+    private[sinks] def column: org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.functions._
+      kind match {
+        case "day" => datediff(col(src).cast("date"),
+          to_date(lit("1970-01-01"))).cast("long")
+        case "bucket" => pmod(xxhash64(col(src)), lit(param.toLong))
+      }
+    }
+  }
+  object Transform {
+    def day(src: String): Transform = Transform("day", src, 0)
+    def bucket(n: Int, src: String): Transform = Transform("bucket", src, n)
+    /** The day-transform value for an epoch-day lookup (sugar so call
+      * sites read `Transform.dayValue(LocalDate.of(...))`). */
+    def dayValue(d: java.time.LocalDate): Long = d.toEpochDay
   }
 
   private val Header = "graft-txn v1"
@@ -111,27 +158,59 @@ object TxnTable {
   // falls back to deriving them from the per-file fields.
   private val StatsColsTag = "#statscols\t"
   private val BloomColsTag = "#bloomcols\t"
+  // hidden-partitioning transforms, one `kind:param:src` per tab-
+  // separated field ([[Transform]]); carried by every commit like the
+  // column sets
+  private val TransformsTag = "#transforms\t"
 
   /** SCHEMA EVOLUTION: the table schema after committing `incoming`
-    * rows — prior columns keep their position and type, genuinely new
-    * columns append. A shared name must keep its exact type (silent
-    * coercion is how tables rot); an incoming frame MISSING prior
-    * columns is fine (its files read those columns as null — schema on
-    * read, the same contract parquet gives every warehouse format). */
+    * rows — prior columns keep their position, genuinely new columns
+    * append. A shared name keeps its type EXCEPT for lossless WIDENING
+    * (int→long, float→double and the integer chain below): an incoming
+    * wider type widens the table schema in place, and readers cast old
+    * files' narrower values up on read (the manifest records the new
+    * schema; [[readAsOf]] pins every scan to it, and Spark's parquet
+    * readers perform the INT32-under-LongType style promotion — the
+    * same manifest-rule-not-reader-rewrite mechanics as Iceberg
+    * `union_by_name` / Delta type widening). NARROWING is refused:
+    * writers produce table-typed (or wider) data, a long column never
+    * silently becomes int. Any other type change is refused outright
+    * (silent coercion is how tables rot). An incoming frame MISSING
+    * prior columns is fine (its files read those columns as null —
+    * schema on read, the same contract parquet gives every warehouse
+    * format). */
   private[sinks] def evolve(prior: Option[org.apache.spark.sql.types.StructType],
                      incoming: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.types.StructType = prior match {
     case None => incoming
     case Some(p) =>
-      incoming.fields.foreach { f =>
-        p.fields.find(_.name == f.name).foreach { pf =>
-          require(pf.dataType == f.dataType,
-            s"schema evolution cannot change column '${f.name}': " +
-              s"${pf.dataType.simpleString} -> ${f.dataType.simpleString}")
+      import org.apache.spark.sql.types._
+      // from -> to is lossless: every `from` value is exactly
+      // representable as a `to` value
+      def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+        case (ByteType, ShortType | IntegerType | LongType) => true
+        case (ShortType, IntegerType | LongType)            => true
+        case (IntegerType, LongType)                        => true
+        case (FloatType, DoubleType)                        => true
+        case _                                              => false
+      }
+      val evolved = p.fields.map { pf =>
+        incoming.fields.find(_.name == pf.name) match {
+          case Some(f) if f.dataType == pf.dataType => pf
+          case Some(f) if widens(pf.dataType, f.dataType) =>
+            pf.copy(dataType = f.dataType) // widen in place, keep position
+          case Some(f) =>
+            throw new IllegalArgumentException(
+              s"schema evolution cannot change column '${f.name}': " +
+                s"${pf.dataType.simpleString} -> ${f.dataType.simpleString} " +
+                "(only lossless widening - byte/short/int->long, " +
+                "float->double - is allowed; narrowing and other changes " +
+                "are refused)")
+          case None => pf
         }
       }
       org.apache.spark.sql.types.StructType(
-        p.fields ++ incoming.fields.filterNot(f => p.fieldNames.contains(f.name)))
+        evolved ++ incoming.fields.filterNot(f => p.fieldNames.contains(f.name)))
   }
 
   private def fs(s: SparkSession, root: String): FileSystem =
@@ -205,17 +284,31 @@ object TxnTable {
       entries.flatMap(_._2.keys).distinct)
     val bloomCols = colsTag(BloomColsTag).getOrElse(
       entries.flatMap(_._3.keys).distinct)
+    val transforms = colsTag(TransformsTag).getOrElse(Nil).map { t =>
+      val Array(kind, param, src) = t.split(":", 3)
+      Transform(kind, src, param.toInt)
+    }
     Snapshot(version, lines.head.stripPrefix(Header).trim, entries.map(_._1),
       entries.collect { case (f, st, _) if st.nonEmpty => f -> st }.toMap,
       statsCols,
       schema,
       entries.collect { case (f, _, bl) if bl.nonEmpty => f -> bl }.toMap,
       bloomCols,
-      tsMs, deletes, deleteCols)
+      tsMs, deletes, deleteCols, transforms)
   }
 
   def latest(s: SparkSession, root: String): Option[Snapshot] =
     versions(s, root).lastOption.map(snapshot(s, root, _))
+
+  /** [[latest]] or a clear error — the single head resolution every
+    * read/write path starts from. Each public entry point resolves the
+    * snapshot ONCE and threads it through (a concurrent commit between
+    * two `latest()` calls inside one operation would otherwise mix two
+    * versions' metadata, and every extra call pays a manifest
+    * read+parse). */
+  private def latestRequired(s: SparkSession, root: String): Snapshot =
+    latest(s, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
 
   /** The current table as a DataFrame — Spark gets the snapshot's exact
     * file list, so pruning/pushdown work as on any parquet scan. An
@@ -286,16 +379,69 @@ object TxnTable {
         s"no snapshot at $root as of epoch-ms $epochMs")))
 
   /** Stage `df` as immutable parquet files under data/<uuid>/, return
-    * their root-relative paths. Nothing references them until commit. */
-  private def stage(s: SparkSession, root: String, df: DataFrame): Seq[String] = {
+    * their root-relative paths. Nothing references them until commit.
+    * With `transforms`, the write FANS OUT by the derived partition
+    * values (`partitionBy` on the derived columns, which parquet then
+    * does NOT store — derived, never materialized), so every staged
+    * file holds exactly ONE value per transform and its value is
+    * recoverable from the path with zero data reads
+    * ([[transformStats]]). */
+  private def stage(s: SparkSession, root: String, df: DataFrame,
+                    transforms: Seq[Transform] = Nil): Seq[String] = {
     val rel = s"data/${java.util.UUID.randomUUID().toString.take(8)}"
     val dir = s"${root.stripSuffix("/")}/$rel"
-    df.write.mode("errorifexists").parquet(dir)
     val f = fs(s, root)
-    f.listStatus(new Path(dir)).toSeq
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(st => s"$rel/${st.getPath.getName}")
+    if (transforms.isEmpty) {
+      df.write.mode("errorifexists").parquet(dir)
+      f.listStatus(new Path(dir)).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(st => s"$rel/${st.getPath.getName}")
+    } else {
+      transforms.foreach(t => require(df.columns.contains(t.src),
+        s"transform ${t.name} needs source column '${t.src}'"))
+      val withT = transforms.foldLeft(df)((d, t) =>
+        d.withColumn(t.name, t.column))
+      withT.write.mode("errorifexists")
+        .partitionBy(transforms.map(_.name): _*).parquet(dir)
+      val it = f.listFiles(new Path(dir), true)
+      val out = Seq.newBuilder[String]
+      val prefix = new Path(dir).toUri.getPath.stripSuffix("/") + "/"
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+          out += s"$rel/${st.getPath.toUri.getPath.stripPrefix(prefix)}"
+      }
+      out.result()
+    }
   }
+
+  /** Per-file transform stats from the staged PATHS alone: each
+    * `name=value` segment a [[stage]] fan-out produced becomes a
+    * `(value, value)` range entry under the transform's derived name —
+    * manifest-level pruning metadata at zero data-read cost. A null
+    * source value lands in the hive default partition and gets no
+    * entry (that file is then never skipped — sound). */
+  private def transformStats(staged: Seq[String], transforms: Seq[Transform])
+      : Map[String, Map[String, (Long, Long)]] =
+    if (transforms.isEmpty) Map.empty
+    else staged.flatMap { file =>
+      val entries = transforms.flatMap { t =>
+        file.split("/").collectFirst {
+          case seg if seg.startsWith(t.name + "=") =>
+            seg.stripPrefix(t.name + "=")
+        }.filter(_ != "__HIVE_DEFAULT_PARTITION__")
+          .flatMap(v => scala.util.Try(v.toLong).toOption)
+          .map(v => t.name -> (v, v))
+      }.toMap
+      if (entries.isEmpty) None else Some(file -> entries)
+    }.toMap
+
+  /** Deep per-file merge of two stats maps (column maps union per file). */
+  private def mergeStats(a: Map[String, Map[String, (Long, Long)]],
+                         b: Map[String, Map[String, (Long, Long)]])
+      : Map[String, Map[String, (Long, Long)]] =
+    (a.keySet ++ b.keySet).map(f =>
+      f -> (a.getOrElse(f, Map.empty) ++ b.getOrElse(f, Map.empty))).toMap
 
   /** Per-file commit metadata — [min, max] range stats and/or bloom
     * filters ([[graft.functions.BloomAgg]]) over the table's recorded
@@ -374,7 +520,8 @@ object TxnTable {
                             blooms: Map[String, Map[String, Array[Byte]]] = Map.empty,
                             bloomCols: Seq[String] = Nil,
                             deletes: Seq[String] = Seq.empty,
-                            deleteCols: Seq[String] = Nil): Snapshot = {
+                            deleteCols: Seq[String] = Nil,
+                            transforms: Seq[Transform] = Nil): Snapshot = {
     val f = fs(s, root)
     val dst = manifestPath(root, v)
     f.mkdirs(dst.getParent)
@@ -395,15 +542,32 @@ object TxnTable {
       (if (statsCols.nonEmpty) Seq(StatsColsTag + statsCols.mkString("\t"))
        else Seq.empty) ++
       (if (bloomCols.nonEmpty) Seq(BloomColsTag + bloomCols.mkString("\t"))
+       else Seq.empty) ++
+      (if (transforms.nonEmpty) Seq(TransformsTag + transforms
+        .map(t => s"${t.kind}:${t.param}:${t.src}").mkString("\t"))
        else Seq.empty)
     val lines = Seq(TsTag + now) ++ schema.map(sc => SchemaTag + sc.json).toSeq ++
       colLines ++ delLines ++ files.map { file =>
+      // EVERY recorded per-file entry is persisted, not just the current
+      // column lists' — an append that overrides statsCols/bloomCols must
+      // not silently discard prior files' recorded metadata for the
+      // previously-recorded columns (absent entries are sound — the files
+      // are then always kept — but a silent pruning regression). The
+      // column lists say what NEW writes record; the per-file fields say
+      // what IS recorded. Current columns first (reader-friendly), then
+      // any carried extras in sorted order for byte-stable manifests.
       val fileStats = stats.getOrElse(file, Map.empty)
       val fileBlooms = blooms.getOrElse(file, Map.empty)
-      val statF = statsCols.flatMap(c =>
-        fileStats.get(c).map { case (lo, hi) => s"$c:$lo:$hi" })
-      val bloomF = bloomCols.flatMap(c => fileBlooms.get(c).map(b =>
-        s"bloom:$c:${java.util.Base64.getEncoder.encodeToString(b)}"))
+      (fileStats.keys ++ fileBlooms.keys).foreach(c => require(
+        !c.contains("\t") && !c.contains(":") && !c.contains("\n"),
+        s"metadata column name '$c' collides with the manifest encoding"))
+      def ordered(recorded: Seq[String], present: Iterable[String]): Seq[String] =
+        recorded.filter(present.toSet) ++
+          present.toSeq.filterNot(recorded.toSet).sorted
+      val statF = ordered(statsCols, fileStats.keys).map { c =>
+        val (lo, hi) = fileStats(c); s"$c:$lo:$hi" }
+      val bloomF = ordered(bloomCols, fileBlooms.keys).map(c =>
+        s"bloom:$c:${java.util.Base64.getEncoder.encodeToString(fileBlooms(c))}")
       (file +: (statF ++ bloomF)).mkString("\t")
     }
     val out = f.create(tmp, false)
@@ -417,7 +581,7 @@ object TxnTable {
       throw new TxnConflictException(s"lost commit race for version $v at $root")
     }
     Snapshot(v, op, files, stats, statsCols, schema, blooms, bloomCols, Some(now),
-      deletes, deleteCols)
+      deletes, deleteCols, transforms)
   }
 
   private def nextVersion(s: SparkSession, root: String): Long =
@@ -432,21 +596,34 @@ object TxnTable {
     * inherits the table's recorded column sets. */
   def append(s: SparkSession, root: String, df: DataFrame,
              statsCols: Seq[String] = Nil,
-             bloomCols: Seq[String] = Nil): Snapshot = {
-    val staged = stage(s, root, df)
+             bloomCols: Seq[String] = Nil,
+             transforms: Seq[Transform] = Nil): Snapshot = {
     val prior = latest(s, root)
+    // transforms are a TABLE property (like Iceberg's partition spec):
+    // set at creation or via the explicit-arg first use, inherited by
+    // every later append — an append cannot silently change them
+    val trs = {
+      val priorT = prior.map(_.transforms).getOrElse(Nil)
+      if (transforms.isEmpty) priorT
+      else { require(priorT.isEmpty || priorT == transforms,
+        s"table already partitions by ${priorT.map(_.name).mkString(",")}; " +
+          "appends inherit the transform spec")
+        transforms }
+    }
+    val staged = stage(s, root, df, trs)
     val cols = if (statsCols.nonEmpty) statsCols
       else prior.map(_.statsCols).getOrElse(Nil)
     val bcols = if (bloomCols.nonEmpty) bloomCols
       else prior.map(_.bloomCols).getOrElse(Nil)
     val (stagedStats, stagedBlooms) = fileMeta(s, root, staged, cols, bcols)
-    commit(s, root, nextVersion(s, root), "append",
+    commit(s, root, prior.map(_.version).getOrElse(0L) + 1, "append",
       prior.map(_.files).getOrElse(Seq.empty) ++ staged,
-      prior.map(_.stats).getOrElse(Map.empty) ++ stagedStats, cols,
+      prior.map(_.stats).getOrElse(Map.empty) ++
+        mergeStats(stagedStats, transformStats(staged, trs)), cols,
       Some(evolve(prior.flatMap(_.schema), df.schema)),
       prior.map(_.blooms).getOrElse(Map.empty) ++ stagedBlooms, bcols,
       prior.map(_.deletes).getOrElse(Seq.empty),
-      prior.map(_.deleteCols).getOrElse(Nil))
+      prior.map(_.deleteCols).getOrElse(Nil), trs)
   }
 
   /** [[append]] with bounded optimistic-concurrency retries — the loop
@@ -461,17 +638,19 @@ object TxnTable {
                       bloomCols: Seq[String] = Nil,
                       maxAttempts: Int = 5): Snapshot = {
     require(maxAttempts >= 1, "need at least one attempt")
-    val staged = stage(s, root, df)
-    // metadata columns resolve against the FIRST head seen; staged file
-    // metadata is computed ONCE (it depends only on the staged files,
-    // not the version we land on) — a retry re-reads manifests, never
-    // data
+    // metadata columns + transforms resolve against the FIRST head seen;
+    // staged file metadata is computed ONCE (it depends only on the
+    // staged files, not the version we land on) — a retry re-reads
+    // manifests, never data
     val first = latest(s, root)
+    val trs = first.map(_.transforms).getOrElse(Nil)
+    val staged = stage(s, root, df, trs)
     val cols = if (statsCols.nonEmpty) statsCols
       else first.map(_.statsCols).getOrElse(Nil)
     val bcols = if (bloomCols.nonEmpty) bloomCols
       else first.map(_.bloomCols).getOrElse(Nil)
     val (stagedStats, stagedBlooms) = fileMeta(s, root, staged, cols, bcols)
+    val stagedAll = mergeStats(stagedStats, transformStats(staged, trs))
     var attempt = 0
     while (true) {
       attempt += 1
@@ -479,11 +658,12 @@ object TxnTable {
       try {
         return commit(s, root, prior.map(_.version).getOrElse(0L) + 1, "append",
           prior.map(_.files).getOrElse(Seq.empty) ++ staged,
-          prior.map(_.stats).getOrElse(Map.empty) ++ stagedStats, cols,
+          prior.map(_.stats).getOrElse(Map.empty) ++ stagedAll, cols,
           Some(evolve(prior.flatMap(_.schema), df.schema)),
           prior.map(_.blooms).getOrElse(Map.empty) ++ stagedBlooms, bcols,
           prior.map(_.deletes).getOrElse(Seq.empty),
-          prior.map(_.deleteCols).getOrElse(Nil))
+          prior.map(_.deleteCols).getOrElse(Nil),
+          prior.map(_.transforms).getOrElse(trs))
       } catch {
         case _: TxnConflictException if attempt < maxAttempts => // re-resolve
       }
@@ -507,19 +687,21 @@ object TxnTable {
     val vs = versions(s, root)
     if (vs.exists(v => snapshot(s, root, v).op == opTag)) None
     else {
-      val staged = stage(s, root, df)
       val prior = vs.lastOption.map(snapshot(s, root, _))
+      val trs = prior.map(_.transforms).getOrElse(Nil)
+      val staged = stage(s, root, df, trs)
       val cols = if (statsCols.nonEmpty) statsCols
         else prior.map(_.statsCols).getOrElse(Nil)
       val bcols = prior.map(_.bloomCols).getOrElse(Nil)
       val (stagedStats, stagedBlooms) = fileMeta(s, root, staged, cols, bcols)
       Some(commit(s, root, vs.lastOption.getOrElse(0L) + 1, opTag,
         prior.map(_.files).getOrElse(Seq.empty) ++ staged,
-        prior.map(_.stats).getOrElse(Map.empty) ++ stagedStats, cols,
+        prior.map(_.stats).getOrElse(Map.empty) ++
+          mergeStats(stagedStats, transformStats(staged, trs)), cols,
         Some(evolve(prior.flatMap(_.schema), df.schema)),
         prior.map(_.blooms).getOrElse(Map.empty) ++ stagedBlooms, bcols,
         prior.map(_.deletes).getOrElse(Seq.empty),
-        prior.map(_.deleteCols).getOrElse(Nil)))
+        prior.map(_.deleteCols).getOrElse(Nil), trs))
     }
   }
 
@@ -535,15 +717,17 @@ object TxnTable {
     val vs = versions(s, root)
     if (vs.exists(v => snapshot(s, root, v).op == opTag)) None
     else {
-      val staged = stage(s, root, df)
       // replacement rebuilds file metadata under the table's columns
       val prior = vs.lastOption.map(snapshot(s, root, _))
+      val trs = prior.map(_.transforms).getOrElse(Nil)
+      val staged = stage(s, root, df, trs)
       val cols = if (statsCols.nonEmpty) statsCols
         else prior.map(_.statsCols).getOrElse(Nil)
       val bcols = prior.map(_.bloomCols).getOrElse(Nil)
       val (stagedStats, stagedBlooms) = fileMeta(s, root, staged, cols, bcols)
       Some(commit(s, root, vs.lastOption.getOrElse(0L) + 1, opTag,
-        staged, stagedStats, cols, Some(df.schema), stagedBlooms, bcols))
+        staged, mergeStats(stagedStats, transformStats(staged, trs)), cols,
+        Some(df.schema), stagedBlooms, bcols, transforms = trs))
     }
   }
 
@@ -553,10 +737,33 @@ object TxnTable {
   def overwrite(s: SparkSession, root: String, df: DataFrame,
                 statsCols: Seq[String] = Nil,
                 bloomCols: Seq[String] = Nil): Snapshot = {
-    val staged = stage(s, root, df)
+    val prior = latest(s, root)
+    val trs = prior.map(_.transforms).getOrElse(Nil)
+    val staged = stage(s, root, df, trs)
     val (stagedStats, stagedBlooms) = fileMeta(s, root, staged, statsCols, bloomCols)
-    commit(s, root, nextVersion(s, root), "overwrite", staged,
-      stagedStats, statsCols, Some(df.schema), stagedBlooms, bloomCols)
+    commit(s, root, prior.map(_.version).getOrElse(0L) + 1, "overwrite", staged,
+      mergeStats(stagedStats, transformStats(staged, trs)), statsCols,
+      Some(df.schema), stagedBlooms, bloomCols, transforms = trs)
+  }
+
+  /** Record (or evolve to) a hidden-partitioning [[Transform]] spec on
+    * an EXISTING table — metadata-only commit, zero data movement:
+    * files written before the spec simply have no transform entries and
+    * are never skipped (sound), new appends fan out and record theirs,
+    * and a clustering [[compactTxn]] retrofits the old files. The same
+    * late-binding contract as Iceberg partition-spec evolution. */
+  def setTransforms(s: SparkSession, root: String,
+                    transforms: Seq[Transform]): Snapshot = {
+    require(transforms.nonEmpty, "setTransforms needs at least one transform")
+    require(transforms.map(_.name).distinct.size == transforms.size,
+      "duplicate transform names")
+    val cur = latestRequired(s, root)
+    cur.schema.foreach(sc => transforms.foreach(t =>
+      require(sc.fieldNames.contains(t.src),
+        s"transform ${t.name} needs source column '${t.src}'")))
+    commit(s, root, cur.version + 1, "set-transforms", cur.files, cur.stats,
+      cur.statsCols, cur.schema, cur.blooms, cur.bloomCols,
+      cur.deletes, cur.deleteCols, transforms)
   }
 
   /** Transactional compaction: rewrite the current snapshot to
@@ -583,12 +790,15 @@ object TxnTable {
           .repartitionByRange(targetFiles, sortCols.map(col): _*)
           .sortWithinPartitions(sortCols.map(col): _*)
       }
-    val staged = stage(s, root, arranged)
+    // compaction preserves the transform fan-out (a compacted file must
+    // still hold one transform value for path-derived pruning to hold)
+    val staged = stage(s, root, arranged, cur.transforms)
     // rewritten files get fresh stats/blooms under the table's columns
     val (stagedStats, stagedBlooms) = fileMeta(s, root, staged, cur.statsCols, cur.bloomCols)
-    commit(s, root, cur.version + 1, "compact", staged, stagedStats,
+    commit(s, root, cur.version + 1, "compact", staged,
+      mergeStats(stagedStats, transformStats(staged, cur.transforms)),
       cur.statsCols, cur.schema.orElse(Some(arranged.schema)),
-      stagedBlooms, cur.bloomCols)
+      stagedBlooms, cur.bloomCols, transforms = cur.transforms)
   }
 
   /** Targeted MERGE (upsert): apply `changes` by `keyCols` — a change
@@ -606,9 +816,10 @@ object TxnTable {
     * have the table's schema; key equality is null-safe exact. */
   def mergeInto(s: SparkSession, root: String, changes: DataFrame,
                 keyCols: Seq[String],
-                statsRange: Option[(Long, Long)] = None): Snapshot =
-    mergeIntoBounded(s, root, changes, keyCols,
-      primaryBounds(s, root, statsRange))
+                statsRange: Option[(Long, Long)] = None): Snapshot = {
+    val cur = latestRequired(s, root)
+    mergeIntoImpl(s, root, cur, changes, keyCols, primaryBounds(cur, statsRange))
+  }
 
   /** [[mergeInto]] with MULTI-COLUMN bounds: each (column, lo, hi)
     * entry asserts the change keys' values of that RECORDED stats
@@ -618,10 +829,13 @@ object TxnTable {
     * contract per bound as `statsRange`. */
   def mergeIntoBounded(s: SparkSession, root: String, changes: DataFrame,
                        keyCols: Seq[String],
-                       bounds: Seq[(String, Long, Long)]): Snapshot = {
+                       bounds: Seq[(String, Long, Long)]): Snapshot =
+    mergeIntoImpl(s, root, latestRequired(s, root), changes, keyCols, bounds)
+
+  private def mergeIntoImpl(s: SparkSession, root: String, cur: Snapshot,
+                            changes: DataFrame, keyCols: Seq[String],
+                            bounds: Seq[(String, Long, Long)]): Snapshot = {
     require(keyCols.nonEmpty, "mergeInto needs at least one key column")
-    val cur = latest(s, root).getOrElse(
-      throw new IllegalStateException(s"no committed snapshot at $root"))
     requireNoMor(cur, "mergeInto")
     val base = root.stripSuffix("/")
     val (carry, touch) =
@@ -644,13 +858,17 @@ object TxnTable {
         survivors.unionByName(changes, allowMissingColumns = true)
       }
     val staged =
-      if (rewritten.isEmpty) Seq.empty[String] else stage(s, root, rewritten)
+      if (rewritten.isEmpty) Seq.empty[String]
+      else stage(s, root, rewritten, cur.transforms)
     val (stagedStats, stagedBlooms) =
       fileMeta(s, root, staged, cur.statsCols, cur.bloomCols)
     commit(s, root, cur.version + 1, "merge", carry ++ staged,
-      cur.stats.view.filterKeys(carry.toSet).toMap ++ stagedStats, cur.statsCols,
+      cur.stats.view.filterKeys(carry.toSet).toMap ++
+        mergeStats(stagedStats, transformStats(staged, cur.transforms)),
+      cur.statsCols,
       Some(evolve(cur.schema, changes.schema)),
-      cur.blooms.view.filterKeys(carry.toSet).toMap ++ stagedBlooms, cur.bloomCols)
+      cur.blooms.view.filterKeys(carry.toSet).toMap ++ stagedBlooms,
+      cur.bloomCols, transforms = cur.transforms)
   }
 
   /** Raw-file code paths (pruned reads, copy-on-write rewrites) bypass
@@ -696,9 +914,11 @@ object TxnTable {
     * still carries the residual predicate's correctness: callers apply
     * their own filter on top, as with any coarse index. */
   def readPruned(s: SparkSession, root: String, col: String,
-                 lo: Long, hi: Long): DataFrame = {
-    val snap = latest(s, root).getOrElse(
-      throw new IllegalStateException(s"no committed snapshot at $root"))
+                 lo: Long, hi: Long): DataFrame =
+    readPrunedAt(s, root, latestRequired(s, root), col, lo, hi)
+
+  private def readPrunedAt(s: SparkSession, root: String, snap: Snapshot,
+                           col: String, lo: Long, hi: Long): DataFrame = {
     requireNoMor(snap, "readPruned")
     require(snap.files.nonEmpty, s"snapshot v${snap.version} has no data files")
     val kept = snap.files.filter(f =>
@@ -711,11 +931,12 @@ object TxnTable {
       reader.parquet(s"$base/${snap.files.head}").limit(0)
   }
 
-  /** [[readPruned]] on the PRIMARY (first-recorded) stats column. */
+  /** [[readPruned]] on the PRIMARY (first-recorded) stats column — the
+    * column choice and the file filter come from the SAME resolved
+    * snapshot. */
   def readPruned(s: SparkSession, root: String, lo: Long, hi: Long): DataFrame = {
-    val snap = latest(s, root).getOrElse(
-      throw new IllegalStateException(s"no committed snapshot at $root"))
-    readPruned(s, root, snap.statsCols.headOption.getOrElse(""), lo, hi)
+    val snap = latestRequired(s, root)
+    readPrunedAt(s, root, snap, snap.statsCols.headOption.getOrElse(""), lo, hi)
   }
 
   /** BLOOM-pruned POINT LOOKUP: the table restricted to files whose
@@ -728,9 +949,11 @@ object TxnTable {
     * caller's residual filter keeps correctness; files without a filter
     * for `col` are always kept (skipping must never be unsound). */
   def readPointLookup(s: SparkSession, root: String, col: String,
-                      value: Long): DataFrame = {
-    val snap = latest(s, root).getOrElse(
-      throw new IllegalStateException(s"no committed snapshot at $root"))
+                      value: Long): DataFrame =
+    readPointLookupAt(s, root, latestRequired(s, root), col, value)
+
+  private def readPointLookupAt(s: SparkSession, root: String, snap: Snapshot,
+                                col: String, value: Long): DataFrame = {
     requireNoMor(snap, "readPointLookup")
     require(snap.files.nonEmpty, s"snapshot v${snap.version} has no data files")
     val kept = snap.files.filter(f =>
@@ -742,11 +965,11 @@ object TxnTable {
     else reader.parquet(s"$base/${snap.files.head}").limit(0)
   }
 
-  /** [[readPointLookup]] on the PRIMARY (first-recorded) bloom column. */
+  /** [[readPointLookup]] on the PRIMARY (first-recorded) bloom column —
+    * column choice and file filter from the SAME resolved snapshot. */
   def readPointLookup(s: SparkSession, root: String, value: Long): DataFrame = {
-    val snap = latest(s, root).getOrElse(
-      throw new IllegalStateException(s"no committed snapshot at $root"))
-    readPointLookup(s, root, snap.bloomCols.headOption.getOrElse(""), value)
+    val snap = latestRequired(s, root)
+    readPointLookupAt(s, root, snap, snap.bloomCols.headOption.getOrElse(""), value)
   }
 
   /** CHANGE DATA FEED: the row-level difference between two committed
@@ -807,11 +1030,23 @@ object TxnTable {
     val removed = (f1 -- f2).toSeq.sorted.map(f => s"$base/$f")
     val carried = s2.files.filter(f1).map(f => s"$base/$f")
     val reader = s2.schema.fold(s.read)(s.read.schema)
-    // the equality-delete key columns are fixed per table at first use,
-    // so whichever snapshot carries deletes names the same (possibly
-    // composite) key
-    val delCols: Seq[String] =
-      if (s2.deleteCols.nonEmpty) s2.deleteCols else s1.deleteCols
+    // The equality-delete key columns are only FIXED while delete files
+    // are live: after a compactDeletes, a later deleteKeysMor may re-fix
+    // a DIFFERENT key list, and s1's delete files contain only s1's key
+    // columns — selecting s2's columns from them would throw. When both
+    // snapshots carry live deletes the keys must agree (refuse clearly
+    // otherwise: a key-diff across two key spaces is not well-defined —
+    // diff in two steps, each on one side of the re-keying boundary);
+    // when only one side carries deletes, its own key list governs.
+    val delCols: Seq[String] = {
+      if (s1.deletes.nonEmpty && s2.deletes.nonEmpty)
+        require(s1.deleteCols == s2.deleteCols,
+          s"changesBetween: delete key columns changed between v$v1 " +
+            s"(${s1.deleteCols.mkString(",")}) and v$v2 " +
+            s"(${s2.deleteCols.mkString(",")}) across a compactDeletes " +
+            "boundary - diff [v1, compaction] and [compaction, v2] separately")
+      if (s2.deletes.nonEmpty) s2.deleteCols else s1.deleteCols
+    }
     def keysOf(files: Seq[String]): Option[DataFrame] =
       if (files.isEmpty) None
       else Some(s.read.parquet(files.map(f => s"$base/$f"): _*)
@@ -891,16 +1126,19 @@ object TxnTable {
     * the bytes are gone. */
   def deleteWhere(s: SparkSession, root: String,
                   predicate: org.apache.spark.sql.Column,
-                  statsRange: Option[(Long, Long)] = None): Snapshot =
-    deleteWhereBounded(s, root, predicate, primaryBounds(s, root, statsRange))
+                  statsRange: Option[(Long, Long)] = None): Snapshot = {
+    val cur = latestRequired(s, root)
+    deleteWhereImpl(s, root, cur, predicate, primaryBounds(cur, statsRange))
+  }
 
   /** The bound used by the single-range compatibility signatures: the
-    * caller's [lo, hi] applied to the PRIMARY stats column (no recorded
-    * columns → no bound → every file rewritten, always sound). */
-  private def primaryBounds(s: SparkSession, root: String,
+    * caller's [lo, hi] applied to the PRIMARY stats column of the SAME
+    * snapshot the operation runs against (no recorded columns → no
+    * bound → every file rewritten, always sound). */
+  private def primaryBounds(snap: Snapshot,
       statsRange: Option[(Long, Long)]): Seq[(String, Long, Long)] =
     statsRange.toSeq.flatMap { case (lo, hi) =>
-      latest(s, root).flatMap(_.statsCols.headOption).map(c => (c, lo, hi))
+      snap.statsCols.headOption.map(c => (c, lo, hi))
     }
 
   /** [[deleteWhere]] with MULTI-COLUMN bounds: each (column, lo, hi)
@@ -911,9 +1149,12 @@ object TxnTable {
     * range whenever a second column correlates with layout. */
   def deleteWhereBounded(s: SparkSession, root: String,
                          predicate: org.apache.spark.sql.Column,
-                         bounds: Seq[(String, Long, Long)]): Snapshot = {
-    val cur = latest(s, root).getOrElse(
-      throw new IllegalStateException(s"no committed snapshot at $root"))
+                         bounds: Seq[(String, Long, Long)]): Snapshot =
+    deleteWhereImpl(s, root, latestRequired(s, root), predicate, bounds)
+
+  private def deleteWhereImpl(s: SparkSession, root: String, cur: Snapshot,
+                              predicate: org.apache.spark.sql.Column,
+                              bounds: Seq[(String, Long, Long)]): Snapshot = {
     requireNoMor(cur, "deleteWhere (copy-on-write)")
     val base = root.stripSuffix("/")
     val (carry, touch) =
@@ -929,14 +1170,18 @@ object TxnTable {
           .filter(org.apache.spark.sql.functions.not(predicate))
         // a delete may empty every touched file; a 0-row stage would
         // write no parquet parts to reference
-        if (rest.isEmpty) Seq.empty[String] else stage(s, root, rest)
+        if (rest.isEmpty) Seq.empty[String]
+        else stage(s, root, rest, cur.transforms)
       }
     val (stagedStats, stagedBlooms) =
       fileMeta(s, root, staged, cur.statsCols, cur.bloomCols)
     commit(s, root, cur.version + 1, "delete", carry ++ staged,
-      cur.stats.view.filterKeys(carry.toSet).toMap ++ stagedStats, cur.statsCols,
+      cur.stats.view.filterKeys(carry.toSet).toMap ++
+        mergeStats(stagedStats, transformStats(staged, cur.transforms)),
+      cur.statsCols,
       cur.schema,
-      cur.blooms.view.filterKeys(carry.toSet).toMap ++ stagedBlooms, cur.bloomCols)
+      cur.blooms.view.filterKeys(carry.toSet).toMap ++ stagedBlooms,
+      cur.bloomCols, transforms = cur.transforms)
   }
 
   /** MERGE-ON-READ equality delete — the O(deleted keys) counterpart of
@@ -973,40 +1218,82 @@ object TxnTable {
     * out. Same refuse/fold semantics as the single-column form — the
     * key column LIST is fixed at first use. */
   def deleteKeysMor(s: SparkSession, root: String, keyCols: Seq[String],
-                    keys: DataFrame): Snapshot = {
+                    keys: DataFrame, maxAttempts: Int = 5): Snapshot = {
     require(keyCols.nonEmpty, "deleteKeysMor needs at least one key column")
     require(keyCols.distinct == keyCols,
       s"duplicate delete key columns: $keyCols")
-    val cur = latest(s, root).getOrElse(
-      throw new IllegalStateException(s"no committed snapshot at $root"))
-    cur.schema.foreach(sc => keyCols.foreach(c =>
-      require(sc.fieldNames.contains(c),
-        s"delete column '$c' is not a table column")))
-    require(cur.deleteCols.isEmpty || cur.deleteCols == keyCols,
-      s"table already carries MoR deletes on '${cur.deleteCols.mkString(",")}'" +
-        "; one equality-delete key per table")
+    require(maxAttempts >= 1, "need at least one attempt")
     import org.apache.spark.sql.functions.col
-    val staged = stage(s, root, keys.select(keyCols.map(col): _*).distinct())
-    commit(s, root, cur.version + 1, "delete-mor", cur.files, cur.stats,
-      cur.statsCols, cur.schema, cur.blooms, cur.bloomCols,
-      cur.deletes ++ staged, keyCols)
+    // delete-KEY files are not data files: no transform fan-out. Staged
+    // ONCE — on a lost commit race they re-commit unchanged on the new
+    // head: an equality delete names KEYS, not files, so it composes
+    // with a racing append the way a production store resolves this
+    // cell of the conflict matrix (the delete applies to the table AS
+    // OF ITS COMMIT, racing-appended rows with a deleted key included —
+    // Iceberg's snapshot-isolation default; a writer wanting
+    // serializable append-vs-delete validation re-reads and re-issues).
+    // A racing MoR delete merges (both key files live); a racing
+    // compactDeletes re-keys the table, so the key-list check re-runs
+    // against every new head.
+    var staged: Seq[String] = null
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val cur = latest(s, root).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot at $root"))
+      cur.schema.foreach(sc => keyCols.foreach(c =>
+        require(sc.fieldNames.contains(c),
+          s"delete column '$c' is not a table column")))
+      require(cur.deleteCols.isEmpty || cur.deleteCols == keyCols,
+        s"table already carries MoR deletes on '${cur.deleteCols.mkString(",")}'" +
+          "; one equality-delete key per table")
+      if (staged == null)
+        staged = stage(s, root, keys.select(keyCols.map(col): _*).distinct())
+      try {
+        return commit(s, root, cur.version + 1, "delete-mor", cur.files,
+          cur.stats, cur.statsCols, cur.schema, cur.blooms, cur.bloomCols,
+          cur.deletes ++ staged, keyCols, cur.transforms)
+      } catch {
+        case _: TxnConflictException if attempt < maxAttempts => // re-resolve
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Fold live merge-on-read delete files into the data: ONE rewrite of
     * the merged table, after which the snapshot carries no delete files
     * and every raw-file reader works again — the compaction bill CoW
     * would have paid per delete, paid once per maintenance window. */
-  def compactDeletes(s: SparkSession, root: String): Snapshot = {
-    val cur = latest(s, root).getOrElse(
-      throw new IllegalStateException(s"no committed snapshot at $root"))
-    if (cur.deletes.isEmpty) return cur
-    val merged = read(s, root) // the anti-joined view IS the new content
-    val staged = stage(s, root, merged)
-    val (stagedStats, stagedBlooms) =
-      fileMeta(s, root, staged, cur.statsCols, cur.bloomCols)
-    commit(s, root, cur.version + 1, "compact-deletes", staged, stagedStats,
-      cur.statsCols, cur.schema.orElse(Some(merged.schema)),
-      stagedBlooms, cur.bloomCols)
+  def compactDeletes(s: SparkSession, root: String,
+                     maxAttempts: Int = 5): Snapshot = {
+    require(maxAttempts >= 1, "need at least one attempt")
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val cur = latest(s, root).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot at $root"))
+      if (cur.deletes.isEmpty) return cur
+      // the anti-joined view IS the new content — resolved against THIS
+      // head, so unlike append/delete-mor retries the staged result is
+      // STALE after a lost race (a racing append's rows would be
+      // silently dropped by re-committing it): every attempt re-reads
+      // and re-stages from the new head. The price of losing a race
+      // here is a full rewrite — which is the operation's own cost, and
+      // why maintenance compaction runs in a quiet window.
+      val merged = readAsOf(s, root, cur.version)
+      val staged = stage(s, root, merged, cur.transforms)
+      val (stagedStats, stagedBlooms) =
+        fileMeta(s, root, staged, cur.statsCols, cur.bloomCols)
+      try {
+        return commit(s, root, cur.version + 1, "compact-deletes", staged,
+          mergeStats(stagedStats, transformStats(staged, cur.transforms)),
+          cur.statsCols, cur.schema.orElse(Some(merged.schema)),
+          stagedBlooms, cur.bloomCols, transforms = cur.transforms)
+      } catch {
+        case _: TxnConflictException if attempt < maxAttempts => // re-resolve
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** RESTORE — roll the table back to `toVersion` as a NEW commit (the
@@ -1027,7 +1314,8 @@ object TxnTable {
     val snap = snapshot(s, root, toVersion)
     commit(s, root, nextVersion(s, root), s"restore:$toVersion",
       snap.files, snap.stats, snap.statsCols, snap.schema,
-      snap.blooms, snap.bloomCols, snap.deletes, snap.deleteCols)
+      snap.blooms, snap.bloomCols, snap.deletes, snap.deleteCols,
+      snap.transforms)
   }
 
   /** Retention: keep the newest `retainVersions` manifests, drop older

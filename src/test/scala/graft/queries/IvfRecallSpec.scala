@@ -52,9 +52,27 @@ class IvfRecallSpec extends AnyFunSuite {
   }
 
   test("recall@5 curve over nProbe 1..K: monotone, exhaustive at K") {
+    curveAt(8, setConf = false) // the default build
+  }
+
+  test("recall@5 curve holds at a second K (graft.ivf.k re-tune forces retrain)") {
+    // the knob-aware stamp is what makes this test meaningful: without
+    // it, setting graft.ivf.k would silently reuse the K=8 index and
+    // nProbe=16 could never be exhaustive
+    curveAt(16, setConf = true)
+  }
+
+  private def curveAt(K: Int, setConf: Boolean): Unit = {
     val s = spark
     import s.implicits._
-    val K = 8
+    if (setConf) spark.conf.set("graft.ivf.k", K.toString)
+    try curveBody(K)
+    finally if (setConf) spark.conf.unset("graft.ivf.k")
+  }
+
+  private def curveBody(K: Int): Unit = {
+    val s = spark
+    import s.implicits._
     val vecs = graft.Tables.t(spark, srcSf, "embeddings")
       .select($"vec_id", $"embedding").collect()
       .map(r => r.getLong(0) ->

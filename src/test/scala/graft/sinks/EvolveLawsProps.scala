@@ -54,13 +54,56 @@ object EvolveLawsProps extends Properties("graft.txn.evolve.laws") {
       }
     }
 
-  property("a type change on a shared name is refused") =
+  property("an incompatible type change on a shared name is refused") =
     Prop.forAll(schemaGen.suchThat(_.fields.nonEmpty)) { prior =>
       val f = prior.fields.head
+      // string<->anything is never a widening, in either direction
       val flipped = StructField(f.name,
-        if (f.dataType == LongType) StringType else LongType)
+        if (f.dataType == StringType) LongType else StringType)
       Prop.throws(classOf[IllegalArgumentException]) {
         TxnTable.evolve(Some(prior), StructType(Seq(flipped)))
       }
+    }
+
+  // ---- lossless type widening (round 10) --------------------------------
+  private val widenChains: Seq[Seq[DataType]] = Seq(
+    Seq(ByteType, ShortType, IntegerType, LongType),
+    Seq(FloatType, DoubleType))
+
+  property("lossless widening is accepted and widens IN PLACE") =
+    Prop.forAll(Gen.oneOf(widenChains), Gen.chooseNum(0, 2)) { (chain, i0) =>
+      val i = math.min(i0, chain.size - 2)
+      val narrow = chain(i)
+      Prop.forAll(Gen.oneOf(chain.drop(i + 1))) { wide =>
+        val prior = StructType(Seq(StructField("x", narrow), StructField("k", StringType)))
+        val out = TxnTable.evolve(Some(prior), StructType(Seq(StructField("x", wide))))
+        // position kept, type widened, other columns untouched
+        out.fieldNames.toSeq == Seq("x", "k") &&
+          out.fields(0).dataType == wide && out.fields(1).dataType == StringType
+      }
+    }
+
+  property("narrowing is refused (writers produce table-typed data)") =
+    Prop.forAll(Gen.oneOf(widenChains)) { chain =>
+      Prop.forAll(Gen.chooseNum(0, chain.size - 2)) { i =>
+        val prior = StructType(Seq(StructField("x", chain.last)))
+        Prop.throws(classOf[IllegalArgumentException]) {
+          TxnTable.evolve(Some(prior), StructType(Seq(StructField("x", chain(i)))))
+        }
+      }
+    }
+
+  property("widening is idempotent and monotone along the chain") =
+    Prop.forAll(Gen.oneOf(widenChains)) { chain =>
+      // fold the whole chain: each step widens, re-applying any earlier
+      // (narrower) shape afterwards refuses, re-applying the final shape
+      // is a no-op
+      val finalSchema = chain.init.foldLeft(
+        StructType(Seq(StructField("x", chain.head)))) { (acc, _) =>
+        val idx = chain.indexOf(acc.fields(0).dataType)
+        TxnTable.evolve(Some(acc), StructType(Seq(StructField("x", chain(idx + 1)))))
+      }
+      finalSchema.fields(0).dataType == chain.last &&
+        TxnTable.evolve(Some(finalSchema), finalSchema) == finalSchema
     }
 }
