@@ -41,7 +41,16 @@ object Verify {
         // the gate that refuses outright
         graft.plans.GuardRails.gate(name, df).foreach(h =>
           System.err.println(s"[guard-rails] $name: [${h.kind}] ${h.detail}"))
-        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // Default (the driver's gate): ONE ordered output file — the
+        // compare is row-order-sensitive. SPARK_GRAFT_VERIFY_PARALLEL=1
+        // writes with full parallelism instead (coalesce(1) collapses
+        // every pre-shuffle stage into one task — at sf10 that turns a
+        // 32-core run into a single-threaded one); the companion
+        // check.py --setop mode then compares as multisets in DuckDB.
+        if (sys.env.contains("SPARK_GRAFT_VERIFY_PARALLEL"))
+          df.write.mode("overwrite").parquet(s"$outDir/$name")
+        else
+          df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
