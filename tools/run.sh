@@ -12,6 +12,13 @@ for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.refl
          java.base/sun.util.calendar; do
   OPENS="$OPENS --add-opens $p=ALL-UNNAMED"
 done
+# Own warehouse dir: session artifacts (bucketed tables, IVF cells) are
+# rebuilt-if-stale by stamp, but a run.sh JVM rebuilding them under
+# ./spark-warehouse while an sbt-test JVM holds cached file listings of
+# the same tables throws FILE_NOT_EXIST in the tests. Separate roots
+# make the two JVM populations collision-free; artifacts still reuse
+# across run.sh invocations.
 exec java $OPENS -Xmx${SPARK_DRIVER_MEM:-8g} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Dspark.sql.warehouse.dir="${SPARK_GRAFT_WAREHOUSE:-/tmp/graft_run_warehouse}" \
   -cp "$CP" "$@"
