@@ -98,7 +98,8 @@ object Bench {
         graft.queries.ZOrder.benchVariants ++
         graft.queries.Txn.benchVariants ++
         graft.queries.Materialized.benchVariants ++
-        graft.multimodal.Multimodal.benchVariants)
+        graft.multimodal.Multimodal.benchVariants ++
+        graft.ml.QualityFilter.benchVariants)
       .toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }
     val (calCpu, calShuffle) = calibrate(spark)

@@ -24,7 +24,7 @@ object SparkEntry {
       graft.queries.ZOrder.queries ++ graft.queries.Incremental.queries ++
       graft.queries.Clusters.queries ++ graft.queries.Scd.queries ++
       graft.queries.Txn.queries ++ graft.queries.Materialized.queries ++
-      graft.queries.PageRank.queries
+      graft.queries.PageRank.queries ++ graft.ml.QualityFilter.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -36,5 +36,5 @@ object SparkEntry {
       graft.queries.ZOrder.oracles ++ graft.queries.Incremental.oracles ++
       graft.queries.Clusters.oracles ++ graft.queries.Scd.oracles ++
       graft.queries.Txn.oracles ++ graft.queries.Materialized.oracles ++
-      graft.queries.PageRank.oracles
+      graft.queries.PageRank.oracles ++ graft.ml.QualityFilter.oracles
 }
