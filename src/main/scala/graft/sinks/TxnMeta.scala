@@ -1,0 +1,76 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Metadata/introspection TABLES over a [[TxnTable]] — the operational
+  * surface every production table format exposes (Delta `DESCRIBE
+  * HISTORY`, Iceberg's `history`/`files`/`snapshots` metadata tables):
+  * audit "who did what when", debug pruning ("which files, what ranges"),
+  * and feed retention planning, all as ordinary DataFrames composable
+  * with the rest of the engine.
+  *
+  * Reads ONLY committed manifests via the public snapshot API — metadata
+  * scale, zero data-file reads: the driver materializes one row per
+  * commit ([[history]]) or one row per (file × recorded column)
+  * ([[files]]), both bounded by manifest size, the same planning-state
+  * class as every commit operation. At 100 TB the manifest is megabytes
+  * while the data is terabytes; these tables never touch the data.
+  */
+object TxnMeta {
+
+  /** One row per commit, ascending by version (the audit log):
+    * `version, ts, op, n_files, n_delete_files, stats_cols, bloom_cols,
+    * delete_cols, transforms`. `ts` is the manifest-recorded commit
+    * instant (null for legacy manifests without one — file mtimes are
+    * deliberately NOT substituted here: history must survive directory
+    * copies/restores, and a silently mtime-derived audit row would lie
+    * about when the commit happened). */
+  def history(s: SparkSession, root: String): DataFrame = {
+    import s.implicits._
+    val rows = TxnTable.versions(s, root).map { v =>
+      val sn = TxnTable.snapshot(s, root, v)
+      (sn.version, sn.tsMs, sn.op, sn.files.size, sn.deletes.size,
+        sn.statsCols, sn.bloomCols, sn.deleteCols, sn.transforms.map(_.name))
+    }
+    rows.toDF("version", "ts_ms", "op", "n_files", "n_delete_files",
+        "stats_cols", "bloom_cols", "delete_cols", "transforms")
+      .withColumn("ts", timestamp_millis(col("ts_ms"))).drop("ts_ms")
+      .select("version", "ts", "op", "n_files", "n_delete_files",
+        "stats_cols", "bloom_cols", "delete_cols", "transforms")
+  }
+
+  /** One row per (data file × recorded stats column) of one snapshot —
+    * the pruning debugger: `file, bytes, column, lo, hi, has_bloom`.
+    * Files with no recorded stats contribute one row with a null
+    * `column` (visible, never silently dropped — an unpruned file is
+    * exactly what this table exists to surface). Hidden-partitioning
+    * transform values appear under their derived names (`day_ts`,
+    * `bucketN_k`) like any recorded column. Delete-key files are not
+    * data files and are not listed ([[history]] counts them). */
+  def files(s: SparkSession, root: String,
+            version: Option[Long] = None): DataFrame = {
+    import s.implicits._
+    val v = version.getOrElse(
+      TxnTable.versions(s, root).lastOption.getOrElse(
+        throw new IllegalStateException(s"no committed snapshot at $root")))
+    val sn = TxnTable.snapshot(s, root, v)
+    val base = root.stripSuffix("/")
+    val fsys = new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val rows = sn.files.flatMap { f =>
+      val bytes = fsys.getFileStatus(new Path(s"$base/$f")).getLen
+      val cols = sn.stats.getOrElse(f, Map.empty)
+      val blooms = sn.blooms.getOrElse(f, Map.empty).keySet
+      if (cols.isEmpty && blooms.isEmpty)
+        Seq((f, bytes, Option.empty[String], Option.empty[Long],
+          Option.empty[Long], false))
+      else
+        (cols.keySet ++ blooms).toSeq.sorted.map { c =>
+          val st = cols.get(c)
+          (f, bytes, Some(c), st.map(_._1), st.map(_._2), blooms.contains(c))
+        }
+    }
+    rows.toDF("file", "bytes", "column", "lo", "hi", "has_bloom")
+  }
+}
