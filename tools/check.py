@@ -27,6 +27,18 @@ sf = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
 out = args[1] if len(args) > 1 else "/tmp/verify_out"
 
 con = duckdb.connect()
+# Large-SF tuning: the recursive-CTE oracles (q104/q114 PageRank) spill
+# tens of GB at sf10; fewer threads shrink the concurrent working set
+# (slower, but disk-feasible), and an explicit temp dir points the spill
+# at the roomiest mount. DUCKDB_THREADS / DUCKDB_MEM / DUCKDB_TMP env.
+import os as _os
+if _os.environ.get("DUCKDB_THREADS"):
+    con.execute(f"PRAGMA threads={int(_os.environ['DUCKDB_THREADS'])}")
+if _os.environ.get("DUCKDB_MEM"):
+    con.execute(f"PRAGMA memory_limit='{_os.environ['DUCKDB_MEM']}'")
+if _os.environ.get("DUCKDB_TMP"):
+    con.execute(f"PRAGMA temp_directory='{_os.environ['DUCKDB_TMP']}'")
+ONLY = [q for q in _os.environ.get("CHECK_ONLY", "").split(",") if q]
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     p = f"{sf}/{t}.parquet"
@@ -34,6 +46,8 @@ for t in ["region","nation","customer","supplier","part","orders",
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
+if ONLY:
+    oracle = {k: v for k, v in oracle.items() if any(s in k for s in ONLY)}
 fail = 0
 for name in sorted(oracle):
     sql = oracle[name]
