@@ -210,11 +210,14 @@ object LlmOps {
     * bounds any single bucket's contribution to C(cap,2) pairs. The cap
     * keeps the `cap` SMALLEST doc_ids (ids are sorted first, so the cut is
     * deterministic and the canonical keep-min-id representative always
-    * survives). Chosen far above any real bucket at test scale, so capped
-    * and uncapped results are identical on the testdata (the oracle's
-    * self-join form is uncapped); at 100 TB a capped-out bucket means
-    * thousands of near-identical copies — the retained pairs still link
-    * every kept doc, and the overflow set is exactly `bucketOverflow`. */
+    * survives). The cap IS the operator's contract, and the oracle
+    * encodes it (`bcap` in [[candCtes]]/q30: keep the cap smallest ids
+    * per bucket — provably identical to the two-phase salted cap) — the
+    * sf10 scale step surfaced exactly one 1400-id bucket where the
+    * previously-uncapped oracle diverged by the capped-out pairs. At
+    * 100 TB a capped-out bucket means thousands of near-identical
+    * copies — the retained pairs still link every kept doc, and the
+    * overflow set is exactly `bucketOverflow`. */
   private[queries] val BucketCap = 1000
 
   /** Salt shards for the two-phase capped collect: a hot bucket's id
@@ -326,9 +329,14 @@ object LlmOps {
       |  SELECT doc_id, 1, m2 || '|' || m3 FROM mh UNION ALL
       |  SELECT doc_id, 2, m4 || '|' || m5 FROM mh UNION ALL
       |  SELECT doc_id, 3, m6 || '|' || m7 FROM mh),
+      |bcap AS (
+      |  SELECT doc_id, band, key FROM (
+      |    SELECT doc_id, band, key,
+      |      row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rn
+      |    FROM bands) WHERE rn <= $BucketCap),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM bands a JOIN bands b
+      |  FROM bcap a JOIN bcap b
       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
 
   val q25Sql: String =

@@ -117,9 +117,14 @@ object TextOps {
        |  SELECT doc_id, 1, m2 || '|' || m3 FROM mh UNION ALL
        |  SELECT doc_id, 2, m4 || '|' || m5 FROM mh UNION ALL
        |  SELECT doc_id, 3, m6 || '|' || m7 FROM mh),
+       |bcap AS (
+       |  SELECT doc_id, band, key FROM (
+       |    SELECT doc_id, band, key,
+       |      row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rn
+       |    FROM bands) WHERE rn <= ${LlmOps.BucketCap}),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
+       |  FROM bcap a JOIN bcap b
        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b,
        |  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
