@@ -1556,6 +1556,129 @@ object TextOps {
   }
   val q113: Q = q113Bench // the top-50 sort is the semantics
 
+  // ---------------------------------------------------------------------
+  // q121: EXACT SUBSTRING DEDUP — the position-level duplicate-SPAN
+  // remover (the ExactSubstr step of Lee et al., "Deduplicating Training
+  // Data Makes Language Models Better"): any K-token window whose text
+  // appears anywhere else in the corpus — another document OR earlier in
+  // the same document — is a duplicated occurrence unless it is the
+  // global first occurrence; overlapping/adjacent duplicated windows
+  // merge into maximal spans, and each document is reassembled from the
+  // tokens outside its spans. Finer than q103 (which drops only ALIGNED
+  // non-overlapping lines): a shared phrase at ANY offset is caught,
+  // which is what boilerplate/licenses/injected templates look like in
+  // the wild. K is the minimum duplicated-run length (the paper's 50
+  // tokens; 8 here for the synthetic doc lengths).
+  //
+  // Scale shape — the distributed answer to the paper's suffix array
+  // (which is single-machine): (1) one corpus scan explodes overlapping
+  // K-gram STARTS and shuffles md5(gram) + (doc,pos) — 40 bytes per
+  // token position regardless of K, never the text; the first-occurrence
+  // rule is min(struct(doc,pos)) per gram (q103's winner scheme), so a
+  // boilerplate gram with a billion copies is one window key (skew knob
+  // = q25's salting, same as q103). (2) duplicated starts — typically a
+  // small fraction — regroup by doc_id for the gaps-and-islands merge
+  // (lag + running sum; per-doc windows, never global). (3) token rows
+  // join spans per doc (spans are merged-disjoint, so each token matches
+  // at most one) and the reassembly groupBy reuses the doc_id
+  // partitioning. Nothing all-pairs, no driver collection; both engines
+  // hash grams with md5, so even a collision (2^-64-class) agrees
+  // cross-engine.
+  // ---------------------------------------------------------------------
+  private val SubK = 8
+
+  val q121Bench: Q = (s, dir) => {
+    import s.implicits._
+    val K = SubK
+    val toksDf = t(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("toks"))
+    // overlapping K-gram starts; docs shorter than K contribute no grams
+    // (guarded: Spark's sequence() would COUNT DOWN for start > stop)
+    val grams = toksDf
+      .withColumn("pos",
+        explode(when(size($"toks") >= K, sequence(lit(0), size($"toks") - K))
+          .otherwise(array().cast("array<int>"))))
+      .select($"doc_id", $"pos",
+        md5(array_join(slice($"toks", $"pos" + 1, lit(K)), " ")).as("gkey"))
+      .withColumn("okey", struct($"doc_id", $"pos"))
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy($"gkey")
+    val dup = grams
+      .withColumn("wkey", min($"okey").over(wg))
+      .where($"okey" =!= $"wkey")
+      .select($"doc_id", $"pos")
+    // gaps-and-islands: a new span starts when the previous duplicated
+    // start is too far back to overlap or touch ([pos,pos+K-1] windows)
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
+    val spans = dup
+      .withColumn("prev", lag($"pos", 1).over(wd))
+      .withColumn("ni", when($"prev".isNull || $"pos" > $"prev" + K, 1).otherwise(0))
+      .withColumn("island", sum($"ni").over(
+        wd.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy($"doc_id", $"island")
+      .agg(min($"pos").as("s"), (max($"pos") + lit(K - 1)).as("e"))
+      .select($"doc_id".as("s_doc"), $"s", $"e")
+    val tokens = toksDf.select($"doc_id", posexplode($"toks").as(Seq("tpos", "tok")))
+    tokens
+      .join(spans, tokens("doc_id") === spans("s_doc") &&
+        $"tpos" >= $"s" && $"tpos" <= $"e", "left")
+      .groupBy($"doc_id").agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct($"s").as("n_spans"),
+        sum(when($"s".isNotNull, 1L).otherwise(0L)).as("dup_tokens"),
+        array_join(transform(array_sort(collect_list(when($"s".isNull,
+          struct($"tpos", $"tok")))), x => x("tok")), " ").as("text_clean"))
+  }
+  val q121: Q = (s, dir) => {
+    import s.implicits._
+    q121Bench(s, dir).orderBy($"doc_id")
+  }
+  val q121Sql: String = {
+    val K = SubK
+    s"""WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(generate_series(0, len(toks) - $K)) AS pos, toks
+      |  FROM d),
+      |gr AS (
+      |  SELECT doc_id, pos,
+      |    md5(array_to_string(toks[pos + 1 : pos + $K], ' ')) AS gkey,
+      |    {'d': doc_id, 'p': pos} AS okey
+      |  FROM g),
+      |dup AS (
+      |  SELECT doc_id, pos FROM (
+      |    SELECT doc_id, pos, okey, MIN(okey) OVER (PARTITION BY gkey) AS wkey
+      |    FROM gr) WHERE okey <> wkey),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+      |           OR pos > LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) + $K
+      |         THEN 1 ELSE 0 END AS ni
+      |  FROM dup),
+      |isl2 AS (
+      |  SELECT doc_id, pos, SUM(ni) OVER (
+      |    PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM isl),
+      |spans AS (
+      |  SELECT doc_id AS s_doc, MIN(pos) AS s, MAX(pos) + ${K - 1} AS e
+      |  FROM isl2 GROUP BY doc_id, island),
+      |tok AS (
+      |  SELECT doc_id, unnest(generate_series(0, len(toks) - 1)) AS tpos, toks
+      |  FROM d),
+      |tok2 AS (SELECT doc_id, tpos, toks[tpos + 1] AS tok FROM tok),
+      |j AS (
+      |  SELECT t.doc_id, t.tpos, t.tok, s.s
+      |  FROM tok2 t LEFT JOIN spans s
+      |    ON t.doc_id = s.s_doc AND t.tpos BETWEEN s.s AND s.e)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(DISTINCT s) AS BIGINT) AS n_spans,
+      |  CAST(SUM(CASE WHEN s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS dup_tokens,
+      |  COALESCE(string_agg(CASE WHEN s IS NULL THEN tok END, ' ' ORDER BY tpos),
+      |           '') AS text_clean
+      |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q29_simhash"        -> q29,
     "q30_jaccard_verify" -> q30,
@@ -1581,7 +1704,8 @@ object TextOps {
     "q108_kmv_overlap"   -> q108,
     "q112_bpe_merges"    -> q112,
     "q113_comp_ratio"    -> q113,
-    "q115_bpe_encode"    -> q115)
+    "q115_bpe_encode"    -> q115,
+    "q121_substr_dedup"  -> q121)
 
   val oracles: Map[String, String] = Map(
     "q29_simhash"        -> q29Sql,
@@ -1607,7 +1731,8 @@ object TextOps {
     "q107_pareto"        -> q107Sql,
     "q108_kmv_overlap"   -> q108Sql,
     "q112_bpe_merges"    -> q112Sql,
-    "q115_bpe_encode"    -> q115Sql)
+    "q115_bpe_encode"    -> q115Sql,
+    "q121_substr_dedup"  -> q121Sql)
 
   /** Bench-time overrides minus determinism-only global sorts (see
     * [[Relational.benchVariants]]). Verify runs the sorted forms. */
@@ -1627,5 +1752,6 @@ object TextOps {
     "q97_postings"       -> q97Bench,
     "q103_line_dedup"    -> q103Bench,
     "q107_pareto"        -> q107Bench,
-    "q108_kmv_overlap"   -> q108Bench)
+    "q108_kmv_overlap"   -> q108Bench,
+    "q121_substr_dedup"  -> q121Bench)
 }
