@@ -801,6 +801,42 @@ object TxnTable {
       stagedBlooms, cur.bloomCols, transforms = cur.transforms)
   }
 
+  /** OPTIMIZE ZORDER: transactional reclustering on TWO dimensions at
+    * once — the multi-column half of the layout problem [[compactTxn]]'s
+    * single-key sort cannot solve. Range-partitioning on `dimA` makes
+    * files disjoint in `dimA` but each file still spans all of `dimB`;
+    * interleaving the two keys' bits ([[graft.queries.ZOrder.zvalue]],
+    * pure codegen'd shift/mask — no UDF) and range-partitioning on the
+    * z-value gives every file one contiguous z-range = one RECTANGLE in
+    * (dimA, dimB) space, so the manifest's per-file [min, max] prunes
+    * predicates on EITHER dimension. Same snapshot contract as
+    * [[compactTxn]]: same rows, new version, in-flight readers of prior
+    * versions untouched, live MoR deletes folded, transform fan-out
+    * preserved. Both dims join the table's recorded stats columns so
+    * [[readPruned]] skips on them from this commit on. Dim contract is
+    * zvalue's: small non-negative ints (ids, days, bucket ordinals —
+    * low 16 bits); rank-bucket real-valued dims first. */
+  def compactZOrderTxn(s: SparkSession, root: String, targetFiles: Int,
+                       dimA: String, dimB: String): Snapshot = {
+    require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
+    val cur = latestRequired(s, root)
+    import org.apache.spark.sql.functions.col
+    cur.schema.foreach(sc => Seq(dimA, dimB).foreach(d =>
+      require(sc.fieldNames.contains(d), s"z-order needs column '$d'")))
+    val arranged = read(s, root)
+      .withColumn("_zorder", graft.queries.ZOrder.zvalue(col(dimA), col(dimB)))
+      .repartitionByRange(targetFiles, col("_zorder"))
+      .sortWithinPartitions(col("_zorder"))
+      .drop("_zorder")
+    val staged = stage(s, root, arranged, cur.transforms)
+    val statsCols = (cur.statsCols ++ Seq(dimA, dimB)).distinct
+    val (stagedStats, stagedBlooms) = fileMeta(s, root, staged, statsCols, cur.bloomCols)
+    commit(s, root, cur.version + 1, "zorder", staged,
+      mergeStats(stagedStats, transformStats(staged, cur.transforms)),
+      statsCols, cur.schema.orElse(Some(arranged.schema)),
+      stagedBlooms, cur.bloomCols, transforms = cur.transforms)
+  }
+
   /** Targeted MERGE (upsert): apply `changes` by `keyCols` — a change
     * row REPLACES every current row with equal keys, or INSERTS if none
     * exists. The CDC-apply shape (Delta/Iceberg `MERGE INTO`), committed
