@@ -1,0 +1,125 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.StreamSourceProvider
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+import graft.sinks.TxnTable
+
+/** The txn table's change feed as a first-class Structured Streaming
+  * SOURCE — `spark.readStream.format(CdcSource.Format).option("root",
+  * tableRoot).load()` — the Delta/Iceberg `readChangeFeed` streaming
+  * surface. Offsets ARE table versions: the engine's offset log pins
+  * `(v1, v2]` windows, each batch is the per-version
+  * [[TxnTable.changesBetween]] feed with a `_commit_version` column, so
+  * a consumer sees every commit's effective row changes — inserts,
+  * keyed MoR deletes with pre-images, restore resurrections — in commit
+  * order, exactly once across restarts (the checkpoint replays the same
+  * version window, and a version-pinned feed is deterministic).
+  *
+  * Options: `root` (required) — the table path; `startVersion` —
+  * 0 replays history from the first commit (version 1's full content
+  * emits as inserts, then per-commit diffs), N starts after version N;
+  * default = the latest version at stream start (new changes only).
+  *
+  * Scale posture is [[TxnTable.changesBetween]]'s: each version window
+  * reads only the files that entered or left that manifest, so a
+  * steady-state stream over a 100 TB table costs per-commit deltas,
+  * never table scans; compactions cancel to empty feeds. The schema is
+  * pinned at stream start (batches cast up to it, so lossless widening
+  * mid-stream is transparent); an incompatible evolution fails the
+  * stream, and a restart re-pins — the semantics real CDF streams ship.
+  * Replay needs the checkpointed window's manifests: retention
+  * ([[TxnTable.vacuum]]) must outlive checkpoint lag.
+  */
+class CdcSourceProvider extends StreamSourceProvider {
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) =
+    (CdcSource.Format,
+      CdcSource.feedSchema(ctx.sparkSession, CdcSource.root(parameters)))
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source =
+    new CdcSource(ctx.sparkSession, CdcSource.root(parameters),
+      parameters.get("startVersion").map(_.toLong))
+}
+
+object CdcSource {
+  val Format: String = classOf[CdcSourceProvider].getName
+
+  private[streaming] def root(parameters: Map[String, String]): String =
+    parameters.getOrElse("root",
+      throw new IllegalArgumentException(s"$Format needs option 'root'"))
+
+  /** Stream schema: the table's columns (pinned from the latest
+    * snapshot at stream start, everything nullable — feed rows can
+    * carry nulls any file allows) + the feed's `_change_type` / `_n` +
+    * this source's `_commit_version`. */
+  def feedSchema(s: SparkSession, root: String): StructType = {
+    val snap = TxnTable.latest(s, root).getOrElse(throw new IllegalStateException(
+      s"no committed snapshot at $root — create the table before streaming it"))
+    val base = snap.schema.getOrElse(TxnTable.read(s, root).schema)
+    StructType(base.fields.map(_.copy(nullable = true)))
+      .add("_change_type", StringType).add("_n", LongType)
+      .add("_commit_version", LongType)
+  }
+}
+
+class CdcSource(s: SparkSession, tableRoot: String,
+                startVersion: Option[Long]) extends Source {
+
+  private val pinned: StructType = CdcSource.feedSchema(s, tableRoot)
+  /** Versions <= startV are never emitted. */
+  private val startV: Long = startVersion.getOrElse(
+    TxnTable.latest(s, tableRoot).map(_.version).getOrElse(0L))
+
+  override def schema: StructType = pinned
+
+  override def getOffset: Option[Offset] = {
+    val v = TxnTable.latest(s, tableRoot).map(_.version).getOrElse(0L)
+    if (v <= startV) None else Some(LongOffset(v))
+  }
+
+  private def ver(o: Offset): Long = o match {
+    case l: LongOffset     => l.offset
+    case so: SerializedOffset => LongOffset(so).offset
+  }
+
+  /** One feed window per commit so `_commit_version` attribution is
+    * exact even when the engine batches several commits into one
+    * trigger. Version 1 has no predecessor manifest: its window is the
+    * initial snapshot's content as inserts (multiplicity in `_n`, the
+    * feed's own duplicate encoding). */
+  private def perVersion(v: Long): DataFrame = {
+    val feed =
+      if (v == 1L) {
+        val full = TxnTable.readAsOf(s, tableRoot, 1L)
+        full.groupBy(full.columns.map(col): _*)
+          .agg(count(lit(1)).as("_n"))
+          .withColumn("_change_type", lit("insert"))
+      } else TxnTable.changesBetween(s, tableRoot, v - 1, v)
+    feed.withColumn("_commit_version", lit(v))
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val v1 = start.map(ver).getOrElse(startV)
+    val v2 = ver(end)
+    val windows = ((v1 + 1) to v2).map(perVersion)
+    val out = windows.reduceOption(_.unionByName(_)).getOrElse(
+      s.createDataFrame(s.sparkContext.emptyRDD[Row], pinned))
+    // pin to the stream-start schema (lossless widening casts up; an
+    // incompatible evolution fails here, loudly), then tag the batch
+    // streaming for MicroBatchExecution's v1 contract
+    org.apache.spark.sql.graft.StreamingShim.asStreamingBatch(
+      out.select(pinned.fields.map(f => col(f.name).cast(f.dataType).as(f.name))
+        .toIndexedSeq: _*))
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
