@@ -233,17 +233,23 @@ object TxnTable {
   }
 
   /** Read one manifest. */
-  def snapshot(s: SparkSession, root: String, version: Long): Snapshot = {
-    val f = fs(s, root)
-    val in = f.open(manifestPath(root, version))
-    val text = try {
+  def snapshot(s: SparkSession, root: String, version: Long): Snapshot =
+    parseManifest(version, readSmallFile(s, root, manifestPath(root, version)),
+      s"v$version")
+
+  private def readSmallFile(s: SparkSession, root: String, p: Path): String = {
+    val in = fs(s, root).open(p)
+    try {
       val out = new java.io.ByteArrayOutputStream()
       org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
       new String(out.toByteArray, StandardCharsets.UTF_8)
     } finally in.close()
+  }
+
+  private def parseManifest(version: Long, text: String, what: String): Snapshot = {
     val lines = text.split("\n").toSeq.filter(_.nonEmpty)
     require(lines.nonEmpty && lines.head.startsWith(Header),
-      s"corrupt manifest v$version: bad header")
+      s"corrupt manifest $what: bad header")
     // optional '#'-tagged metadata lines after the header — order-
     // insensitive so old readers/writers interoperate with new tags
     val schema = lines.find(_.startsWith(SchemaTag)).map { l =>
@@ -530,6 +536,27 @@ object TxnTable {
     val tmp = new Path(dst.getParent,
       s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val now = System.currentTimeMillis()
+    val text = serializeManifest(op, files, stats, statsCols, schema,
+      blooms, bloomCols, deletes, deleteCols, transforms, now)
+    val out = f.create(tmp, false)
+    try out.write(text.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    // rename-no-overwrite: atomic publish on HDFS-like filesystems; the
+    // exists() guard above narrows (not closes) the race on raw local FS
+    if (f.exists(dst) || !f.rename(tmp, dst)) {
+      f.delete(tmp, false)
+      throw new TxnConflictException(s"lost commit race for version $v at $root")
+    }
+    Snapshot(v, op, files, stats, statsCols, schema, blooms, bloomCols, Some(now),
+      deletes, deleteCols, transforms)
+  }
+
+  private def serializeManifest(op: String, files: Seq[String],
+      stats: Map[String, Map[String, (Long, Long)]], statsCols: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType],
+      blooms: Map[String, Map[String, Array[Byte]]], bloomCols: Seq[String],
+      deletes: Seq[String], deleteCols: Seq[String],
+      transforms: Seq[Transform], now: Long): String = {
     require(deletes.isEmpty || deleteCols.nonEmpty,
       "merge-on-read delete files need recorded delete column(s)")
     (statsCols ++ bloomCols ++ deleteCols).foreach(c => require(
@@ -570,18 +597,7 @@ object TxnTable {
         s"bloom:$c:${java.util.Base64.getEncoder.encodeToString(fileBlooms(c))}")
       (file +: (statF ++ bloomF)).mkString("\t")
     }
-    val out = f.create(tmp, false)
-    try out.write((s"$Header $op\n" + lines.mkString("\n") + "\n")
-      .getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    // rename-no-overwrite: atomic publish on HDFS-like filesystems; the
-    // exists() guard above narrows (not closes) the race on raw local FS
-    if (f.exists(dst) || !f.rename(tmp, dst)) {
-      f.delete(tmp, false)
-      throw new TxnConflictException(s"lost commit race for version $v at $root")
-    }
-    Snapshot(v, op, files, stats, statsCols, schema, blooms, bloomCols, Some(now),
-      deletes, deleteCols, transforms)
+    s"$Header $op\n" + lines.mkString("\n") + "\n"
   }
 
   private def nextVersion(s: SparkSession, root: String): Long =
@@ -765,6 +781,159 @@ object TxnTable {
       cur.statsCols, cur.schema, cur.blooms, cur.bloomCols,
       cur.deletes, cur.deleteCols, transforms)
   }
+
+  // ---------------------------------------------------------------------
+  // Write–audit–publish (staged commits) + named tags — the two ref-level
+  // features of a production table format this log was still missing.
+  // A STAGED append writes its data files and a full manifest envelope
+  // OUTSIDE the version line (`_txn/staged-<id>.txt` — invisible to
+  // read/time-travel/CDC), an audit session reads the publish preview by
+  // id, and publish is one ordinary optimistic commit folding the staged
+  // files onto the then-current head — validation queries run against
+  // the EXACT bytes production will serve, and a failed audit aborts
+  // with zero effect on the table (Iceberg's WAP pattern). Tags are
+  // immutable named version pointers (`prod-2024-05`, `audit-baseline`);
+  // vacuum retains tagged versions and staged files.
+  // ---------------------------------------------------------------------
+
+  private def stagedPath(root: String, id: String): Path =
+    new Path(s"${root.stripSuffix("/")}/_txn/staged-$id.txt")
+
+  private val StagedRe = "^staged-([a-f0-9]+)\\.txt$".r
+
+  /** Staged-commit ids awaiting publish or abort, ascending. */
+  def stagedIds(s: SparkSession, root: String): Seq[String] = {
+    val dir = new Path(s"${root.stripSuffix("/")}/_txn")
+    val f = fs(s, root)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.flatMap(st => st.getPath.getName match {
+      case StagedRe(id) => Some(id)
+      case _            => None
+    }).sorted
+  }
+
+  private def stagedSnapshot(s: SparkSession, root: String, id: String): Snapshot =
+    parseManifest(0L, readSmallFile(s, root, stagedPath(root, id)), s"staged-$id")
+
+  /** Stage an append WITHOUT committing it: data files + a manifest
+    * envelope land outside the version line, invisible to every reader.
+    * Schema evolution is validated now (fail at write time, not publish
+    * time); the staged files fan out under the table's transform spec so
+    * the published files prune like any others. Returns the stage id. */
+  def stageAppend(s: SparkSession, root: String, df: DataFrame): String = {
+    val cur = latestRequired(s, root)
+    evolve(cur.schema, df.schema) // validate early; re-checked at publish
+    val staged = stage(s, root, df, cur.transforms)
+    val (st, bl) = fileMeta(s, root, staged, cur.statsCols, cur.bloomCols)
+    val id = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val text = serializeManifest("staged-append", staged,
+      mergeStats(st, transformStats(staged, cur.transforms)), cur.statsCols,
+      Some(df.schema), bl, cur.bloomCols, Nil, Nil, cur.transforms,
+      System.currentTimeMillis())
+    val f = fs(s, root)
+    val out = f.create(stagedPath(root, id), false)
+    try out.write(text.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    id
+  }
+
+  private def alignTo(df: DataFrame,
+                      target: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    df.select(target.fields.toSeq.map(f =>
+      (if (df.columns.contains(f.name)) col(f.name) else lit(null))
+        .cast(f.dataType).as(f.name)): _*)
+  }
+
+  /** The publish PREVIEW: current head plus the staged files, under the
+    * schema publish would record — the frame an audit job validates. */
+  def readStaged(s: SparkSession, root: String, id: String): DataFrame = {
+    val head = latestRequired(s, root)
+    val stg = stagedSnapshot(s, root, id)
+    val base = root.stripSuffix("/")
+    val target = stg.schema.fold(head.schema.get)(sc => evolve(head.schema, sc))
+    val stagedDf = stg.schema.fold(s.read)(s.read.schema)
+      .parquet(stg.files.map(f => s"$base/$f"): _*)
+    alignTo(read(s, root), target).unionByName(alignTo(stagedDf, target))
+  }
+
+  /** Fold a staged commit onto the CURRENT head as one ordinary commit
+    * (bounded optimistic retries — staged files never restage), then
+    * retire the stage marker. Refuses if the table's transform spec
+    * changed since staging (the staged fan-out would no longer match). */
+  def publishStaged(s: SparkSession, root: String, id: String,
+                    maxAttempts: Int = 5): Snapshot = {
+    require(maxAttempts >= 1, "need at least one attempt")
+    val stg = stagedSnapshot(s, root, id)
+    var attempt = 0
+    var out: Snapshot = null
+    while (out == null) {
+      val head = latestRequired(s, root)
+      require(head.transforms == stg.transforms,
+        s"partition spec changed since stage '$id' - abort and restage")
+      val sc = stg.schema.fold(head.schema)(x => Some(evolve(head.schema, x)))
+      try out = commit(s, root, head.version + 1, s"publish-staged:$id",
+        head.files ++ stg.files, head.stats ++ stg.stats, head.statsCols,
+        sc, head.blooms ++ stg.blooms, head.bloomCols,
+        head.deletes, head.deleteCols, head.transforms)
+      catch {
+        case e: TxnConflictException =>
+          attempt += 1
+          if (attempt >= maxAttempts) throw e
+      }
+    }
+    fs(s, root).delete(stagedPath(root, id), false)
+    out
+  }
+
+  /** Drop a staged commit: its data files and marker go; the table never
+    * saw it. */
+  def abortStaged(s: SparkSession, root: String, id: String): Unit = {
+    val stg = stagedSnapshot(s, root, id)
+    val f = fs(s, root)
+    val base = root.stripSuffix("/")
+    stg.files.foreach(p => f.delete(new Path(s"$base/$p"), false))
+    f.delete(stagedPath(root, id), false)
+  }
+
+  private def tagPath(root: String, name: String): Path =
+    new Path(s"${root.stripSuffix("/")}/_txn/tag-$name.txt")
+
+  private val TagRe = "^tag-([A-Za-z0-9_\\-.]+)\\.txt$".r
+
+  /** Pin `name` to `version` — immutable (re-tagging a name refuses;
+    * drop it first). The version must exist; vacuum keeps it alive. */
+  def tagVersion(s: SparkSession, root: String, name: String,
+                 version: Long): Unit = {
+    require(name.matches("[A-Za-z0-9_\\-.]+"),
+      s"tag name '$name' must be [A-Za-z0-9_.-]+")
+    snapshot(s, root, version) // must exist (and parse)
+    val f = fs(s, root)
+    val p = tagPath(root, name)
+    if (f.exists(p))
+      throw new IllegalStateException(s"tag '$name' already exists at $root")
+    val out = f.create(p, false)
+    try out.write(version.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** All tags, name -> version. */
+  def tags(s: SparkSession, root: String): Map[String, Long] = {
+    val dir = new Path(s"${root.stripSuffix("/")}/_txn")
+    val f = fs(s, root)
+    if (!f.exists(dir)) Map.empty
+    else f.listStatus(dir).toSeq.flatMap(st => st.getPath.getName match {
+      case TagRe(n) => Some(n ->
+        readSmallFile(s, root, st.getPath).trim.toLong)
+      case _ => None
+    }).toMap
+  }
+
+  def readTag(s: SparkSession, root: String, name: String): DataFrame =
+    readAsOf(s, root, tags(s, root).getOrElse(name,
+      throw new NoSuchElementException(s"no tag '$name' at $root")))
+
+  def dropTag(s: SparkSession, root: String, name: String): Unit =
+    fs(s, root).delete(tagPath(root, name), false)
 
   /** Transactional compaction: rewrite the current snapshot to
     * `targetFiles` files and commit the SAME rows as a new version —
@@ -1368,14 +1537,23 @@ object TxnTable {
     require(retainVersions >= 1, "must retain at least the current version")
     val f = fs(s, root)
     val vs = versions(s, root)
-    val (drop, keep) = vs.splitAt(math.max(0, vs.size - retainVersions))
+    val (dropByAge, keepByAge) = vs.splitAt(math.max(0, vs.size - retainVersions))
+    // a tagged version is pinned history — retention by count never
+    // drops it (Iceberg's tag-retention contract); dropTag first
+    val tagged = tags(s, root).values.toSet
+    val keep = dropByAge.filter(tagged) ++ keepByAge
+    val drop = dropByAge.filterNot(tagged)
     val live: Set[String] =
       keep.flatMap { v =>
         val sn = snapshot(s, root, v)
         // MoR delete-key files are referenced data too — vacuuming one
         // would silently resurrect its deleted rows
         sn.files ++ sn.deletes
-      }.toSet
+      }.toSet ++
+        // staged-but-unpublished commits reference their files through
+        // the stage marker, not a version — deleting them would turn a
+        // later publish into a manifest of dead paths
+        stagedIds(s, root).flatMap(id => stagedSnapshot(s, root, id).files)
     drop.foreach(v => f.delete(manifestPath(root, v), false))
     val base = root.stripSuffix("/")
     val dataDir = new Path(s"$base/data")
