@@ -73,4 +73,19 @@ object TxnMeta {
     }
     rows.toDF("file", "bytes", "column", "lo", "hi", "has_bloom")
   }
+
+  /** One row per ref — tags (immutable version pins) and staged
+    * write-audit-publish commits awaiting publish/abort: `name, kind,
+    * version` (staged refs have no version — they live outside the
+    * version line until published). The refs half of Iceberg's
+    * `refs`/`snapshots` metadata surface; manifest-scale, zero data
+    * reads. */
+  def refs(s: SparkSession, root: String): DataFrame = {
+    import s.implicits._
+    val tagRows = TxnTable.tags(s, root).toSeq.sortBy(_._1)
+      .map { case (n, v) => (n, "tag", Some(v)) }
+    val stagedRows = TxnTable.stagedIds(s, root)
+      .map(id => (id, "staged", Option.empty[Long]))
+    (tagRows ++ stagedRows).toDF("name", "kind", "version")
+  }
 }

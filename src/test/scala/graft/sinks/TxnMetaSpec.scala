@@ -91,4 +91,19 @@ class TxnMetaSpec extends AnyFunSuite {
     assert(f.head.isNullAt(f.head.fieldIndex("column")))
     assert(!f.head.getAs[Boolean]("has_bloom"))
   }
+
+  test("refs: tags and staged commits mirror the ref files; empty when none") {
+    val root = freshRoot()
+    TxnTable.append(spark, root, df(1))
+    assert(TxnMeta.refs(spark, root).count() === 0L)
+    TxnTable.tagVersion(spark, root, "baseline", 1L)
+    val sid = TxnTable.stageAppend(spark, root, df(2))
+    val got = TxnMeta.refs(spark, root).collect()
+      .map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(got === Set(("baseline", "tag", Some(1L)), (sid, "staged", None)))
+    TxnTable.publishStaged(spark, root, sid)
+    TxnTable.dropTag(spark, root, "baseline")
+    assert(TxnMeta.refs(spark, root).count() === 0L)
+  }
 }
