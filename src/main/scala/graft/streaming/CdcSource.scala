@@ -23,7 +23,12 @@ import graft.sinks.TxnTable
   * Options: `root` (required) — the table path; `startVersion` —
   * 0 replays history from the first commit (version 1's full content
   * emits as inserts, then per-commit diffs), N starts after version N;
-  * default = the latest version at stream start (new changes only).
+  * default = the latest version at stream start (new changes only);
+  * `maxVersionsPerBatch` — bound each micro-batch to at most N commit
+  * windows, so a stream catching up over a long backlog (a fresh
+  * startVersion=0 replay of years of commits) paces itself instead of
+  * planning one giant batch — the admission-control knob every real
+  * source ships (maxFilesPerTrigger / maxOffsetsPerTrigger).
   *
   * Scale posture is [[TxnTable.changesBetween]]'s: each version window
   * reads only the files that entered or left that manifest, so a
@@ -46,7 +51,8 @@ class CdcSourceProvider extends StreamSourceProvider {
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source =
     new CdcSource(ctx.sparkSession, CdcSource.root(parameters),
-      parameters.get("startVersion").map(_.toLong))
+      parameters.get("startVersion").map(_.toLong),
+      parameters.get("maxVersionsPerBatch").map(_.toLong))
 }
 
 object CdcSource {
@@ -71,18 +77,28 @@ object CdcSource {
 }
 
 class CdcSource(s: SparkSession, tableRoot: String,
-                startVersion: Option[Long]) extends Source {
+                startVersion: Option[Long],
+                maxVersionsPerBatch: Option[Long] = None) extends Source {
+  maxVersionsPerBatch.foreach(m =>
+    require(m >= 1, s"maxVersionsPerBatch must be >= 1, got $m"))
 
   private val pinned: StructType = CdcSource.feedSchema(s, tableRoot)
   /** Versions <= startV are never emitted. */
   private val startV: Long = startVersion.getOrElse(
     TxnTable.latest(s, tableRoot).map(_.version).getOrElse(0L))
+  /** Highest version already handed to getBatch — the pacing cursor for
+    * [[maxVersionsPerBatch]]. On restart the engine replays the last
+    * checkpointed batch through getBatch before asking for new offsets
+    * (the v1 recovery contract), which re-seeds this. */
+  private var served: Long = startV
 
   override def schema: StructType = pinned
 
   override def getOffset: Option[Offset] = {
-    val v = TxnTable.latest(s, tableRoot).map(_.version).getOrElse(0L)
-    if (v <= startV) None else Some(LongOffset(v))
+    val head = TxnTable.latest(s, tableRoot).map(_.version).getOrElse(0L)
+    val floor = math.max(served, startV)
+    val capped = maxVersionsPerBatch.fold(head)(m => math.min(head, floor + m))
+    if (capped <= floor) None else Some(LongOffset(capped))
   }
 
   private def ver(o: Offset): Long = o match {
@@ -109,6 +125,7 @@ class CdcSource(s: SparkSession, tableRoot: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val v1 = start.map(ver).getOrElse(startV)
     val v2 = ver(end)
+    served = math.max(served, v2)
     val windows = ((v1 + 1) to v2).map(perVersion)
     val out = windows.reduceOption(_.unionByName(_)).getOrElse(
       s.createDataFrame(s.sparkContext.emptyRDD[Row], pinned))

@@ -79,6 +79,27 @@ class CdcSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("maxVersionsPerBatch paces a backlog into bounded micro-batches") {
+    val base = freshBase()
+    val root = s"$base/tbl"
+    TxnTable.overwrite(spark, root, df(1))   // v1
+    TxnTable.append(spark, root, df(2))      // v2
+    TxnTable.append(spark, root, df(3))      // v3: a 3-version backlog
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Set[Long]]()
+    val q = spark.readStream.format(CdcSource.Format).option("root", root)
+      .option("startVersion", "0").option("maxVersionsPerBatch", "1").load()
+      .writeStream.option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val vs = batch.select("_commit_version").collect().map(_.getLong(0)).toSet
+        if (vs.nonEmpty) { batches.add(vs); () }
+      }.start()
+    try {
+      q.processAllAvailable()
+      // one commit window per micro-batch, in order, nothing lost
+      assert(batches.toArray.toSeq === Seq(Set(1L), Set(2L), Set(3L)))
+    } finally q.stop()
+  }
+
   test("checkpoint restart resumes exactly after the last committed version") {
     val base = freshBase()
     val root = s"$base/tbl"
