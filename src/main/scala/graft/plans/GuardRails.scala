@@ -83,21 +83,32 @@ object GuardRails {
     * qualify: a map-side partial max collapses nothing globally, so
     * the walk stops at the first aggregate and requires it to sit
     * above the exchange (Final/Complete mode). */
+  @scala.annotation.tailrec
+  private def firstHard(p: SparkPlan): SparkPlan = p match {
+    case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    case u if u.children.size == 1 &&
+      !u.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec] &&
+      !u.isInstanceOf[WindowExec] => firstHard(u.children.head)
+    case other => other
+  }
+
+  /** The input (through transparent unary nodes) is a grouped FINAL
+    * aggregation — its cardinality is the distinct-key domain, not the
+    * corpus. The shared admission predicate of [[groupedDomainWalk]]
+    * and the cartesian check's domain×domain rule. */
+  private def groupedDomainSide(p: SparkPlan): Boolean = firstHard(p) match {
+    case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+      a.groupingExpressions.nonEmpty &&
+        a.aggregateExpressions.forall(ae =>
+          ae.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Final ||
+          ae.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Complete)
+    case _ => false
+  }
+
   private def groupedDomainWalk(w: WindowExec): Boolean = {
-    @scala.annotation.tailrec
-    def firstHard(p: SparkPlan): SparkPlan = p match {
-      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
-      case u if u.children.size == 1 &&
-        !u.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec] &&
-        !u.isInstanceOf[WindowExec] => firstHard(u.children.head)
-      case other => other
-    }
     firstHard(w.child) match {
       case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-        if a.groupingExpressions.nonEmpty &&
-          a.aggregateExpressions.forall(ae =>
-            ae.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Final ||
-            ae.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Complete) =>
+        if groupedDomainSide(a) =>
         val groupAttrs = org.apache.spark.sql.catalyst.expressions.AttributeSet(
           a.groupingExpressions.map(_.toAttribute))
         val orderRefs = org.apache.spark.sql.catalyst.expressions.AttributeSet(
@@ -128,10 +139,19 @@ object GuardRails {
     val plan = initialPlan(df)
     val nodes = allNodes(plan)
     val hazards = Seq.newBuilder[Hazard]
-    // cartesian joins — both sides streamed and unbounded
+    // cartesian joins — both sides streamed and unbounded. A cartesian
+    // whose BOTH sides are grouped FINAL aggregations is admitted: each
+    // side is its distinct-key domain, so the product is domain², not
+    // corpus² — the pairwise-over-categories shape (q108's per-source
+    // sketch pairs). At small SF the same plan is a BNLJ over a
+    // broadcast side (already admitted); AQE flips it to CartesianProduct
+    // exactly when the domain outgrows the broadcast threshold, and the
+    // admission must not depend on that size estimate. Same residual
+    // risk and same tightness argument as [[groupedDomainWalk]].
     nodes.foreach {
       case c: CartesianProductExec
-        if !bounded(c.left) && !bounded(c.right) =>
+        if !bounded(c.left) && !bounded(c.right) &&
+          !(groupedDomainSide(c.left) && groupedDomainSide(c.right)) =>
         hazards += Hazard("cartesian",
           s"CartesianProduct with both sides unbounded: |A|x|B| rows at scale " +
             s"(condition=${c.condition})")

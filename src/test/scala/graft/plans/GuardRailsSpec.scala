@@ -54,6 +54,27 @@ class GuardRailsSpec extends AnyFunSuite {
     } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
+  test("domain x domain: cartesian of two grouped FINAL aggregates is admitted") {
+    val s = spark
+    import s.implicits._
+    val d = (1 to 1000).map(i => (i % 13, i.toDouble)).toDF("k", "v")
+    val e = (1 to 1000).map(i => (i % 7, i.toDouble)).toDF("j", "w")
+    val prior = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // the q108 shape at scale: pairwise over two aggregated key
+      // domains — each side's cardinality is its distinct-key count
+      val aggA = d.groupBy($"k").agg(max($"v").as("mv"))
+      val aggB = e.groupBy($"j").agg(max($"w").as("mw"))
+      GuardRails.check(aggA.crossJoin(aggB))
+      // one raw side defeats the domain argument: still rejected
+      val ex = intercept[GuardRails.GuardRailViolation] {
+        GuardRails.check(aggA.crossJoin(e))
+      }
+      assert(ex.hazards.exists(_.kind === "cartesian"))
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   test("unpartitioned window over unbounded input is rejected; bounded passes") {
     val s = spark
     import s.implicits._
