@@ -32,7 +32,8 @@ class QuerySmokeSpec extends AnyFunSuite {
   // SketchRollupSpec (lossless union + error bound).
   private val rowsOnly =
     Set("q39_approx_distinct", "q49_approx_percentile", "q68_sketch_rollup",
-      "q113_comp_ratio") // deflate is JVM-exact but not SQL-expressible
+      "q113_comp_ratio",      // deflate is JVM-exact but not SQL-expressible
+      "q120_quality_filter")  // a trained LR model is not ANSI SQL (MlQualitySpec)
 
   test("every query has either an oracle or a deliberate rows-only entry") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
