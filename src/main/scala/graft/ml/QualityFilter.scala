@@ -80,16 +80,34 @@ object QualityFilter {
 
   /** Split the weakly-labeled extremes 0.8/0.2, fit on the large side,
     * report held-out AUC (area under ROC — threshold-free, so the spec
-    * floor is insensitive to class balance drift across SFs). */
+    * floor is insensitive to class balance drift across SFs).
+    *
+    * The fitted model is roundtripped through MLWriter/MLReader before
+    * ANY transform: a freshly-fit LogisticRegressionModel carries a
+    * training summary that references the SparkSession, and serializing
+    * the scoring closure would drag the session into every task
+    * (NotSerializableException on executors). Persistence is the public
+    * MLlib API that drops summaries; the roundtrip is model-sized (KBs),
+    * once per fit. */
   def fit(docs: DataFrame, dim: Int = Dim): Fit = {
     val labeled = weakLabels(docs)
     val Array(train, heldOut) = labeled.randomSplit(Array(0.8, 0.2), Seed)
-    val model = pipeline(dim).fit(train)
+    val model = stripSummaries(pipeline(dim).fit(train))
     val auc = new BinaryClassificationEvaluator()
       .setLabelCol("label").setRawPredictionCol("rawPrediction")
       .setMetricName("areaUnderROC")
       .evaluate(model.transform(heldOut))
     Fit(model, auc, train.count(), heldOut.count())
+  }
+
+  /** Save/load the pipeline so the served model holds ONLY coefficients
+    * (loaded models have no training summary — the summary-free contract
+    * MLlib persistence guarantees). */
+  private def stripSummaries(fitted: PipelineModel): PipelineModel = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-quality-model").toString
+    fitted.write.overwrite().save(tmp)
+    PipelineModel.load(tmp)
   }
 
   /** Score a corpus: (all input columns, p_quality ∈ [0,1]). Pure
