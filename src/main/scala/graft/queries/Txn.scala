@@ -116,8 +116,11 @@ object Txn {
       import s.implicits._
       val root = rawRoot(s, dir)
       val st = graft.SourceStamp.table(s, dir, "events")
+      // the metaCount probe also forces ONE rebuild of tables whose
+      // on-disk manifests predate per-file row counts (q122 needs them)
       if (TxnTable.versions(s, root).size < 2 ||
-          !graft.SourceStamp.isCurrent(s, root, st)) {
+          !graft.SourceStamp.isCurrent(s, root, st) ||
+          TxnTable.metaCount(s, root).isEmpty) {
         val loc = new org.apache.hadoop.fs.Path(root)
         val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (fs.exists(loc)) fs.delete(loc, true)
@@ -310,18 +313,91 @@ object Txn {
        |GROUP BY event_type
        |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q122: METADATA-ONLY AGGREGATES — COUNT(*)/MIN/MAX of the q89 table
+  // answered from the MANIFEST alone ([[TxnTable.metaCount]] /
+  // [[TxnTable.metaMinMax]]): per-file row counts and range stats fold
+  // on the driver, zero data reads, zero Spark jobs. The operational
+  // primitive every production format serves (Iceberg manifests / the
+  // Delta log answer these without touching data) — at 100 TB a row
+  // count or a key watermark must cost manifest IO, not a million-file
+  // scan. The oracle recomputes all three FROM THE RAW SOURCE with the
+  // deletion predicate applied: the manifest's metadata must equal what
+  // scanning would have returned, through the overwrite AND the v2
+  // copy-on-write delete's partial file rewrites.
+  // ---------------------------------------------------------------------
+  val q122: Q = (s, dir) => {
+    import s.implicits._
+    val root = ensureDeleted(s, dir)
+    // exact-or-refuse: .get fails loud if the manifest cannot certify
+    val n = TxnTable.metaCount(s, root).get
+    val (lo, hi) = TxnTable.metaMinMax(s, root, "user_id").get
+    Seq((n, lo, hi)).toDF("n", "lo", "hi")
+  }
+  val q122Sql: String =
+    s"""SELECT COUNT(*) AS n, MIN(user_id) AS lo, MAX(user_id) AS hi
+       |FROM events
+       |WHERE user_id NOT BETWEEN $DelLo AND $DelHi""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q123: RUNTIME JOIN PRUNING — the manifest-level dynamic partition
+  // pruning analog ([[TxnTable.readSemiPruned]]): a dimension filter
+  // (BUILDING-segment customers with high balances, keys clustered
+  // under 100) selects ~45 probe keys; the fact side reads ONLY the
+  // files whose recorded user_id range/bloom may contain one of them
+  // (the q89 table is range-partitioned on user_id, so most files are
+  // provably disjoint and never open), then a broadcast semi-join does
+  // the exact membership. At 100 TB this is the star-join fast path:
+  // driver-side manifest math prunes a million-file fact table before
+  // a single data byte moves. The oracle is the plain IN-subquery the
+  // pruned plan must exactly equal.
+  // ---------------------------------------------------------------------
+  private def probeKeys(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.t(s, dir, "customer")
+      .filter($"c_custkey" < 100 && $"c_acctbal" > 5000)
+      .select($"c_custkey")
+  }
+  val q123Bench: Q = (s, dir) => {
+    import s.implicits._
+    TxnTable.readSemiPruned(s, ensureDeleted(s, dir), "user_id",
+        probeKeys(s, dir))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct($"user_id").as("n_users"),
+        money(sum(cents($"value"))).as("total_value"))
+  }
+  val q123: Q = (s, dir) => {
+    import s.implicits._
+    q123Bench(s, dir).orderBy($"event_type")
+  }
+  val q123Sql: String =
+    s"""SELECT event_type, COUNT(*) AS n,
+       |  COUNT(DISTINCT user_id) AS n_users,
+       |  SUM(${sqlCents("value")}) / 100.0 AS total_value
+       |FROM events
+       |WHERE user_id NOT BETWEEN $DelLo AND $DelHi
+       |  AND user_id IN (SELECT c_custkey FROM customer
+       |                  WHERE c_custkey < 100 AND c_acctbal > 5000)
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q82_txn_snapshot" -> q82,
     "q89_txn_delete"   -> q89,
     "q90_txn_merge"    -> q90,
     "q98_txn_cdf"      -> q98,
-    "q119_txn_mor_delete" -> q119)
+    "q119_txn_mor_delete" -> q119,
+    "q122_meta_agg"    -> q122,
+    "q123_join_prune"  -> q123)
   val oracles: Map[String, String] = Map(
     "q82_txn_snapshot" -> q82Sql,
     "q89_txn_delete"   -> q89Sql,
     "q90_txn_merge"    -> q90Sql,
     "q98_txn_cdf"      -> q98Sql,
-    "q119_txn_mor_delete" -> q119Sql)
+    "q119_txn_mor_delete" -> q119Sql,
+    "q122_meta_agg"    -> q122Sql,
+    "q123_join_prune"  -> q123Sql)
 
   /** Bench-time override minus the determinism-only global sort (see
     * [[Relational.benchVariants]]). Verify runs the sorted forms. */
@@ -330,5 +406,6 @@ object Txn {
     "q89_txn_delete"   -> q89Bench,
     "q90_txn_merge"    -> q90Bench,
     "q98_txn_cdf"      -> q98Bench,
-    "q119_txn_mor_delete" -> q119Bench)
+    "q119_txn_mor_delete" -> q119Bench,
+    "q123_join_prune"  -> q123Bench)
 }

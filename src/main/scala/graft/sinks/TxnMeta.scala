@@ -42,7 +42,10 @@ object TxnMeta {
   }
 
   /** One row per (data file × recorded stats column) of one snapshot —
-    * the pruning debugger: `file, bytes, column, lo, hi, has_bloom`.
+    * the pruning debugger: `file, bytes, rows, column, lo, hi,
+    * has_bloom`. `rows` is the manifest-recorded per-file row count
+    * ([[TxnTable.metaCount]]'s input; null for legacy files committed
+    * before counts were recorded).
     * Files with no recorded stats contribute one row with a null
     * `column` (visible, never silently dropped — an unpruned file is
     * exactly what this table exists to surface). Hidden-partitioning
@@ -60,18 +63,19 @@ object TxnMeta {
     val fsys = new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration)
     val rows = sn.files.flatMap { f =>
       val bytes = fsys.getFileStatus(new Path(s"$base/$f")).getLen
+      val rc = sn.rowCounts.get(f)
       val cols = sn.stats.getOrElse(f, Map.empty)
       val blooms = sn.blooms.getOrElse(f, Map.empty).keySet
       if (cols.isEmpty && blooms.isEmpty)
-        Seq((f, bytes, Option.empty[String], Option.empty[Long],
+        Seq((f, bytes, rc, Option.empty[String], Option.empty[Long],
           Option.empty[Long], false))
       else
         (cols.keySet ++ blooms).toSeq.sorted.map { c =>
           val st = cols.get(c)
-          (f, bytes, Some(c), st.map(_._1), st.map(_._2), blooms.contains(c))
+          (f, bytes, rc, Some(c), st.map(_._1), st.map(_._2), blooms.contains(c))
         }
     }
-    rows.toDF("file", "bytes", "column", "lo", "hi", "has_bloom")
+    rows.toDF("file", "bytes", "rows", "column", "lo", "hi", "has_bloom")
   }
 
   /** One row per ref — tags (immutable version pins) and staged

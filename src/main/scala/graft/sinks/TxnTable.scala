@@ -86,7 +86,8 @@ object TxnTable {
                             tsMs: Option[Long] = None,
                             deletes: Seq[String] = Seq.empty,
                             deleteCols: Seq[String] = Nil,
-                            transforms: Seq[Transform] = Nil) {
+                            transforms: Seq[Transform] = Nil,
+                            rowCounts: Map[String, Long] = Map.empty) {
     /** Primary (first-recorded) columns — the single-column views most
       * call sites and older specs address. */
     def statsCol: Option[String] = statsCols.headOption
@@ -274,15 +275,21 @@ object TxnTable {
       val fields = l.split("\t")
       val stat = Map.newBuilder[String, (Long, Long)]
       val bloom = Map.newBuilder[String, Array[Byte]]
+      var rows: Option[Long] = None
       fields.drop(1).foreach {
         case b if b.startsWith("bloom:") =>
           val Array(_, c, b64) = b.split(":", 3)
           bloom += c -> java.util.Base64.getDecoder.decode(b64)
+        // `rows:<n>` (exactly one colon) — a stats entry for a column
+        // literally NAMED "rows" serializes with two colons, so the
+        // encodings cannot collide
+        case rc if rc.startsWith("rows:") && rc.count(_ == ':') == 1 =>
+          rows = Some(rc.stripPrefix("rows:").toLong)
         case st =>
           val Array(c, lo, hi) = st.split(":")
           stat += c -> (lo.toLong, hi.toLong)
       }
-      (fields.head, stat.result(), bloom.result())
+      (fields.head, stat.result(), bloom.result(), rows)
     }
     // legacy manifests (no cols tags) derive the column sets from the
     // per-file fields — single-column by construction there
@@ -295,12 +302,13 @@ object TxnTable {
       Transform(kind, src, param.toInt)
     }
     Snapshot(version, lines.head.stripPrefix(Header).trim, entries.map(_._1),
-      entries.collect { case (f, st, _) if st.nonEmpty => f -> st }.toMap,
+      entries.collect { case (f, st, _, _) if st.nonEmpty => f -> st }.toMap,
       statsCols,
       schema,
-      entries.collect { case (f, _, bl) if bl.nonEmpty => f -> bl }.toMap,
+      entries.collect { case (f, _, bl, _) if bl.nonEmpty => f -> bl }.toMap,
       bloomCols,
-      tsMs, deletes, deleteCols, transforms)
+      tsMs, deletes, deleteCols, transforms,
+      entries.collect { case (f, _, _, Some(n)) => f -> n }.toMap)
   }
 
   def latest(s: SparkSession, root: String): Option[Snapshot] =
@@ -515,6 +523,40 @@ object TxnTable {
   private val BloomItemsPerFile = 10000L
   private val BloomFpp = 0.03
 
+  /** Data files are immutable, so a file's row count never changes —
+    * cache footer reads per JVM keyed by absolute path. Bounds the
+    * manifest-write cost of count backfill to one footer read per file
+    * per process lifetime (carried files hit the cache; call sites that
+    * hold the prior snapshot pass its counts and skip even that). */
+  private val footerRowCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** A parquet file's row count from its FOOTER — pure metadata, no data
+    * pages read; the same numRows parquet writers record for every
+    * engine's count pushdown. None if the footer is unreadable (the file
+    * then gets no manifest count and metadata aggregates refuse). */
+  private def footerRows(s: SparkSession, root: String, file: String): Option[Long] = {
+    val abs = s"${root.stripSuffix("/")}/$file"
+    Option(footerRowCache.get(abs)).map(_.longValue()).orElse {
+      val n = scala.util.Try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(abs), s.sparkContext.hadoopConfiguration)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.toOption
+      n.foreach(v => footerRowCache.put(abs, v))
+      n
+    }
+  }
+
+  /** Complete `known` to a count for every file in `files` via cached
+    * footer reads — the backfill that makes every NEW commit carry full
+    * row counts even on tables whose older manifests predate them. */
+  private def completeCounts(s: SparkSession, root: String, files: Seq[String],
+                             known: Map[String, Long]): Map[String, Long] =
+    files.flatMap(f =>
+      known.get(f).orElse(footerRows(s, root, f)).map(f -> _)).toMap
+
   /** Publish a manifest as version `v` — tmp write + atomic rename into
     * the create-no-overwrite slot. Throws [[TxnConflictException]] if a
     * concurrent writer took `v` first. */
@@ -527,7 +569,8 @@ object TxnTable {
                             bloomCols: Seq[String] = Nil,
                             deletes: Seq[String] = Seq.empty,
                             deleteCols: Seq[String] = Nil,
-                            transforms: Seq[Transform] = Nil): Snapshot = {
+                            transforms: Seq[Transform] = Nil,
+                            rowCounts: Map[String, Long] = Map.empty): Snapshot = {
     val f = fs(s, root)
     val dst = manifestPath(root, v)
     f.mkdirs(dst.getParent)
@@ -536,8 +579,14 @@ object TxnTable {
     val tmp = new Path(dst.getParent,
       s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val now = System.currentTimeMillis()
+    // every commit carries a complete per-file row-count map (passed-in
+    // counts first, cached footer reads for the rest) — the metadata
+    // COUNT(*) ([[metaCount]]) then works on any table from its next
+    // commit onward, including tables whose older manifests predate
+    // row-count recording
+    val counts = completeCounts(s, root, files, rowCounts)
     val text = serializeManifest(op, files, stats, statsCols, schema,
-      blooms, bloomCols, deletes, deleteCols, transforms, now)
+      blooms, bloomCols, deletes, deleteCols, transforms, now, counts)
     val out = f.create(tmp, false)
     try out.write(text.getBytes(StandardCharsets.UTF_8))
     finally out.close()
@@ -548,7 +597,7 @@ object TxnTable {
       throw new TxnConflictException(s"lost commit race for version $v at $root")
     }
     Snapshot(v, op, files, stats, statsCols, schema, blooms, bloomCols, Some(now),
-      deletes, deleteCols, transforms)
+      deletes, deleteCols, transforms, counts)
   }
 
   private def serializeManifest(op: String, files: Seq[String],
@@ -556,7 +605,8 @@ object TxnTable {
       schema: Option[org.apache.spark.sql.types.StructType],
       blooms: Map[String, Map[String, Array[Byte]]], bloomCols: Seq[String],
       deletes: Seq[String], deleteCols: Seq[String],
-      transforms: Seq[Transform], now: Long): String = {
+      transforms: Seq[Transform], now: Long,
+      rowCounts: Map[String, Long] = Map.empty): String = {
     require(deletes.isEmpty || deleteCols.nonEmpty,
       "merge-on-read delete files need recorded delete column(s)")
     (statsCols ++ bloomCols ++ deleteCols).foreach(c => require(
@@ -595,7 +645,11 @@ object TxnTable {
         val (lo, hi) = fileStats(c); s"$c:$lo:$hi" }
       val bloomF = ordered(bloomCols, fileBlooms.keys).map(c =>
         s"bloom:$c:${java.util.Base64.getEncoder.encodeToString(fileBlooms(c))}")
-      (file +: (statF ++ bloomF)).mkString("\t")
+      // per-file row count first (reader-friendly: fixed position when
+      // present); absent for legacy files — metadata aggregates then
+      // answer None rather than guess ([[metaCount]])
+      val rowsF = rowCounts.get(file).map(n => s"rows:$n").toSeq
+      (file +: (rowsF ++ statF ++ bloomF)).mkString("\t")
     }
     s"$Header $op\n" + lines.mkString("\n") + "\n"
   }
@@ -639,7 +693,8 @@ object TxnTable {
       Some(evolve(prior.flatMap(_.schema), df.schema)),
       prior.map(_.blooms).getOrElse(Map.empty) ++ stagedBlooms, bcols,
       prior.map(_.deletes).getOrElse(Seq.empty),
-      prior.map(_.deleteCols).getOrElse(Nil), trs)
+      prior.map(_.deleteCols).getOrElse(Nil), trs,
+      prior.map(_.rowCounts).getOrElse(Map.empty))
   }
 
   /** [[append]] with bounded optimistic-concurrency retries — the loop
@@ -679,7 +734,8 @@ object TxnTable {
           prior.map(_.blooms).getOrElse(Map.empty) ++ stagedBlooms, bcols,
           prior.map(_.deletes).getOrElse(Seq.empty),
           prior.map(_.deleteCols).getOrElse(Nil),
-          prior.map(_.transforms).getOrElse(trs))
+          prior.map(_.transforms).getOrElse(trs),
+          prior.map(_.rowCounts).getOrElse(Map.empty))
       } catch {
         case _: TxnConflictException if attempt < maxAttempts => // re-resolve
       }
@@ -717,7 +773,8 @@ object TxnTable {
         Some(evolve(prior.flatMap(_.schema), df.schema)),
         prior.map(_.blooms).getOrElse(Map.empty) ++ stagedBlooms, bcols,
         prior.map(_.deletes).getOrElse(Seq.empty),
-        prior.map(_.deleteCols).getOrElse(Nil), trs))
+        prior.map(_.deleteCols).getOrElse(Nil), trs,
+        prior.map(_.rowCounts).getOrElse(Map.empty)))
     }
   }
 
@@ -779,7 +836,7 @@ object TxnTable {
         s"transform ${t.name} needs source column '${t.src}'")))
     commit(s, root, cur.version + 1, "set-transforms", cur.files, cur.stats,
       cur.statsCols, cur.schema, cur.blooms, cur.bloomCols,
-      cur.deletes, cur.deleteCols, transforms)
+      cur.deletes, cur.deleteCols, transforms, cur.rowCounts)
   }
 
   // ---------------------------------------------------------------------
@@ -829,7 +886,8 @@ object TxnTable {
     val text = serializeManifest("staged-append", staged,
       mergeStats(st, transformStats(staged, cur.transforms)), cur.statsCols,
       Some(df.schema), bl, cur.bloomCols, Nil, Nil, cur.transforms,
-      System.currentTimeMillis())
+      System.currentTimeMillis(),
+      completeCounts(s, root, staged, Map.empty))
     val f = fs(s, root)
     val out = f.create(stagedPath(root, id), false)
     try out.write(text.getBytes(StandardCharsets.UTF_8)) finally out.close()
@@ -874,7 +932,8 @@ object TxnTable {
       try out = commit(s, root, head.version + 1, s"publish-staged:$id",
         head.files ++ stg.files, head.stats ++ stg.stats, head.statsCols,
         sc, head.blooms ++ stg.blooms, head.bloomCols,
-        head.deletes, head.deleteCols, head.transforms)
+        head.deletes, head.deleteCols, head.transforms,
+        head.rowCounts ++ stg.rowCounts)
       catch {
         case e: TxnConflictException =>
           attempt += 1
@@ -1175,6 +1234,98 @@ object TxnTable {
   def readPointLookup(s: SparkSession, root: String, value: Long): DataFrame = {
     val snap = latestRequired(s, root)
     readPointLookupAt(s, root, snap, snap.bloomCols.headOption.getOrElse(""), value)
+  }
+
+  // ---------------------------------------------------------------------
+  // Metadata-only aggregates — COUNT(*)/MIN/MAX answered from the
+  // MANIFEST alone, zero data reads, zero Spark jobs. The operational
+  // primitive every table format serves (Iceberg answers count/min/max
+  // from manifest stats; Delta from the transaction log): at 100 TB a
+  // row count or a freshness watermark (max of an event-time column)
+  // must not cost a million-file scan. EXACT-OR-REFUSE: the answer is
+  // either precisely what scanning would return, or None — live
+  // merge-on-read deletes (the merged row set is not knowable from
+  // metadata), a file without a recorded count (legacy manifest), or a
+  // file without that column's stats entry all refuse rather than guess.
+  // ---------------------------------------------------------------------
+
+  /** Exact COUNT(*) of snapshot `version` (default: latest) from the
+    * manifest's per-file row counts. None if any live file lacks a
+    * recorded count or MoR deletes are live (a fresh commit — even a
+    * metadata-only one — backfills counts, see [[commit]]). */
+  def metaCount(s: SparkSession, root: String,
+                version: Option[Long] = None): Option[Long] = {
+    val snap = version.fold(latestRequired(s, root))(snapshot(s, root, _))
+    if (snap.deletes.nonEmpty) None
+    else {
+      val counts = snap.files.flatMap(snap.rowCounts.get)
+      if (counts.size == snap.files.size) Some(counts.sum) else None
+    }
+  }
+
+  /** Exact MIN/MAX of recorded stats column `col` at snapshot `version`
+    * (default: latest) from the manifest's per-file ranges. The per-file
+    * stats are exact (written from the data at commit time, nulls
+    * excluded — matching SQL MIN/MAX semantics), so the fold over files
+    * is exact. None when the manifest cannot certify exactness: MoR
+    * deletes live (the min row may be deleted), or a live file without
+    * an entry for `col` — which deliberately includes the all-null file
+    * (the manifest does not distinguish "all null" from "not recorded",
+    * and guessing is how metadata lies). */
+  def metaMinMax(s: SparkSession, root: String, col: String,
+                 version: Option[Long] = None): Option[(Long, Long)] = {
+    val snap = version.fold(latestRequired(s, root))(snapshot(s, root, _))
+    if (snap.deletes.nonEmpty || snap.files.isEmpty) None
+    else {
+      val ranges = snap.files.flatMap(f => snap.stats.get(f).flatMap(_.get(col)))
+      if (ranges.size != snap.files.size) None
+      else Some((ranges.map(_._1).min, ranges.map(_._2).max))
+    }
+  }
+
+  /** RUNTIME JOIN PRUNING — the manifest-level analog of dynamic
+    * partition pruning: given the small side of a join (`keys`, one
+    * column), read only the files whose recorded range/bloom metadata
+    * says they MAY contain one of the keys, then semi-join for
+    * exactness. At 100 TB this is the star-join fast path — a dimension
+    * filter that selects 50 keys prunes a million-file fact table to
+    * the handful of files those keys can live in, at driver-side
+    * metadata cost, before a single data byte moves. The keys side is
+    * evaluated ONCE (distinct, null-dropped, capped at `maxKeys`); a
+    * bigger-than-cap key set falls back honestly to the unpruned
+    * semi-join (pruning is an optimization, never a requirement —
+    * same contract as Spark's own DPP, which also guards on the
+    * build-side size). Result rows are EXACTLY the rows whose `col` is
+    * in `keys`: manifest pruning is may-contain, the broadcast
+    * semi-join does the exact membership. */
+  def readSemiPruned(s: SparkSession, root: String, col: String,
+                     keys: DataFrame, maxKeys: Int = 100000): DataFrame = {
+    require(keys.columns.length == 1,
+      s"keys side must have exactly one column, got ${keys.columns.mkString(",")}")
+    val snap = latestRequired(s, root)
+    requireNoMor(snap, "readSemiPruned")
+    require(snap.files.nonEmpty, s"snapshot v${snap.version} has no data files")
+    import org.apache.spark.sql.functions.{broadcast, col => c}
+    val kDf = keys.select(c(keys.columns.head).cast("long").as("_probe_k"))
+      .filter(c("_probe_k").isNotNull).distinct()
+    val collected = kDf.limit(maxKeys + 1).collect().map(_.getLong(0))
+    val base = root.stripSuffix("/")
+    val reader = snap.schema.fold(s.read)(s.read.schema)
+    def semi(data: DataFrame): DataFrame =
+      data.join(broadcast(kDf), data(col) === kDf("_probe_k"), "left_semi")
+    if (collected.length > maxKeys)
+      return semi(readAsOf(s, root, snap.version)) // honest fallback, still exact
+    val kept = snap.files.filter { f =>
+      val range = snap.stats.get(f).flatMap(_.get(col))
+      val bloom = snap.blooms.get(f).flatMap(_.get(col))
+        .map(graft.functions.BloomAgg.fromBytes)
+      collected.exists(k =>
+        range.forall { case (lo, hi) => lo <= k && k <= hi } &&
+          bloom.forall(_.mightContainLong(k)))
+    }
+    if (kept.isEmpty)
+      semi(reader.parquet(s"$base/${snap.files.head}").limit(0))
+    else semi(reader.parquet(kept.map(f => s"$base/$f"): _*))
   }
 
   /** CHANGE DATA FEED: the row-level difference between two committed
