@@ -1720,10 +1720,19 @@ object TxnTable {
     if (f.exists(dataDir)) {
       f.listStatus(dataDir).toSeq.filter(_.isDirectory).foreach { d =>
         val rel = s"data/${d.getPath.getName}"
-        val parts = f.listStatus(d.getPath).toSeq
-          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-        val (alive, dead) = parts.partition(st =>
-          live.contains(s"$rel/${st.getPath.getName}") ||
+        // RECURSIVE walk: hidden-partition fan-out ([[stage]] with
+        // transforms) nests parts under <transform>=<value>/ subdirs —
+        // a one-level listing would see no parquet at the top, judge
+        // the staging dir empty, and recursively delete LIVE files
+        val it = f.listFiles(d.getPath, true)
+        val parts = Seq.newBuilder[org.apache.hadoop.fs.LocatedFileStatus]
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.getPath.getName.endsWith(".parquet")) parts += st
+        }
+        val prefix = d.getPath.toUri.getPath.stripSuffix("/") + "/"
+        val (alive, dead) = parts.result().partition(st =>
+          live.contains(s"$rel/${st.getPath.toUri.getPath.stripPrefix(prefix)}") ||
             st.getModificationTime > horizon)
         dead.foreach(st => f.delete(st.getPath, false))
         // no live data left → drop the dir (sidecars like _SUCCESS/.crc

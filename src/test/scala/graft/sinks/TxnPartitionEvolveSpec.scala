@@ -270,4 +270,39 @@ class TxnPartitionEvolveSpec extends AnyFunSuite {
     val got = TxnTable.read(spark, root).select(col("id")).as[Long].collect().toSet
     assert(got === (1 to 50).map(_.toLong).toSet -- Set(5L, 6L, 40L, 41L))
   }
+
+  test("vacuum on a hidden-partitioned table keeps live fan-out files (regression)") {
+    // transform fan-out nests parts under day_ts=<v>/ subdirs; a
+    // one-level vacuum walk used to see no parquet at the staging-dir
+    // top, judge the dir empty, and recursively delete LIVE data
+    val root = freshRoot()
+    val t = Seq(TxnTable.Transform.day("ts"))
+    TxnTable.append(spark, root, dayDf(Seq(100L -> (1 to 40))), transforms = t)
+    TxnTable.append(spark, root, dayDf(Seq(101L -> (41 to 80))))
+    // compact rewrites (re-fanned-out) -> v1/v2's files become garbage
+    // once those versions are dropped
+    TxnTable.compactTxn(spark, root, targetFiles = 1)
+    val expect = rows(TxnTable.read(spark, root))
+    TxnTable.vacuum(spark, root, retainVersions = 1, graceMs = 0L)
+    // live fan-out files survived; the table still reads bit-identically
+    assert(rows(TxnTable.read(spark, root)) === expect)
+    // and the vacuum actually reclaimed the unreferenced pre-compact files
+    val base = root.stripSuffix("/")
+    val f = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = TxnTable.latest(spark, root).get.files.toSet
+    val onDisk = {
+      val it = f.listFiles(new org.apache.hadoop.fs.Path(s"$base/data"), true)
+      val b = Set.newBuilder[String]
+      val prefix = new org.apache.hadoop.fs.Path(s"$base/data").toUri.getPath
+        .stripSuffix("/") + "/"
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet"))
+          b += s"data/${st.getPath.toUri.getPath.stripPrefix(prefix)}"
+      }
+      b.result()
+    }
+    assert(onDisk === live, "vacuum must delete exactly the unreferenced files")
+  }
 }
