@@ -339,9 +339,14 @@ object TxnTable {
     * ([[deleteKeysMor]]) anti-joins them out at read time — the MoR
     * contract: deletes cost O(deleted keys) at write, the merge is
     * paid by readers until [[compactDeletes]] folds it in. */
-  def readAsOf(s: SparkSession, root: String, version: Long): DataFrame = {
-    val snap = snapshot(s, root, version)
-    require(snap.files.nonEmpty, s"snapshot v$version has no data files")
+  def readAsOf(s: SparkSession, root: String, version: Long): DataFrame =
+    readSnap(s, root, snapshot(s, root, version))
+
+  /** The read of ONE resolved snapshot (shared by version/branch/tag
+    * reads): schema-pinned file-list scan plus the merge-on-read
+    * anti-join when delete files are live. */
+  private def readSnap(s: SparkSession, root: String, snap: Snapshot): DataFrame = {
+    require(snap.files.nonEmpty, s"snapshot v${snap.version} has no data files")
     val base = root.stripSuffix("/")
     val paths = snap.files.map(f => s"$base/$f")
     val data = snap.schema match {
@@ -570,9 +575,10 @@ object TxnTable {
                             deletes: Seq[String] = Seq.empty,
                             deleteCols: Seq[String] = Nil,
                             transforms: Seq[Transform] = Nil,
-                            rowCounts: Map[String, Long] = Map.empty): Snapshot = {
+                            rowCounts: Map[String, Long] = Map.empty,
+                            branch: Option[String] = None): Snapshot = {
     val f = fs(s, root)
-    val dst = manifestPath(root, v)
+    val dst = branch.fold(manifestPath(root, v))(branchManifestPath(root, _, v))
     f.mkdirs(dst.getParent)
     if (f.exists(dst))
       throw new TxnConflictException(s"version $v already committed at $root")
@@ -993,6 +999,140 @@ object TxnTable {
 
   def dropTag(s: SparkSession, root: String, name: String): Unit =
     fs(s, root).delete(tagPath(root, name), false)
+
+  // ---------------------------------------------------------------------
+  // BRANCHES — named MUTABLE refs with their own commit line (tags are
+  // the immutable half): an integration/experiment branch takes appends
+  // OUTSIDE the main version line, auditors read it in place, and a
+  // clean fast-forward publishes its head as main's next version
+  // (Iceberg branch refs / Delta's shadow-table pattern, text-manifest
+  // envelope). Branch manifests are self-contained (full file list, like
+  // every manifest here), live under `_txn/branches/<name>/`, and are
+  // numbered CONTINUING from the fork version — so "branch history" =
+  // main history up to the fork, branch manifests after. Data files all
+  // share the table's immutable `data/` pool; vacuum treats every
+  // branch-referenced file as live. Divergence is refused, not merged:
+  // fastForward requires main's head to still BE the fork point — the
+  // linear-history contract; a diverged branch is re-cut, its appends
+  // replayed (merge-by-replay is the caller's policy decision).
+  // ---------------------------------------------------------------------
+
+  private def branchRefPath(root: String, name: String): Path =
+    new Path(s"${root.stripSuffix("/")}/_txn/branchref-$name.txt")
+
+  private def branchManifestPath(root: String, name: String, v: Long): Path =
+    new Path(s"${root.stripSuffix("/")}/_txn/branches/$name/" + f"v$v%010d.txt")
+
+  private val BranchRefRe = "^branchref-([A-Za-z0-9_\\-.]+)\\.txt$".r
+
+  /** Cut branch `name` at `version` (default: current head). Metadata
+    * only — no data or manifest copies: the fork-point manifest already
+    * IS the branch's initial state. */
+  def createBranch(s: SparkSession, root: String, name: String,
+                   version: Option[Long] = None): Unit = {
+    require(name.matches("[A-Za-z0-9_\\-.]+"),
+      s"branch name '$name' must be [A-Za-z0-9_.-]+")
+    val v = version.getOrElse(latestRequired(s, root).version)
+    snapshot(s, root, v) // must exist (and parse)
+    val f = fs(s, root)
+    val p = branchRefPath(root, name)
+    if (f.exists(p))
+      throw new IllegalStateException(s"branch '$name' already exists at $root")
+    val out = f.create(p, false)
+    try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** All branches, name -> fork version. */
+  def branches(s: SparkSession, root: String): Map[String, Long] = {
+    val dir = new Path(s"${root.stripSuffix("/")}/_txn")
+    val f = fs(s, root)
+    if (!f.exists(dir)) Map.empty
+    else f.listStatus(dir).toSeq.flatMap(st => st.getPath.getName match {
+      case BranchRefRe(n) => Some(n ->
+        readSmallFile(s, root, st.getPath).trim.toLong)
+      case _ => None
+    }).toMap
+  }
+
+  private def branchFork(s: SparkSession, root: String, name: String): Long =
+    branches(s, root).getOrElse(name,
+      throw new NoSuchElementException(s"no branch '$name' at $root"))
+
+  /** The branch's own committed versions (after the fork), ascending. */
+  def branchVersions(s: SparkSession, root: String, name: String): Seq[Long] = {
+    val dir = new Path(s"${root.stripSuffix("/")}/_txn/branches/$name")
+    val f = fs(s, root)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.flatMap(st => st.getPath.getName match {
+      case ManifestRe(v) => Some(v.toLong)
+      case _             => None
+    }).sorted
+  }
+
+  /** The branch head snapshot: its newest own commit, or the fork-point
+    * main snapshot for a branch with no commits yet. */
+  def branchHead(s: SparkSession, root: String, name: String): Snapshot = {
+    val fork = branchFork(s, root, name)
+    branchVersions(s, root, name).lastOption match {
+      case Some(v) => parseManifest(v,
+        readSmallFile(s, root, branchManifestPath(root, name, v)),
+        s"branch $name v$v")
+      case None => snapshot(s, root, fork)
+    }
+  }
+
+  /** Append to the BRANCH head — main's version line never moves. Same
+    * staging/metadata mechanics as [[append]] (shared data pool,
+    * inherited column sets and transform spec, schema evolution off the
+    * branch head). */
+  def appendToBranch(s: SparkSession, root: String, name: String,
+                     df: DataFrame): Snapshot = {
+    val head = branchHead(s, root, name)
+    val staged = stage(s, root, df, head.transforms)
+    val (stagedStats, stagedBlooms) =
+      fileMeta(s, root, staged, head.statsCols, head.bloomCols)
+    commit(s, root, head.version + 1, "branch-append",
+      head.files ++ staged,
+      head.stats ++ mergeStats(stagedStats, transformStats(staged, head.transforms)),
+      head.statsCols,
+      Some(evolve(head.schema, df.schema)),
+      head.blooms ++ stagedBlooms, head.bloomCols,
+      head.deletes, head.deleteCols, head.transforms, head.rowCounts,
+      branch = Some(name))
+  }
+
+  /** The branch as a DataFrame (fork content + branch appends). */
+  def readBranch(s: SparkSession, root: String, name: String): DataFrame =
+    readSnap(s, root, branchHead(s, root, name))
+
+  /** Publish the branch head as MAIN's next version — valid only while
+    * main's head still IS the fork point (nothing to merge; the commit
+    * is a pure pointer advance, Iceberg's fast-forward). A main that
+    * moved since the fork refuses loud: divergence is a policy decision
+    * (re-cut and replay), never a silent merge. The branch ref stays —
+    * drop it separately ([[dropBranch]]) once the audit trail is done. */
+  def fastForward(s: SparkSession, root: String, name: String): Snapshot = {
+    val fork = branchFork(s, root, name)
+    val head = latestRequired(s, root)
+    if (head.version != fork)
+      throw new TxnConflictException(
+        s"main advanced to v${head.version} since branch '$name' forked at " +
+          s"v$fork - diverged; re-cut the branch and replay its commits")
+    val bh = branchHead(s, root, name)
+    commit(s, root, head.version + 1, s"fast-forward:$name",
+      bh.files, bh.stats, bh.statsCols, bh.schema, bh.blooms, bh.bloomCols,
+      bh.deletes, bh.deleteCols, bh.transforms, bh.rowCounts)
+  }
+
+  /** Delete the branch ref and its manifests. Data files are shared
+    * with the main pool and untouched — the next [[vacuum]] reclaims
+    * any that only the branch referenced. */
+  def dropBranch(s: SparkSession, root: String, name: String): Unit = {
+    val f = fs(s, root)
+    f.delete(branchRefPath(root, name), false)
+    f.delete(new Path(s"${root.stripSuffix("/")}/_txn/branches/$name"), true)
+  }
 
   /** Transactional compaction: rewrite the current snapshot to
     * `targetFiles` files and commit the SAME rows as a new version —
@@ -1690,10 +1830,14 @@ object TxnTable {
     val vs = versions(s, root)
     val (dropByAge, keepByAge) = vs.splitAt(math.max(0, vs.size - retainVersions))
     // a tagged version is pinned history — retention by count never
-    // drops it (Iceberg's tag-retention contract); dropTag first
-    val tagged = tags(s, root).values.toSet
-    val keep = dropByAge.filter(tagged) ++ keepByAge
-    val drop = dropByAge.filterNot(tagged)
+    // drops it (Iceberg's tag-retention contract); dropTag first. A
+    // branch FORK version is pinned the same way: an empty branch's
+    // head IS the fork manifest, and every branch manifest chains off
+    // its content — dropBranch first.
+    val branchRefs = branches(s, root)
+    val pinned = tags(s, root).values.toSet ++ branchRefs.values
+    val keep = dropByAge.filter(pinned) ++ keepByAge
+    val drop = dropByAge.filterNot(pinned)
     val live: Set[String] =
       keep.flatMap { v =>
         val sn = snapshot(s, root, v)
@@ -1704,7 +1848,15 @@ object TxnTable {
         // staged-but-unpublished commits reference their files through
         // the stage marker, not a version — deleting them would turn a
         // later publish into a manifest of dead paths
-        stagedIds(s, root).flatMap(id => stagedSnapshot(s, root, id).files)
+        stagedIds(s, root).flatMap(id => stagedSnapshot(s, root, id).files) ++
+        // branch commits reference shared-pool files only their own
+        // manifests know about
+        branchRefs.keys.flatMap(b => branchVersions(s, root, b).flatMap { v =>
+          val sn = parseManifest(v,
+            readSmallFile(s, root, branchManifestPath(root, b, v)),
+            s"branch $b v$v")
+          sn.files ++ sn.deletes
+        })
     drop.foreach(v => f.delete(manifestPath(root, v), false))
     val base = root.stripSuffix("/")
     val dataDir = new Path(s"$base/data")
