@@ -382,6 +382,55 @@ object Txn {
        |GROUP BY event_type
        |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q124: BRANCH + FAST-FORWARD end-to-end — the integration-branch
+  // deployment flow ([[TxnTable.createBranch]]/`appendToBranch`/
+  // `fastForward`): v1 bootstraps the daily aggregate WITHOUT its final
+  // two days, a branch takes both day-appends outside the main version
+  // line (main still serves the bootstrap while the branch loads), and
+  // a clean fast-forward publishes the branch head as main v2. The
+  // oracle is deliberately q82's full recompute: content that traveled
+  // main -> branch -> branch -> fast-forward must hash-equal the
+  // from-scratch aggregate — branch isolation and the pointer-advance
+  // publish change WHEN readers see data, never WHAT. TxnBranchSpec
+  // proves the ref mechanics (isolation, divergence refusal, vacuum
+  // pinning); this certifies the values end-to-end.
+  // ---------------------------------------------------------------------
+  private[queries] def branchRoot(s: SparkSession, dir: String): String =
+    s.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
+      s"/graft_txn/daily_branch_${tag(dir)}"
+
+  private[queries] def ensureBranched(s: SparkSession, dir: String): String =
+    synchronized {
+      import s.implicits._
+      val root = branchRoot(s, dir)
+      val st = graft.SourceStamp.table(s, dir, "events")
+      if (!TxnTable.latest(s, root).exists(_.op.startsWith("fast-forward")) ||
+          !graft.SourceStamp.isCurrent(s, root, st)) {
+        val loc = new org.apache.hadoop.fs.Path(root)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+        val days = Incremental.sourceDays(s, dir)
+        val (hist, tail) = days.splitAt(math.max(1, days.size - 2))
+        TxnTable.overwrite(s, root, dayAgg(s, dir, $"day".isin(hist: _*)))
+        TxnTable.createBranch(s, root, "load")
+        tail.foreach(d =>
+          TxnTable.appendToBranch(s, root, "load", dayAgg(s, dir, $"day" === d)))
+        TxnTable.fastForward(s, root, "load")
+        TxnTable.dropBranch(s, root, "load")
+        graft.SourceStamp.write(s, root, st)
+      }
+      root
+    }
+
+  val q124Bench: Q = (s, dir) => TxnTable.read(s, ensureBranched(s, dir))
+  val q124: Q = (s, dir) => {
+    import s.implicits._
+    q124Bench(s, dir).orderBy($"day", $"event_type")
+  }
+  // branched-and-fast-forwarded must equal recomputed-from-scratch
+  val q124Sql: String = q82Sql
+
   val queries: Map[String, Q] = Map(
     "q82_txn_snapshot" -> q82,
     "q89_txn_delete"   -> q89,
@@ -389,7 +438,8 @@ object Txn {
     "q98_txn_cdf"      -> q98,
     "q119_txn_mor_delete" -> q119,
     "q122_meta_agg"    -> q122,
-    "q123_join_prune"  -> q123)
+    "q123_join_prune"  -> q123,
+    "q124_txn_branch_ff" -> q124)
   val oracles: Map[String, String] = Map(
     "q82_txn_snapshot" -> q82Sql,
     "q89_txn_delete"   -> q89Sql,
@@ -397,7 +447,8 @@ object Txn {
     "q98_txn_cdf"      -> q98Sql,
     "q119_txn_mor_delete" -> q119Sql,
     "q122_meta_agg"    -> q122Sql,
-    "q123_join_prune"  -> q123Sql)
+    "q123_join_prune"  -> q123Sql,
+    "q124_txn_branch_ff" -> q124Sql)
 
   /** Bench-time override minus the determinism-only global sort (see
     * [[Relational.benchVariants]]). Verify runs the sorted forms. */
@@ -407,5 +458,6 @@ object Txn {
     "q90_txn_merge"    -> q90Bench,
     "q98_txn_cdf"      -> q98Bench,
     "q119_txn_mor_delete" -> q119Bench,
-    "q123_join_prune"  -> q123Bench)
+    "q123_join_prune"  -> q123Bench,
+    "q124_txn_branch_ff" -> q124Bench)
 }
