@@ -1455,13 +1455,33 @@ object TxnTable {
       data.join(broadcast(kDf), data(col) === kDf("_probe_k"), "left_semi")
     if (collected.length > maxKeys)
       return semi(readAsOf(s, root, snap.version)) // honest fallback, still exact
+    // HIDDEN-PARTITIONING COMPOSITION: a bucket transform over the probe
+    // column lets the driver derive each key's bucket with Spark's own
+    // hash (XXH64 seed 42 = the xxhash64 SQL function [[Transform]]
+    // fans out with) and prune on the per-file (v, v) transform entries
+    // — point probes keep ~1/n of the files on an UNSORTED layout,
+    // where raw min/max ranges prune nothing. Only sound when the
+    // probe value is exactly what the fan-out hashed: the source column
+    // must be LONG (the hash is type-dependent); anything else skips
+    // the transform check (absent metadata never skips — sound).
+    val srcIsLong = snap.schema.exists(_.fields.exists(f =>
+      f.name == col && f.dataType == org.apache.spark.sql.types.LongType))
+    val bucketTs = snap.transforms.filter(t => t.kind == "bucket" && t.src == col)
+    def bucketOf(t: Transform, k: Long): Long = {
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(k, 42L)
+      ((h % t.param) + t.param) % t.param
+    }
     val kept = snap.files.filter { f =>
       val range = snap.stats.get(f).flatMap(_.get(col))
       val bloom = snap.blooms.get(f).flatMap(_.get(col))
         .map(graft.functions.BloomAgg.fromBytes)
       collected.exists(k =>
         range.forall { case (lo, hi) => lo <= k && k <= hi } &&
-          bloom.forall(_.mightContainLong(k)))
+          bloom.forall(_.mightContainLong(k)) &&
+          (!srcIsLong || bucketTs.forall(t =>
+            snap.stats.get(f).flatMap(_.get(t.name)).forall { case (lo, hi) =>
+              val v = bucketOf(t, k); lo <= v && v <= hi
+            })))
     }
     if (kept.isEmpty)
       semi(reader.parquet(s"$base/${snap.files.head}").limit(0))

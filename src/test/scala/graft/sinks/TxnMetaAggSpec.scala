@@ -147,6 +147,30 @@ class TxnMetaAggSpec extends AnyFunSuite {
     assert(none.columns.toSeq === Seq("id"))
   }
 
+  test("readSemiPruned: bucket transform prunes point probes on an unsorted layout") {
+    val root = freshRoot()
+    val s = spark; import s.implicits._
+    // NO clustering at all: ids interleave across input partitions, so
+    // raw min/max ranges span everything and prune nothing — only the
+    // bucket fan-out separates the keys
+    val t = Seq(TxnTable.Transform.bucket(8, "id"))
+    TxnTable.append(spark, root,
+      (1L to 400L).toDF("id").withColumn("v", col("id") * 10L).repartition(4),
+      statsCols = Seq("id"), transforms = t)
+    val snap = TxnTable.latest(spark, root).get
+    assert(snap.files.size >= 8)
+    val keys = Seq(42L).toDF("k")
+    val pruned = TxnTable.readSemiPruned(spark, root, "id", keys)
+    assert(pruned.select("id").as[Long].collect().toSeq === Seq(42L))
+    // one probe key = one bucket value -> only that bucket's files open
+    val expectBucket = snap.files.count(f =>
+      snap.stats.get(f).flatMap(_.get("bucket8_id")).exists { case (lo, hi) =>
+        lo == hi })
+    assert(expectBucket === snap.files.size) // every file single-bucketed
+    assert(pruned.inputFiles.length <= snap.files.size / 4,
+      s"bucket pruning kept ${pruned.inputFiles.length} of ${snap.files.size}")
+  }
+
   test("files metadata table surfaces the per-file row counts") {
     val root = freshRoot()
     TxnTable.append(spark, root, df(1, 2, 3).coalesce(1), statsCols = Seq("id"))
