@@ -1454,7 +1454,8 @@ object TxnTable {
     def semi(data: DataFrame): DataFrame =
       data.join(broadcast(kDf), data(col) === kDf("_probe_k"), "left_semi")
     if (collected.length > maxKeys)
-      return semi(readAsOf(s, root, snap.version)) // honest fallback, still exact
+      return semi(readSnap(s, root, snap)) // honest fallback, still exact —
+      // same resolved snapshot, no second manifest parse
     // HIDDEN-PARTITIONING COMPOSITION: a bucket transform over the probe
     // column lets the driver derive each key's bucket with Spark's own
     // hash (XXH64 seed 42 = the xxhash64 SQL function [[Transform]]
