@@ -1417,8 +1417,14 @@ object TxnTable {
     val snap = version.fold(latestRequired(s, root))(snapshot(s, root, _))
     if (snap.deletes.nonEmpty || snap.files.isEmpty) None
     else {
-      val ranges = snap.files.flatMap(f => snap.stats.get(f).flatMap(_.get(col)))
-      if (ranges.size != snap.files.size) None
+      val (present, absent) = snap.files.partition(f =>
+        snap.stats.get(f).exists(_.contains(col)))
+      // a file with a recorded ZERO row count provably contributes
+      // nothing (a CoW delete can legitimately stage an empty part) —
+      // only a NON-empty file without an entry forces the refusal
+      val ranges = present.flatMap(f => snap.stats.get(f).flatMap(_.get(col)))
+      if (ranges.isEmpty || !absent.forall(f => snap.rowCounts.get(f).contains(0L)))
+        None
       else Some((ranges.map(_._1).min, ranges.map(_._2).max))
     }
   }

@@ -86,6 +86,28 @@ class TxnMetaAggSpec extends AnyFunSuite {
     assert(TxnTable.metaCount(spark, root) === Some(4L))
   }
 
+  test("metaMinMax: a provably-empty staged file (rows:0) does not force refusal") {
+    // a CoW delete whose predicate empties one touched file stages a
+    // zero-row part with no stats entry — found at the sf10 scale run;
+    // the recorded zero count proves it contributes nothing
+    val root = freshRoot()
+    val s = spark; import s.implicits._
+    TxnTable.overwrite(spark, root,
+      (1L to 100L).toDF("id").withColumn("v", col("id") * 10L)
+        .repartitionByRange(4, col("id")),
+      statsCols = Seq("id"))
+    // delete everything in the first file's span -> its rewrite is empty
+    TxnTable.deleteWhere(spark, root, col("id") <= 25, Some((1L, 25L)))
+    val sn = TxnTable.latest(spark, root).get
+    if (sn.files.exists(f => sn.rowCounts.get(f).contains(0L))) {
+      // the zero-row part actually materialized on this Spark version —
+      // the case under test
+      assert(sn.files.exists(f => !sn.stats.get(f).exists(_.contains("id"))))
+    }
+    assert(TxnTable.metaCount(spark, root) === Some(75L))
+    assert(TxnTable.metaMinMax(spark, root, "id") === Some((26L, 100L)))
+  }
+
   test("metaMinMax: exact on recorded columns, refuses on unrecorded ones") {
     val root = freshRoot()
     TxnTable.append(spark, root, df(7, 3, 9).coalesce(1), statsCols = Seq("id"))
