@@ -1429,6 +1429,47 @@ object TxnTable {
     }
   }
 
+  /** Exact per-value row counts of `col` — the metadata-only GROUP BY
+    * (Iceberg's `partitions` metadata-table surface): when every live
+    * file holds a SINGLE value of `col` (its recorded range is a point,
+    * lo == hi — which hidden-partitioning fan-out guarantees for its
+    * derived columns, and an identity-partitioned layout satisfies
+    * naturally), `GROUP BY col → COUNT(*)` is a driver-side fold of the
+    * manifest's per-file row counts. Zero data reads, zero Spark jobs —
+    * at 100 TB, "rows per day for the last year" costs manifest IO
+    * instead of a full scan. EXACT-OR-REFUSE like its siblings: live
+    * MoR deletes, a non-empty file without a recorded count, a file
+    * without a point-range entry for `col` (which includes the
+    * null-source hive-default partition — a null group is real rows
+    * this manifest cannot attribute), or a file whose range is NOT a
+    * point (values mixed in one file: counts cannot be attributed to
+    * groups) all return None rather than guess.
+    *
+    * Returns groups ascending by value. An empty table certifies an
+    * empty grouping (Some(Nil)). */
+  def metaGroupCount(s: SparkSession, root: String, col: String,
+                     version: Option[Long] = None): Option[Seq[(Long, Long)]] = {
+    val snap = version.fold(latestRequired(s, root))(snapshot(s, root, _))
+    if (snap.deletes.nonEmpty) None
+    else {
+      val perFile: Seq[Option[(Long, Long)]] = snap.files.map { f =>
+        snap.rowCounts.get(f) match {
+          case Some(0L) => Some((0L, 0L)) // provably empty: no contribution
+          case Some(n) =>
+            snap.stats.get(f).flatMap(_.get(col)) match {
+              case Some((lo, hi)) if lo == hi => Some((lo, n))
+              case _ => None // no entry, or a non-point range — refuse
+            }
+          case None => None // legacy file without a count — refuse
+        }
+      }
+      if (perFile.exists(_.isEmpty)) None
+      else Some(perFile.flatten.filter(_._2 > 0L)
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+        .toSeq.sortBy(_._1))
+    }
+  }
+
   /** RUNTIME JOIN PRUNING — the manifest-level analog of dynamic
     * partition pruning: given the small side of a join (`keys`, one
     * column), read only the files whose recorded range/bloom metadata
