@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run`/`runMain` output goes STRAIGHT to stdout, not through
+// sbt's logger: the driver parses Bench's one-line JSON headline from
+// the process tail, and the logger's "[info] " prefix breaks that
+// parse (BENCH_r09/r10 both recorded "parsed": null for this reason).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -87,7 +87,8 @@ object TxnTable {
                             deletes: Seq[String] = Seq.empty,
                             deleteCols: Seq[String] = Nil,
                             transforms: Seq[Transform] = Nil,
-                            rowCounts: Map[String, Long] = Map.empty) {
+                            rowCounts: Map[String, Long] = Map.empty,
+                            nullCounts: Map[String, Map[String, Long]] = Map.empty) {
     /** Primary (first-recorded) columns — the single-column views most
       * call sites and older specs address. */
     def statsCol: Option[String] = statsCols.headOption
@@ -275,6 +276,7 @@ object TxnTable {
       val fields = l.split("\t")
       val stat = Map.newBuilder[String, (Long, Long)]
       val bloom = Map.newBuilder[String, Array[Byte]]
+      val nulls = Map.newBuilder[String, Long]
       var rows: Option[Long] = None
       fields.drop(1).foreach {
         case b if b.startsWith("bloom:") =>
@@ -285,11 +287,18 @@ object TxnTable {
         // encodings cannot collide
         case rc if rc.startsWith("rows:") && rc.count(_ == ':') == 1 =>
           rows = Some(rc.stripPrefix("rows:").toLong)
+        // `nulls:<col>:<n>` — per-file null count of a stats column
+        // ([[metaGroupCount]] needs it to attribute point-range files
+        // exactly). "nulls" is a RESERVED stats-column name (rejected
+        // at serialize time) so the encodings cannot collide.
+        case nl if nl.startsWith("nulls:") && nl.count(_ == ':') == 2 =>
+          val Array(_, c, n) = nl.split(":", 3)
+          nulls += c -> n.toLong
         case st =>
           val Array(c, lo, hi) = st.split(":")
           stat += c -> (lo.toLong, hi.toLong)
       }
-      (fields.head, stat.result(), bloom.result(), rows)
+      (fields.head, stat.result(), bloom.result(), rows, nulls.result())
     }
     // legacy manifests (no cols tags) derive the column sets from the
     // per-file fields — single-column by construction there
@@ -302,13 +311,14 @@ object TxnTable {
       Transform(kind, src, param.toInt)
     }
     Snapshot(version, lines.head.stripPrefix(Header).trim, entries.map(_._1),
-      entries.collect { case (f, st, _, _) if st.nonEmpty => f -> st }.toMap,
+      entries.collect { case (f, st, _, _, _) if st.nonEmpty => f -> st }.toMap,
       statsCols,
       schema,
-      entries.collect { case (f, _, bl, _) if bl.nonEmpty => f -> bl }.toMap,
+      entries.collect { case (f, _, bl, _, _) if bl.nonEmpty => f -> bl }.toMap,
       bloomCols,
       tsMs, deletes, deleteCols, transforms,
-      entries.collect { case (f, _, _, Some(n)) => f -> n }.toMap)
+      entries.collect { case (f, _, _, Some(n), _) => f -> n }.toMap,
+      entries.collect { case (f, _, _, _, nu) if nu.nonEmpty => f -> nu }.toMap)
   }
 
   def latest(s: SparkSession, root: String): Option[Snapshot] =
@@ -528,31 +538,55 @@ object TxnTable {
   private val BloomItemsPerFile = 10000L
   private val BloomFpp = 0.03
 
-  /** Data files are immutable, so a file's row count never changes —
-    * cache footer reads per JVM keyed by absolute path. Bounds the
-    * manifest-write cost of count backfill to one footer read per file
-    * per process lifetime (carried files hit the cache; call sites that
-    * hold the prior snapshot pass its counts and skip even that). */
-  private val footerRowCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  /** Footer-level metadata of one data file: record count, the leaf
+    * columns the footer carries, and per-column null counts where every
+    * column chunk recorded one (a single chunk without `num_nulls`
+    * poisons that column — unknown, never guessed). Data files are
+    * immutable, so this never changes — cached per JVM keyed by
+    * absolute path; one footer read per file per process lifetime, no
+    * data pages touched. */
+  private final case class FooterMeta(rows: Long, cols: Set[String],
+                                      nulls: Map[String, Long])
+  private val footerMetaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, FooterMeta]()
 
-  /** A parquet file's row count from its FOOTER — pure metadata, no data
-    * pages read; the same numRows parquet writers record for every
-    * engine's count pushdown. None if the footer is unreadable (the file
-    * then gets no manifest count and metadata aggregates refuse). */
-  private def footerRows(s: SparkSession, root: String, file: String): Option[Long] = {
+  /** A parquet file's [[FooterMeta]] — pure metadata, the same numRows /
+    * null-count statistics parquet writers record for every engine's
+    * count pushdown. None if the footer is unreadable (the file then
+    * gets no manifest count and metadata aggregates refuse). */
+  private def footerMeta(s: SparkSession, root: String, file: String): Option[FooterMeta] = {
     val abs = s"${root.stripSuffix("/")}/$file"
-    Option(footerRowCache.get(abs)).map(_.longValue()).orElse {
-      val n = scala.util.Try {
+    Option(footerMetaCache.get(abs)).orElse {
+      val m = scala.util.Try {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new Path(abs), s.sparkContext.hadoopConfiguration)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getRecordCount finally r.close()
+        try {
+          import scala.jdk.CollectionConverters._
+          val perCol = scala.collection.mutable.LinkedHashMap[String, Option[Long]]()
+          r.getFooter.getBlocks.asScala.foreach { b =>
+            b.getColumns.asScala.foreach { c =>
+              val name = c.getPath.toDotString
+              val st = c.getStatistics
+              val nn = if (st != null && st.isNumNullsSet) Some(st.getNumNulls) else None
+              perCol(name) = (perCol.get(name), nn) match {
+                case (Some(Some(a)), Some(x)) => Some(a + x)
+                case (None, Some(x))          => Some(x)
+                case _                        => None // any chunk without the stat → unknown
+              }
+            }
+          }
+          FooterMeta(r.getRecordCount, perCol.keySet.toSet,
+            perCol.collect { case (k, Some(v)) => k -> v }.toMap)
+        } finally r.close()
       }.toOption
-      n.foreach(v => footerRowCache.put(abs, v))
-      n
+      m.foreach(footerMetaCache.put(abs, _))
+      m
     }
   }
+
+  private def footerRows(s: SparkSession, root: String, file: String): Option[Long] =
+    footerMeta(s, root, file).map(_.rows)
 
   /** Complete `known` to a count for every file in `files` via cached
     * footer reads — the backfill that makes every NEW commit carry full
@@ -561,6 +595,33 @@ object TxnTable {
                              known: Map[String, Long]): Map[String, Long] =
     files.flatMap(f =>
       known.get(f).orElse(footerRows(s, root, f)).map(f -> _)).toMap
+
+  /** Complete `known` to per-file null counts of the stats columns via
+    * cached footer reads — the nulls analog of [[completeCounts]],
+    * feeding [[metaGroupCount]]'s exact attribution. A column absent
+    * from a file's footer is all-null there by schema-on-read (files
+    * written before the column existed read it as null — count = file
+    * rows); a footer whose writer recorded no null-count statistic
+    * yields no entry, and the metadata GROUP BY refuses rather than
+    * guess. */
+  private def completeNulls(s: SparkSession, root: String, files: Seq[String],
+                            cols: Seq[String],
+                            known: Map[String, Map[String, Long]])
+      : Map[String, Map[String, Long]] =
+    if (cols.isEmpty) known.filter(_._2.nonEmpty)
+    else files.flatMap { f =>
+      val have = known.getOrElse(f, Map.empty)
+      val need = cols.filterNot(have.contains)
+      val add: Map[String, Long] = if (need.isEmpty) Map.empty
+        else footerMeta(s, root, f).fold(Map.empty[String, Long]) { m =>
+          need.flatMap { c =>
+            if (!m.cols.contains(c)) Some(c -> m.rows) // schema-on-read: all null
+            else m.nulls.get(c).map(c -> _)
+          }.toMap
+        }
+      val merged = have ++ add
+      if (merged.isEmpty) None else Some(f -> merged)
+    }.toMap
 
   /** Publish a manifest as version `v` — tmp write + atomic rename into
     * the create-no-overwrite slot. Throws [[TxnConflictException]] if a
@@ -576,7 +637,8 @@ object TxnTable {
                             deleteCols: Seq[String] = Nil,
                             transforms: Seq[Transform] = Nil,
                             rowCounts: Map[String, Long] = Map.empty,
-                            branch: Option[String] = None): Snapshot = {
+                            branch: Option[String] = None,
+                            nullCounts: Map[String, Map[String, Long]] = Map.empty): Snapshot = {
     val f = fs(s, root)
     val dst = branch.fold(manifestPath(root, v))(branchManifestPath(root, _, v))
     f.mkdirs(dst.getParent)
@@ -591,8 +653,13 @@ object TxnTable {
     // commit onward, including tables whose older manifests predate
     // row-count recording
     val counts = completeCounts(s, root, files, rowCounts)
+    // per-file null counts of the stats columns ride the same cached
+    // footer reads — [[metaGroupCount]] needs them to attribute a
+    // point-range file's rows exactly (min/max exclude nulls, so a
+    // point range alone cannot certify "single-valued file")
+    val nulls = completeNulls(s, root, files, statsCols, nullCounts)
     val text = serializeManifest(op, files, stats, statsCols, schema,
-      blooms, bloomCols, deletes, deleteCols, transforms, now, counts)
+      blooms, bloomCols, deletes, deleteCols, transforms, now, counts, nulls)
     val out = f.create(tmp, false)
     try out.write(text.getBytes(StandardCharsets.UTF_8))
     finally out.close()
@@ -603,7 +670,7 @@ object TxnTable {
       throw new TxnConflictException(s"lost commit race for version $v at $root")
     }
     Snapshot(v, op, files, stats, statsCols, schema, blooms, bloomCols, Some(now),
-      deletes, deleteCols, transforms, counts)
+      deletes, deleteCols, transforms, counts, nulls)
   }
 
   private def serializeManifest(op: String, files: Seq[String],
@@ -612,12 +679,18 @@ object TxnTable {
       blooms: Map[String, Map[String, Array[Byte]]], bloomCols: Seq[String],
       deletes: Seq[String], deleteCols: Seq[String],
       transforms: Seq[Transform], now: Long,
-      rowCounts: Map[String, Long] = Map.empty): String = {
+      rowCounts: Map[String, Long] = Map.empty,
+      nullCounts: Map[String, Map[String, Long]] = Map.empty): String = {
     require(deletes.isEmpty || deleteCols.nonEmpty,
       "merge-on-read delete files need recorded delete column(s)")
     (statsCols ++ bloomCols ++ deleteCols).foreach(c => require(
       !c.contains("\t") && !c.contains(":") && !c.contains("\n"),
       s"metadata column name '$c' collides with the manifest encoding"))
+    // "nulls" is reserved: a stats column so named would serialize as
+    // `nulls:<lo>:<hi>`, indistinguishable from the per-file null-count
+    // field `nulls:<col>:<n>`
+    require(!statsCols.contains("nulls"),
+      "'nulls' is a reserved stats-column name in the manifest encoding")
     val delLines = (if (deletes.nonEmpty)
         Seq(DelColTag + deleteCols.mkString("\t")) else Seq.empty) ++
       deletes.map(DeleteTag + _)
@@ -641,8 +714,9 @@ object TxnTable {
       // any carried extras in sorted order for byte-stable manifests.
       val fileStats = stats.getOrElse(file, Map.empty)
       val fileBlooms = blooms.getOrElse(file, Map.empty)
-      (fileStats.keys ++ fileBlooms.keys).foreach(c => require(
-        !c.contains("\t") && !c.contains(":") && !c.contains("\n"),
+      val fileNulls = nullCounts.getOrElse(file, Map.empty)
+      (fileStats.keys ++ fileBlooms.keys ++ fileNulls.keys).foreach(c => require(
+        !c.contains("\t") && !c.contains(":") && !c.contains("\n") && c != "nulls",
         s"metadata column name '$c' collides with the manifest encoding"))
       def ordered(recorded: Seq[String], present: Iterable[String]): Seq[String] =
         recorded.filter(present.toSet) ++
@@ -655,7 +729,9 @@ object TxnTable {
       // present); absent for legacy files — metadata aggregates then
       // answer None rather than guess ([[metaCount]])
       val rowsF = rowCounts.get(file).map(n => s"rows:$n").toSeq
-      (file +: (rowsF ++ statF ++ bloomF)).mkString("\t")
+      val nullsF = ordered(statsCols, fileNulls.keys).map(c =>
+        s"nulls:$c:${fileNulls(c)}")
+      (file +: (rowsF ++ statF ++ nullsF ++ bloomF)).mkString("\t")
     }
     s"$Header $op\n" + lines.mkString("\n") + "\n"
   }
@@ -700,7 +776,8 @@ object TxnTable {
       prior.map(_.blooms).getOrElse(Map.empty) ++ stagedBlooms, bcols,
       prior.map(_.deletes).getOrElse(Seq.empty),
       prior.map(_.deleteCols).getOrElse(Nil), trs,
-      prior.map(_.rowCounts).getOrElse(Map.empty))
+      prior.map(_.rowCounts).getOrElse(Map.empty),
+      nullCounts = prior.map(_.nullCounts).getOrElse(Map.empty))
   }
 
   /** [[append]] with bounded optimistic-concurrency retries — the loop
@@ -1437,37 +1514,54 @@ object TxnTable {
     * naturally), `GROUP BY col → COUNT(*)` is a driver-side fold of the
     * manifest's per-file row counts. Zero data reads, zero Spark jobs —
     * at 100 TB, "rows per day for the last year" costs manifest IO
-    * instead of a full scan. EXACT-OR-REFUSE like its siblings: live
-    * MoR deletes, a non-empty file without a recorded count, a file
-    * without a point-range entry for `col` (which includes the
-    * null-source hive-default partition — a null group is real rows
-    * this manifest cannot attribute), or a file whose range is NOT a
-    * point (values mixed in one file: counts cannot be attributed to
-    * groups) all return None rather than guess.
+    * instead of a full scan.
     *
-    * Returns groups ascending by value. An empty table certifies an
-    * empty grouping (Some(Nil)). */
+    * NULL attribution is exact, not assumed: min/max EXCLUDE nulls, so
+    * a point range alone cannot certify a single-valued file — a file
+    * mixing nulls with one value has a point range too. The manifest's
+    * per-file null counts (recorded at commit time from the parquet
+    * footers' null-count statistic, see [[commit]]) split such a file
+    * exactly: `rows − nulls` to the value group, `nulls` to the NULL
+    * group (key `None`, returned first); a file with NO range entry but
+    * `nulls == rows` is provably the all-null file and contributes only
+    * the NULL group. A transform-DERIVED column needs no recorded
+    * count: its fan-out routes null sources to the hive-default dir
+    * (which gets no entry), so any file with an entry is null-free by
+    * construction. EXACT-OR-REFUSE like its siblings: live MoR deletes,
+    * a non-empty file without a recorded count, an unknown null count
+    * for a data column, a non-point range (values mixed in one file),
+    * or an inconsistent entry all return None rather than guess.
+    *
+    * Returns groups ascending by value, NULL group first. An empty
+    * table certifies an empty grouping (Some(Nil)). */
   def metaGroupCount(s: SparkSession, root: String, col: String,
-                     version: Option[Long] = None): Option[Seq[(Long, Long)]] = {
+                     version: Option[Long] = None): Option[Seq[(Option[Long], Long)]] = {
     val snap = version.fold(latestRequired(s, root))(snapshot(s, root, _))
-    if (snap.deletes.nonEmpty) None
-    else {
-      val perFile: Seq[Option[(Long, Long)]] = snap.files.map { f =>
-        snap.rowCounts.get(f) match {
-          case Some(0L) => Some((0L, 0L)) // provably empty: no contribution
-          case Some(n) =>
-            snap.stats.get(f).flatMap(_.get(col)) match {
-              case Some((lo, hi)) if lo == hi => Some((lo, n))
-              case _ => None // no entry, or a non-point range — refuse
-            }
-          case None => None // legacy file without a count — refuse
-        }
+    if (snap.deletes.nonEmpty) return None
+    val derived = snap.transforms.exists(_.name == col)
+    val perFile: Seq[Option[Seq[(Option[Long], Long)]]] = snap.files.map { f =>
+      snap.rowCounts.get(f) match {
+        case Some(0L) => Some(Nil) // provably empty: no contribution
+        case Some(n) =>
+          val nc: Option[Long] =
+            if (derived) Some(0L) else snap.nullCounts.get(f).flatMap(_.get(col))
+          (snap.stats.get(f).flatMap(_.get(col)), nc) match {
+            case (Some((lo, hi)), Some(0L)) if lo == hi =>
+              Some(Seq(Some(lo) -> n))
+            case (Some((lo, hi)), Some(k)) if lo == hi && k > 0L && k < n =>
+              Some(Seq(Option.empty[Long] -> k, Some(lo) -> (n - k)))
+            case (None, Some(k)) if k == n =>
+              Some(Seq(Option.empty[Long] -> n)) // the all-null file
+            case _ => None // non-point range, unknown nulls, or an
+                           // inconsistent entry — refuse
+          }
+        case None => None // legacy file without a count — refuse
       }
-      if (perFile.exists(_.isEmpty)) None
-      else Some(perFile.flatten.filter(_._2 > 0L)
-        .groupBy(_._1).view.mapValues(_.map(_._2).sum)
-        .toSeq.sortBy(_._1))
     }
+    if (perFile.exists(_.isEmpty)) None
+    else Some(perFile.flatten.flatten.filter(_._2 > 0L)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .toSeq.sortBy { case (k, _) => (k.isDefined, k.getOrElse(0L)) })
   }
 
   /** RUNTIME JOIN PRUNING — the manifest-level analog of dynamic

@@ -66,4 +66,16 @@ class MlQualitySpec extends AnyFunSuite {
     // selection is a subset of real doc ids
     assert(out.join(docs, "doc_id").count() === n)
   }
+
+  test("model cache: one fit per source stamp (repeated q120 pays scoring only)") {
+    val a = QualityFilter.ensureModel(spark, dir)
+    val b = QualityFilter.ensureModel(spark, dir)
+    assert(a eq b, "second ensureModel must hit the stamp-keyed cache")
+    // cold-start reset (the PlanSnapshot contract) rebuilds an equivalent
+    // model: deterministic weak labels + seeded split + seeded LR
+    graft.ArtifactCaches.reset(spark)
+    val c = QualityFilter.ensureModel(spark, dir)
+    assert(!(a eq c))
+    assert(math.abs(c.auc - a.auc) <= 1e-12)
+  }
 }
