@@ -118,6 +118,30 @@ object GuardRails {
     }
   }
 
+  /** Domain bound for the cartesian admission's RUNTIME backstop: an
+    * admitted domain×domain product may pair at most this² rows
+    * (4096² ≈ 17M — planning-scale pair joins, q108's |sources|² class,
+    * never a corpus²). */
+  val DomainBound: Int = 4096
+
+  /** RUNTIME CARDINALITY BACKSTOP: the static domain×domain proof
+    * ([[groupedDomainSide]]) certifies the SHAPE — each side aggregates
+    * before the product — but not the domain's size: `groupBy(doc_id)`
+    * on both sides is shaped like `groupBy(source)` and would ride the
+    * proof to a corpus² product. So an admitted cartesian side must
+    * also CONFIRM its cardinality at gate time: execute the side's own
+    * subplan, stopping at [[DomainBound]]+1 rows (`executeTake` — the
+    * incremental take that launches partial jobs, so a corpus-sized
+    * side costs one aggregate evaluation, not a collect). These are
+    * actual runtime rows — the same ground truth AQE replans on — not
+    * an estimate; a side the probe cannot execute is refused, never
+    * assumed small. The probe costs one extra evaluation of each
+    * aggregate side per audit; sides are domain-sized by the time they
+    * reach it, and only cartesian-bearing plans (q108's class) pay it. */
+  private def domainSmall(p: SparkPlan): Boolean =
+    scala.util.Try(p.executeTake(DomainBound + 1).length <= DomainBound)
+      .getOrElse(false)
+
   /** Every node in the plan INCLUDING subquery plans and plans nested
     * under adaptive nodes — a hazard hidden inside a scalar/IN subquery
     * must not bypass the gate. */
@@ -149,12 +173,21 @@ object GuardRails {
     // admission must not depend on that size estimate. Same residual
     // risk and same tightness argument as [[groupedDomainWalk]].
     nodes.foreach {
-      case c: CartesianProductExec
-        if !bounded(c.left) && !bounded(c.right) &&
-          !(groupedDomainSide(c.left) && groupedDomainSide(c.right)) =>
-        hazards += Hazard("cartesian",
-          s"CartesianProduct with both sides unbounded: |A|x|B| rows at scale " +
-            s"(condition=${c.condition})")
+      case c: CartesianProductExec if !bounded(c.left) && !bounded(c.right) =>
+        val staticOk = groupedDomainSide(c.left) && groupedDomainSide(c.right)
+        // static shape proof first (cheap), then the runtime cardinality
+        // backstop — a groupBy(corpus-key)² plan passes the shape check
+        // but its probe exceeds [[DomainBound]] and is refused here
+        if (!staticOk)
+          hazards += Hazard("cartesian",
+            s"CartesianProduct with both sides unbounded: |A|x|B| rows at scale " +
+              s"(condition=${c.condition})")
+        else if (!(domainSmall(c.left) && domainSmall(c.right)))
+          hazards += Hazard("cartesian",
+            s"domain x domain cartesian admission REFUSED at runtime: a side " +
+              s"exceeds $DomainBound rows (or could not be probed) — the " +
+              s"grouping key is corpus-sized, not a bounded domain " +
+              s"(condition=${c.condition})")
       case _ => ()
     }
     // unpartitioned windows over unbounded input

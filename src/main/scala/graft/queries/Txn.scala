@@ -431,6 +431,26 @@ object Txn {
   // branched-and-fast-forwarded must equal recomputed-from-scratch
   val q124Sql: String = q82Sql
 
+  // ---------------------------------------------------------------------
+  // q125: the DataSourceV2 READ PATH — the same daily table as q82,
+  // read through `spark.read.format("graft-txn")` instead of the Scala
+  // API ([[graft.sources.GraftTxnSource]]): snapshot resolution, schema
+  // pinning, and manifest-level file skipping all ride Spark's own
+  // vectorized parquet DSv2 machinery. Must hash-match q82's oracle —
+  // the catalog surface changes HOW the table is addressed, never WHAT
+  // it contains. GraftTxnSourceSpec/GraftCatalogSpec prove pushdown,
+  // time travel and SQL-by-name; this certifies the values end-to-end
+  // at the driver's gate.
+  // ---------------------------------------------------------------------
+  val q125Bench: Q = (s, dir) =>
+    s.read.format("graft-txn").load(ensureTable(s, dir))
+  val q125: Q = (s, dir) => {
+    import s.implicits._
+    q125Bench(s, dir).orderBy($"day", $"event_type")
+  }
+  // DSv2-read must equal recomputed-from-scratch (q82's contract)
+  val q125Sql: String = q82Sql
+
   val queries: Map[String, Q] = Map(
     "q82_txn_snapshot" -> q82,
     "q89_txn_delete"   -> q89,
@@ -439,7 +459,8 @@ object Txn {
     "q119_txn_mor_delete" -> q119,
     "q122_meta_agg"    -> q122,
     "q123_join_prune"  -> q123,
-    "q124_txn_branch_ff" -> q124)
+    "q124_txn_branch_ff" -> q124,
+    "q125_dsv2_read"   -> q125)
   val oracles: Map[String, String] = Map(
     "q82_txn_snapshot" -> q82Sql,
     "q89_txn_delete"   -> q89Sql,
@@ -448,7 +469,8 @@ object Txn {
     "q119_txn_mor_delete" -> q119Sql,
     "q122_meta_agg"    -> q122Sql,
     "q123_join_prune"  -> q123Sql,
-    "q124_txn_branch_ff" -> q124Sql)
+    "q124_txn_branch_ff" -> q124Sql,
+    "q125_dsv2_read"   -> q125Sql)
 
   /** Bench-time override minus the determinism-only global sort (see
     * [[Relational.benchVariants]]). Verify runs the sorted forms. */
@@ -459,5 +481,6 @@ object Txn {
     "q98_txn_cdf"      -> q98Bench,
     "q119_txn_mor_delete" -> q119Bench,
     "q123_join_prune"  -> q123Bench,
-    "q124_txn_branch_ff" -> q124Bench)
+    "q124_txn_branch_ff" -> q124Bench,
+    "q125_dsv2_read"   -> q125Bench)
 }

@@ -356,7 +356,14 @@ object TxnTable {
     * reads): schema-pinned file-list scan plus the merge-on-read
     * anti-join when delete files are live. */
   private def readSnap(s: SparkSession, root: String, snap: Snapshot): DataFrame = {
-    require(snap.files.nonEmpty, s"snapshot v${snap.version} has no data files")
+    if (snap.files.isEmpty) {
+      // an empty snapshot WITH a recorded schema is a principled read
+      // (a just-created table, or a delete that emptied it); only the
+      // schema-less empty read has no answer
+      val sc = snap.schema.getOrElse(throw new IllegalStateException(
+        s"snapshot v${snap.version} has no data files and no recorded schema"))
+      return s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), sc)
+    }
     val base = root.stripSuffix("/")
     val paths = snap.files.map(f => s"$base/$f")
     val data = snap.schema match {
@@ -738,6 +745,27 @@ object TxnTable {
 
   private def nextVersion(s: SparkSession, root: String): Long =
     versions(s, root).lastOption.getOrElse(0L) + 1
+
+  /** CREATE TABLE: commit an EMPTY v1 carrying the schema and the
+    * table's metadata-column/transform spec — the catalog-first flow
+    * (`CREATE TABLE` then append) every SQL user expects, and what
+    * [[graft.sources.GraftCatalog]] runs for `spark.sql("CREATE TABLE
+    * graft_cat.db.t ...")`. Later [[append]]s inherit the recorded
+    * statsCols/bloomCols/transforms exactly as they inherit them from
+    * any other prior snapshot; reading the empty table yields an empty
+    * DataFrame with the recorded schema. */
+  def createEmpty(s: SparkSession, root: String,
+                  schema: org.apache.spark.sql.types.StructType,
+                  statsCols: Seq[String] = Nil,
+                  bloomCols: Seq[String] = Nil,
+                  transforms: Seq[Transform] = Nil): Snapshot = {
+    require(latest(s, root).isEmpty, s"table already exists at $root")
+    transforms.foreach(t => require(schema.fieldNames.contains(t.src),
+      s"transform ${t.name} needs source column '${t.src}'"))
+    commit(s, root, 1L, "create", Seq.empty,
+      statsCols = statsCols, schema = Some(schema),
+      bloomCols = bloomCols, transforms = transforms)
+  }
 
   /** Append `df` to the table (creates it at v1 if absent). With
     * `statsCols` (LONG columns, first = primary clustering column),
@@ -1200,6 +1228,98 @@ object TxnTable {
     commit(s, root, head.version + 1, s"fast-forward:$name",
       bh.files, bh.stats, bh.statsCols, bh.schema, bh.blooms, bh.bloomCols,
       bh.deletes, bh.deleteCols, bh.transforms, bh.rowCounts)
+  }
+
+  /** DIVERGENCE RECOVERY — re-apply the branch's own commits onto a
+    * main that moved past the fork: what [[fastForward]]'s refusal
+    * message tells the caller to do, as an API (Iceberg's cherry-pick,
+    * per branch commit, same linear-history contract). Each branch
+    * commit's FILE DELTA (the files it added over its predecessor) is
+    * committed onto main's current head in branch order, one main
+    * version per branch commit (`replay:<name>` ops — the audit trail
+    * keeps the branch's commit granularity). Data files are never
+    * copied or re-staged: branch appends live in the shared immutable
+    * pool, so replay is pure manifest work, and each replayed file
+    * carries its recorded stats/blooms forward.
+    *
+    * Replay REFUSES (exact-or-refuse, nothing silent) when:
+    *  - a branch commit is not a pure append (it removed files or
+    *    changed the MoR delete set — compaction/delete semantics
+    *    cannot be mechanically replayed onto different content);
+    *  - a branch-added file is already referenced by main's head
+    *    (overlapping-file conflict: a partial fast-forward or a
+    *    duplicated replay would double-count rows);
+    *  - main carries live MoR deletes whose key columns the replayed
+    *    schema would widen away (guarded by [[evolve]] itself).
+    *
+    * Same optimistic-retry semantics as the writer loops: a lost
+    * commit race re-resolves the new head and re-commits the SAME
+    * delta on top of it — no data re-reads, one manifest write per
+    * attempt. The branch ref stays for the audit trail; [[dropBranch]]
+    * it once done. Schema evolution composes: each replayed commit
+    * evolves main's schema with the branch commit's, exactly as a
+    * fresh append of those rows would. */
+  def replayBranch(s: SparkSession, root: String, name: String,
+                   maxAttempts: Int = 5): Snapshot = {
+    require(maxAttempts >= 1, "need at least one attempt")
+    val fork = branchFork(s, root, name)
+    val vs = branchVersions(s, root, name)
+    if (vs.isEmpty) return latestRequired(s, root) // nothing to replay
+    // branch commit deltas, oldest first, verified pure-append
+    val chain = vs.foldLeft((snapshot(s, root, fork), Seq.empty[(Snapshot, Seq[String])])) {
+      case ((prev, acc), v) =>
+        val cur = parseManifest(v,
+          readSmallFile(s, root, branchManifestPath(root, name, v)),
+          s"branch $name v$v")
+        val prevSet = prev.files.toSet
+        val removed = prev.files.filterNot(cur.files.toSet)
+        require(removed.isEmpty,
+          s"branch '$name' v$v removed ${removed.size} file(s) — not a pure " +
+            "append; replay refuses (re-run the compaction/delete on main instead)")
+        require(cur.deletes == prev.deletes && cur.deleteCols == prev.deleteCols,
+          s"branch '$name' v$v changed the MoR delete set — replay refuses")
+        (cur, acc :+ (cur, cur.files.filterNot(prevSet)))
+    }._2
+    var head = latestRequired(s, root)
+    require(head.version > fork,
+      s"main still sits at fork v$fork — use fastForward, not replay")
+    val allAdded = chain.flatMap(_._2)
+    val overlap = allAdded.filter(head.files.toSet)
+    require(overlap.isEmpty,
+      s"main already references ${overlap.size} branch file(s) " +
+        s"(e.g. ${overlap.head}) — duplicated replay would double-count rows")
+    chain.foreach { case (bc, added) =>
+      var attempt = 0
+      var committed = false
+      while (!committed) {
+        attempt += 1
+        // re-checked per attempt: a racing writer may have published
+        // these very files (e.g. a concurrent replay of the same branch)
+        val dup = added.filter(head.files.toSet)
+        require(dup.isEmpty,
+          s"main now references ${dup.size} branch file(s) (e.g. " +
+            s"${dup.head}) — a concurrent replay/fast-forward won the race")
+        try {
+          head = commit(s, root, head.version + 1, s"replay:$name",
+            head.files ++ added,
+            mergeStats(head.stats,
+              added.flatMap(f => bc.stats.get(f).map(f -> _)).toMap),
+            head.statsCols,
+            bc.schema.map(sc => evolve(head.schema, sc)).orElse(head.schema),
+            head.blooms ++ added.flatMap(f => bc.blooms.get(f).map(f -> _)).toMap,
+            head.bloomCols,
+            head.deletes, head.deleteCols, head.transforms,
+            head.rowCounts ++ added.flatMap(f => bc.rowCounts.get(f).map(f -> _)).toMap,
+            nullCounts = head.nullCounts)
+          committed = true
+        } catch {
+          case e: TxnConflictException =>
+            if (attempt >= maxAttempts) throw e
+            head = latestRequired(s, root) // lost the race: re-resolve, re-commit
+        }
+      }
+    }
+    head
   }
 
   /** Delete the branch ref and its manifests. Data files are shared

@@ -75,6 +75,33 @@ class GuardRailsSpec extends AnyFunSuite {
     } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
+  test("domain x domain: a corpus-sized grouping key fails the runtime backstop") {
+    val s = spark
+    import s.implicits._
+    // shaped EXACTLY like the admitted q108 pattern — grouped FINAL
+    // aggregates on both sides — but the grouping key is the row id, so
+    // each "domain" is the corpus: the static proof passes, the runtime
+    // probe (executeTake past DomainBound) must refuse it
+    val n = GuardRails.DomainBound + 100
+    val big = (1 to n).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val prior = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val aggA = big.groupBy($"id").agg(max($"v").as("mv"))
+      val aggB = big.groupBy($"id").agg(min($"v").as("nv"))
+      val ex = intercept[GuardRails.GuardRailViolation] {
+        GuardRails.check(aggA.as("a").crossJoin(aggB.as("b")))
+      }
+      assert(ex.hazards.exists(h => h.kind === "cartesian" &&
+        h.detail.contains("REFUSED at runtime")))
+      // while the genuinely domain-small q108 shape still passes the
+      // same gate (asserted per-query in the benchPlans sweep too)
+      val small = (1 to n).map(i => (i % 13, i.toDouble)).toDF("k", "v")
+      GuardRails.check(small.groupBy($"k").agg(max($"v").as("mv")).as("a")
+        .crossJoin(small.groupBy($"k").agg(min($"v").as("nv")).as("b")))
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   test("unpartitioned window over unbounded input is rejected; bounded passes") {
     val s = spark
     import s.implicits._

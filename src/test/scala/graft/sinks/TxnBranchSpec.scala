@@ -80,6 +80,55 @@ class TxnBranchSpec extends AnyFunSuite {
       Set(1L, 2L, 20L, 21L, 30L))
   }
 
+  test("replayBranch: divergence converges; result == from-scratch recompute") {
+    val root = freshRoot()
+    TxnTable.append(spark, root, df(1, 2).coalesce(1), statsCols = Seq("id"))
+    TxnTable.createBranch(spark, root, "work")
+    TxnTable.appendToBranch(spark, root, "work", df(10, 11).coalesce(1))
+    TxnTable.appendToBranch(spark, root, "work", df(12).coalesce(1))
+    // main moves past the fork -> fastForward refuses, replay converges
+    TxnTable.append(spark, root, df(5).coalesce(1))
+    intercept[TxnTable.TxnConflictException] {
+      TxnTable.fastForward(spark, root, "work")
+    }
+    val out = TxnTable.replayBranch(spark, root, "work")
+    // one main version per branch commit, replay ops in the audit trail
+    assert(out.op === "replay:work")
+    assert(TxnTable.versions(spark, root) === Seq(1L, 2L, 3L, 4L))
+    assert(TxnTable.snapshot(spark, root, 3L).op === "replay:work")
+    // the q124 recompute pattern: converged main must hash-equal the
+    // from-scratch union of main's own line + the branch's appends
+    assert(ids(TxnTable.read(spark, root)) === Set(1L, 2L, 5L, 10L, 11L, 12L))
+    // pre-replay history intact (snapshot isolation across the replay)
+    assert(ids(TxnTable.readAsOf(spark, root, 2L)) === Set(1L, 2L, 5L))
+    // replayed files carry their recorded stats; metadata aggs answer
+    val head = TxnTable.latest(spark, root).get
+    assert(head.files.forall(f => head.stats.get(f).exists(_.contains("id"))))
+    assert(TxnTable.metaCount(spark, root) === Some(6L))
+    // a SECOND replay refuses: the files are already on main
+    val dup = intercept[IllegalArgumentException] {
+      TxnTable.replayBranch(spark, root, "work")
+    }
+    assert(dup.getMessage.contains("double-count"))
+    TxnTable.dropBranch(spark, root, "work")
+  }
+
+  test("replayBranch: refuses non-append branch commits and a main still at the fork") {
+    val root = freshRoot()
+    TxnTable.append(spark, root, df(1, 2).coalesce(1), statsCols = Seq("id"))
+    TxnTable.createBranch(spark, root, "b")
+    TxnTable.appendToBranch(spark, root, "b", df(9).coalesce(1))
+    // main at the fork: replay is the wrong tool (fast-forward is)
+    val atFork = intercept[IllegalArgumentException] {
+      TxnTable.replayBranch(spark, root, "b")
+    }
+    assert(atFork.getMessage.contains("fastForward"))
+    // an empty branch replays to the current head trivially
+    TxnTable.createBranch(spark, root, "noop")
+    assert(TxnTable.replayBranch(spark, root, "noop").version ===
+      TxnTable.latest(spark, root).get.version)
+  }
+
   test("vacuum pins the fork manifest and branch-referenced files; dropBranch releases them") {
     val root = freshRoot()
     TxnTable.append(spark, root, df(1, 2).coalesce(1), statsCols = Seq("id"))

@@ -249,10 +249,14 @@ class TxnTableSpec extends AnyFunSuite {
     TxnTable.deleteWhere(spark, root, col("id") < 3)
     assert(rows(TxnTable.read(spark, root)) === rows(df(3, 20, 22)))
 
-    // unbounded predicate + empty result: delete everything touched
+    // unbounded predicate + empty result: delete everything touched.
+    // A 0-file snapshot WITH a recorded schema reads as empty (the
+    // CREATE TABLE contract); only the schema-less empty read refuses.
     val snapAll = TxnTable.deleteWhere(spark, root, lit(true))
     assert(snapAll.files.isEmpty)
-    intercept[Exception](TxnTable.read(spark, root)) // 0-file snapshot
+    val emptied = TxnTable.read(spark, root)
+    assert(emptied.count() === 0L)
+    assert(emptied.columns.toSeq === Seq("id", "v"))
   }
 
   test("mergeInto upserts by key, rewrites only overlapping files") {

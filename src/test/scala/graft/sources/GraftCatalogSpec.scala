@@ -1,0 +1,105 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.sinks.TxnTable
+
+/** The catalog surface: graft-txn tables addressable BY NAME from SQL,
+  * with time travel, CREATE TABLE (incl. hidden-partitioning
+  * transforms), and the layout-is-identity contract (the catalog path
+  * and the `TxnTable` path read the same root identically). */
+class GraftCatalogSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val cat = "graft_cat_test"
+  private lazy val warehouse: String = {
+    val w = Files.createTempDirectory("graft_catalog").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+    w
+  }
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] = {
+    val s = spark; import s.implicits._
+    df.select("id").as[Long].collect().sorted.toSeq
+  }
+
+  test("SQL by name == path read; VERSION AS OF and TIMESTAMP AS OF travel") {
+    val root = s"$warehouse/db/t1"
+    val s = spark; import s.implicits._
+    TxnTable.append(spark, root, Seq(1L, 2L).toDF("id").coalesce(1),
+      statsCols = Seq("id"))
+    TxnTable.append(spark, root, Seq(3L).toDF("id").coalesce(1))
+    assert(ids(spark.sql(s"SELECT * FROM $cat.db.t1")) === Seq(1L, 2L, 3L))
+    assert(ids(spark.sql(s"SELECT * FROM $cat.db.t1 VERSION AS OF 1")) ===
+      Seq(1L, 2L))
+    // timestamp travel: v1's recorded commit instant, micros in SQL
+    val ts1 = TxnTable.snapshot(spark, root, 1L).tsMs.get
+    val lit = java.time.Instant.ofEpochMilli(ts1).toString.replace("T", " ")
+      .stripSuffix("Z")
+    assert(ids(spark.sql(
+      s"SELECT * FROM $cat.db.t1 TIMESTAMP AS OF '$lit'")) === Seq(1L, 2L))
+    // the same root reads identically through the path APIs
+    assert(ids(TxnTable.read(spark, root)) === Seq(1L, 2L, 3L))
+    assert(ids(spark.read.format("graft-txn").load(root)) === Seq(1L, 2L, 3L))
+  }
+
+  test("CREATE TABLE commits schema + transforms + metadata cols; appends inherit") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db2")
+    spark.sql(
+      s"""CREATE TABLE $cat.db2.t2 (id BIGINT, v BIGINT)
+         |PARTITIONED BY (bucket(4, id))
+         |TBLPROPERTIES ('statsCols' = 'id')""".stripMargin)
+    val root = s"$warehouse/db2/t2"
+    val created = TxnTable.latest(spark, root).get
+    assert(created.op === "create" && created.files.isEmpty)
+    assert(created.statsCols === Seq("id"))
+    assert(created.transforms === Seq(TxnTable.Transform.bucket(4, "id")))
+    // an empty created table reads as empty WITH the declared schema
+    val empty = spark.sql(s"SELECT * FROM $cat.db2.t2")
+    assert(empty.columns.toSeq === Seq("id", "v"))
+    assert(empty.count() === 0L)
+    // appends inherit the spec: files fan out by bucket, stats recorded
+    val s = spark; import s.implicits._
+    TxnTable.append(spark, root,
+      (1L to 50L).toDF("id").withColumn("v", col("id") * 2L))
+    val head = TxnTable.latest(spark, root).get
+    assert(head.transforms === Seq(TxnTable.Transform.bucket(4, "id")))
+    assert(head.files.forall(f => f.contains("bucket4_id=")))
+    assert(ids(spark.sql(s"SELECT * FROM $cat.db2.t2")) === (1L to 50L))
+    // catalog niceties
+    assert(spark.sql(s"SHOW TABLES IN $cat.db2").collect()
+      .map(_.getString(1)).contains("t2"))
+    spark.sql(s"ALTER TABLE $cat.db2.t2 RENAME TO db2.t2r")
+    assert(ids(spark.sql(s"SELECT * FROM $cat.db2.t2r")) === (1L to 50L))
+    spark.sql(s"DROP TABLE $cat.db2.t2r")
+    intercept[Exception] { spark.sql(s"SELECT * FROM $cat.db2.t2r").collect() }
+  }
+
+  test("manifest pruning fires through the SQL-by-name path") {
+    val root = s"$warehouse/db/t3"
+    val s = spark; import s.implicits._
+    TxnTable.overwrite(spark, root,
+      (1L to 400L).toDF("id").withColumn("v", col("id") * 10L)
+        .repartitionByRange(8, col("id")),
+      statsCols = Seq("id"))
+    val total = TxnTable.latest(spark, root).get.files.size
+    val df = spark.sql(s"SELECT * FROM $cat.db.t3 WHERE id = 42")
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    val scan = df.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.scan
+    }.head.asInstanceOf[ParquetScan]
+    val files = scan.toBatch.planInputPartitions().toSeq.collect {
+      case fp: FilePartition => fp.files.map(_.urlEncodedPath).toSeq
+    }.flatten.distinct
+    assert(scan.pushedFilters.nonEmpty)
+    assert(files.size < total, s"expected pruning, planned ${files.size}/$total")
+    assert(ids(df) === Seq(42L))
+  }
+}
