@@ -95,14 +95,18 @@ object GraftTxnSource {
   }
 }
 
-/** One pinned snapshot as a DSv2 [[Table]]. */
+/** One pinned snapshot as a DSv2 [[Table]], readable and SQL-writable:
+  * `INSERT INTO` appends through [[TxnTable.appendWithRetry]] (the
+  * optimistic-commit writer loop, inheriting the table's recorded
+  * column sets and transform spec), `INSERT OVERWRITE` through
+  * [[TxnTable.overwrite]] (carrying the metadata column spec forward).
+  * The V1 write bridge is deliberate: the commit protocol is
+  * DRIVER-side manifest work over files the engine stages — exactly
+  * what the InsertableRelation hook hands us, with zero duplication of
+  * the staging/stats/conflict machinery. */
 class GraftTxnTableV2(spark: SparkSession, val root: String, val snap: Snapshot)
-    extends Table with SupportsRead {
-
-  require(snap.deletes.isEmpty,
-    s"snapshot v${snap.version} at $root carries ${snap.deletes.size} live " +
-      "merge-on-read delete file(s); the DSv2 scan cannot apply them — run " +
-      "TxnTable.compactDeletes (or read via TxnTable.read, which merges)")
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String = s"graft-txn:$root@v${snap.version}"
 
@@ -120,11 +124,44 @@ class GraftTxnTableV2(spark: SparkSession, val root: String, val snap: Snapshot)
   }
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // scan-time, not load-time: a MoR-live table stays WRITABLE (append
+    // is delete-independent) and only the un-mergeable read refuses
+    require(snap.deletes.isEmpty,
+      s"snapshot v${snap.version} at $root carries ${snap.deletes.size} live " +
+        "merge-on-read delete file(s); the DSv2 scan cannot apply them — run " +
+        "TxnTable.compactDeletes (or read via TxnTable.read, which merges)")
     ParquetScanBuilder(spark,
       new GraftTxnFileIndex(spark, root, snap, schema), schema, schema, options)
+  }
+
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+        overwrite = true; this
+      }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
+              if (overwrite)
+                // carry the table's metadata-column spec forward — an
+                // INSERT OVERWRITE replaces content, not the table's
+                // pruning contract
+                TxnTable.overwrite(spark, root, data,
+                  statsCols = snap.statsCols, bloomCols = snap.bloomCols)
+              else
+                TxnTable.appendWithRetry(spark, root, data)
+              ()
+            }
+        }
+    }
 }
 
 /** The snapshot's file list as a [[PartitioningAwareFileIndex]], with

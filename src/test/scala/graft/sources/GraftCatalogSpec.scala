@@ -80,6 +80,37 @@ class GraftCatalogSpec extends AnyFunSuite {
     intercept[Exception] { spark.sql(s"SELECT * FROM $cat.db2.t2r").collect() }
   }
 
+  test("SQL INSERT INTO appends a txn commit; INSERT OVERWRITE replaces; MoR-live stays writable") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db3")
+    spark.sql(s"CREATE TABLE $cat.db3.w (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('statsCols' = 'id')")
+    val root = s"$warehouse/db3/w"
+    spark.sql(s"INSERT INTO $cat.db3.w VALUES (1, 10), (2, 20)")
+    spark.sql(s"INSERT INTO $cat.db3.w VALUES (3, 30)")
+    assert(ids(spark.sql(s"SELECT * FROM $cat.db3.w")) === Seq(1L, 2L, 3L))
+    // each INSERT is one atomic versioned commit through the writer
+    // loop, inheriting the recorded stats column
+    val head = TxnTable.latest(spark, root).get
+    assert(head.version === 3L && head.op === "append")
+    assert(head.files.forall(f => head.stats.get(f).exists(_.contains("id"))))
+    // time travel sees the pre-insert states
+    assert(ids(spark.sql(s"SELECT * FROM $cat.db3.w VERSION AS OF 2")) ===
+      Seq(1L, 2L))
+    // INSERT OVERWRITE replaces content, keeps the metadata spec
+    spark.sql(s"INSERT OVERWRITE $cat.db3.w VALUES (7, 70)")
+    assert(ids(spark.sql(s"SELECT * FROM $cat.db3.w")) === Seq(7L))
+    val ow = TxnTable.latest(spark, root).get
+    assert(ow.op === "overwrite" && ow.statsCols === Seq("id"))
+    // a MoR-live table refuses the un-mergeable READ but stays writable
+    val s = spark; import s.implicits._
+    TxnTable.deleteKeysMor(spark, root, "id", Seq(7L).toDF("id"))
+    intercept[Exception] { spark.sql(s"SELECT * FROM $cat.db3.w").collect() }
+    spark.sql(s"INSERT INTO $cat.db3.w VALUES (8, 80)")
+    assert(ids(TxnTable.read(spark, root)) === Seq(8L)) // API read merges
+    TxnTable.compactDeletes(spark, root)
+    assert(ids(spark.sql(s"SELECT * FROM $cat.db3.w")) === Seq(8L))
+  }
+
   test("manifest pruning fires through the SQL-by-name path") {
     val root = s"$warehouse/db/t3"
     val s = spark; import s.implicits._
