@@ -40,10 +40,12 @@ import graft.sinks.TxnTable
   * the declared schema; `PARTITIONED BY (bucket(N, col) | days(col))`
   * maps onto the format's hidden-partitioning transforms, and the
   * table properties `statsCols`/`bloomCols` (comma-separated) seed the
-  * metadata column sets appends will inherit. Writes remain the txn
-  * writer's job (append/overwrite/merge — where the commit protocol
-  * lives); SQL INSERT is deliberately out of scope this round, so
-  * `alterTable` and SQL writes refuse loud rather than bypass it. */
+  * metadata column sets appends will inherit. SQL DML routes THROUGH
+  * the txn writer, never around it: INSERT INTO/OVERWRITE →
+  * append/overwrite (one atomic version per statement), DELETE FROM /
+  * TRUNCATE → the bounded copy-on-write delete, CTAS → CREATE + first
+  * append (see [[GraftTxnTableV2]]). `alterTable` refuses loud —
+  * schema evolution happens on write. */
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _

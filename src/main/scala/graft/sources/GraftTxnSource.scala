@@ -49,13 +49,14 @@ import graft.sinks.TxnTable.Snapshot
   * difference between "open a million footers" and "open the four files
   * the manifest says can match".
   *
-  * Deliberate v1 boundaries (refuse-loud, never silent):
-  *  - a snapshot with LIVE merge-on-read deletes refuses (the scan
-  *    cannot anti-join inside a FileIndex); `compactDeletes` first —
-  *    or read through [[TxnTable.read]], which merges.
-  *  - read-only: writes go through the txn writer API (append/
-  *    overwrite/merge), which is where the commit protocol lives.
-  */
+  * SQL writes route THROUGH the txn writer (never around it): INSERT
+  * INTO/OVERWRITE via the V1 write bridge, DELETE FROM / TRUNCATE via
+  * [[TxnTable.deleteWhereBounded]] with bounds derived from the pushed
+  * filters (see [[GraftTxnTableV2]]). Deliberate boundaries
+  * (refuse-loud, never silent): a snapshot with LIVE merge-on-read
+  * deletes refuses the SCAN (the FileIndex cannot anti-join) —
+  * `compactDeletes` first, or read through [[TxnTable.read]], which
+  * merges; ALTER TABLE refuses (schema evolution happens on write). */
 class GraftTxnSource extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-txn"
@@ -103,10 +104,24 @@ object GraftTxnSource {
   * The V1 write bridge is deliberate: the commit protocol is
   * DRIVER-side manifest work over files the engine stages — exactly
   * what the InsertableRelation hook hands us, with zero duplication of
-  * the staging/stats/conflict machinery. */
+  * the staging/stats/conflict machinery.
+  *
+  * `DELETE FROM … WHERE …` (and `TRUNCATE TABLE`, via the
+  * [[org.apache.spark.sql.connector.catalog.SupportsDelete]] default)
+  * routes to the copy-on-write [[TxnTable.deleteWhereBounded]]: the
+  * pushed V1 filters translate to the predicate, and their top-level
+  * conjuncts additionally derive per-stats-column [lo, hi] BOUNDS — by
+  * construction every matching row satisfies each conjunct, so the
+  * derived range bounds the predicate and the manifest's file skipping
+  * applies with zero caller effort: `DELETE … WHERE day = 7` on a
+  * day-clustered table rewrites the day-7 files and carries the rest
+  * by reference. A filter the translator cannot express refuses the
+  * whole statement loud (`canDeleteWhere` false — never a partial or
+  * silently-widened delete). */
 class GraftTxnTableV2(spark: SparkSession, val root: String, val snap: Snapshot)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = s"graft-txn:$root@v${snap.version}"
 
@@ -162,6 +177,97 @@ class GraftTxnTableV2(spark: SparkSession, val root: String, val snap: Snapshot)
             }
         }
     }
+
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(GraftTxnTableV2.toColumn(_).isDefined)
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val pred = filters.map(f => GraftTxnTableV2.toColumn(f).getOrElse(
+        throw new UnsupportedOperationException(
+          s"graft-txn DELETE cannot translate predicate $f — delete through " +
+            "TxnTable.deleteWhere with an explicit Column")))
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    TxnTable.deleteWhereBounded(spark, root, pred,
+      GraftTxnTableV2.statsBounds(filters, snap.statsCols))
+  }
+}
+
+object GraftTxnTableV2 {
+  import org.apache.spark.sql.{functions => F, Column}
+  import org.apache.spark.sql.{sources => V1}
+
+  /** V1 filter → Column, total over the shapes SQL DELETE pushes; None
+    * (→ statement-level refusal) for anything else. Nested or backtick-
+    * bearing attribute names are refused rather than guessed at — the
+    * V1 dotted encoding is ambiguous. */
+  private def colRef(attribute: String): Option[Column] =
+    if (attribute.contains('.') || attribute.contains('`')) None
+    else Some(F.col(attribute))
+
+  private[sources] def toColumn(f: V1.Filter): Option[Column] = f match {
+    case V1.AlwaysTrue()             => Some(F.lit(true))
+    case V1.AlwaysFalse()            => Some(F.lit(false))
+    case V1.EqualTo(a, v)            => colRef(a).map(_ === F.lit(v))
+    case V1.EqualNullSafe(a, v)      => colRef(a).map(_ <=> F.lit(v))
+    case V1.GreaterThan(a, v)        => colRef(a).map(_ > F.lit(v))
+    case V1.GreaterThanOrEqual(a, v) => colRef(a).map(_ >= F.lit(v))
+    case V1.LessThan(a, v)           => colRef(a).map(_ < F.lit(v))
+    case V1.LessThanOrEqual(a, v)    => colRef(a).map(_ <= F.lit(v))
+    case V1.In(a, vs)                => colRef(a).map(_.isin(vs.toIndexedSeq: _*))
+    case V1.IsNull(a)                => colRef(a).map(_.isNull)
+    case V1.IsNotNull(a)             => colRef(a).map(_.isNotNull)
+    case V1.StringStartsWith(a, v)   => colRef(a).map(_.startsWith(v))
+    case V1.StringEndsWith(a, v)     => colRef(a).map(_.endsWith(v))
+    case V1.StringContains(a, v)     => colRef(a).map(_.contains(v))
+    case V1.And(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+    case V1.Or(l, r)  => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+    case V1.Not(c)    => toColumn(c).map(!_)
+    case _            => None
+  }
+
+  private def longLit(v: Any): Option[Long] = v match {
+    case l: Long  => Some(l)
+    case i: Int   => Some(i.toLong)
+    case s: Short => Some(s.toLong)
+    case b: Byte  => Some(b.toLong)
+    case _        => None
+  }
+
+  /** Derive the [[TxnTable.deleteWhereBounded]] bounds from the pushed
+    * filters: each TOP-LEVEL conjunct (the array is a conjunction, and
+    * `And` nodes recurse) that pins a RECORDED stats column to an
+    * integral range contributes (col, lo, hi). Sound by construction —
+    * a matching row satisfies every conjunct, hence sits inside every
+    * derived range (equality/range/IN on a non-null literal can never
+    * match a null, so min/max excluding nulls is safe). Disjunctions,
+    * string/float literals, and null probes derive nothing (full
+    * rewrite for their columns — never unsound). */
+  private[sources] def statsBounds(filters: Array[V1.Filter],
+                                   statsCols: Seq[String]): Seq[(String, Long, Long)] = {
+    val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    def add(a: String, lo: Long, hi: Long): Unit =
+      if (statsCols.contains(a)) {
+        val (l0, h0) = acc.getOrElse(a, (Long.MinValue, Long.MaxValue))
+        acc(a) = (l0.max(lo), h0.min(hi))
+      }
+    def walk(f: V1.Filter): Unit = f match {
+      case V1.And(l, r) => walk(l); walk(r)
+      case V1.EqualTo(a, v)            => longLit(v).foreach(x => add(a, x, x))
+      case V1.EqualNullSafe(a, v) if v != null =>
+        longLit(v).foreach(x => add(a, x, x))
+      case V1.GreaterThan(a, v)        => longLit(v).foreach(x => add(a, x, Long.MaxValue))
+      case V1.GreaterThanOrEqual(a, v) => longLit(v).foreach(x => add(a, x, Long.MaxValue))
+      case V1.LessThan(a, v)           => longLit(v).foreach(x => add(a, Long.MinValue, x))
+      case V1.LessThanOrEqual(a, v)    => longLit(v).foreach(x => add(a, Long.MinValue, x))
+      case V1.In(a, vs) if vs.nonEmpty =>
+        val ls = vs.map(longLit)
+        if (ls.forall(_.isDefined)) add(a, ls.flatten.min, ls.flatten.max)
+      case _ => () // no bound from this conjunct; predicate still exact
+    }
+    filters.foreach(walk)
+    acc.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) }
+  }
 }
 
 /** The snapshot's file list as a [[PartitioningAwareFileIndex]], with

@@ -111,6 +111,40 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(ids(spark.sql(s"SELECT * FROM $cat.db3.w")) === Seq(8L))
   }
 
+  test("SQL DELETE FROM: bounded CoW with file carry; TRUNCATE; CTAS") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db4")
+    val root = s"$warehouse/db4/d"
+    val s = spark; import s.implicits._
+    // two stats-disjoint files: ids 1-100 and 101-200
+    TxnTable.append(spark, root,
+      (1L to 100L).toDF("id").withColumn("v", col("id")).coalesce(1),
+      statsCols = Seq("id"))
+    TxnTable.append(spark, root,
+      (101L to 200L).toDF("id").withColumn("v", col("id")).coalesce(1))
+    val pre = TxnTable.latest(spark, root).get
+    spark.sql(s"DELETE FROM $cat.db4.d WHERE id <= 50")
+    assert(ids(spark.sql(s"SELECT * FROM $cat.db4.d")) === (51L to 200L))
+    val post = TxnTable.latest(spark, root).get
+    assert(post.op === "delete")
+    // the id-range bound derived from the WHERE clause proves file 2
+    // disjoint: it carries BY REFERENCE, unread and unrewritten
+    val hi = pre.files.find(f => pre.stats(f)("id")._1 == 101L).get
+    assert(post.files.contains(hi))
+    assert(!post.files.exists(pre.files.filterNot(_ == hi).contains))
+    // snapshot isolation: the pre-delete version still reads everything
+    assert(ids(spark.sql(
+      s"SELECT * FROM $cat.db4.d VERSION AS OF ${pre.version}")) === (1L to 200L))
+    // TRUNCATE empties the content, keeps the table + spec readable
+    spark.sql(s"TRUNCATE TABLE $cat.db4.d")
+    val trunc = spark.sql(s"SELECT * FROM $cat.db4.d")
+    assert(trunc.columns.toSeq === Seq("id", "v") && trunc.count() === 0L)
+    assert(TxnTable.latest(spark, root).get.statsCols === Seq("id"))
+    // CTAS: non-atomic CREATE + first append through the same writer
+    spark.sql(s"CREATE TABLE $cat.db4.c AS SELECT * FROM $cat.db4.d VERSION AS OF 2")
+    assert(ids(spark.sql(s"SELECT * FROM $cat.db4.c")) === (1L to 200L))
+    assert(TxnTable.latest(spark, s"$warehouse/db4/c").get.op === "append")
+  }
+
   test("manifest pruning fires through the SQL-by-name path") {
     val root = s"$warehouse/db/t3"
     val s = spark; import s.implicits._
