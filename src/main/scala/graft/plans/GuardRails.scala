@@ -138,9 +138,17 @@ object GuardRails {
     * assumed small. The probe costs one extra evaluation of each
     * aggregate side per audit; sides are domain-sized by the time they
     * reach it, and only cartesian-bearing plans (q108's class) pay it. */
-  private def domainSmall(p: SparkPlan): Boolean =
-    scala.util.Try(p.executeTake(DomainBound + 1).length <= DomainBound)
+  private def domainSmall(p: SparkPlan): Boolean = {
+    // executeTake assumes a row-producing plan; an aggregate side left
+    // columnar by the planner (seen at sf10) must be adapted, not
+    // refused — the adapter is exactly what Spark inserts above any
+    // columnar node at plan time
+    val rows =
+      if (p.supportsColumnar) org.apache.spark.sql.execution.ColumnarToRowExec(p)
+      else p
+    scala.util.Try(rows.executeTake(DomainBound + 1).length <= DomainBound)
       .getOrElse(false)
+  }
 
   /** Every node in the plan INCLUDING subquery plans and plans nested
     * under adaptive nodes — a hazard hidden inside a scalar/IN subquery

@@ -451,6 +451,84 @@ object Txn {
   // DSv2-read must equal recomputed-from-scratch (q82's contract)
   val q125Sql: String = q82Sql
 
+  // ---------------------------------------------------------------------
+  // q126: SQL UPDATE through the DataSourceV2 ROW-LEVEL-OPERATION
+  // framework ([[graft.sources.GraftRowLevelOperation]]) — the write
+  // half of the catalog surface: a raw-events txn table range-
+  // partitioned on user_id is registered in the graft catalog and
+  // repaired with one `UPDATE … WHERE user_id BETWEEN lo AND hi`
+  // statement. Spark rewrites that to a group-based copy-on-write
+  // ReplaceData plan; the runtime group filter collects the matching
+  // user_ids and the manifest's per-file ranges prune the rewrite to
+  // the stats-overlapping files (GraftRowLevelSpec proves the carry by
+  // file identity). The oracle recomputes from the raw source with the
+  // update applied as a CASE — SQL-updated must equal recomputed,
+  // hash-exact, the same contract as q89's delete.
+  // ---------------------------------------------------------------------
+  private[queries] val UpLo = 5L
+  private[queries] val UpHi = 8L
+
+  /** Session-scoped catalog over this session's warehouse (same
+    * layout-is-identity contract as any graft catalog: the table name
+    * IS the txn root path). */
+  private def sqlCatWarehouse(s: SparkSession): String = {
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
+      "/graft_sqlcat"
+    s.conf.set("spark.sql.catalog.graft_cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    wh
+  }
+
+  private[queries] def ensureSqlUpdated(s: SparkSession, dir: String): String =
+    synchronized {
+      import s.implicits._
+      val wh = sqlCatWarehouse(s)
+      val name = s"events_sqlup_${tag(dir)}"
+      val root = s"$wh/db/$name"
+      val st = graft.SourceStamp.table(s, dir, "events")
+      if (TxnTable.versions(s, root).size < 2 ||
+          !graft.SourceStamp.isCurrent(s, root, st)) {
+        val loc = new org.apache.hadoop.fs.Path(root)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+        // range clustering on the update key: the row-level rewrite's
+        // group filter needs disjoint per-file spans to have anything
+        // to carry (same write-side discipline as q89's delete)
+        TxnTable.overwrite(s, root,
+          graft.Tables.t(s, dir, "events")
+            .repartitionByRange(8, $"user_id"),
+          statsCols = Seq("user_id"))
+        s.sql(s"UPDATE graft_cat.db.$name SET value = value * 2 " +
+          s"WHERE user_id BETWEEN $UpLo AND $UpHi")
+        graft.SourceStamp.write(s, root, st)
+      }
+      root
+    }
+
+  val q126Bench: Q = (s, dir) => {
+    import s.implicits._
+    TxnTable.read(s, ensureSqlUpdated(s, dir))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        money(sum(cents($"value"))).as("total_value"))
+  }
+  val q126: Q = (s, dir) => {
+    import s.implicits._
+    q126Bench(s, dir).orderBy($"event_type")
+  }
+  // doubling is EXACT in binary floating point, so both engines compute
+  // round(2v·100) bit-identically under the integer-cents scheme
+  val q126Sql: String =
+    s"""SELECT event_type, COUNT(*) AS n,
+       |  SUM(CASE WHEN user_id BETWEEN $UpLo AND $UpHi
+       |      THEN ${sqlCents("value * 2")}
+       |      ELSE ${sqlCents("value")} END) / 100.0 AS total_value
+       |FROM events
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q82_txn_snapshot" -> q82,
     "q89_txn_delete"   -> q89,
@@ -460,7 +538,8 @@ object Txn {
     "q122_meta_agg"    -> q122,
     "q123_join_prune"  -> q123,
     "q124_txn_branch_ff" -> q124,
-    "q125_dsv2_read"   -> q125)
+    "q125_dsv2_read"   -> q125,
+    "q126_sql_update"  -> q126)
   val oracles: Map[String, String] = Map(
     "q82_txn_snapshot" -> q82Sql,
     "q89_txn_delete"   -> q89Sql,
@@ -470,7 +549,8 @@ object Txn {
     "q122_meta_agg"    -> q122Sql,
     "q123_join_prune"  -> q123Sql,
     "q124_txn_branch_ff" -> q124Sql,
-    "q125_dsv2_read"   -> q125Sql)
+    "q125_dsv2_read"   -> q125Sql,
+    "q126_sql_update"  -> q126Sql)
 
   /** Bench-time override minus the determinism-only global sort (see
     * [[Relational.benchVariants]]). Verify runs the sorted forms. */
@@ -482,5 +562,6 @@ object Txn {
     "q119_txn_mor_delete" -> q119Bench,
     "q123_join_prune"  -> q123Bench,
     "q124_txn_branch_ff" -> q124Bench,
-    "q125_dsv2_read"   -> q125Bench)
+    "q125_dsv2_read"   -> q125Bench,
+    "q126_sql_update"  -> q126Bench)
 }

@@ -1962,6 +1962,45 @@ object TxnTable {
       cur.bloomCols, transforms = cur.transforms)
   }
 
+  /** Commit a ROW-LEVEL-OPERATION result (SQL UPDATE / MERGE INTO /
+    * group-based DELETE arriving through the DataSourceV2 row-level
+    * framework, `sources/GraftRowLevel.scala`): the files the
+    * operation's scan READ are replaced by the staged files carrying
+    * the rewritten rows; every other file carries over by reference
+    * with its recorded stats/blooms intact — the copy-on-write group
+    * commit, same shape as [[deleteWhere]]'s. `staged` was written by
+    * the write protocol's executors (not [[stage]]), so its metadata is
+    * computed here from the footers exactly as any append's would be.
+    *
+    * Conflict stance is REFUSE-LOUD on any head movement: the rewritten
+    * rows were computed against `expectedVersion`'s snapshot, and
+    * admitting a commit over a moved head would silently drop or
+    * resurrect whatever the concurrent writer touched (Iceberg's
+    * serializable-isolation default for row-level ops). The caller
+    * (Spark's statement execution) surfaces the conflict; re-running
+    * the statement re-plans against the new head. */
+  private[graft] def commitReplace(s: SparkSession, root: String,
+      expectedVersion: Long, scanned: Set[String], staged: Seq[String],
+      opTag: String): Snapshot = {
+    val cur = latestRequired(s, root)
+    requireNoMor(cur, s"SQL $opTag (row-level rewrite)")
+    if (cur.version != expectedVersion)
+      throw new TxnConflictException(
+        s"row-level $opTag planned against v$expectedVersion but $root is " +
+          s"at v${cur.version} — the rewrite was computed from a stale " +
+          "snapshot; re-run the statement")
+    val carry = cur.files.filterNot(scanned)
+    val (stagedStats, stagedBlooms) =
+      fileMeta(s, root, staged, cur.statsCols, cur.bloomCols)
+    commit(s, root, cur.version + 1, opTag, carry ++ staged,
+      cur.stats.view.filterKeys(carry.toSet).toMap ++
+        mergeStats(stagedStats, transformStats(staged, cur.transforms)),
+      cur.statsCols,
+      cur.schema,
+      cur.blooms.view.filterKeys(carry.toSet).toMap ++ stagedBlooms,
+      cur.bloomCols, transforms = cur.transforms)
+  }
+
   /** MERGE-ON-READ equality delete — the O(deleted keys) counterpart of
     * the copy-on-write [[deleteWhere]]: commit a small parquet of
     * deleted KEYS and leave every data file untouched; readers

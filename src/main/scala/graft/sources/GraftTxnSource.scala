@@ -121,7 +121,8 @@ object GraftTxnSource {
 class GraftTxnTableV2(spark: SparkSession, val root: String, val snap: Snapshot)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   override def name(): String = s"graft-txn:$root@v${snap.version}"
 
@@ -177,6 +178,23 @@ class GraftTxnTableV2(spark: SparkSession, val root: String, val snap: Snapshot)
             }
         }
     }
+
+  /** SQL UPDATE / MERGE INTO / subquery DELETE — the group-based
+    * copy-on-write rewrite, see [[GraftRowLevelOperation]]. Simple
+    * translatable DELETEs never reach this path: Spark's
+    * `OptimizeMetadataOnlyDeleteFromTable` converts them back to the
+    * [[canDeleteWhere]]/[[deleteWhere]] fast path below. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    // fail at plan time, not mid-rewrite: replacing a file without
+    // applying its pending MoR delete keys would resurrect rows
+    require(snap.deletes.isEmpty,
+      s"snapshot v${snap.version} at $root carries ${snap.deletes.size} live " +
+        "merge-on-read delete file(s); row-level SQL ops rewrite whole files " +
+        "and would resurrect the deleted rows — run TxnTable.compactDeletes first")
+    () => new GraftRowLevelOperation(spark, root, snap, info.command(), schema)
+  }
 
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
     filters.forall(GraftTxnTableV2.toColumn(_).isDefined)
@@ -282,10 +300,15 @@ object GraftTxnTableV2 {
   * `partitionSpec` is empty and ALL filters arrive as data filters —
   * exactly where the manifest metadata applies. */
 class GraftTxnFileIndex(spark: SparkSession, root: String, snap: Snapshot,
-                        dataSchema: StructType)
+                        dataSchema: StructType,
+                        // row-level ops narrow the listing to the files
+                        // their runtime group filter kept; a normal read
+                        // lists the whole snapshot
+                        liveFiles: Option[Seq[String]] = None)
     extends PartitioningAwareFileIndex(spark, Map.empty, Some(dataSchema)) {
 
   private val base = root.stripSuffix("/")
+  private val live: Seq[String] = liveFiles.getOrElse(snap.files)
 
   /** One driver-side status fetch per live file, grouped by parent dir
     * to batch `listStatus` calls — manifest-scale metadata work (the
@@ -293,7 +316,7 @@ class GraftTxnFileIndex(spark: SparkSession, root: String, snap: Snapshot,
     * anyway; a production deployment would carry sizes in the manifest
     * and skip even this). */
   private lazy val statuses: Seq[(String, FileStatus)] = {
-    val byDir = snap.files.groupBy(f => f.take(f.lastIndexOf('/').max(0)))
+    val byDir = live.groupBy(f => f.take(f.lastIndexOf('/').max(0)))
     val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
     byDir.toSeq.flatMap { case (dir, rels) =>
       val want = rels.map(r => r -> s"$base/$r").toMap
