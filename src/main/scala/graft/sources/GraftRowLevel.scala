@@ -59,10 +59,9 @@ import graft.sinks.TxnTable.Snapshot
   *  - MoR-live snapshots refuse at operation build (rewriting a file
   *    without applying its pending delete keys would resurrect rows);
   *    `compactDeletes` first.
-  *  - staged files land flat (no hidden-partitioning fan-out): on a
-  *    transformed table the rewritten files lose transform-value
-  *    pruning until the next clustering compaction — weaker pruning,
-  *    never wrong results.
+  *  - staged files keep the table's hidden-partitioning fan-out
+  *    ([[GraftFanout]] — bit-exact transform values or flat fallback),
+  *    so rewritten files prune as well as appended ones.
   */
 class GraftRowLevelOperation(spark: SparkSession, root: String,
                              val snap: Snapshot, cmd: Command,
@@ -98,11 +97,70 @@ class GraftRowLevelOperation(spark: SparkSession, root: String,
         override def toBatch: BatchWrite = {
           val relDir = s"data/${UUID.randomUUID().toString.take(8)}"
           val (factory, conf) = ParquetWriteShim.prepare(spark, info.schema())
+          val fanout = GraftFanout.specs(spark, snap, info.schema())
           new GraftReplaceBatchWrite(spark, root, GraftRowLevelOperation.this,
-            relDir, factory, conf, info.schema())
+            relDir, factory, conf, info.schema(), fanout)
         }
       }
     }
+}
+
+/** Hidden-partitioning fan-out for the row-level staged files: the
+  * rewritten rows land under the same `<transform>=<value>/` dirs
+  * [[TxnTable]]'s `stage` would have produced, so a transformed table
+  * keeps its transform-value pruning through SQL UPDATE/MERGE instead
+  * of degrading to flat files. The per-row value computation mirrors
+  * `Transform.column` EXACTLY via Spark's own primitives —
+  * `XXH64.hashLong(v, 42)` for `bucket(n, longCol)` (the seed Spark's
+  * `xxhash64(...)` uses, including the null→seed convention) and
+  * `DateTimeUtils.microsToDays` under the session zone for
+  * `days(tsCol)` — a drifted value would mis-route rows into a dir
+  * whose recorded transform stats then prune them away. Any transform
+  * this cannot reproduce bit-exactly (non-long bucket source, exotic
+  * day source) falls back to FLAT staging for the whole write: weaker
+  * pruning, never wrong results. */
+private[sources] case class GraftFanout(name: String, kind: String,
+                                        param: Int, ordinal: Int,
+                                        zoneId: String) {
+  def dirOf(row: InternalRow): String = {
+    val v: Option[Long] = kind match {
+      case "bucket" =>
+        val h = if (row.isNullAt(ordinal)) 42L
+          else org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashLong(row.getLong(ordinal), 42L)
+        Some(((h % param) + param) % param)
+      case "day-date" =>
+        if (row.isNullAt(ordinal)) None else Some(row.getInt(ordinal).toLong)
+      case "day-ts" =>
+        if (row.isNullAt(ordinal)) None
+        else Some(org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .microsToDays(row.getLong(ordinal),
+            java.time.ZoneId.of(zoneId)).toLong)
+    }
+    s"$name=${v.map(_.toString).getOrElse("__HIVE_DEFAULT_PARTITION__")}"
+  }
+}
+
+private[sources] object GraftFanout {
+  import org.apache.spark.sql.types.{DateType, TimestampType}
+
+  /** All-or-nothing: every table transform must be reproducible from
+    * the write schema, else Nil (flat staging). */
+  def specs(spark: SparkSession, snap: Snapshot,
+            schema: StructType): Seq[GraftFanout] = {
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
+    val all = snap.transforms.map { t =>
+      val ord = schema.fieldNames.indexOf(t.src)
+      if (ord < 0) None
+      else (t.kind, schema.fields(ord).dataType) match {
+        case ("bucket", LongType)   => Some(GraftFanout(t.name, "bucket", t.param, ord, tz))
+        case ("day", DateType)      => Some(GraftFanout(t.name, "day-date", 0, ord, tz))
+        case ("day", TimestampType) => Some(GraftFanout(t.name, "day-ts", 0, ord, tz))
+        case _ => None
+      }
+    }
+    if (all.forall(_.isDefined)) all.flatten else Nil
+  }
 }
 
 /** The group scan: reads whole files, no row filtering, runtime group
@@ -199,12 +257,13 @@ class GraftReplaceBatchWrite(spark: SparkSession, root: String,
                              op: GraftRowLevelOperation, relDir: String,
                              factory: OutputWriterFactory,
                              conf: SerializableConfiguration,
-                             schema: StructType)
+                             schema: StructType,
+                             fanout: Seq[GraftFanout])
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftRowLevelWriterFactory(root.stripSuffix("/"), relDir, factory,
-      conf, schema)
+      conf, schema, fanout)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val staged = messages.collect { case GraftStagedFiles(rels) => rels }
@@ -227,27 +286,45 @@ case class GraftStagedFiles(rels: Seq[String]) extends WriterCommitMessage
 class GraftRowLevelWriterFactory(base: String, relDir: String,
                                  factory: OutputWriterFactory,
                                  conf: SerializableConfiguration,
-                                 schema: StructType)
+                                 schema: StructType,
+                                 fanout: Seq[GraftFanout])
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftRowLevelDataWriter(base,
-      s"$relDir/part-$partitionId-$taskId.parquet",
-      factory, conf, schema, partitionId, taskId)
+    new GraftRowLevelDataWriter(base, relDir,
+      s"part-$partitionId-$taskId.parquet",
+      factory, conf, schema, fanout, partitionId, taskId)
 }
 
-/** One task's parquet writer. Opens LAZILY on the first row (an empty
-  * partition stages no file) at a task-unique path — a retried or
-  * speculative attempt writes a different file name, and only the
-  * attempt whose commit message the driver receives is referenced;
-  * orphans are unreferenced data for [[TxnTable.vacuum]]. */
-class GraftRowLevelDataWriter(base: String, rel: String,
+/** One task's parquet writers — one per hidden-partition dir the task's
+  * rows fan into (no transforms → exactly one, at the staging root).
+  * Every file opens LAZILY on its first row (an empty partition — or an
+  * unvisited transform value — stages nothing) at a task-unique name:
+  * a retried or speculative attempt writes different file names, and
+  * only the attempt whose commit message the driver receives is
+  * referenced; orphans are unreferenced data for [[TxnTable.vacuum]].
+  * The open-writer count is bounded by the task's DISTINCT transform
+  * values, which the group scan keeps small by construction: input
+  * splits are the table's own files, themselves fan-out products. */
+class GraftRowLevelDataWriter(base: String, relDir: String, fileName: String,
                               factory: OutputWriterFactory,
                               conf: SerializableConfiguration,
                               schema: StructType,
+                              fanout: Seq[GraftFanout],
                               partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
 
-  private var writer: ParquetRowWriter = _
+  private val writers = scala.collection.mutable.LinkedHashMap
+    .empty[String, ParquetRowWriter]
+
+  private def rel(dirs: String): String =
+    if (dirs.isEmpty) s"$relDir/$fileName" else s"$relDir/$dirs/$fileName"
+
+  private def writerFor(row: InternalRow): ParquetRowWriter = {
+    val dirs = fanout.map(_.dirOf(row)).mkString("/")
+    writers.getOrElseUpdate(dirs,
+      ParquetWriteShim.open(factory, conf, schema, s"$base/${rel(dirs)}",
+        partitionId, taskId))
+  }
 
   /** A `ReplaceData` child emits `[__row_operation, <data cols>]` and —
     * when the operation requests no metadata attributes — Spark's plain
@@ -260,11 +337,8 @@ class GraftRowLevelDataWriter(base: String, rel: String,
     new org.apache.spark.sql.catalyst.ProjectingInternalRow(schema,
       (1 to schema.length).toIndexedSeq)
 
-  override def write(row: InternalRow): Unit = {
-    if (writer == null)
-      writer = ParquetWriteShim.open(factory, conf, schema, s"$base/$rel",
-        partitionId, taskId)
-    if (row.numFields == schema.length) writer.write(row)
+  override def write(row: InternalRow): Unit =
+    if (row.numFields == schema.length) writerFor(row).write(row)
     else {
       require(row.numFields == schema.length + 1 &&
           (row.getInt(0) == 5 || row.getInt(0) == 6),
@@ -272,23 +346,27 @@ class GraftRowLevelDataWriter(base: String, rel: String,
           s"WRITE-op-prefixed row, got ${row.numFields} fields " +
           s"(op=${if (row.numFields > schema.length) row.getInt(0) else -1})")
       shift.project(row)
-      writer.write(shift)
+      writerFor(shift).write(shift)
     }
-  }
 
-  override def commit(): WriterCommitMessage =
-    if (writer == null) GraftStagedFiles(Nil)
-    else { writer.close(); writer = null; GraftStagedFiles(Seq(rel)) }
+  override def commit(): WriterCommitMessage = {
+    writers.values.foreach(_.close())
+    val rels = writers.keys.map(rel).toSeq
+    writers.clear()
+    GraftStagedFiles(rels)
+  }
 
   override def abort(): Unit = {
-    if (writer != null) { try writer.close() catch { case _: Throwable => () } }
-    writer = null
-    val p = new Path(s"$base/$rel")
-    val fs = p.getFileSystem(ParquetWriteShim.hadoopConf(conf))
-    fs.delete(p, false)
-    ()
+    val fs = new Path(base).getFileSystem(ParquetWriteShim.hadoopConf(conf))
+    writers.foreach { case (dirs, w) =>
+      try w.close() catch { case _: Throwable => () }
+      fs.delete(new Path(s"$base/${rel(dirs)}"), false)
+    }
+    writers.clear()
   }
 
-  override def close(): Unit =
-    if (writer != null) { writer.close(); writer = null }
+  override def close(): Unit = {
+    writers.values.foreach(_.close())
+    writers.clear()
+  }
 }

@@ -97,6 +97,40 @@ class GraftRowLevelSpec extends AnyFunSuite {
       (4L to 150L).map(i => (i, i)))
   }
 
+  test("rewritten files keep the hidden-partitioning fan-out and its pruning") {
+    val root = s"$warehouse/db/f" // touches the lazy catalog registration
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.f (id BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, id)) TBLPROPERTIES ('statsCols' = 'id')")
+    spark.sql(s"INSERT INTO $cat.db.f SELECT id, id FROM range(1, 51)")
+    val pre = TxnTable.latest(spark, root).get
+    assert(pre.files.forall(_.contains("bucket4_id=")))
+    spark.sql(s"UPDATE $cat.db.f SET v = 0 WHERE id = 5")
+    assert(rows(s"SELECT id, v FROM $cat.db.f") ===
+      (1L to 50L).map(i => (i, if (i == 5) 0L else i)))
+    val post = TxnTable.latest(spark, root).get
+    // the manifest's bucket point math narrowed the rewrite to id=5's
+    // bucket: every OTHER bucket's files carried by reference
+    val b5 = {
+      val s = spark; import s.implicits._
+      spark.range(1).select(pmod(xxhash64(lit(5L)), lit(4L))).as[Long].head()
+    }
+    val otherBuckets = pre.files.filterNot(_.contains(s"bucket4_id=$b5"))
+    assert(otherBuckets.nonEmpty && otherBuckets.forall(post.files.contains))
+    // within bucket b5, only the file(s) whose id RANGE can hold 5 are
+    // rewritten (range + bucket proofs compose); at least one must be
+    val replaced = pre.files
+      .filter(_.contains(s"bucket4_id=$b5")).filterNot(post.files.contains)
+    assert(replaced.nonEmpty)
+    assert(replaced.forall(f => { val (lo, hi) = pre.stats(f)("id"); lo <= 5 && 5 <= hi }))
+    // the REPLACEMENT file landed in the same bucket dir with the
+    // transform stats recorded — post-update pruning as good as append
+    val staged = post.files.filterNot(pre.files.contains)
+    assert(staged.nonEmpty && staged.forall(_.contains(s"bucket4_id=$b5")))
+    assert(staged.forall(f => post.stats(f).get("bucket4_id")
+      .contains((b5, b5))))
+  }
+
   test("row-level ops refuse on MoR-live snapshots") {
     val root = freshTable("r")
     val s = spark; import s.implicits._
