@@ -767,6 +767,71 @@ object TxnTable {
       bloomCols = bloomCols, transforms = transforms)
   }
 
+  /** ALTER TABLE: commit a METADATA-ONLY new version — same files, same
+    * stats/blooms/deletes/transforms — with an evolved schema and/or
+    * replaced metadata-column sets (`statsCols`/`bloomCols`).
+    *
+    * Schema changes are the format's write-path evolution rules applied
+    * from DDL instead of from an append ([[evolve]] validates): ADD a
+    * trailing NULLABLE column (older files read it as null — the same
+    * schema-on-read every reader already honors) or LOSSLESSLY WIDEN a
+    * column in place (byte/short/int→long, float→double; the vectorized
+    * parquet reader upcasts the old physical types). Anything else —
+    * drop, rename, narrow, reorder — refuses loud: parquet resolves
+    * columns BY NAME, so a rename would silently orphan every existing
+    * file's data.
+    *
+    * Replacing `statsCols`/`bloomCols` changes what FUTURE appends
+    * record; existing files keep (only) their recorded entries, so
+    * pruning on a newly-added column simply cannot skip old files —
+    * absent metadata never skips, the standing soundness rule.
+    *
+    * Metadata-only, optimistic-retry like every writer loop. */
+  def alterTable(s: SparkSession, root: String,
+                 newSchema: Option[org.apache.spark.sql.types.StructType] = None,
+                 newStatsCols: Option[Seq[String]] = None,
+                 newBloomCols: Option[Seq[String]] = None,
+                 maxAttempts: Int = 5): Snapshot = {
+    for (attempt <- 1 to maxAttempts) {
+      val cur = latestRequired(s, root)
+      val schema = newSchema match {
+        case None => cur.schema
+        case Some(target) =>
+          val prior = cur.schema.getOrElse(throw new IllegalStateException(
+            s"table at $root has no recorded schema to evolve — append once first"))
+          // evolve() IS the validator: it keeps prior fields in place
+          // (widening in-place, refusing other type changes) and
+          // appends genuinely-new fields — a target it does not
+          // round-trip is a drop/rename/reorder in disguise
+          val evolved = evolve(Some(prior), target)
+          require(evolved == target,
+            s"ALTER TABLE can only add trailing nullable columns or widen " +
+              s"losslessly; requested schema ${target.simpleString} does not " +
+              s"round-trip evolution from ${prior.simpleString} " +
+              s"(got ${evolved.simpleString})")
+          target.fields.filterNot(f => prior.fieldNames.contains(f.name))
+            .foreach(f => require(f.nullable,
+              s"added column '${f.name}' must be nullable: existing files " +
+                "have no values for it"))
+          Some(target)
+      }
+      val cols = newStatsCols.getOrElse(cur.statsCols)
+      val bcols = newBloomCols.getOrElse(cur.bloomCols)
+      val tableCols = schema.map(_.fieldNames.toSet)
+      (cols ++ bcols).foreach(c => require(tableCols.forall(_.contains(c)),
+        s"metadata column '$c' is not a table column"))
+      try {
+        return commit(s, root, cur.version + 1, "alter", cur.files,
+          cur.stats, cols, schema, cur.blooms, bcols,
+          cur.deletes, cur.deleteCols, cur.transforms, cur.rowCounts,
+          nullCounts = cur.nullCounts)
+      } catch {
+        case _: TxnConflictException if attempt < maxAttempts => // re-resolve
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Append `df` to the table (creates it at v1 if absent). With
     * `statsCols` (LONG columns, first = primary clustering column),
     * per-file per-column min/max are computed once at write time and
@@ -862,11 +927,21 @@ object TxnTable {
     * sink uses. Returns None on a replay that was already committed.
     * The already-committed probe reads O(versions) small manifests;
     * production formats cache the latest-seen batch id per stream in
-    * the snapshot itself — same contract, one read. */
+    * the snapshot itself — same contract, one read.
+    *
+    * `streamId` scopes the idempotence key to ONE streaming query
+    * (Delta's txnAppId): two different streams both restarting from
+    * batch 0 into the same table must not mistake each other's commits
+    * for their own replays. Empty (the default, and the pre-existing
+    * on-disk tag format) is only safe when a single stream owns the
+    * table. */
   def appendBatch(s: SparkSession, root: String, df: DataFrame,
                   batchId: Long,
-                  statsCols: Seq[String] = Nil): Option[Snapshot] = {
-    val opTag = s"append-batch:$batchId"
+                  statsCols: Seq[String] = Nil,
+                  streamId: String = ""): Option[Snapshot] = {
+    val opTag =
+      if (streamId.isEmpty) s"append-batch:$batchId"
+      else s"append-batch:$streamId:$batchId"
     val vs = versions(s, root)
     if (vs.exists(v => snapshot(s, root, v).op == opTag)) None
     else {
@@ -896,8 +971,11 @@ object TxnTable {
     * and no-ops (returns None) instead of double-applying the merge. */
   def replaceBatch(s: SparkSession, root: String, df: DataFrame,
                    batchId: Long,
-                   statsCols: Seq[String] = Nil): Option[Snapshot] = {
-    val opTag = s"replace-batch:$batchId"
+                   statsCols: Seq[String] = Nil,
+                   streamId: String = ""): Option[Snapshot] = {
+    val opTag =
+      if (streamId.isEmpty) s"replace-batch:$batchId"
+      else s"replace-batch:$streamId:$batchId"
     val vs = versions(s, root)
     if (vs.exists(v => snapshot(s, root, v).op == opTag)) None
     else {

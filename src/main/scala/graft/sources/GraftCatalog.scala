@@ -143,10 +143,64 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft-txn schema evolution happens on write (TxnTable.append evolves " +
-        "the recorded schema); ALTER TABLE is not supported")
+  /** ALTER TABLE — the DDL face of the format's write-path evolution
+    * rules ([[TxnTable.alterTable]]): `ADD COLUMNS` (trailing,
+    * nullable), `ALTER COLUMN ... TYPE` (lossless widening only), and
+    * `SET/UNSET TBLPROPERTIES ('statsCols'/'bloomCols')` (what future
+    * appends record). Everything else — drop, rename, reorder,
+    * nullability tightening, other properties — refuses loud: parquet
+    * resolves columns BY NAME, so a rename/drop would silently orphan
+    * or resurrect existing files' data. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val root = tableRoot(ident)
+    if (!isTable(root)) throw new NoSuchTableException(ident)
+    val cur = TxnTable.latest(spark, root).getOrElse(throw new NoSuchTableException(ident))
+    // evolve the RECORDED schema (the manifest's), not the read-path's
+    // nullable-normalized view — alterTable round-trips against it
+    var schema = cur.schema.getOrElse(throw new IllegalStateException(
+      s"table at $root has no recorded schema to alter — append once first"))
+    var statsCols = cur.statsCols
+    var bloomCols = cur.bloomCols
+    def csv(v: String): Seq[String] =
+      v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          s"graft-txn ALTER TABLE adds top-level columns only, got " +
+            add.fieldNames.mkString("."))
+        require(add.isNullable,
+          s"added column '${add.fieldNames.head}' must be nullable: " +
+            "existing files have no values for it")
+        require(add.position == null,
+          "graft-txn ALTER TABLE appends columns at the end (parquet " +
+            "resolves by name; position is cosmetic and not recorded)")
+        schema = schema.add(add.fieldNames.head, add.dataType, nullable = true)
+      case upd: TableChange.UpdateColumnType =>
+        require(upd.fieldNames.length == 1,
+          s"graft-txn ALTER TABLE widens top-level columns only, got " +
+            upd.fieldNames.mkString("."))
+        val name = upd.fieldNames.head
+        require(schema.fieldNames.contains(name), s"no such column '$name'")
+        schema = StructType(schema.fields.map(f =>
+          if (f.name == name) f.copy(dataType = upd.newDataType) else f))
+      case set: TableChange.SetProperty if set.property == "statsCols" =>
+        statsCols = csv(set.value)
+      case set: TableChange.SetProperty if set.property == "bloomCols" =>
+        bloomCols = csv(set.value)
+      case rm: TableChange.RemoveProperty if rm.property == "statsCols" =>
+        statsCols = Nil
+      case rm: TableChange.RemoveProperty if rm.property == "bloomCols" =>
+        bloomCols = Nil
+      case other => throw new UnsupportedOperationException(
+        s"graft-txn ALTER TABLE supports ADD COLUMNS (trailing, nullable), " +
+          s"ALTER COLUMN TYPE (lossless widening), and the 'statsCols'/" +
+          s"'bloomCols' properties; got $other")
+    }
+    TxnTable.alterTable(spark, root,
+      newSchema = Some(schema),
+      newStatsCols = Some(statsCols), newBloomCols = Some(bloomCols))
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val root = tableRoot(ident)

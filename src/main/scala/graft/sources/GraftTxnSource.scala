@@ -56,8 +56,12 @@ import graft.sinks.TxnTable.Snapshot
   * (refuse-loud, never silent): a snapshot with LIVE merge-on-read
   * deletes refuses the SCAN (the FileIndex cannot anti-join) —
   * `compactDeletes` first, or read through [[TxnTable.read]], which
-  * merges; ALTER TABLE refuses (schema evolution happens on write). */
-class GraftTxnSource extends TableProvider with DataSourceRegister {
+  * merges; ALTER TABLE supports exactly the write-path evolution rules
+  * (trailing nullable adds, lossless widening — see
+  * [[GraftCatalog.alterTable]]) and refuses everything else. */
+class GraftTxnSource extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "graft-txn"
 
@@ -68,15 +72,104 @@ class GraftTxnSource extends TableProvider with DataSourceRegister {
                         properties: util.Map[String, String]): Table =
     GraftTxnSource.resolve(SparkSession.active,
       new CaseInsensitiveStringMap(properties))
+
+  // ---- streaming (the v1 fallback surface: the batch table does not
+  // advertise MICRO_BATCH_READ / STREAMING_WRITE, so Spark routes
+  // readStream/writeStream here) --------------------------------------
+
+  import graft.streaming.{CdcSource, TxnStreamSink, TxnStreamSource}
+
+  /** `spark.readStream.format("graft-txn").load(root)` — append-mode by
+    * default ([[TxnStreamSource]], the Delta-streaming-source surface);
+    * `option("readChangeFeed", "true")` streams the full CDC feed
+    * instead ([[CdcSource]], `_change_type`/`_n`/`_commit_version`).
+    * Shared options: `startVersion`, `maxVersionsPerBatch`;
+    * append-mode only: `skipChangeCommits`. */
+  override def sourceSchema(ctx: org.apache.spark.sql.SQLContext,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    val root = GraftTxnSource.streamRoot(parameters)
+    val sch =
+      if (GraftTxnSource.changeFeed(parameters))
+        CdcSource.feedSchema(ctx.sparkSession, root)
+      else TxnStreamSource.pinnedSchema(ctx.sparkSession, root)
+    (shortName(), sch)
+  }
+
+  override def createSource(ctx: org.apache.spark.sql.SQLContext,
+                            metadataPath: String, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val root = GraftTxnSource.streamRoot(parameters)
+    val startVersion = GraftTxnSource.opt(parameters, "startVersion").map(_.toLong)
+    val maxPerBatch = GraftTxnSource.opt(parameters, "maxVersionsPerBatch").map(_.toLong)
+    if (GraftTxnSource.changeFeed(parameters))
+      new CdcSource(ctx.sparkSession, root, startVersion, maxPerBatch)
+    else
+      new TxnStreamSource(ctx.sparkSession, root, startVersion, maxPerBatch,
+        skipChangeCommits =
+          GraftTxnSource.opt(parameters, "skipChangeCommits").exists(_.toBoolean))
+  }
+
+  /** `df.writeStream.format("graft-txn")` — exactly-once idempotent
+    * batch commits, see [[TxnStreamSink]]. Partitioning comes from the
+    * TABLE's recorded transform spec, never from the query (a
+    * `partitionBy` here would silently disagree with what appends
+    * inherit — refuse loud). */
+  override def createSink(ctx: org.apache.spark.sql.SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(partitionColumns.isEmpty,
+      "graft-txn sink partitioning is the table's recorded transform spec " +
+        "(set at CREATE TABLE / first append); drop partitionBy(...)")
+    require(outputMode != org.apache.spark.sql.streaming.OutputMode.Update(),
+      "graft-txn sink supports Append (idempotent appendBatch) and Complete " +
+        "(idempotent replaceBatch); Update has no append-or-replace encoding " +
+        "— use foreachBatch with TxnTable.deleteKeysMor + append")
+    val root = GraftTxnSource.streamRoot(parameters)
+    val streamId = GraftTxnSource.opt(parameters, "streamId")
+      .orElse(GraftTxnSource.opt(parameters, "checkpointLocation"))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-txn sink needs a stable idempotence key: set " +
+          "option(\"checkpointLocation\", ...) (every recoverable stream has " +
+          "one) or option(\"streamId\", ...) — anonymous streams sharing " +
+          "batch-id space would swallow each other's commits"))
+    new TxnStreamSink(ctx.sparkSession, root, streamId, outputMode)
+  }
 }
 
 object GraftTxnSource {
 
+  /** V1 streaming parameters arrive as a plain Map; match option names
+    * case-insensitively like the DSv2 path does. */
+  private[sources] def opt(parameters: Map[String, String], key: String): Option[String] =
+    parameters.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
+
+  private[sources] def streamRoot(parameters: Map[String, String]): String =
+    opt(parameters, "path").orElse(opt(parameters, "root")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-txn streaming needs a table root: .load(root) / .option(\"path\", root)"))
+
+  private[sources] def changeFeed(parameters: Map[String, String]): Boolean =
+    opt(parameters, "readChangeFeed").exists(_.toBoolean)
+
   /** Resolve (root, version options) → a readable table. One manifest
     * read; the returned table pins that snapshot (snapshot isolation —
-    * a concurrent commit never changes what this scan reads). */
+    * a concurrent commit never changes what this scan reads).
+    *
+    * A root with NO committed snapshot resolves to a capability-less
+    * placeholder instead of throwing: `writeStream.format("graft-txn")
+    * .start(root)` probes the provider for a table BEFORE the sink can
+    * create it (DataStreamWriter checks STREAMING_WRITE, then falls
+    * back to the V1 sink), and a first-batch-creates-the-table stream
+    * is the normal ingest bootstrap. Reads of the placeholder refuse
+    * at analysis (it advertises no capabilities and its name carries
+    * the diagnosis); time travel on a missing table still throws. */
   private[sources] def resolve(s: SparkSession,
-                               options: CaseInsensitiveStringMap): GraftTxnTableV2 = {
+                               options: CaseInsensitiveStringMap): Table = {
     val root = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException(
         "graft-txn needs a table root: spark.read.format(\"graft-txn\").load(root)"))
@@ -88,12 +181,23 @@ object GraftTxnSource {
       TxnTable.versionAt(s, root, ms).getOrElse(throw new IllegalStateException(
         s"no snapshot at $root as of epoch-ms $ms"))))
     val snap = version match {
-      case Some(v) => TxnTable.snapshot(s, root, v)
-      case None => TxnTable.latest(s, root).getOrElse(
-        throw new IllegalStateException(s"no committed snapshot at $root"))
+      case Some(v) => Some(TxnTable.snapshot(s, root, v)) // explicit travel: must exist
+      case None => TxnTable.latest(s, root)
     }
-    new GraftTxnTableV2(s, root, snap)
+    snap.fold[Table](new GraftTxnUncommittedTable(root))(
+      new GraftTxnTableV2(s, root, _))
   }
+}
+
+/** Placeholder for a root with no committed snapshot: advertises NO
+  * capabilities, so a batch read refuses at analysis (the name carries
+  * the diagnosis) while `writeStream` falls through to the V1 sink,
+  * whose first batch creates the table. */
+private[sources] class GraftTxnUncommittedTable(root: String) extends Table {
+  override def name(): String = s"graft-txn:$root (no committed snapshot)"
+  override def schema(): StructType = new StructType()
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.noneOf(classOf[TableCapability])
 }
 
 /** One pinned snapshot as a DSv2 [[Table]], readable and SQL-writable:

@@ -1,0 +1,140 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.sinks.TxnTable
+
+/** The txn table as an APPEND-MODE Structured Streaming source — the
+  * Delta-streaming-source surface (`spark.readStream.format("graft-txn")
+  * .load(root)`): each micro-batch is the rows ADDED by one or more
+  * commit windows, in commit order, exactly once across restarts
+  * (offsets ARE table versions; a version-pinned window is
+  * deterministic, so checkpoint replay re-reads identical batches).
+  *
+  * Window admission is decided from MANIFEST FACTS, refuse-loud:
+  *  - a window that only ADDS data files (no files removed, MoR
+  *    delete-file set unchanged) is an append — its new files' rows
+  *    emit (anti-joined against the snapshot's live delete keys, so a
+  *    stream over a MoR table sees effective content);
+  *  - a MAINTENANCE commit (`compact` / `compact-deletes` / `zorder`)
+  *    is content-preserving by the writer's commit contract — the op
+  *    tag is this format's `dataChange = false` — and emits nothing;
+  *  - anything else (overwrite, CoW/MoR delete, restore, row-level
+  *    rewrite) CHANGED visible rows: the stream fails loud naming the
+  *    version and op, pointing at the two honest alternatives —
+  *    `readChangeFeed=true` (the full CDC feed, [[CdcSource]]) or
+  *    `skipChangeCommits=true` (Delta's knob: skip such windows,
+  *    accepting that the stream reflects inserts only).
+  *
+  * Options (shared with [[CdcSource]]): `startVersion` (0 = replay
+  * history; N = start after N; default = latest at stream start),
+  * `maxVersionsPerBatch` (admission control for backlogs).
+  *
+  * Scale posture: an append window reads exactly the files that window
+  * added — a steady-state stream over a 100 TB table costs per-commit
+  * deltas, never table scans. The schema is pinned at stream start
+  * (windows read under their own recorded schema and cast up, so
+  * lossless widening mid-stream is transparent; an incompatible
+  * evolution fails the stream and a restart re-pins). Replay needs the
+  * checkpointed windows' manifests and files: vacuum retention must
+  * outlive checkpoint lag. */
+class TxnStreamSource(s: SparkSession, tableRoot: String,
+                      startVersion: Option[Long],
+                      maxVersionsPerBatch: Option[Long],
+                      skipChangeCommits: Boolean) extends Source {
+  maxVersionsPerBatch.foreach(m =>
+    require(m >= 1, s"maxVersionsPerBatch must be >= 1, got $m"))
+
+  private val pinned: StructType = TxnStreamSource.pinnedSchema(s, tableRoot)
+  /** Versions <= startV are never emitted. */
+  private val startV: Long = startVersion.getOrElse(
+    TxnTable.latest(s, tableRoot).map(_.version).getOrElse(0L))
+  /** Highest version already handed to getBatch — the pacing cursor
+    * (see [[CdcSource.served]]); restart replay re-seeds it. */
+  private var served: Long = startV
+
+  override def schema: StructType = pinned
+
+  override def getOffset: Option[Offset] = {
+    val head = TxnTable.latest(s, tableRoot).map(_.version).getOrElse(0L)
+    val floor = math.max(served, startV)
+    val capped = maxVersionsPerBatch.fold(head)(m => math.min(head, floor + m))
+    if (capped <= floor) None else Some(LongOffset(capped))
+  }
+
+  private def ver(o: Offset): Long = o match {
+    case l: LongOffset        => l.offset
+    case so: SerializedOffset => LongOffset(so).offset
+  }
+
+  /** Rows one commit window added, or None for an admitted-empty
+    * window. Classification is from the two manifests alone. */
+  private def perVersion(v: Long): Option[DataFrame] = {
+    val cur = TxnTable.snapshot(s, tableRoot, v)
+    val prevFiles: Set[String] =
+      if (v == 1L) Set.empty else TxnTable.snapshot(s, tableRoot, v - 1).files.toSet
+    val prevDeletes: Set[String] =
+      if (v == 1L) Set.empty else TxnTable.snapshot(s, tableRoot, v - 1).deletes.toSet
+    val added = cur.files.filterNot(prevFiles)
+    val removed = prevFiles -- cur.files.toSet
+    val isAppend = removed.isEmpty && prevDeletes == cur.deletes.toSet
+    val maintenance = Set("compact", "compact-deletes", "zorder")(cur.op)
+    if (isAppend) {
+      if (added.isEmpty) None
+      else {
+        val base = tableRoot.stripSuffix("/")
+        val reader = cur.schema.fold(s.read)(s.read.schema)
+        val rows = reader.parquet(added.map(f => s"$base/$f"): _*)
+        // a MoR table's live delete keys mask the new files too — the
+        // stream emits EFFECTIVE content, exactly what read() serves
+        if (cur.deletes.isEmpty) Some(rows)
+        else {
+          val keys = s.read.parquet(cur.deletes.map(f => s"$base/$f"): _*)
+            .select(cur.deleteCols.map(c => col(c).as(s"_del_$c")): _*).distinct()
+          Some(rows.join(keys,
+            cur.deleteCols.map(c => rows(c) <=> keys(s"_del_$c")).reduce(_ && _),
+            "left_anti"))
+        }
+      }
+    } else if (maintenance || skipChangeCommits) None
+    else throw new IllegalStateException(
+      s"append-mode stream over $tableRoot hit a data-changing commit: " +
+        s"v$v (op '${cur.op}') removed ${removed.size} file(s) / changed the " +
+        "delete set. Read the full change feed with " +
+        "option(\"readChangeFeed\", \"true\"), or skip such commits with " +
+        "option(\"skipChangeCommits\", \"true\")")
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val v1 = start.map(ver).getOrElse(startV)
+    val v2 = ver(end)
+    served = math.max(served, v2)
+    val windows = ((v1 + 1) to v2).flatMap(perVersion)
+    val out = windows.reduceOption(_.unionByName(_)).getOrElse(
+      s.createDataFrame(s.sparkContext.emptyRDD[Row], pinned))
+    // pin to the stream-start schema (lossless widening casts up; an
+    // incompatible evolution fails here, loudly)
+    org.apache.spark.sql.graft.StreamingShim.asStreamingBatch(
+      out.select(pinned.fields.map(f => col(f.name).cast(f.dataType).as(f.name))
+        .toIndexedSeq: _*))
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+object TxnStreamSource {
+  /** Stream schema: the table's columns pinned from the latest snapshot
+    * at stream start, everything nullable (schema-on-read: older files
+    * may lack late columns). */
+  def pinnedSchema(s: SparkSession, root: String): StructType = {
+    val snap = TxnTable.latest(s, root).getOrElse(throw new IllegalStateException(
+      s"no committed snapshot at $root — create the table before streaming it"))
+    val base = snap.schema.getOrElse(TxnTable.read(s, root).schema)
+    StructType(base.fields.map(_.copy(nullable = true)))
+  }
+}

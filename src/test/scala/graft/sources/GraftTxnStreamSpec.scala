@@ -1,0 +1,262 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryException
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.sinks.TxnTable
+
+/** The txn format's streaming surface BY FORMAT NAME — readStream
+  * (append mode + CDC mode) and writeStream (exactly-once idempotent
+  * batch commits), the Delta-shaped streaming integration on top of the
+  * DSv2 batch source. */
+class GraftTxnStreamSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def freshBase(): String =
+    Files.createTempDirectory("txn_stream").toString
+
+  private def df(ids: Long*) = {
+    val s = spark
+    import s.implicits._
+    ids.toDF("id").withColumn("v", col("id") * 10)
+  }
+
+  private def idv(name: String): Set[(Long, Long)] =
+    spark.table(name).select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  // ---- readStream: append mode ---------------------------------------
+
+  test("append-mode readStream by format name: replay + live appends") {
+    val base = freshBase()
+    val root = s"$base/tbl"
+    TxnTable.overwrite(spark, root, df(1, 2)) // v1
+    TxnTable.append(spark, root, df(3))       // v2
+    val q = spark.readStream.format("graft-txn")
+      .option("startVersion", "0").load(root)
+      .writeStream.format("memory").queryName("txn_append_replay")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      q.processAllAvailable()
+      assert(idv("txn_append_replay") === Set((1L, 10L), (2L, 20L), (3L, 30L)))
+      TxnTable.append(spark, root, df(4))     // v3, mid-stream
+      q.processAllAvailable()
+      assert(idv("txn_append_replay") === Set((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
+    } finally q.stop()
+  }
+
+  test("maintenance commits (compact) emit nothing; appends around them flow") {
+    val base = freshBase()
+    val root = s"$base/tbl"
+    TxnTable.overwrite(spark, root, df(1))    // v1
+    TxnTable.append(spark, root, df(2))       // v2
+    TxnTable.compactTxn(spark, root, 1)       // v3: content-preserving
+    TxnTable.append(spark, root, df(3))       // v4
+    val q = spark.readStream.format("graft-txn")
+      .option("startVersion", "0").load(root)
+      .writeStream.format("memory").queryName("txn_append_compact")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      q.processAllAvailable()
+      assert(idv("txn_append_compact") === Set((1L, 10L), (2L, 20L), (3L, 30L)))
+    } finally q.stop()
+  }
+
+  test("data-changing commit fails loud by default; skipChangeCommits skips it") {
+    val base = freshBase()
+    val root = s"$base/tbl"
+    TxnTable.overwrite(spark, root, df(1, 2))                    // v1
+    TxnTable.deleteWhere(spark, root, col("id") === 1)           // v2: CoW rewrite
+    TxnTable.append(spark, root, df(3))                          // v3
+
+    val strict = spark.readStream.format("graft-txn")
+      .option("startVersion", "0").load(root)
+      .writeStream.format("memory").queryName("txn_append_strict")
+      .option("checkpointLocation", s"$base/ckpt_strict").start()
+    val failed = intercept[StreamingQueryException] {
+      strict.processAllAvailable(); strict.awaitTermination()
+    }
+    assert(failed.getMessage.contains("data-changing commit") ||
+      Option(failed.getCause).exists(_.getMessage.contains("data-changing commit")))
+
+    val skipping = spark.readStream.format("graft-txn")
+      .option("startVersion", "0").option("skipChangeCommits", "true").load(root)
+      .writeStream.format("memory").queryName("txn_append_skip")
+      .option("checkpointLocation", s"$base/ckpt_skip").start()
+    try {
+      skipping.processAllAvailable()
+      // v1's inserts and v3's append flow; v2's rewrite window is skipped
+      assert(idv("txn_append_skip") === Set((1L, 10L), (2L, 20L), (3L, 30L)))
+    } finally skipping.stop()
+  }
+
+  test("append onto a MoR-live table streams effective rows (delete keys masked)") {
+    val base = freshBase()
+    val root = s"$base/tbl"
+    val s = spark
+    import s.implicits._
+    TxnTable.overwrite(spark, root, df(1, 2))                       // v1
+    TxnTable.deleteKeysMor(spark, root, "id", Seq(1L, 3L).toDF("id")) // v2
+    // stream starts AFTER the delete: only new appends flow
+    val q = spark.readStream.format("graft-txn").load(root)
+      .writeStream.format("memory").queryName("txn_append_mor")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      q.processAllAvailable()
+      TxnTable.append(spark, root, df(3, 4))                        // v3: 3 is dead on arrival
+      q.processAllAvailable()
+      assert(idv("txn_append_mor") === Set((4L, 40L)))
+    } finally q.stop()
+  }
+
+  test("readChangeFeed=true streams the CDC feed through the format name") {
+    val base = freshBase()
+    val root = s"$base/tbl"
+    val s = spark
+    import s.implicits._
+    TxnTable.overwrite(spark, root, df(1, 2))                      // v1
+    TxnTable.deleteKeysMor(spark, root, "id", Seq(1L).toDF("id"))  // v2
+    val q = spark.readStream.format("graft-txn")
+      .option("readChangeFeed", "true").option("startVersion", "0").load(root)
+      .writeStream.format("memory").queryName("txn_cdc_byname")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("txn_cdc_byname")
+        .select("id", "_change_type", "_commit_version").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows === Set((1L, "insert", 1L), (2L, "insert", 1L), (1L, "delete", 2L)))
+    } finally q.stop()
+  }
+
+  // ---- writeStream: exactly-once sink --------------------------------
+
+  test("writeStream sink: appends land as txn versions; restart does not double") {
+    val base = freshBase()
+    val root = s"$base/sink_tbl"
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val in = MemoryStream[Long]
+    val q1 = in.toDS().toDF("id").withColumn("v", col("id") * 10)
+      .writeStream.format("graft-txn")
+      .option("checkpointLocation", s"$base/ckpt").start(root)
+    try {
+      in.addData(1L, 2L); q1.processAllAvailable()
+      in.addData(3L);     q1.processAllAvailable()
+    } finally q1.stop()
+    assert(TxnTable.read(spark, root).select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 10L), (2L, 20L), (3L, 30L)))
+
+    // restart from the same checkpoint: committed batches replay as
+    // no-ops, only new data appends
+    val q2 = in.toDS().toDF("id").withColumn("v", col("id") * 10)
+      .writeStream.format("graft-txn")
+      .option("checkpointLocation", s"$base/ckpt").start(root)
+    try {
+      in.addData(4L); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(TxnTable.read(spark, root).select("id").as[Long].collect().sorted
+      === Array(1L, 2L, 3L, 4L))
+    // every version op carries the checkpoint-scoped idempotence key
+    val ops = TxnTable.versions(spark, root)
+      .map(v => TxnTable.snapshot(spark, root, v).op)
+    assert(ops.forall(_.startsWith("append-batch:")))
+    assert(ops.forall(_.contains("ckpt")))
+  }
+
+  test("sink round-trips through the append-mode source (streaming kappa hop)") {
+    val base = freshBase()
+    val root = s"$base/hop_tbl"
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val in = MemoryStream[Long]
+    val ingest = in.toDS().toDF("id").withColumn("v", col("id") * 10)
+      .writeStream.format("graft-txn")
+      .option("checkpointLocation", s"$base/ckpt_in").start(root)
+    // the source pins its schema from a committed snapshot — the first
+    // ingest batch must create the table before the serve stream starts
+    in.addData(1L, 2L); ingest.processAllAvailable()
+    val serve = spark.readStream.format("graft-txn")
+      .option("startVersion", "0").load(root)
+      .writeStream.format("memory").queryName("txn_hop")
+      .option("checkpointLocation", s"$base/ckpt_out").start()
+    try {
+      serve.processAllAvailable()
+      assert(idv("txn_hop") === Set((1L, 10L), (2L, 20L)))
+      in.addData(3L); ingest.processAllAvailable(); serve.processAllAvailable()
+      assert(idv("txn_hop") === Set((1L, 10L), (2L, 20L), (3L, 30L)))
+    } finally { ingest.stop(); serve.stop() }
+  }
+
+  test("two streams into one table: distinct idempotence keys never collide") {
+    val base = freshBase()
+    val root = s"$base/two_tbl"
+    // same batchId (0) from two different streams must BOTH commit
+    assert(TxnTable.appendBatch(spark, root, df(1), 0L, streamId = "streamA").nonEmpty)
+    assert(TxnTable.appendBatch(spark, root, df(2), 0L, streamId = "streamB").nonEmpty)
+    // replays of each still no-op
+    assert(TxnTable.appendBatch(spark, root, df(1), 0L, streamId = "streamA").isEmpty)
+    assert(TxnTable.appendBatch(spark, root, df(2), 0L, streamId = "streamB").isEmpty)
+    assert(TxnTable.read(spark, root).count() === 2L)
+  }
+
+  test("sink refusals: Update mode, partitionBy, missing idempotence key") {
+    val base = freshBase()
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val in = MemoryStream[Long]
+    val dfS = in.toDS().toDF("id")
+
+    val up = intercept[Exception] {
+      dfS.groupBy("id").count().writeStream.format("graft-txn")
+        .outputMode("update")
+        .option("checkpointLocation", s"$base/ckpt_u").start(s"$base/t_u")
+    }
+    assert(up.getMessage.contains("Update"))
+
+    val pb = intercept[Exception] {
+      dfS.writeStream.format("graft-txn").partitionBy("id")
+        .option("checkpointLocation", s"$base/ckpt_p").start(s"$base/t_p")
+    }
+    assert(pb.getMessage.contains("transform spec"))
+
+    val anon = intercept[Exception] {
+      dfS.writeStream.format("graft-txn").start(s"$base/t_a")
+    }
+    assert(anon.getMessage.contains("idempotence key"))
+  }
+
+  test("Complete mode replaces content per batch (materialized aggregate)") {
+    val base = freshBase()
+    val root = s"$base/agg_tbl"
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val in = MemoryStream[Long]
+    val q = in.toDS().toDF("id").groupBy("id").agg(count(lit(1)).as("n"))
+      .writeStream.format("graft-txn").outputMode("complete")
+      .option("checkpointLocation", s"$base/ckpt").start(root)
+    try {
+      in.addData(1L, 1L, 2L); q.processAllAvailable()
+      in.addData(2L);         q.processAllAvailable()
+      assert(TxnTable.read(spark, root).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet ===
+        Set((1L, 2L), (2L, 2L)))
+      // old versions stay time-travelable: the first batch's state
+      val v1 = TxnTable.versions(spark, root).head
+      assert(TxnTable.readAsOf(spark, root, v1).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet ===
+        Set((1L, 2L), (2L, 1L)))
+    } finally q.stop()
+  }
+}
