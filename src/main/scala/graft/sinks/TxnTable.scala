@@ -993,6 +993,57 @@ object TxnTable {
     }
   }
 
+  /** Commit a micro-batch whose files the DSv2 STREAMING WRITE protocol
+    * already staged from the executors (`sources/GraftStreamingWrite
+    * .scala` — not [[stage]]): the pre-staged twin of [[appendBatch]] /
+    * [[replaceBatch]], same idempotence contract ((streamId, batchId)
+    * in the op tag; a replayed epoch returns None and the CALLER
+    * deletes its freshly-staged orphans). Metadata for the staged files
+    * is computed here from the footers exactly as any append's would
+    * be; the recorded schema evolves against `stagedSchema` (append) or
+    * is replaced by it (replace — the Complete-mode shape, which also
+    * drops any live MoR delete set with the content it masked).
+    * Commit-race retries are pure manifest work — the staged files
+    * never move. */
+  private[graft] def commitStagedBatch(s: SparkSession, root: String,
+      staged: Seq[String], batchId: Long, streamId: String,
+      stagedSchema: org.apache.spark.sql.types.StructType,
+      replace: Boolean, maxAttempts: Int = 5): Option[Snapshot] = {
+    require(streamId.nonEmpty, "streaming-write commits need a stream id")
+    val opTag = (if (replace) "replace-batch" else "append-batch") +
+      s":$streamId:$batchId"
+    for (attempt <- 1 to maxAttempts) {
+      val vs = versions(s, root)
+      if (vs.exists(v => snapshot(s, root, v).op == opTag)) return None
+      val prior = vs.lastOption.map(snapshot(s, root, _))
+      val trs = prior.map(_.transforms).getOrElse(Nil)
+      val cols = prior.map(_.statsCols).getOrElse(Nil)
+      val bcols = prior.map(_.bloomCols).getOrElse(Nil)
+      val (stagedStats, stagedBlooms) = fileMeta(s, root, staged, cols, bcols)
+      try {
+        return Some(
+          if (replace)
+            commit(s, root, vs.lastOption.getOrElse(0L) + 1, opTag,
+              staged, mergeStats(stagedStats, transformStats(staged, trs)),
+              cols, Some(stagedSchema), stagedBlooms, bcols, transforms = trs)
+          else
+            commit(s, root, vs.lastOption.getOrElse(0L) + 1, opTag,
+              prior.map(_.files).getOrElse(Seq.empty) ++ staged,
+              prior.map(_.stats).getOrElse(Map.empty) ++
+                mergeStats(stagedStats, transformStats(staged, trs)),
+              cols,
+              Some(evolve(prior.flatMap(_.schema), stagedSchema)),
+              prior.map(_.blooms).getOrElse(Map.empty) ++ stagedBlooms, bcols,
+              prior.map(_.deletes).getOrElse(Seq.empty),
+              prior.map(_.deleteCols).getOrElse(Nil), trs,
+              prior.map(_.rowCounts).getOrElse(Map.empty)))
+      } catch {
+        case _: TxnConflictException if attempt < maxAttempts => // re-resolve
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Replace the table content with `df`. Old snapshots stay readable
     * (their files are immutable) until [[vacuum]]. `statsCols` /
     * `bloomCols` as in [[append]]. */

@@ -90,8 +90,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier): Table = {
     val root = tableRoot(ident)
     if (!isTable(root)) throw new NoSuchTableException(ident)
+    // catalog-resolved tables are the streaming-write surface
+    // (writeStream.toTable, queryId-keyed epochs — see GraftTxnSource)
     new GraftTxnTableV2(spark, root,
-      TxnTable.latest(spark, root).getOrElse(throw new NoSuchTableException(ident)))
+      TxnTable.latest(spark, root).getOrElse(throw new NoSuchTableException(ident)),
+      byName = true)
   }
 
   /** `VERSION AS OF` — Spark routes the SQL clause here. */

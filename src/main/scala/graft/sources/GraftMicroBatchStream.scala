@@ -1,0 +1,207 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sinks.TxnTable
+import graft.sinks.TxnTable.Snapshot
+
+/** Scan builder for catalog-resolved (by-name) tables: DELEGATES every
+  * pushdown interface of Spark's own [[ParquetScanBuilder]] (catalyst
+  * filters, column pruning, aggregate pushdown, variant extraction —
+  * the exact set the parquet builder implements, so batch planning is
+  * unchanged), and wraps the built scan so it additionally answers
+  * `toMicroBatchStream` ([[GraftTxnMicroBatchStream]],
+  * `spark.readStream.table(...)`). Delegation instead of inheritance
+  * because `ParquetScanBuilder.build()` is typed to return a
+  * `ParquetScan` — an override cannot widen it to the wrapper. */
+class GraftTxnScanBuilder(spark: SparkSession, root: String, snap: Snapshot,
+                          index: org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex,
+                          schema: StructType,
+                          options: CaseInsensitiveStringMap)
+    extends org.apache.spark.sql.connector.read.ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownVariantExtractions {
+
+  private val delegate = ParquetScanBuilder(spark, index, schema, schema, options)
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    delegate.pruneColumns(requiredSchema)
+
+  override def pushFilters(
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+    delegate.pushFilters(filters)
+
+  override def pushedFilters
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    delegate.pushedFilters
+
+  override def pushAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    delegate.pushAggregation(aggregation)
+
+  override def supportCompletePushDown(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    delegate.supportCompletePushDown(aggregation)
+
+  override def pushVariantExtractions(
+      extractions: Array[org.apache.spark.sql.connector.read.VariantExtraction])
+      : Array[Boolean] = delegate.pushVariantExtractions(extractions)
+
+  override def build(): Scan =
+    new GraftStreamCapableScan(delegate.build(), spark, root, snap, options)
+}
+
+
+/** A [[Scan]] that is the wrapped parquet scan for batch and a txn
+  * micro-batch stream for streaming. `delegate` is public so plan
+  * inspection (tests, tooling) can reach the underlying
+  * [[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]]
+  * with its pushed filters and planned partitions. */
+class GraftStreamCapableScan(val delegate: Scan, spark: SparkSession,
+                             root: String, snap: Snapshot,
+                             options: CaseInsensitiveStringMap)
+    extends Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  override def readSchema(): StructType = delegate.readSchema()
+  override def toBatch: Batch = delegate.toBatch
+  override def description(): String = delegate.description()
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    delegate match {
+      case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+        s.estimateStatistics()
+      case _ => new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.empty()
+        override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+      }
+    }
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftTxnMicroBatchStream(spark, root, snap, delegate.readSchema(), options)
+}
+
+/** Version offsets for the txn micro-batch stream (a v2
+  * [[org.apache.spark.sql.connector.read.streaming.Offset]]: the
+  * checkpointed form is just the version number). */
+case class TxnVersionOffset(version: Long) extends Offset {
+  override def json(): String = version.toString
+}
+
+/** The txn table as a DSv2 MICRO-BATCH STREAM — what
+  * `spark.readStream.table("graft_cat.db.t")` runs (catalog-resolved
+  * tables advertise MICRO_BATCH_READ; the path-based format keeps the
+  * v1 source, same split as the write side, so each query's offset
+  * scheme is fixed by how it addresses the table).
+  *
+  * Offsets ARE table versions; each micro-batch plans the parquet files
+  * its commit windows ADDED as native vectorized-scan partitions — the
+  * window classification is [[graft.streaming.TxnStreamSource]]'s,
+  * decided from manifest facts (appends emit, maintenance commits are
+  * the format's `dataChange=false` and emit nothing, anything else
+  * refuses loud unless `skipChangeCommits`). Two deliberate deltas from
+  * the v1 path source, both scan-level necessities:
+  *  - a MoR-live window REFUSES even as an append (a raw file scan
+  *    cannot anti-join the delete keys; the v1 path source and the CDC
+  *    feed both mask — use those, or `compactDeletes`);
+  *  - rows stream through Spark's own `ParquetPartitionReaderFactory`
+  *    (whole-stage-codegen vectorized batches, zero re-buffering) under
+  *    the schema pinned at stream start — older files upcast/null-fill
+  *    exactly as the batch scan does.
+  *
+  * Options (via `spark.readStream.option(...)`): `startVersion`
+  * (default: the resolved snapshot's version — tail-only, the engine's
+  * standing default), `maxVersionsPerBatch`, `skipChangeCommits`. */
+class GraftTxnMicroBatchStream(spark: SparkSession, root: String,
+                               snap: Snapshot, readSchema: StructType,
+                               options: CaseInsensitiveStringMap)
+    extends MicroBatchStream {
+
+  private def opt(key: String): Option[String] = Option(options.get(key))
+  private val startV: Long = opt("startVersion").map(_.toLong).getOrElse(snap.version)
+  private val maxPerBatch: Option[Long] = opt("maxVersionsPerBatch").map(_.toLong)
+  private val skipChangeCommits: Boolean = opt("skipChangeCommits").exists(_.toBoolean)
+  maxPerBatch.foreach(m =>
+    require(m >= 1, s"maxVersionsPerBatch must be >= 1, got $m"))
+
+  /** Pacing cursor (the v1 source's `served`): restart recovery replays
+    * the checkpointed window through planInputPartitions, re-seeding it. */
+  @volatile private var served: Long = startV
+
+  /** One stateless vectorized reader factory for the whole stream: a
+    * parquet reader factory reads whatever FilePartition it is handed,
+    * so the per-batch work is only partition PLANNING. */
+  private lazy val template: Batch =
+    ParquetScanBuilder(spark,
+      new GraftTxnFileIndex(spark, root, snap, readSchema),
+      readSchema, readSchema, options).build().toBatch
+
+  override def initialOffset(): Offset = TxnVersionOffset(startV)
+
+  override def deserializeOffset(json: String): Offset =
+    TxnVersionOffset(json.trim.toLong)
+
+  override def latestOffset(): Offset = {
+    val head = TxnTable.latest(spark, root).map(_.version).getOrElse(0L)
+    val floor = math.max(served, startV)
+    TxnVersionOffset(maxPerBatch.fold(head)(m => math.min(head, floor + m)))
+  }
+
+  /** Added files of one admitted window (None = admitted-empty), the
+    * manifest-fact classification shared with the v1 append source. */
+  private def addedOf(v: Long): Option[Seq[String]] = {
+    val cur = TxnTable.snapshot(spark, root, v)
+    val prevFiles: Set[String] =
+      if (v == 1L) Set.empty else TxnTable.snapshot(spark, root, v - 1).files.toSet
+    val prevDeletes: Set[String] =
+      if (v == 1L) Set.empty else TxnTable.snapshot(spark, root, v - 1).deletes.toSet
+    val added = cur.files.filterNot(prevFiles)
+    val removed = prevFiles -- cur.files.toSet
+    val isAppend = removed.isEmpty && prevDeletes == cur.deletes.toSet
+    val maintenance = Set("compact", "compact-deletes", "zorder")(cur.op)
+    if (isAppend && cur.deletes.nonEmpty && added.nonEmpty)
+      // the file-partition scan cannot anti-join live delete keys; the
+      // v1 path source and the CDC feed both mask — refuse, never serve
+      // rows a batch reader would hide
+      throw new IllegalStateException(
+        s"micro-batch stream over $root: v$v appends onto live merge-on-read " +
+          "deletes, which a raw file scan cannot mask — compactDeletes first, " +
+          "or stream by path (masking v1 source) / readChangeFeed")
+    if (isAppend) Some(added).filter(_.nonEmpty)
+    else if (maintenance || skipChangeCommits) None
+    else throw new IllegalStateException(
+      s"micro-batch stream over $root hit a data-changing commit: v$v " +
+        s"(op '${cur.op}') removed ${removed.size} file(s) / changed the " +
+        "delete set. Stream the change feed " +
+        "(readStream.format(\"graft-txn\").option(\"readChangeFeed\",\"true\"))" +
+        " or skip such commits with option(\"skipChangeCommits\",\"true\")")
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val v1 = start.asInstanceOf[TxnVersionOffset].version
+    val v2 = end.asInstanceOf[TxnVersionOffset].version
+    served = math.max(served, v2)
+    val added = ((v1 + 1) to v2).flatMap(addedOf).flatten
+    if (added.isEmpty) Array.empty
+    else
+      // a fresh per-window scan: partition planning over ONLY the added
+      // files (split/coalesced by Spark's own file-partition logic);
+      // rows decode through the stream-stable template factory
+      ParquetScanBuilder(spark,
+        new GraftTxnFileIndex(spark, root, snap, readSchema, Some(added)),
+        readSchema, readSchema, options).build().toBatch.planInputPartitions()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    template.createReaderFactory()
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def toString: String = s"GraftTxnMicroBatchStream($root from v$startV)"
+}

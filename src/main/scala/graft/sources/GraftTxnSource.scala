@@ -222,7 +222,8 @@ private[sources] class GraftTxnUncommittedTable(root: String) extends Table {
   * by reference. A filter the translator cannot express refuses the
   * whole statement loud (`canDeleteWhere` false — never a partial or
   * silently-widened delete). */
-class GraftTxnTableV2(spark: SparkSession, val root: String, val snap: Snapshot)
+class GraftTxnTableV2(spark: SparkSession, val root: String, val snap: Snapshot,
+                      byName: Boolean = false)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -243,9 +244,20 @@ class GraftTxnTableV2(spark: SparkSession, val root: String, val snap: Snapshot)
     StructType(sc.fields.map(_.copy(nullable = true)))
   }
 
+  /** The STREAMING capabilities (MICRO_BATCH_READ for
+    * `readStream.table`, STREAMING_WRITE for `writeStream.toTable`)
+    * are advertised ONLY on catalog-resolved instances: the path-based
+    * provider keeps the v1 source/sink (checkpoint-keyed batches), so
+    * a given query's offset and idempotence-key schemes are fixed by
+    * how it addresses the table and can never flip across restarts. */
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+    if (byName)
+      util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+        TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
+    else
+      util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // scan-time, not load-time: a MoR-live table stays WRITABLE (append
@@ -254,8 +266,11 @@ class GraftTxnTableV2(spark: SparkSession, val root: String, val snap: Snapshot)
       s"snapshot v${snap.version} at $root carries ${snap.deletes.size} live " +
         "merge-on-read delete file(s); the DSv2 scan cannot apply them — run " +
         "TxnTable.compactDeletes (or read via TxnTable.read, which merges)")
-    ParquetScanBuilder(spark,
-      new GraftTxnFileIndex(spark, root, snap, schema), schema, schema, options)
+    val index = new GraftTxnFileIndex(spark, root, snap, schema)
+    if (byName) // by-name scans can also stream (readStream.table)
+      new GraftTxnScanBuilder(spark, root, snap, index, schema, options)
+    else
+      ParquetScanBuilder(spark, index, schema, schema, options)
   }
 
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -280,6 +295,17 @@ class GraftTxnTableV2(spark: SparkSession, val root: String, val snap: Snapshot)
                 TxnTable.appendWithRetry(spark, root, data)
               ()
             }
+          /** `writeStream.toTable` — Complete mode arrives as
+            * `truncate()` on this builder and maps onto per-epoch
+            * replacement; see [[GraftTxnStreamingWrite]]. */
+          override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+            require(byName,
+              s"${name()} was not resolved through the catalog; stream by " +
+                "name (writeStream.toTable) or use the path sink " +
+                "(writeStream.format(\"graft-txn\").start(root))")
+            new GraftTxnStreamingWrite(spark, root, snap, info.queryId(),
+              info.schema(), replace = overwrite)
+          }
         }
     }
 

@@ -157,9 +157,14 @@ class GraftCatalogSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
     import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
     import org.apache.spark.sql.execution.datasources.FilePartition
-    val scan = df.queryExecution.optimizedPlan.collect {
+    // by-name scans arrive stream-capable; the batch half is the
+    // wrapped ParquetScan with its pushdown state intact
+    val scan = (df.queryExecution.optimizedPlan.collect {
       case r: DataSourceV2ScanRelation => r.scan
-    }.head.asInstanceOf[ParquetScan]
+    }.head match {
+      case w: GraftStreamCapableScan => w.delegate
+      case s => s
+    }).asInstanceOf[ParquetScan]
     val files = scan.toBatch.planInputPartitions().toSeq.collect {
       case fp: FilePartition => fp.files.map(_.urlEncodedPath).toSeq
     }.flatten.distinct

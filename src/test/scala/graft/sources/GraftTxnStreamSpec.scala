@@ -236,6 +236,147 @@ class GraftTxnStreamSpec extends AnyFunSuite {
     assert(anon.getMessage.contains("idempotence key"))
   }
 
+  // ---- writeStream.toTable: the DSv2 STREAMING_WRITE path -------------
+
+  private val cat = "graft_cat_stream"
+  private lazy val warehouse: String = {
+    val w = Files.createTempDirectory("graft_stream_cat").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    w
+  }
+
+  test("toTable streams by name through the V2 write: fan-out kept, epochs idempotent") {
+    val base = freshBase()
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val root = s"$warehouse/db/ingest" // forces catalog registration
+    spark.sql(
+      s"""CREATE TABLE $cat.db.ingest (id BIGINT, v BIGINT)
+         |PARTITIONED BY (bucket(4, id))
+         |TBLPROPERTIES ('statsCols' = 'id')""".stripMargin)
+
+    val in = MemoryStream[Long]
+    val q1 = in.toDS().toDF("id").withColumn("v", col("id") * 10)
+      .writeStream.option("checkpointLocation", s"$base/ckpt")
+      .toTable(s"$cat.db.ingest")
+    try {
+      in.addData(1L, 2L); q1.processAllAvailable()
+      in.addData(3L);     q1.processAllAvailable()
+    } finally q1.stop()
+    assert(idvOf(TxnTable.read(spark, root)) === Set((1L, 10L), (2L, 20L), (3L, 30L)))
+    val snap = TxnTable.latest(spark, root).get
+    // epoch commits carry the queryId-scoped idempotence tag
+    assert(snap.op.startsWith("append-batch:q:"))
+    // executor-staged files keep the bucket fan-out AND its manifest
+    // stats (path-derived transform ranges + footer id ranges)
+    assert(snap.files.forall(_.contains("bucket4_id=")))
+    assert(snap.files.forall(f => snap.stats.get(f).exists(_.contains("id"))))
+
+    // restart from the same checkpoint: replayed epochs no-op; new data lands
+    val q2 = in.toDS().toDF("id").withColumn("v", col("id") * 10)
+      .writeStream.option("checkpointLocation", s"$base/ckpt")
+      .toTable(s"$cat.db.ingest")
+    try {
+      in.addData(4L); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(idvOf(TxnTable.read(spark, root)) ===
+      Set((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
+  }
+
+  test("toTable Complete mode replaces per epoch through the V2 write") {
+    val base = freshBase()
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val root = s"$warehouse/db/agg" // forces catalog registration
+    spark.sql(s"CREATE TABLE $cat.db.agg (id BIGINT, n BIGINT)")
+    val in = MemoryStream[Long]
+    val q = in.toDS().toDF("id").groupBy("id").agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", s"$base/ckpt")
+      .toTable(s"$cat.db.agg")
+    try {
+      in.addData(1L, 1L, 2L); q.processAllAvailable()
+      in.addData(2L);         q.processAllAvailable()
+      assert(idvOf(TxnTable.read(spark, root).select(col("id"), col("n").as("v")))
+        === Set((1L, 2L), (2L, 2L)))
+      assert(TxnTable.latest(spark, root).get.op.startsWith("replace-batch:q:"))
+    } finally q.stop()
+  }
+
+  private def idvOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  // ---- readStream.table: the DSv2 MICRO_BATCH_READ path ---------------
+
+  test("readStream.table streams by name through the V2 scan: replay, live appends, maintenance silence") {
+    val base = freshBase()
+    val root = s"$warehouse/db/mbr" // forces catalog registration
+    TxnTable.overwrite(spark, root, df(1, 2))  // v1
+    TxnTable.append(spark, root, df(3))        // v2
+    TxnTable.compactTxn(spark, root, 1)        // v3: maintenance, silent
+    val q = spark.readStream.option("startVersion", "0").table(s"$cat.db.mbr")
+      .writeStream.format("memory").queryName("mbr_replay")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      q.processAllAvailable()
+      assert(idv("mbr_replay") === Set((1L, 10L), (2L, 20L), (3L, 30L)))
+      TxnTable.append(spark, root, df(4))      // v4, mid-stream
+      q.processAllAvailable()
+      assert(idv("mbr_replay") === Set((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
+    } finally q.stop()
+  }
+
+  test("readStream.table default start is tail-only and data-changing commits refuse") {
+    val root = s"$warehouse/db/mbr2"
+    val base = freshBase()
+    TxnTable.overwrite(spark, root, df(1, 2))  // v1: before the stream
+    val q = spark.readStream.table(s"$cat.db.mbr2")
+      .writeStream.format("memory").queryName("mbr_tail")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      q.processAllAvailable()
+      assert(idv("mbr_tail").isEmpty)
+      TxnTable.append(spark, root, df(3))      // v2
+      q.processAllAvailable()
+      assert(idv("mbr_tail") === Set((3L, 30L)))
+      TxnTable.deleteWhere(spark, root, col("id") === 1) // v3: CoW rewrite
+      val failed = intercept[StreamingQueryException] {
+        q.processAllAvailable(); q.awaitTermination()
+      }
+      assert(failed.getMessage.contains("data-changing commit") ||
+        Option(failed.getCause).exists(_.getMessage.contains("data-changing commit")))
+    } finally q.stop()
+  }
+
+  test("by-name kappa loop: toTable sink feeds readStream.table source") {
+    val base = freshBase()
+    val root = s"$warehouse/db/hopname" // forces catalog registration
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    spark.sql(s"CREATE TABLE $cat.db.hopname (id BIGINT, v BIGINT)")
+    val in = MemoryStream[Long]
+    val ingest = in.toDS().toDF("id").withColumn("v", col("id") * 10)
+      .writeStream.option("checkpointLocation", s"$base/ckpt_in")
+      .toTable(s"$cat.db.hopname")
+    val serve = spark.readStream.option("startVersion", "0")
+      .table(s"$cat.db.hopname")
+      .writeStream.format("memory").queryName("hop_name")
+      .option("checkpointLocation", s"$base/ckpt_out").start()
+    try {
+      in.addData(1L, 2L); ingest.processAllAvailable(); serve.processAllAvailable()
+      assert(idv("hop_name") === Set((1L, 10L), (2L, 20L)))
+      in.addData(3L); ingest.processAllAvailable(); serve.processAllAvailable()
+      assert(idv("hop_name") === Set((1L, 10L), (2L, 20L), (3L, 30L)))
+    } finally { ingest.stop(); serve.stop() }
+    assert(idvOf(TxnTable.read(spark, root)) ===
+      Set((1L, 10L), (2L, 20L), (3L, 30L)))
+  }
+
   test("Complete mode replaces content per batch (materialized aggregate)") {
     val base = freshBase()
     val root = s"$base/agg_tbl"
