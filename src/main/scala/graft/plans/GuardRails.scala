@@ -139,13 +139,18 @@ object GuardRails {
     * aggregate side per audit; sides are domain-sized by the time they
     * reach it, and only cartesian-bearing plans (q108's class) pay it. */
   private def domainSmall(p: SparkPlan): Boolean = {
-    // executeTake assumes a row-producing plan; an aggregate side left
-    // columnar by the planner (seen at sf10) must be adapted, not
-    // refused — the adapter is exactly what Spark inserts above any
-    // columnar node at plan time
-    val rows =
-      if (p.supportsColumnar) org.apache.spark.sql.execution.ColumnarToRowExec(p)
-      else p
+    // executeTake assumes a row-producing plan with columnar↔row
+    // transitions in place, but an AQE fragment (initialPlan) has NONE
+    // of them — they are inserted per query stage at execution. A
+    // top-level ColumnarToRowExec wrap is not enough (seen at sf10: a
+    // columnar scan nested under the row-based aggregate throws
+    // ColumnarBatch-as-InternalRow), so run Spark's OWN transition
+    // insertion over the whole fragment (empty extension-rule list —
+    // the built-in columnar↔row adapters are what we need), exactly
+    // what query-stage preparation would do.
+    val rows = org.apache.spark.sql.execution
+      .ApplyColumnarRulesAndInsertTransitions(Nil, outputsColumnar = false)
+      .apply(p)
     scala.util.Try(rows.executeTake(DomainBound + 1).length <= DomainBound)
       .getOrElse(false)
   }

@@ -75,6 +75,28 @@ class GuardRailsSpec extends AnyFunSuite {
     } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
+  test("domain x domain: the runtime probe handles columnar-scanned sides (sf10 regression)") {
+    val s = spark
+    import s.implicits._
+    // the sides must come from a COLUMNAR source (parquet, vectorized):
+    // the probed fragment is an AQE initialPlan with NO columnar↔row
+    // transitions inserted, and a probe that only adapts the top node
+    // throws ColumnarBatch-as-InternalRow from the nested scan (found
+    // at sf10, where the q108 sides outgrow the broadcast threshold
+    // and the plan flips from BNLJ to CartesianProduct)
+    val dir = java.nio.file.Files.createTempDirectory("gr_columnar").toString
+    (1 to 2000).map(i => (i % 13, i.toDouble)).toDF("k", "v")
+      .write.mode("overwrite").parquet(s"$dir/t")
+    val t = s.read.parquet(s"$dir/t")
+    val prior = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val aggA = t.groupBy($"k").agg(max($"v").as("mv"))
+      val aggB = t.groupBy($"k").agg(min($"v").as("nv"))
+      GuardRails.check(aggA.as("a").crossJoin(aggB.as("b"))) // must NOT refuse
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   test("domain x domain: a corpus-sized grouping key fails the runtime backstop") {
     val s = spark
     import s.implicits._
