@@ -7,12 +7,13 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, Transform}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.sinks.TxnTable
+import graft.sinks.{TxnMeta, TxnTable}
 
 /** V2 catalog plugin for graft-txn tables — query BY NAME, the missing
   * half of the reference's publish stage for the transactional format
@@ -44,9 +45,17 @@ import graft.sinks.TxnTable
   * the txn writer, never around it: INSERT INTO/OVERWRITE →
   * append/overwrite (one atomic version per statement), DELETE FROM /
   * TRUNCATE → the bounded copy-on-write delete, CTAS → CREATE + first
-  * append (see [[GraftTxnTableV2]]). `alterTable` refuses loud —
-  * schema evolution happens on write. */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+  * append (see [[GraftTxnTableV2]]). `alterTable` supports exactly the
+  * format's write-path evolution rules and refuses everything else.
+  *
+  * Two more operational surfaces ride the same name resolution:
+  * MAINTENANCE PROCEDURES under the reserved `system` namespace
+  * (`CALL graft_cat.system.compact('db.t', 4)` — see
+  * [[GraftProcedures]]) and Iceberg-style METADATA TABLES as a
+  * name suffix (`SELECT * FROM graft_cat.db.t.history` /
+  * `db.t.files` / `db.t.refs` — see [[GraftMetaTableV2]]). */
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -87,9 +96,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def tableExists(ident: Identifier): Boolean = isTable(tableRoot(ident))
 
+  /** Resolve a procedure argument like `'db.t'` to the table's root
+    * path (the same warehouse-relative layout rule as name lookup). */
+  private[sources] def resolveTableRoot(table: String): String = {
+    val parts = table.split("\\.").map(_.trim).filter(_.nonEmpty)
+    require(parts.nonEmpty, s"empty table name '$table'")
+    val root = (warehouse +: parts).mkString("/")
+    if (!isTable(root))
+      throw new NoSuchTableException(
+        Identifier.of(parts.init.toArray, parts.last))
+    root
+  }
+
+  /** `db.t.history` / `db.t.files` / `db.t.refs` — the metadata tables
+    * as a name suffix (Iceberg's convention). The suffix only resolves
+    * when the PARENT path is a table, so a real table named `history`
+    * always wins. */
+  private def metaTable(ident: Identifier,
+                        version: Option[Long]): Option[Table] = {
+    val kind = ident.name.toLowerCase
+    if (!GraftMetaTableV2.kinds.contains(kind) || ident.namespace.isEmpty)
+      return None
+    val parent = (warehouse +: ident.namespace).mkString("/")
+    if (!isTable(parent)) return None
+    if (version.isDefined && kind != "files")
+      throw new UnsupportedOperationException(
+        s"VERSION AS OF applies to the `files` metadata table only; " +
+          s"`$kind` always shows the full log")
+    Some(new GraftMetaTableV2(spark, parent, kind, version))
+  }
+
   override def loadTable(ident: Identifier): Table = {
     val root = tableRoot(ident)
-    if (!isTable(root)) throw new NoSuchTableException(ident)
+    if (!isTable(root))
+      return metaTable(ident, None).getOrElse(throw new NoSuchTableException(ident))
     // catalog-resolved tables are the streaming-write surface
     // (writeStream.toTable, queryId-keyed epochs — see GraftTxnSource)
     new GraftTxnTableV2(spark, root,
@@ -100,7 +140,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   /** `VERSION AS OF` — Spark routes the SQL clause here. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val root = tableRoot(ident)
-    if (!isTable(root)) throw new NoSuchTableException(ident)
+    if (!isTable(root)) {
+      val v = scala.util.Try(version.toLong).toOption
+      return metaTable(ident, v).getOrElse(throw new NoSuchTableException(ident))
+    }
     val v = scala.util.Try(version.toLong).getOrElse(
       throw new IllegalArgumentException(
         s"graft-txn versions are numeric, got '$version'"))
@@ -220,6 +263,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       throw new IllegalStateException(s"rename $from -> $to failed")
   }
 
+  // ---- procedures (the reserved `system` namespace) --------------------
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    def missing: Nothing = throw new UnsupportedOperationException(
+      s"no such procedure $catalogName.${ident.namespace().mkString(".")}." +
+        s"${ident.name} - maintenance procedures live under the `system` " +
+        s"namespace: ${GraftProcedures.names.mkString(", ")}")
+    if (!(ident.namespace().length == 1 &&
+        ident.namespace()(0).equalsIgnoreCase("system"))) missing
+    GraftProcedures.byName(this).getOrElse(ident.name.toLowerCase, missing)
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty ||
+        (namespace.length == 1 && namespace(0).equalsIgnoreCase("system")))
+      GraftProcedures.names.map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
+
   // ---- namespaces (directories under the warehouse) -------------------
 
   override def listNamespaces(): Array[Array[String]] = {
@@ -239,7 +300,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def namespaceExists(namespace: Array[String]): Boolean =
-    fs.exists(nsPath(namespace))
+    // `system` is the (virtual) procedure namespace — SHOW PROCEDURES
+    // and CALL resolution may probe it before loadProcedure
+    (namespace.length == 1 && namespace(0).equalsIgnoreCase("system")) ||
+      fs.exists(nsPath(namespace))
 
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
     if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
@@ -266,4 +330,47 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       fs.delete(dir, true)
     }
   }
+}
+
+/** Metadata tables by NAME — `graft_cat.db.t.history` / `.files` /
+  * `.refs`, the SQL face of [[graft.sinks.TxnMeta]] (Iceberg's
+  * metadata-table convention: the suffix resolves only when the parent
+  * path is a table). `files` additionally honors `VERSION AS OF` —
+  * "which files, what ranges" for any retained snapshot.
+  *
+  * Served as a [[org.apache.spark.sql.connector.read.LocalScan]]:
+  * TxnMeta rows ARE driver-materialized manifest state (one row per
+  * commit / per file×column — megabytes while the data is terabytes),
+  * so shipping them through an executor scan would add a round trip to
+  * planning-scale data, not remove one. */
+private[sources] class GraftMetaTableV2(spark: SparkSession, root: String,
+                                        kind: String, version: Option[Long])
+    extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+
+  private lazy val df = kind match {
+    case "history" => TxnMeta.history(spark, root)
+    case "files"   => TxnMeta.files(spark, root, version)
+    case "refs"    => TxnMeta.refs(spark, root)
+  }
+
+  override def name(): String =
+    s"graft-txn:$root#$kind${version.fold("")(v => s"@v$v")}"
+
+  override def schema(): StructType = df.schema
+
+  override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    () => new org.apache.spark.sql.connector.read.LocalScan {
+      override def readSchema(): StructType = df.schema
+      override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+        df.queryExecution.executedPlan.executeCollect()
+    }
+}
+
+private[sources] object GraftMetaTableV2 {
+  val kinds: Set[String] = Set("history", "files", "refs")
 }

@@ -1,0 +1,241 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.DefaultValue
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sinks.TxnTable
+
+/** SQL stored procedures for graft-txn table MAINTENANCE — the
+  * operational verbs every production table format exposes by name
+  * (Iceberg's `CALL cat.system.rewrite_data_files`, Delta's `OPTIMIZE`/
+  * `VACUUM` statements), wired through Spark 4's `ProcedureCatalog` so a
+  * SQL-only user can run the whole table lifecycle without touching the
+  * Scala API:
+  *
+  * {{{
+  *   CALL graft_cat.system.compact(table => 'db.t', target_files => 4)
+  *   CALL graft_cat.system.zorder('db.t', 4, 'x', 'y')
+  *   CALL graft_cat.system.compact_deletes('db.t')
+  *   CALL graft_cat.system.vacuum('db.t', retain_versions => 5)
+  *   CALL graft_cat.system.restore('db.t', 3)
+  *   CALL graft_cat.system.create_tag('db.t', 'audited', 3)
+  *   CALL graft_cat.system.create_branch('db.t', 'experiment')
+  *   CALL graft_cat.system.fast_forward('db.t', 'experiment')
+  *   CALL graft_cat.system.replay_branch('db.t', 'experiment')
+  * }}}
+  *
+  * Each procedure is a thin SQL face over the SAME public [[TxnTable]]
+  * entry point the Scala API uses — one code path for the commit
+  * protocol, optimistic retries, stats/bloom carry-over, and the
+  * refuse-loud rules, regardless of how the call arrives. Spark invokes
+  * [[BoundProcedure.call]] on the DRIVER with the (coerced, defaulted,
+  * by-name-resolvable) argument row and renders each returned
+  * [[LocalScan]] as the statement's result set — maintenance results
+  * (new version, file counts) are a handful of driver-known scalars, so
+  * a LocalScan is exact, not a shortcut.
+  *
+  * Scale posture: procedure bodies are the existing operators —
+  * `compact`/`zorder` run distributed rewrites, `vacuum`/`restore`/
+  * branch and tag ops are manifest-only driver work. Nothing here adds
+  * a driver-side data path. */
+object GraftProcedures {
+
+  /** Procedure registry, keyed by lower-case name (the `system`
+    * namespace is resolved by [[GraftCatalog.loadProcedure]]). */
+  private[sources] def byName(catalog: GraftCatalog): Map[String, UnboundProcedure] =
+    all(catalog).map(p => p.name -> p).toMap
+
+  private[sources] def names: Seq[String] = Seq(
+    "compact", "zorder", "compact_deletes", "vacuum", "restore",
+    "create_tag", "create_branch", "fast_forward", "replay_branch")
+
+  /** Multi-param lambdas do not infer through a curried CONSTRUCTOR's
+    * second list; a factory method propagates the expected type. */
+  private def proc(catalog: GraftCatalog, name: String, describe: String,
+                   params: Seq[ProcedureParameter], resultSchema: StructType)(
+                   body: (SparkSession, String, Args) => Any): MaintenanceProcedure =
+    new MaintenanceProcedure(catalog, name, describe, params, resultSchema)(body)
+
+  private def all(catalog: GraftCatalog): Seq[MaintenanceProcedure] = Seq(
+    proc(catalog, "compact",
+      "merge a snapshot's files into target_files (optionally re-clustered " +
+        "on sort_cols) and commit one new version",
+      Seq(
+        in("table", StringType, "table name, e.g. 'db.t'"),
+        in("target_files", IntegerType, "number of output files"),
+        inDefault("sort_cols", StringType, "NULL",
+          "comma-separated clustering columns (OPTIMIZE-style; empty = plain merge)")),
+      versionFiles) { (s, root, args) =>
+      val sortCols = args.str(2).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      TxnTable.compactTxn(s, root, args.int(1), sortCols)
+    },
+
+    proc(catalog, "zorder",
+      "rewrite a snapshot z-ordered on two dimensions (multi-dimensional " +
+        "clustering for 2-D range pruning) and commit one new version",
+      Seq(
+        in("table", StringType, "table name, e.g. 'db.t'"),
+        in("target_files", IntegerType, "number of output files"),
+        in("dim_a", StringType, "first z-order dimension"),
+        in("dim_b", StringType, "second z-order dimension")),
+      versionFiles) { (s, root, args) =>
+      TxnTable.compactZOrderTxn(s, root, args.int(1),
+        args.str(2).get, args.str(3).get)
+    },
+
+    proc(catalog, "compact_deletes",
+      "fold live merge-on-read delete files into a clean copy-on-write " +
+        "snapshot (required before DSv2 scans of a MoR-live table)",
+      Seq(in("table", StringType, "table name, e.g. 'db.t'")),
+      versionFiles) { (s, root, _) =>
+      TxnTable.compactDeletes(s, root)
+    },
+
+    proc(catalog, "vacuum",
+      "drop manifests beyond retain_versions (tag/branch-pinned versions " +
+        "are kept) and delete data files no retained manifest references",
+      Seq(
+        in("table", StringType, "table name, e.g. 'db.t'"),
+        in("retain_versions", IntegerType, "versions of history to keep"),
+        inDefault("grace_ms", LongType, TxnTable.DefaultVacuumGraceMs.toString,
+          "unreferenced files younger than this are presumed in-flight and kept")),
+      new StructType()
+        .add("n_versions", IntegerType).add("oldest_version", LongType)
+        .add("newest_version", LongType)) { (s, root, args) =>
+      TxnTable.vacuum(s, root, args.int(1),
+        args.long(2).getOrElse(TxnTable.DefaultVacuumGraceMs))
+      val vs = TxnTable.versions(s, root)
+      InternalRow(vs.size, vs.head, vs.last)
+    },
+
+    proc(catalog, "restore",
+      "commit a new version whose content is an old version's (time " +
+        "travel made current; history stays intact)",
+      Seq(
+        in("table", StringType, "table name, e.g. 'db.t'"),
+        in("version", LongType, "the version to restore")),
+      versionFiles) { (s, root, args) =>
+      TxnTable.restore(s, root, args.long(1).get)
+    },
+
+    proc(catalog, "create_tag",
+      "pin a version under an immutable name (vacuum never drops a " +
+        "tagged version)",
+      Seq(
+        in("table", StringType, "table name, e.g. 'db.t'"),
+        in("tag", StringType, "tag name"),
+        in("version", LongType, "the version to pin")),
+      new StructType().add("tag", StringType).add("version", LongType)) {
+      (s, root, args) =>
+      val v = args.long(2).get
+      TxnTable.tagVersion(s, root, args.str(1).get, v)
+      InternalRow(UTF8String.fromString(args.str(1).get), v)
+    },
+
+    proc(catalog, "create_branch",
+      "cut a named mutable branch at a version (default: the current head)",
+      Seq(
+        in("table", StringType, "table name, e.g. 'db.t'"),
+        in("branch", StringType, "branch name"),
+        inDefault("version", LongType, "NULL", "fork point (default: head)")),
+      new StructType().add("branch", StringType).add("fork_version", LongType)) {
+      (s, root, args) =>
+      TxnTable.createBranch(s, root, args.str(1).get, args.long(2))
+      val fork = TxnTable.branches(s, root)(args.str(1).get)
+      InternalRow(UTF8String.fromString(args.str(1).get), fork)
+    },
+
+    proc(catalog, "fast_forward",
+      "advance main to a branch's head (refuses if main moved since the " +
+        "fork — diverged history needs replay_branch)",
+      Seq(
+        in("table", StringType, "table name, e.g. 'db.t'"),
+        in("branch", StringType, "branch name")),
+      versionFiles) { (s, root, args) =>
+      TxnTable.fastForward(s, root, args.str(1).get)
+    },
+
+    proc(catalog, "replay_branch",
+      "re-apply a diverged branch's append commits onto the moved main, " +
+        "one commit per branch commit (refuses on overlapping files or " +
+        "non-append branch history)",
+      Seq(
+        in("table", StringType, "table name, e.g. 'db.t'"),
+        in("branch", StringType, "branch name")),
+      versionFiles) { (s, root, args) =>
+      TxnTable.replayBranch(s, root, args.str(1).get)
+    })
+
+  // ---- plumbing --------------------------------------------------------
+
+  private val versionFiles: StructType =
+    new StructType().add("version", LongType).add("n_files", IntegerType)
+
+  private def in(name: String, dt: DataType, comment: String): ProcedureParameter =
+    ProcedureParameter.in(name, dt).comment(comment).build()
+
+  private def inDefault(name: String, dt: DataType, defaultSql: String,
+                        comment: String): ProcedureParameter =
+    ProcedureParameter.in(name, dt).defaultValue(new DefaultValue(defaultSql))
+      .comment(comment).build()
+
+  /** Typed, null-aware access to the coerced argument row Spark hands
+    * [[BoundProcedure.call]] (fields arrive in declared parameter
+    * order, already cast to the parameters' types). */
+  private[sources] final class Args(row: InternalRow) {
+    def str(i: Int): Option[String] =
+      if (row.isNullAt(i)) None else Some(row.getUTF8String(i).toString)
+    def int(i: Int): Int = {
+      require(!row.isNullAt(i), s"argument $i must not be null")
+      row.getInt(i)
+    }
+    def long(i: Int): Option[Long] =
+      if (row.isNullAt(i)) None else Some(row.getLong(i))
+  }
+
+  /** One maintenance procedure: parameter spec + a driver-side body
+    * returning either a committed [[TxnTable.Snapshot]] (rendered as
+    * `(version, n_files)`) or a pre-built result row matching
+    * `resultSchema`. Bound and unbound are the same object — binding
+    * has nothing to specialize, the signature is static. */
+  private final class MaintenanceProcedure(
+      catalog: GraftCatalog, procName: String, describe: String,
+      params: Seq[ProcedureParameter], resultSchema: StructType)(
+      body: (SparkSession, String, Args) => Any)
+      extends UnboundProcedure with BoundProcedure {
+
+    override def name(): String = procName
+    override def description(): String = describe
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params.toArray
+    override def isDeterministic: Boolean = false // mutates table state
+
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val args = new Args(input)
+      val table = args.str(0).getOrElse(
+        throw new IllegalArgumentException(s"$procName: table must not be null"))
+      val spark = SparkSession.active
+      val root = catalog.resolveTableRoot(table)
+      val row = body(spark, root, args) match {
+        case snap: TxnTable.Snapshot => InternalRow(snap.version, snap.files.size)
+        case r: InternalRow => r
+      }
+      util.Collections.singletonList[Scan](
+        new MaintenanceResult(resultSchema, Array(row))).iterator()
+    }
+  }
+
+  /** Driver-known scalars as the CALL statement's result set. */
+  private final class MaintenanceResult(schema: StructType,
+                                        out: Array[InternalRow]) extends LocalScan {
+    override def readSchema(): StructType = schema
+    override def rows(): Array[InternalRow] = out
+  }
+}

@@ -1,0 +1,198 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.sinks.{TxnMeta, TxnTable}
+
+/** SQL maintenance procedures (`CALL graft_cat.system.*`) and metadata
+  * tables by name (`graft_cat.db.t.history` / `.files` / `.refs`) —
+  * every CALL must route through the SAME TxnTable entry point the
+  * Scala API uses, proven by comparing the resulting manifest state
+  * and contents against the Scala-API expectations. */
+class GraftProceduresSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val cat = "graft_proc_cat"
+  private lazy val warehouse: String = {
+    val w = Files.createTempDirectory("graft_procs").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+    w
+  }
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] = {
+    val s = spark; import s.implicits._
+    df.select("id").as[Long].collect().sorted.toSeq
+  }
+
+  private def seed(table: String, batches: Seq[Range]): String = {
+    val root = s"$warehouse/${table.replace('.', '/')}"
+    val s = spark; import s.implicits._
+    batches.foreach(b => TxnTable.append(spark, root,
+      b.map(_.toLong).toDF("id").coalesce(2), statsCols = Seq("id")))
+    root
+  }
+
+  test("CALL compact merges files into target_files and preserves content") {
+    val root = seed("db.c1", Seq(1 to 10, 11 to 20, 21 to 30))
+    val before = TxnTable.latest(spark, root).get
+    assert(before.files.size > 1)
+    val res = spark.sql(
+      s"CALL $cat.system.compact(table => 'db.c1', target_files => 1)").collect()
+    assert(res.map(_.getLong(0)).toSeq === Seq(before.version + 1))
+    assert(res.map(_.getInt(1)).toSeq === Seq(1))
+    val head = TxnTable.latest(spark, root).get
+    assert(head.op.startsWith("compact") && head.files.size === 1)
+    assert(ids(spark.sql(s"SELECT * FROM $cat.db.c1")) === (1L to 30L))
+  }
+
+  test("CALL compact with sort_cols re-clusters: file spans become disjoint") {
+    val s = spark; import s.implicits._
+    val root = s"$warehouse/db/c2"
+    // interleaved key ranges: every file overlaps every other
+    TxnTable.append(spark, root,
+      Seq(1L, 100L).toDF("id").coalesce(1), statsCols = Seq("id"))
+    TxnTable.append(spark, root, Seq(2L, 99L).toDF("id").coalesce(1))
+    spark.sql(s"CALL $cat.system.compact('db.c2', 2, 'id')")
+    val head = TxnTable.latest(spark, root).get
+    val spans = head.files.map(f => head.stats(f)("id")).sortBy(_._1)
+    assert(spans.size === 2 && spans(0)._2 < spans(1)._1,
+      s"clustered compaction must leave disjoint id spans, got $spans")
+    assert(ids(TxnTable.read(spark, root)) === Seq(1L, 2L, 99L, 100L))
+  }
+
+  test("CALL zorder records both dimensions' stats") {
+    val s = spark; import s.implicits._
+    val root = s"$warehouse/db/z1"
+    TxnTable.append(spark, root,
+      (1L to 64L).toDF("x").withColumn("y", col("x") * 7L % 64L),
+      statsCols = Seq("x"))
+    spark.sql(s"CALL $cat.system.zorder('db.z1', 4, 'x', 'y')")
+    val head = TxnTable.latest(spark, root).get
+    assert(head.files.size === 4)
+    assert(head.statsCols.contains("y"), "zorder adds dims to statsCols")
+    assert(spark.sql(s"SELECT count(*) c FROM $cat.db.z1").head.getLong(0) === 64L)
+  }
+
+  test("CALL compact_deletes folds MoR deletes; DSv2 scan readable after") {
+    val s = spark; import s.implicits._
+    val root = seed("db.m1", Seq(1 to 10))
+    TxnTable.deleteKeysMor(spark, root, "id", Seq(3L, 7L).toDF("id"))
+    // MoR-live refuses the DSv2 scan (spec'd elsewhere); the CALL fixes it
+    intercept[Exception] { spark.sql(s"SELECT * FROM $cat.db.m1").collect() }
+    spark.sql(s"CALL $cat.system.compact_deletes('db.m1')")
+    assert(ids(spark.sql(s"SELECT * FROM $cat.db.m1")) ===
+      (1L to 10L).filterNot(Set(3L, 7L)))
+  }
+
+  test("CALL vacuum drops old versions and reports the retained window") {
+    val root = seed("db.v1", Seq(1 to 5, 6 to 10, 11 to 15))
+    val res = spark.sql(
+      s"CALL $cat.system.vacuum('db.v1', retain_versions => 1, grace_ms => 0)")
+    assert(res.columns.toSeq === Seq("n_versions", "oldest_version", "newest_version"))
+    val row = res.head
+    assert(row.getInt(0) === 1 && row.getLong(1) === 3L && row.getLong(2) === 3L)
+    assert(TxnTable.versions(spark, root) === Seq(3L))
+    assert(ids(spark.sql(s"SELECT * FROM $cat.db.v1")) === (1L to 15L))
+    intercept[Exception] { TxnTable.snapshot(spark, root, 1L) }
+  }
+
+  test("CALL restore makes an old version current, history intact") {
+    val root = seed("db.r1", Seq(1 to 5, 6 to 10))
+    val res = spark.sql(s"CALL $cat.system.restore('db.r1', 1)").collect()
+    assert(res.map(_.getLong(0)).toSeq === Seq(3L))
+    assert(ids(spark.sql(s"SELECT * FROM $cat.db.r1")) === (1L to 5L))
+    // restore is a NEW commit; v2 still travels
+    assert(ids(spark.sql(s"SELECT * FROM $cat.db.r1 VERSION AS OF 2")) === (1L to 10L))
+    assert(TxnTable.latest(spark, root).get.op === "restore:1")
+  }
+
+  test("CALL create_tag pins; CALL create_branch/fast_forward move main") {
+    val s = spark; import s.implicits._
+    val root = seed("db.b1", Seq(1 to 5))
+    val tag = spark.sql(s"CALL $cat.system.create_tag('db.b1', 'audited', 1)").head
+    assert(tag.getString(0) === "audited" && tag.getLong(1) === 1L)
+    assert(TxnTable.tags(spark, root) === Map("audited" -> 1L))
+
+    val br = spark.sql(s"CALL $cat.system.create_branch('db.b1', 'exp')").head
+    assert(br.getString(0) === "exp" && br.getLong(1) === 1L)
+    TxnTable.appendToBranch(spark, root, "exp", Seq(100L).toDF("id"))
+    val ff = spark.sql(s"CALL $cat.system.fast_forward('db.b1', 'exp')").head
+    assert(ids(spark.sql(s"SELECT * FROM $cat.db.b1")) === (1L to 5L) :+ 100L)
+    assert(ff.getLong(0) === TxnTable.latest(spark, root).get.version)
+  }
+
+  test("CALL replay_branch converges a diverged branch onto moved main") {
+    val s = spark; import s.implicits._
+    val root = seed("db.b2", Seq(1 to 3))
+    spark.sql(s"CALL $cat.system.create_branch('db.b2', 'side')")
+    TxnTable.appendToBranch(spark, root, "side", Seq(100L).toDF("id"))
+    // main moves -> diverged; fast_forward refuses, replay converges
+    TxnTable.append(spark, root, Seq(50L).toDF("id"))
+    intercept[Exception] {
+      spark.sql(s"CALL $cat.system.fast_forward('db.b2', 'side')")
+    }
+    spark.sql(s"CALL $cat.system.replay_branch('db.b2', 'side')")
+    assert(ids(spark.sql(s"SELECT * FROM $cat.db.b2")) ===
+      Seq(1L, 2L, 3L, 50L, 100L))
+  }
+
+  test("procedure refusals: unknown name, wrong namespace, missing table") {
+    seed("db.e1", Seq(1 to 3))
+    val e1 = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.no_such_proc('db.e1')") }
+    assert(e1.getMessage.contains("system"))
+    intercept[Exception] { spark.sql(s"CALL $cat.db.compact('db.e1', 1)") }
+    intercept[Exception] {
+      spark.sql(s"CALL $cat.system.compact('db.nope', 1)").collect() }
+  }
+
+  test("SHOW PROCEDURES lists the registry; DESCRIBE PROCEDURE documents") {
+    warehouse // force catalog registration
+    val shown = spark.sql(s"SHOW PROCEDURES IN $cat.system").collect()
+      .map(_.toSeq.mkString(",")).mkString("\n")
+    GraftProcedures.names.foreach(n => assert(shown.contains(n)))
+    val desc = spark.sql(s"DESCRIBE PROCEDURE $cat.system.vacuum").collect()
+      .map(_.getString(0)).mkString("\n")
+    assert(desc.contains("vacuum"))
+  }
+
+  test("metadata tables by name: history / files / refs match TxnMeta") {
+    val s = spark; import s.implicits._
+    val root = seed("db.meta1", Seq(1 to 5, 6 to 10))
+    spark.sql(s"CALL $cat.system.create_tag('db.meta1', 'keep', 1)")
+    val hist = spark.sql(s"SELECT * FROM $cat.db.meta1.history")
+    assert(hist.columns.toSeq === TxnMeta.history(spark, root).columns.toSeq)
+    assert(hist.select("version", "op").collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "append"), (2L, "append")))
+
+    val files = spark.sql(s"SELECT * FROM $cat.db.meta1.files")
+    assert(files.count() === TxnMeta.files(spark, root).count())
+    // VERSION AS OF on `files`: the v1 snapshot's listing
+    val filesV1 = spark.sql(s"SELECT * FROM $cat.db.meta1.files VERSION AS OF 1")
+    assert(filesV1.count() === TxnMeta.files(spark, root, Some(1L)).count())
+    assert(filesV1.count() < files.count())
+
+    val refs = spark.sql(
+      s"SELECT * FROM $cat.db.meta1.refs WHERE kind = 'tag'")
+    assert(refs.collect().map(_.getString(0)).toSeq === Seq("keep"))
+
+    // metadata rows compose with ordinary SQL (it's just a table)
+    val biggest = spark.sql(
+      s"""SELECT column, max(hi) mx FROM $cat.db.meta1.files
+         |WHERE column = 'id' GROUP BY column""".stripMargin).head
+    assert(biggest.getString(0) === "id" && biggest.getLong(1) === 10L)
+  }
+
+  test("a real table named `history` wins over the metadata suffix") {
+    val s = spark; import s.implicits._
+    val root = s"$warehouse/db/history"
+    TxnTable.append(spark, root, Seq(42L).toDF("id"))
+    assert(ids(spark.sql(s"SELECT * FROM $cat.db.history")) === Seq(42L))
+  }
+}
