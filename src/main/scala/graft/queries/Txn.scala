@@ -529,6 +529,79 @@ object Txn {
        |GROUP BY event_type
        |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q127: the SQL MAINTENANCE LIFECYCLE — `CALL graft_cat.system.*`
+  // ([[graft.sources.GraftProcedures]]) driving the full operational
+  // sequence a production table lives through, from pure SQL: a raw
+  // events table takes a merge-on-read key delete, then
+  // `CALL compact_deletes` folds the delete files, `CALL compact(...,
+  // sort_cols => 'user_id')` re-clusters the survivors into disjoint
+  // key spans, and `CALL vacuum(retain_versions => 1, grace_ms => 0)`
+  // drops every older manifest and unreferenced file. The oracle
+  // recomputes from the RAW source with the delete as a WHERE — three
+  // maintenance commits and a retention sweep must change HOW the table
+  // is laid out, never WHAT it contains, hash-exact. The vacuum is the
+  // sharp edge: if retention dropped a still-referenced file, this
+  // query is the one that catches it at the driver's gate.
+  // ---------------------------------------------------------------------
+  private[queries] val MaintLo = 3L
+  private[queries] val MaintHi = 6L
+
+  private[queries] def ensureMaintained(s: SparkSession, dir: String): String =
+    synchronized {
+      import s.implicits._
+      val wh = sqlCatWarehouse(s)
+      val name = s"events_maint_${tag(dir)}"
+      val root = s"$wh/db/$name"
+      val st = graft.SourceStamp.table(s, dir, "events")
+      // the lifecycle ends compacted with exactly ONE retained version
+      if (!(TxnTable.latest(s, root).exists(_.op.startsWith("compact")) &&
+            TxnTable.versions(s, root).size == 1) ||
+          !graft.SourceStamp.isCurrent(s, root, st)) {
+        val loc = new org.apache.hadoop.fs.Path(root)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+        TxnTable.overwrite(s, root,
+          graft.Tables.t(s, dir, "events")
+            .repartitionByRange(8, $"user_id"),
+          statsCols = Seq("user_id"))
+        TxnTable.deleteKeysMor(s, root, "user_id",
+          s.range(MaintLo, MaintHi + 1).toDF("user_id"))
+        s.sql(s"CALL graft_cat.system.compact_deletes('db.$name')")
+        s.sql(s"CALL graft_cat.system.compact('db.$name', " +
+          "target_files => 4, sort_cols => 'user_id')")
+        s.sql(s"CALL graft_cat.system.vacuum('db.$name', " +
+          "retain_versions => 1, grace_ms => 0)")
+        graft.SourceStamp.write(s, root, st)
+      }
+      root
+    }
+
+  val q127Bench: Q = (s, dir) => {
+    import s.implicits._
+    val name = s"events_maint_${tag(dir)}"
+    ensureMaintained(s, dir)
+    // read BY NAME through the catalog: the lifecycle's product is an
+    // ordinary SQL table
+    s.sql(s"SELECT * FROM graft_cat.db.$name")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        money(sum(cents($"value"))).as("total_value"))
+  }
+  val q127: Q = (s, dir) => {
+    import s.implicits._
+    q127Bench(s, dir).orderBy($"event_type")
+  }
+  // maintained-and-vacuumed must equal recomputed-with-the-delete
+  val q127Sql: String =
+    s"""SELECT event_type, COUNT(*) AS n,
+       |  SUM(${sqlCents("value")}) / 100.0 AS total_value
+       |FROM events
+       |WHERE user_id NOT BETWEEN $MaintLo AND $MaintHi
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q82_txn_snapshot" -> q82,
     "q89_txn_delete"   -> q89,
@@ -539,7 +612,8 @@ object Txn {
     "q123_join_prune"  -> q123,
     "q124_txn_branch_ff" -> q124,
     "q125_dsv2_read"   -> q125,
-    "q126_sql_update"  -> q126)
+    "q126_sql_update"  -> q126,
+    "q127_sql_maintenance" -> q127)
   val oracles: Map[String, String] = Map(
     "q82_txn_snapshot" -> q82Sql,
     "q89_txn_delete"   -> q89Sql,
@@ -550,7 +624,8 @@ object Txn {
     "q123_join_prune"  -> q123Sql,
     "q124_txn_branch_ff" -> q124Sql,
     "q125_dsv2_read"   -> q125Sql,
-    "q126_sql_update"  -> q126Sql)
+    "q126_sql_update"  -> q126Sql,
+    "q127_sql_maintenance" -> q127Sql)
 
   /** Bench-time override minus the determinism-only global sort (see
     * [[Relational.benchVariants]]). Verify runs the sorted forms. */
@@ -563,5 +638,6 @@ object Txn {
     "q123_join_prune"  -> q123Bench,
     "q124_txn_branch_ff" -> q124Bench,
     "q125_dsv2_read"   -> q125Bench,
-    "q126_sql_update"  -> q126Bench)
+    "q126_sql_update"  -> q126Bench,
+    "q127_sql_maintenance" -> q127Bench)
 }
