@@ -137,17 +137,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       byName = true)
   }
 
-  /** `VERSION AS OF` — Spark routes the SQL clause here. */
+  /** `VERSION AS OF` — Spark routes the SQL clause here. Accepts a
+    * numeric version, a TAG name, or a BRANCH name (Iceberg's
+    * convention): `VERSION AS OF 'audited'` reads the tagged snapshot,
+    * `VERSION AS OF 'experiment'` reads the branch HEAD (fork content
+    * plus branch appends). Numbers win; an unknown name refuses loud. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val root = tableRoot(ident)
     if (!isTable(root)) {
       val v = scala.util.Try(version.toLong).toOption
       return metaTable(ident, v).getOrElse(throw new NoSuchTableException(ident))
     }
-    val v = scala.util.Try(version.toLong).getOrElse(
-      throw new IllegalArgumentException(
-        s"graft-txn versions are numeric, got '$version'"))
-    new GraftTxnTableV2(spark, root, TxnTable.snapshot(spark, root, v))
+    new GraftTxnTableV2(spark, root,
+      GraftTxnSource.resolveRef(spark, root, version))
   }
 
   /** `TIMESTAMP AS OF` — Spark hands MICROseconds since epoch. */

@@ -173,20 +173,40 @@ object GraftTxnSource {
     val root = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException(
         "graft-txn needs a table root: spark.read.format(\"graft-txn\").load(root)"))
-    val versionAsOf = Option(options.get("versionAsOf")).map(_.toLong)
+    val versionAsOf = Option(options.get("versionAsOf"))
     val tsAsOf = Option(options.get("timestampAsOf")).map(_.toLong)
     require(versionAsOf.isEmpty || tsAsOf.isEmpty,
       "versionAsOf and timestampAsOf are mutually exclusive")
-    val version = versionAsOf.orElse(tsAsOf.map(ms =>
-      TxnTable.versionAt(s, root, ms).getOrElse(throw new IllegalStateException(
-        s"no snapshot at $root as of epoch-ms $ms"))))
-    val snap = version match {
-      case Some(v) => Some(TxnTable.snapshot(s, root, v)) // explicit travel: must exist
-      case None => TxnTable.latest(s, root)
+    val snap = (versionAsOf, tsAsOf) match {
+      case (Some(ref), _) => Some(resolveRef(s, root, ref)) // must exist
+      case (_, Some(ms)) =>
+        val v = TxnTable.versionAt(s, root, ms).getOrElse(
+          throw new IllegalStateException(
+            s"no snapshot at $root as of epoch-ms $ms"))
+        Some(TxnTable.snapshot(s, root, v))
+      case _ => TxnTable.latest(s, root)
     }
     snap.fold[Table](new GraftTxnUncommittedTable(root))(
       new GraftTxnTableV2(s, root, _))
   }
+
+  /** A version REFERENCE: a numeric version, a tag name, or a branch
+    * name (branch → its head: fork content + branch appends). The
+    * shared resolution rule for SQL `VERSION AS OF` and the reader
+    * option `versionAsOf` — numbers win, unknown names refuse loud. */
+  private[sources] def resolveRef(s: SparkSession, root: String,
+                                  ref: String): Snapshot =
+    scala.util.Try(ref.toLong).toOption match {
+      case Some(v) => TxnTable.snapshot(s, root, v)
+      case None => TxnTable.tags(s, root).get(ref) match {
+        case Some(v) => TxnTable.snapshot(s, root, v)
+        case None if TxnTable.branches(s, root).contains(ref) =>
+          TxnTable.branchHead(s, root, ref)
+        case None => throw new IllegalArgumentException(
+          s"version reference '$ref': not a version number, tag, or " +
+            s"branch of the table at $root")
+      }
+    }
 }
 
 /** Placeholder for a root with no committed snapshot: advertises NO
@@ -242,6 +262,24 @@ class GraftTxnTableV2(spark: SparkSession, val root: String, val snap: Snapshot,
     // sources report nullable regardless (Spark's own `read.schema(...)`
     // contract — the V1 path matches)
     StructType(sc.fields.map(_.copy(nullable = true)))
+  }
+
+  /** `DESCRIBE EXTENDED` surface: the snapshot's operational identity
+    * (version, op, file counts, metadata column sets, transform spec)
+    * as table properties — read-only diagnostics; the writable subset
+    * (`statsCols`/`bloomCols`) evolves via ALTER TABLE SET
+    * TBLPROPERTIES ([[GraftCatalog.alterTable]]). */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    m.put("provider", "graft-txn")
+    m.put("version", snap.version.toString)
+    m.put("op", snap.op)
+    m.put("n_files", snap.files.size.toString)
+    m.put("n_delete_files", snap.deletes.size.toString)
+    m.put("statsCols", snap.statsCols.mkString(","))
+    m.put("bloomCols", snap.bloomCols.mkString(","))
+    m.put("transforms", snap.transforms.map(_.name).mkString(","))
+    m
   }
 
   /** The STREAMING capabilities (MICRO_BATCH_READ for

@@ -189,6 +189,35 @@ class GraftProceduresSpec extends AnyFunSuite {
     assert(biggest.getString(0) === "id" && biggest.getLong(1) === 10L)
   }
 
+  test("VERSION AS OF accepts tag and branch names, SQL and reader option") {
+    val s = spark; import s.implicits._
+    val root = seed("db.n1", Seq(1 to 3, 4 to 6))
+    spark.sql(s"CALL $cat.system.create_tag('db.n1', 'first', 1)")
+    spark.sql(s"CALL $cat.system.create_branch('db.n1', 'side')")
+    TxnTable.appendToBranch(spark, root, "side", Seq(100L).toDF("id"))
+    assert(ids(spark.sql(s"SELECT * FROM $cat.db.n1 VERSION AS OF 'first'")) ===
+      (1L to 3L))
+    assert(ids(spark.sql(s"SELECT * FROM $cat.db.n1 VERSION AS OF 'side'")) ===
+      (1L to 6L) :+ 100L)
+    assert(ids(spark.sql(s"SELECT * FROM $cat.db.n1")) === (1L to 6L))
+    // same refs through the path reader's option
+    assert(ids(spark.read.format("graft-txn")
+      .option("versionAsOf", "first").load(root)) === (1L to 3L))
+    assert(ids(spark.read.format("graft-txn")
+      .option("versionAsOf", "side").load(root)) === (1L to 6L) :+ 100L)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.db.n1 VERSION AS OF 'nope'").collect() }
+    assert(e.getMessage.contains("nope"))
+  }
+
+  test("DESCRIBE EXTENDED surfaces the snapshot's operational properties") {
+    seed("db.d1", Seq(1 to 3))
+    val out = spark.sql(s"DESCRIBE TABLE EXTENDED $cat.db.d1").collect()
+      .map(_.toSeq.mkString("|")).mkString("\n")
+    assert(out.contains("version=1") && out.contains("op=append") &&
+      out.contains("statsCols=id"))
+  }
+
   test("a real table named `history` wins over the metadata suffix") {
     val s = spark; import s.implicits._
     val root = s"$warehouse/db/history"
