@@ -2273,6 +2273,62 @@ object TxnTable {
     * yet-committed data and are left alone. */
   val DefaultVacuumGraceMs: Long = 30L * 60L * 1000L
 
+  /** Every data-pool file some retained manifest can still reach:
+    * `keep` versions' files AND their MoR delete-key files (vacuuming
+    * one would silently resurrect its deleted rows),
+    * staged-but-unpublished commits' files (referenced through the
+    * stage marker, not a version — deleting them would turn a later
+    * publish into a manifest of dead paths), and branch commits' files
+    * (shared-pool paths only the branch manifests know about). */
+  private def referencedFiles(s: SparkSession, root: String,
+                              keep: Seq[Long]): Set[String] = {
+    val branchRefs = branches(s, root)
+    keep.flatMap { v =>
+      val sn = snapshot(s, root, v)
+      sn.files ++ sn.deletes
+    }.toSet ++
+      stagedIds(s, root).flatMap(id => stagedSnapshot(s, root, id).files) ++
+      branchRefs.keys.flatMap(b => branchVersions(s, root, b).flatMap { v =>
+        val sn = parseManifest(v,
+          readSmallFile(s, root, branchManifestPath(root, b, v)),
+          s"branch $b v$v")
+        sn.files ++ sn.deletes
+      })
+  }
+
+  /** REPORT-ONLY orphan scan (Iceberg's `remove_orphan_files` dry-run
+    * semantic, distinct from [[vacuum]]'s history expiry): data-pool
+    * files that NO reachable manifest references — not any version's,
+    * not a staged commit's, not a branch's — and that are older than
+    * `graceMs` (younger unreferenced files are presumed to be a
+    * concurrent writer's staged-but-not-yet-committed data, the same
+    * in-flight guard vacuum applies). These are write-attempt debris:
+    * speculative/retried task outputs, aborted row-level rewrites,
+    * crashed stream epochs. Returns (relative path, bytes, mtime-ms),
+    * deterministically ordered. Driver-side manifest + listing work —
+    * no data reads. */
+  def orphanFiles(s: SparkSession, root: String,
+                  graceMs: Long = DefaultVacuumGraceMs): Seq[(String, Long, Long)] = {
+    val f = fs(s, root)
+    val live = referencedFiles(s, root, versions(s, root))
+    val horizon = System.currentTimeMillis() - graceMs
+    val base = root.stripSuffix("/")
+    val dataDir = new Path(s"$base/data")
+    if (!f.exists(dataDir)) return Nil
+    val out = Seq.newBuilder[(String, Long, Long)]
+    val it = f.listFiles(dataDir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet")) {
+        val rel = "data/" + st.getPath.toUri.getPath
+          .stripPrefix(dataDir.toUri.getPath.stripSuffix("/") + "/")
+        if (!live.contains(rel) && st.getModificationTime <= horizon)
+          out += ((rel, st.getLen, st.getModificationTime))
+      }
+    }
+    out.result().sortBy(_._1)
+  }
+
   def vacuum(s: SparkSession, root: String, retainVersions: Int,
              graceMs: Long = DefaultVacuumGraceMs): Unit = {
     require(retainVersions >= 1, "must retain at least the current version")
@@ -2288,25 +2344,7 @@ object TxnTable {
     val pinned = tags(s, root).values.toSet ++ branchRefs.values
     val keep = dropByAge.filter(pinned) ++ keepByAge
     val drop = dropByAge.filterNot(pinned)
-    val live: Set[String] =
-      keep.flatMap { v =>
-        val sn = snapshot(s, root, v)
-        // MoR delete-key files are referenced data too — vacuuming one
-        // would silently resurrect its deleted rows
-        sn.files ++ sn.deletes
-      }.toSet ++
-        // staged-but-unpublished commits reference their files through
-        // the stage marker, not a version — deleting them would turn a
-        // later publish into a manifest of dead paths
-        stagedIds(s, root).flatMap(id => stagedSnapshot(s, root, id).files) ++
-        // branch commits reference shared-pool files only their own
-        // manifests know about
-        branchRefs.keys.flatMap(b => branchVersions(s, root, b).flatMap { v =>
-          val sn = parseManifest(v,
-            readSmallFile(s, root, branchManifestPath(root, b, v)),
-            s"branch $b v$v")
-          sn.files ++ sn.deletes
-        })
+    val live = referencedFiles(s, root, keep)
     drop.foreach(v => f.delete(manifestPath(root, v), false))
     val base = root.stripSuffix("/")
     val dataDir = new Path(s"$base/data")

@@ -53,8 +53,9 @@ object GraftProcedures {
     all(catalog).map(p => p.name -> p).toMap
 
   private[sources] def names: Seq[String] = Seq(
-    "compact", "zorder", "compact_deletes", "vacuum", "restore",
-    "create_tag", "create_branch", "fast_forward", "replay_branch")
+    "compact", "zorder", "compact_deletes", "vacuum", "orphan_files",
+    "restore", "create_tag", "create_branch", "fast_forward",
+    "replay_branch")
 
   /** Multi-param lambdas do not infer through a curried CONSTRUCTOR's
     * second list; a factory method propagates the expected type. */
@@ -113,6 +114,23 @@ object GraftProcedures {
         args.long(2).getOrElse(TxnTable.DefaultVacuumGraceMs))
       val vs = TxnTable.versions(s, root)
       InternalRow(vs.size, vs.head, vs.last)
+    },
+
+    proc(catalog, "orphan_files",
+      "REPORT unreferenced data-pool files older than grace_ms (write-" +
+        "attempt debris no manifest, staged commit, or branch can reach) " +
+        "- dry-run only, deletes nothing",
+      Seq(
+        in("table", StringType, "table name, e.g. 'db.t'"),
+        inDefault("grace_ms", LongType, TxnTable.DefaultVacuumGraceMs.toString,
+          "unreferenced files younger than this are presumed in-flight and not reported")),
+      new StructType().add("file", StringType).add("bytes", LongType)
+        .add("modified_ms", LongType)) { (s, root, args) =>
+      TxnTable.orphanFiles(s, root,
+        args.long(1).getOrElse(TxnTable.DefaultVacuumGraceMs))
+        .map { case (rel, bytes, mtime) =>
+          InternalRow(UTF8String.fromString(rel), bytes, mtime)
+        }.toArray
     },
 
     proc(catalog, "restore",
@@ -223,12 +241,14 @@ object GraftProcedures {
         throw new IllegalArgumentException(s"$procName: table must not be null"))
       val spark = SparkSession.active
       val root = catalog.resolveTableRoot(table)
-      val row = body(spark, root, args) match {
-        case snap: TxnTable.Snapshot => InternalRow(snap.version, snap.files.size)
-        case r: InternalRow => r
+      val rows = body(spark, root, args) match {
+        case snap: TxnTable.Snapshot =>
+          Array[InternalRow](InternalRow(snap.version, snap.files.size))
+        case r: InternalRow => Array(r)
+        case rs: Array[InternalRow] => rs
       }
       util.Collections.singletonList[Scan](
-        new MaintenanceResult(resultSchema, Array(row))).iterator()
+        new MaintenanceResult(resultSchema, rows)).iterator()
     }
   }
 

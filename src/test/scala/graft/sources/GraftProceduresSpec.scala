@@ -101,6 +101,33 @@ class GraftProceduresSpec extends AnyFunSuite {
     intercept[Exception] { TxnTable.snapshot(spark, root, 1L) }
   }
 
+  test("CALL orphan_files reports debris; vacuum reclaims exactly it") {
+    val root = seed("db.o1", Seq(1 to 5))
+    // plant write-attempt debris: a stray parquet in the data pool no
+    // manifest references (a speculative task's leftover)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    val dataDir = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/data"))
+      .filter(_.isDirectory).head.getPath
+    val real = fs.listStatus(dataDir).filter(_.getPath.getName.endsWith(".parquet")).head
+    val debris = new org.apache.hadoop.fs.Path(dataDir, "orphan-attempt-7.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(fs, real.getPath, fs, debris, false, conf)
+
+    val rows = spark.sql(
+      s"CALL $cat.system.orphan_files('db.o1', grace_ms => 0)").collect()
+    assert(rows.map(_.getString(0)).toSeq ===
+      Seq(s"data/${dataDir.getName}/orphan-attempt-7.parquet"))
+    assert(rows.head.getLong(1) > 0L)
+    // the default grace presumes the young file is an in-flight commit
+    assert(spark.sql(s"CALL $cat.system.orphan_files('db.o1')").count() === 0L)
+    // vacuum retaining ALL versions reclaims exactly the orphan
+    spark.sql(s"CALL $cat.system.vacuum('db.o1', retain_versions => 99, grace_ms => 0)")
+    assert(spark.sql(
+      s"CALL $cat.system.orphan_files('db.o1', grace_ms => 0)").count() === 0L)
+    assert(!fs.exists(debris))
+    assert(ids(spark.sql(s"SELECT * FROM $cat.db.o1")) === (1L to 5L))
+  }
+
   test("CALL restore makes an old version current, history intact") {
     val root = seed("db.r1", Seq(1 to 5, 6 to 10))
     val res = spark.sql(s"CALL $cat.system.restore('db.r1', 1)").collect()
