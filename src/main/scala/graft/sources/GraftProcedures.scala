@@ -100,17 +100,39 @@ object GraftProcedures {
     },
 
     proc(catalog, "vacuum",
-      "drop manifests beyond retain_versions (tag/branch-pinned versions " +
-        "are kept) and delete data files no retained manifest references",
+      "drop history (by count via retain_versions, or by age via " +
+        "older_than_ms - exactly one; tag/branch-pinned versions are " +
+        "kept either way) and delete data files no retained manifest " +
+        "references",
       Seq(
         in("table", StringType, "table name, e.g. 'db.t'"),
-        in("retain_versions", IntegerType, "versions of history to keep"),
+        inDefault("retain_versions", IntegerType, "NULL",
+          "newest N versions to keep"),
         inDefault("grace_ms", LongType, TxnTable.DefaultVacuumGraceMs.toString,
-          "unreferenced files younger than this are presumed in-flight and kept")),
+          "unreferenced files younger than this are presumed in-flight and kept"),
+        inDefault("older_than_ms", LongType, "NULL",
+          "expire versions committed before this epoch-ms instant " +
+            "(undated legacy versions are never age-expired; the " +
+            "current version always survives)")),
       new StructType()
         .add("n_versions", IntegerType).add("oldest_version", LongType)
         .add("newest_version", LongType)) { (s, root, args) =>
-      TxnTable.vacuum(s, root, args.int(1),
+      val retain = (args.intOpt(1), args.long(3)) match {
+        case (Some(r), None) => r
+        case (None, Some(cut)) =>
+          // commit instants are monotone with version, so age expiry IS
+          // a retention count: drop the longest PREFIX of versions
+          // provably committed before the cutoff (an undated legacy
+          // manifest stops the prefix - never expire what you cannot
+          // date); the head always survives
+          val vs = TxnTable.versions(s, root)
+          val expired = vs.segmentLength(v =>
+            TxnTable.snapshot(s, root, v).tsMs.exists(_ < cut))
+          math.max(1, vs.size - expired)
+        case _ => throw new IllegalArgumentException(
+          "vacuum needs exactly one of retain_versions / older_than_ms")
+      }
+      TxnTable.vacuum(s, root, retain,
         args.long(2).getOrElse(TxnTable.DefaultVacuumGraceMs))
       val vs = TxnTable.versions(s, root)
       InternalRow(vs.size, vs.head, vs.last)
@@ -214,6 +236,8 @@ object GraftProcedures {
       require(!row.isNullAt(i), s"argument $i must not be null")
       row.getInt(i)
     }
+    def intOpt(i: Int): Option[Int] =
+      if (row.isNullAt(i)) None else Some(row.getInt(i))
     def long(i: Int): Option[Long] =
       if (row.isNullAt(i)) None else Some(row.getLong(i))
   }

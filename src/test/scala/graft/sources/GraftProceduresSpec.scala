@@ -101,6 +101,25 @@ class GraftProceduresSpec extends AnyFunSuite {
     intercept[Exception] { TxnTable.snapshot(spark, root, 1L) }
   }
 
+  test("CALL vacuum by age: older_than_ms expires the dated prefix only") {
+    val s = spark; import s.implicits._
+    val root = s"$warehouse/db/v2"
+    TxnTable.append(spark, root, Seq(1L).toDF("id"), statsCols = Seq("id"))
+    Thread.sleep(10) // distinct commit instants
+    TxnTable.append(spark, root, Seq(2L).toDF("id"))
+    Thread.sleep(10)
+    TxnTable.append(spark, root, Seq(3L).toDF("id"))
+    val cut = TxnTable.snapshot(spark, root, 3L).tsMs.get
+    val row = spark.sql(s"CALL $cat.system.vacuum('db.v2', " +
+      s"older_than_ms => $cut, grace_ms => 0)").head
+    assert(row.getInt(0) === 1 && row.getLong(1) === 3L)
+    assert(ids(spark.sql(s"SELECT * FROM $cat.db.v2")) === Seq(1L, 2L, 3L))
+    // exactly one retention mode, never both or neither
+    intercept[Exception] { spark.sql(s"CALL $cat.system.vacuum('db.v2')") }
+    intercept[Exception] { spark.sql(s"CALL $cat.system.vacuum('db.v2', " +
+      s"retain_versions => 1, older_than_ms => $cut)") }
+  }
+
   test("CALL orphan_files reports debris; vacuum reclaims exactly it") {
     val root = seed("db.o1", Seq(1 to 5))
     // plant write-attempt debris: a stray parquet in the data pool no
