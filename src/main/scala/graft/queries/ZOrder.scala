@@ -45,6 +45,25 @@ object ZOrder {
         .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }.reduce(_ bitwiseOR _)
 
+  /** N-dimensional Morton interleave (the general OPTIMIZE ZORDER
+    * key): bit i of dimension j lands at `n*i + j`, round-robin, so
+    * every dimension contributes equally at every scale and a
+    * contiguous z-range is an n-cube stack. Bit budget splits the
+    * 63 usable bits evenly, capped at [[Bits]] per dimension (the
+    * 2-dim case reproduces [[zvalue]] exactly). Same composition of
+    * codegen'd integer built-ins — no UDF, constant plan depth in
+    * rows. */
+  def zvalueN(dims: Seq[Column]): Column = {
+    require(dims.size >= 2, s"z-order needs >= 2 dimensions, got ${dims.size}")
+    val n = dims.size
+    val bits = math.min(Bits, 63 / n)
+    (0 until bits).flatMap { i =>
+      dims.zipWithIndex.map { case (d, j) =>
+        shiftleft(shiftright(d, i).bitwiseAND(lit(1L)), n * i + j)
+      }
+    }.reduce(_ bitwiseOR _)
+  }
+
   /** DuckDB mirror of [[zvalue]] — identical shift/mask arithmetic. */
   private[queries] def sqlZvalue(a: String, b: String): String =
     (0 until Bits).map { i =>

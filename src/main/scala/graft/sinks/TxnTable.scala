@@ -1511,19 +1511,27 @@ object TxnTable {
     * zvalue's: small non-negative ints (ids, days, bucket ordinals —
     * low 16 bits); rank-bucket real-valued dims first. */
   def compactZOrderTxn(s: SparkSession, root: String, targetFiles: Int,
-                       dimA: String, dimB: String): Snapshot = {
+                       dimA: String, dimB: String): Snapshot =
+    compactZOrderTxn(s, root, targetFiles, Seq(dimA, dimB))
+
+  /** N-dimensional form: the cluster key is the round-robin Morton
+    * interleave of ALL `dims` ([[graft.queries.ZOrder.zvalueN]] — each
+    * dimension's bit budget shrinks as 63/n, the curve's inherent
+    * trade: more dimensions prune, each more coarsely). */
+  def compactZOrderTxn(s: SparkSession, root: String, targetFiles: Int,
+                       dims: Seq[String]): Snapshot = {
     require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
     val cur = latestRequired(s, root)
     import org.apache.spark.sql.functions.col
-    cur.schema.foreach(sc => Seq(dimA, dimB).foreach(d =>
+    cur.schema.foreach(sc => dims.foreach(d =>
       require(sc.fieldNames.contains(d), s"z-order needs column '$d'")))
     val arranged = read(s, root)
-      .withColumn("_zorder", graft.queries.ZOrder.zvalue(col(dimA), col(dimB)))
+      .withColumn("_zorder", graft.queries.ZOrder.zvalueN(dims.map(col)))
       .repartitionByRange(targetFiles, col("_zorder"))
       .sortWithinPartitions(col("_zorder"))
       .drop("_zorder")
     val staged = stage(s, root, arranged, cur.transforms)
-    val statsCols = (cur.statsCols ++ Seq(dimA, dimB)).distinct
+    val statsCols = (cur.statsCols ++ dims).distinct
     val (stagedStats, stagedBlooms) = fileMeta(s, root, staged, statsCols, cur.bloomCols)
     commit(s, root, cur.version + 1, "zorder", staged,
       mergeStats(stagedStats, transformStats(staged, cur.transforms)),

@@ -79,16 +79,17 @@ object GraftProcedures {
     },
 
     proc(catalog, "zorder",
-      "rewrite a snapshot z-ordered on two dimensions (multi-dimensional " +
-        "clustering for 2-D range pruning) and commit one new version",
+      "rewrite a snapshot z-ordered on N >= 2 dimensions (round-robin " +
+        "Morton interleave - every dim prunes after interleaved appends) " +
+        "and commit one new version",
       Seq(
         in("table", StringType, "table name, e.g. 'db.t'"),
         in("target_files", IntegerType, "number of output files"),
-        in("dim_a", StringType, "first z-order dimension"),
-        in("dim_b", StringType, "second z-order dimension")),
+        in("dims", StringType, "comma-separated z-order dimensions (>= 2)")),
       versionFiles) { (s, root, args) =>
-      TxnTable.compactZOrderTxn(s, root, args.int(1),
-        args.str(2).get, args.str(3).get)
+      val dims = args.str(2).toSeq.flatMap(_.split(","))
+        .map(_.trim).filter(_.nonEmpty)
+      TxnTable.compactZOrderTxn(s, root, args.int(1), dims)
     },
 
     proc(catalog, "compact_deletes",

@@ -74,6 +74,44 @@ class TxnZOrderSpec extends AnyFunSuite {
       .inputFiles.length * 2)
   }
 
+  test("N-dim z-order: every one of three dims prunes after the rewrite") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    // 16x16x16 cube in 4 interleaved slices: every file spans all dims
+    val cube = for (a <- 0 until 16; b <- 0 until 16; c <- 0 until 16)
+      yield (a.toLong, b.toLong, c.toLong)
+    (0 until 4).foreach { slice =>
+      val part = cube.filter { case (a, b, c) => (a + b + c) % 4 == slice }
+        .toDF("a", "b", "c")
+      TxnTable.append(spark, root, part.repartition(4),
+        statsCols = Seq("a", "b", "c"))
+    }
+    val all = rows(TxnTable.read(spark, root))
+    Seq("a", "b", "c").foreach(d =>
+      assert(TxnTable.readPruned(spark, root, d, 0L, 1L).inputFiles.length
+        === TxnTable.latest(spark, root).get.files.size,
+        s"interleaved layout must not prune on $d"))
+
+    val z = TxnTable.compactZOrderTxn(spark, root, targetFiles = 16,
+      Seq("a", "b", "c"))
+    assert(z.files.size === 16)
+    assert(rows(TxnTable.read(spark, root)) === all)
+    // a 2-wide stripe of a 16-wide dim over z-cubes: each dim prunes
+    Seq("a", "b", "c").foreach { d =>
+      val kept = TxnTable.readPruned(spark, root, d, 0L, 1L).inputFiles.length
+      assert(kept <= 8, s"$d-stripe kept $kept of 16")
+      assert(rows(TxnTable.readPruned(spark, root, d, 0L, 1L)
+        .filter(col(d) <= 1L)) === rows(
+        TxnTable.read(spark, root).filter(col(d) <= 1L)))
+    }
+    // 2-dim zvalueN == the pairwise zvalue, bit for bit
+    val two = graft.queries.ZOrder.zvalue($"a", $"b")
+    val twoN = graft.queries.ZOrder.zvalueN(Seq($"a", $"b"))
+    assert(TxnTable.read(spark, root)
+      .filter(two =!= twoN).count() === 0L)
+  }
+
   test("z-order folds live MoR deletes and reopens the raw-file paths") {
     val root = freshRoot()
     buildInterleaved(root)

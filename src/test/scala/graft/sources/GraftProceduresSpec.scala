@@ -71,7 +71,7 @@ class GraftProceduresSpec extends AnyFunSuite {
     TxnTable.append(spark, root,
       (1L to 64L).toDF("x").withColumn("y", col("x") * 7L % 64L),
       statsCols = Seq("x"))
-    spark.sql(s"CALL $cat.system.zorder('db.z1', 4, 'x', 'y')")
+    spark.sql(s"CALL $cat.system.zorder('db.z1', 4, 'x,y')")
     val head = TxnTable.latest(spark, root).get
     assert(head.files.size === 4)
     assert(head.statsCols.contains("y"), "zorder adds dims to statsCols")
