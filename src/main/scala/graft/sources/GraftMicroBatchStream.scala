@@ -73,8 +73,17 @@ class GraftStreamCapableScan(val delegate: Scan, spark: SparkSession,
   override def readSchema(): StructType = delegate.readSchema()
   override def toBatch: Batch = delegate.toBatch
   override def description(): String = delegate.description()
-  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
-    delegate match {
+  /** Planner statistics: the parquet scan's size estimate, upgraded
+    * with the EXACT row count from the manifest's per-file counts when
+    * the manifest can certify it — no pushed data filters (a filtered
+    * scan returns fewer rows than the files hold), no live MoR deletes,
+    * a recorded count for every live file (the metaCount rule). Exact
+    * cardinality is what lets Spark's planner make the right
+    * broadcast/shuffle call for SQL-by-name joins at scale; when the
+    * manifest cannot certify, the estimate degrades to Spark's own,
+    * never guesses. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val base: org.apache.spark.sql.connector.read.Statistics = delegate match {
       case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
         s.estimateStatistics()
       case _ => new org.apache.spark.sql.connector.read.Statistics {
@@ -82,6 +91,21 @@ class GraftStreamCapableScan(val delegate: Scan, spark: SparkSession,
         override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
       }
     }
+    val exactRows = delegate match {
+      case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+          if p.dataFilters.isEmpty && snap.deletes.isEmpty &&
+            snap.files.forall(snap.rowCounts.contains) =>
+        Some(snap.files.map(snap.rowCounts).sum)
+      case _ => None
+    }
+    exactRows.fold(base) { n =>
+      new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong = base.sizeInBytes()
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.of(n)
+      }
+    }
+  }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftTxnMicroBatchStream(spark, root, snap, delegate.readSchema(), options)
 }

@@ -264,6 +264,26 @@ class GraftProceduresSpec extends AnyFunSuite {
       out.contains("statsCols=id"))
   }
 
+  test("by-name scans report exact manifest row counts to the planner") {
+    import org.apache.spark.sql.connector.read.SupportsReportStatistics
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    val root = seed("db.s1", Seq(1 to 10, 11 to 15))
+    def scanStats(sql: String) = {
+      val scan = spark.sql(sql).queryExecution.optimizedPlan.collectFirst {
+        case r: DataSourceV2ScanRelation => r.scan
+      }.get
+      scan.asInstanceOf[SupportsReportStatistics].estimateStatistics()
+    }
+    // unfiltered: exact cardinality from the manifest's per-file counts
+    val full = scanStats(s"SELECT * FROM $cat.db.s1")
+    assert(full.numRows().getAsLong === 15L)
+    // sizeInBytes stays whatever the parquet scan estimates (not ours
+    // to assert); only the row count is upgraded
+    // pushed filter: fewer rows than the files hold - never claim exact
+    assert(!scanStats(s"SELECT * FROM $cat.db.s1 WHERE id > 12").numRows().isPresent)
+    // MoR-live would refuse the scan entirely (covered elsewhere)
+  }
+
   test("a real table named `history` wins over the metadata suffix") {
     val s = spark; import s.implicits._
     val root = s"$warehouse/db/history"
