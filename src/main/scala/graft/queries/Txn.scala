@@ -602,6 +602,76 @@ object Txn {
        |GROUP BY event_type
        |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q128: the SCHEMA-EVOLUTION LIFECYCLE — metadata-only RENAME/DROP
+  // COLUMN through the column mapping ([[graft.sinks.ColumnMapping]]:
+  // physical names freeze at birth, drops tombstone), then a SQL DELETE
+  // addressing the RENAMED key. Every step is DDL/DML by name:
+  //   ALTER TABLE … RENAME COLUMN user_id TO uid / value TO amount
+  //   ALTER TABLE … DROP COLUMN props
+  //   DELETE FROM … WHERE uid BETWEEN lo AND hi
+  // The DELETE is the sharp edge: its pushed predicate names `uid`, the
+  // manifest's stats live under the frozen physical `user_id`, and the
+  // translation + derived bounds must still skip the disjoint files.
+  // The oracle recomputes from the RAW source under the ORIGINAL names
+  // with the delete as a WHERE — three renames/drops and a pruned
+  // rewrite must change how columns are ADDRESSED, never what the table
+  // CONTAINS, hash-exact at the driver's gate.
+  // ---------------------------------------------------------------------
+  private[queries] val RenLo = 11L
+  private[queries] val RenHi = 14L
+
+  private[queries] def ensureRenamed(s: SparkSession, dir: String): String =
+    synchronized {
+      import s.implicits._
+      val wh = sqlCatWarehouse(s)
+      val name = s"events_ren_${tag(dir)}"
+      val root = s"$wh/db/$name"
+      val st = graft.SourceStamp.table(s, dir, "events")
+      // lifecycle product: overwrite + 3 alters + delete = 5 versions
+      if (!(TxnTable.latest(s, root).exists(_.op == "delete") &&
+            TxnTable.versions(s, root).size == 5) ||
+          !graft.SourceStamp.isCurrent(s, root, st)) {
+        val loc = new org.apache.hadoop.fs.Path(root)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+        TxnTable.overwrite(s, root,
+          graft.Tables.t(s, dir, "events")
+            .repartitionByRange(8, $"user_id"),
+          statsCols = Seq("user_id"))
+        s.sql(s"ALTER TABLE graft_cat.db.$name RENAME COLUMN user_id TO uid")
+        s.sql(s"ALTER TABLE graft_cat.db.$name RENAME COLUMN value TO amount")
+        s.sql(s"ALTER TABLE graft_cat.db.$name DROP COLUMN props")
+        s.sql(s"DELETE FROM graft_cat.db.$name " +
+          s"WHERE uid BETWEEN $RenLo AND $RenHi")
+        graft.SourceStamp.write(s, root, st)
+      }
+      root
+    }
+
+  val q128Bench: Q = (s, dir) => {
+    import s.implicits._
+    val name = s"events_ren_${tag(dir)}"
+    ensureRenamed(s, dir)
+    s.sql(s"SELECT * FROM graft_cat.db.$name")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        money(sum(cents($"amount"))).as("total_amount"))
+  }
+  val q128: Q = (s, dir) => {
+    import s.implicits._
+    q128Bench(s, dir).orderBy($"event_type")
+  }
+  // renamed-dropped-and-deleted must equal recomputed under the raw names
+  val q128Sql: String =
+    s"""SELECT event_type, COUNT(*) AS n,
+       |  SUM(${sqlCents("value")}) / 100.0 AS total_amount
+       |FROM events
+       |WHERE user_id NOT BETWEEN $RenLo AND $RenHi
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q82_txn_snapshot" -> q82,
     "q89_txn_delete"   -> q89,
@@ -613,7 +683,8 @@ object Txn {
     "q124_txn_branch_ff" -> q124,
     "q125_dsv2_read"   -> q125,
     "q126_sql_update"  -> q126,
-    "q127_sql_maintenance" -> q127)
+    "q127_sql_maintenance" -> q127,
+    "q128_sql_rename"  -> q128)
   val oracles: Map[String, String] = Map(
     "q82_txn_snapshot" -> q82Sql,
     "q89_txn_delete"   -> q89Sql,
@@ -625,7 +696,8 @@ object Txn {
     "q124_txn_branch_ff" -> q124Sql,
     "q125_dsv2_read"   -> q125Sql,
     "q126_sql_update"  -> q126Sql,
-    "q127_sql_maintenance" -> q127Sql)
+    "q127_sql_maintenance" -> q127Sql,
+    "q128_sql_rename"  -> q128Sql)
 
   /** Bench-time override minus the determinism-only global sort (see
     * [[Relational.benchVariants]]). Verify runs the sorted forms. */
@@ -639,5 +711,6 @@ object Txn {
     "q124_txn_branch_ff" -> q124Bench,
     "q125_dsv2_read"   -> q125Bench,
     "q126_sql_update"  -> q126Bench,
-    "q127_sql_maintenance" -> q127Bench)
+    "q127_sql_maintenance" -> q127Bench,
+    "q128_sql_rename"  -> q128Bench)
 }

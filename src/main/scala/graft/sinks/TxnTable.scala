@@ -215,6 +215,31 @@ object TxnTable {
         evolved ++ incoming.fields.filterNot(f => p.fieldNames.contains(f.name)))
   }
 
+  /** [[evolve]] under a column mapping: refuses reserved (tombstone-
+    * prefixed) incoming names and allocates fresh PHYSICAL names to
+    * genuinely-new columns whose name collides with a physical name the
+    * table already used (the re-added-after-drop case — without the
+    * fresh name, old files' orphaned values would resurrect). Identical
+    * to [[evolve]] for unmapped tables. */
+  private def evolveM(prior: Option[org.apache.spark.sql.types.StructType],
+                      incoming: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    ColumnMapping.requireNoReserved(incoming)
+    ColumnMapping.allocate(prior, evolve(prior, incoming))
+  }
+
+  /** V1 boundary for the write paths that stage files OUTSIDE
+    * [[stage]] (executor-staged row-level/streaming writes, WAP) or
+    * replay raw files across schema epochs: they would need the
+    * logical→physical rename threaded through machinery that does not
+    * yet carry it, so a table with renamed/dropped columns refuses loud
+    * instead of corrupting the mapping. */
+  private def requireUnmapped(snap: Snapshot, what: String): Unit =
+    snap.schema.foreach(sc => require(!ColumnMapping.hasMapping(sc),
+      s"$what does not support a table with renamed/dropped columns yet " +
+        s"(snapshot v${snap.version} carries a column mapping); use the " +
+        "TxnTable Scala API (append/merge/delete/compact), which does"))
+
   private def fs(s: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
 
@@ -362,16 +387,18 @@ object TxnTable {
       // schema-less empty read has no answer
       val sc = snap.schema.getOrElse(throw new IllegalStateException(
         s"snapshot v${snap.version} has no data files and no recorded schema"))
-      return s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), sc)
+      return s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        ColumnMapping.logicalView(sc))
     }
-    val base = root.stripSuffix("/")
-    val paths = snap.files.map(f => s"$base/$f")
-    val data = snap.schema match {
-      case Some(sc) => s.read.schema(sc).parquet(paths: _*)
-      case None     => s.read.parquet(paths: _*)
-    }
-    if (snap.deletes.nonEmpty && snap.deleteCols.nonEmpty) {
+    // files hold PHYSICAL column names (frozen at column birth —
+    // [[ColumnMapping]]); the scan pins the physical schema, the MoR
+    // merge runs in physical space (delete files were written physical
+    // too), and the result is aliased back to the logical names last.
+    // Unmapped tables: physicalSchema == schema, alias is the identity.
+    val data = scanFiles(s, root, snap, snap.files)
+    val merged = if (snap.deletes.nonEmpty && snap.deleteCols.nonEmpty) {
       import org.apache.spark.sql.functions.col
+      val base = root.stripSuffix("/")
       val keys = s.read.parquet(snap.deletes.map(f => s"$base/$f"): _*)
         .select(snap.deleteCols.map(c => col(c).as(s"_del_$c")): _*).distinct()
       // null-safe per component: a null-keyed delete row must remove
@@ -380,7 +407,33 @@ object TxnTable {
         .map(c => data(c) <=> keys(s"_del_$c")).reduce(_ && _)
       data.join(keys, cond, "left_anti")
     } else data
+    snap.schema.fold(merged)(sc => ColumnMapping.aliasToLogical(merged, sc))
   }
+
+  /** Schema-pinned raw scan of `files`: pinned to the snapshot's
+    * PHYSICAL schema (what the parquet bytes actually say — for a table
+    * that never renamed/dropped a column this IS the recorded schema).
+    * The result carries physical names; callers surfacing it to users
+    * alias back via [[ColumnMapping.aliasToLogical]]. */
+  private def scanFiles(s: SparkSession, root: String, snap: Snapshot,
+                        files: Seq[String]): DataFrame = {
+    val base = root.stripSuffix("/")
+    val reader = snap.schema.fold(s.read)(sc =>
+      s.read.schema(ColumnMapping.physicalSchema(sc)))
+    reader.parquet(files.map(f => s"$base/$f"): _*)
+  }
+
+  /** The boundary translation every column-name-taking entry point
+    * runs its argument through: user-facing logical name → recorded
+    * physical name. Identity for unmapped tables and for
+    * transform-derived names. */
+  private def physCol(snap: Snapshot, col: String): String =
+    snap.schema.fold(col)(sc => ColumnMapping.physName(sc, col))
+
+  /** Rename a LOGICAL-named frame to the physical names before
+    * staging. Identity for unmapped tables. */
+  private def toPhys(df: DataFrame, snap: Snapshot): DataFrame =
+    snap.schema.fold(df)(sc => ColumnMapping.toPhysical(df, sc))
 
   /** The version current as of wall-clock `epochMs`: the newest commit
     * whose recorded timestamp is ≤ the asked instant. Commit timestamps
@@ -776,10 +829,11 @@ object TxnTable {
     * trailing NULLABLE column (older files read it as null — the same
     * schema-on-read every reader already honors) or LOSSLESSLY WIDEN a
     * column in place (byte/short/int→long, float→double; the vectorized
-    * parquet reader upcasts the old physical types). Anything else —
-    * drop, rename, narrow, reorder — refuses loud: parquet resolves
-    * columns BY NAME, so a rename would silently orphan every existing
-    * file's data.
+    * parquet reader upcasts the old physical types). RENAME and DROP are
+    * metadata-only through the COLUMN MAPPING ([[ColumnMapping]]:
+    * physical names freeze at birth, drops tombstone, reborn names get
+    * fresh physical identities — the Iceberg/Delta column-mapping
+    * semantics). Narrowing and reorders still refuse loud.
     *
     * Replacing `statsCols`/`bloomCols` changes what FUTURE appends
     * record; existing files keep (only) their recorded entries, so
@@ -791,14 +845,42 @@ object TxnTable {
                  newSchema: Option[org.apache.spark.sql.types.StructType] = None,
                  newStatsCols: Option[Seq[String]] = None,
                  newBloomCols: Option[Seq[String]] = None,
-                 maxAttempts: Int = 5): Snapshot = {
+                 maxAttempts: Int = 5,
+                 renames: Seq[(String, String)] = Nil,
+                 drops: Seq[String] = Nil): Snapshot = {
     for (attempt <- 1 to maxAttempts) {
       val cur = latestRequired(s, root)
-      val schema = newSchema match {
-        case None => cur.schema
-        case Some(target) =>
-          val prior = cur.schema.getOrElse(throw new IllegalStateException(
-            s"table at $root has no recorded schema to evolve — append once first"))
+      var storage = cur.schema
+      if (renames.nonEmpty || drops.nonEmpty) {
+        var sc = storage.getOrElse(throw new IllegalStateException(
+          s"table at $root has no recorded schema to alter — append once first"))
+        // RENAME COLUMN: logical name changes, the physical (file) name
+        // freezes to the birth name — metadata-only, zero data movement
+        // ([[ColumnMapping]]; Iceberg/Delta column-mapping semantics)
+        sc = renames.foldLeft(sc) { case (x, (from, to)) =>
+          ColumnMapping.rename(x, from, to) }
+        // DROP COLUMN: the field becomes a reader-stripped tombstone.
+        // Columns the table's METADATA still depends on refuse loud —
+        // dropping them would orphan the pruning/delete contracts
+        // (clear them first: ALTER ... SET TBLPROPERTIES / compactDeletes)
+        drops.foreach { d =>
+          val p = ColumnMapping.physName(sc, d)
+          require(!cur.statsCols.contains(p) && !cur.bloomCols.contains(p),
+            s"DROP COLUMN $d: it is a recorded stats/bloom column — " +
+              "remove it from statsCols/bloomCols first")
+          require(!cur.deleteCols.contains(p),
+            s"DROP COLUMN $d: it is the table's MoR delete key — " +
+              "compactDeletes first")
+          require(!cur.transforms.exists(_.src == p),
+            s"DROP COLUMN $d: it is a hidden-partitioning transform source")
+        }
+        sc = drops.foldLeft(sc)(ColumnMapping.drop)
+        storage = Some(sc)
+      }
+      newSchema.foreach { target =>
+        val prior = storage.getOrElse(throw new IllegalStateException(
+          s"table at $root has no recorded schema to evolve — append once first"))
+        if (!ColumnMapping.hasMapping(prior)) {
           // evolve() IS the validator: it keeps prior fields in place
           // (widening in-place, refusing other type changes) and
           // appends genuinely-new fields — a target it does not
@@ -813,16 +895,53 @@ object TxnTable {
             .foreach(f => require(f.nullable,
               s"added column '${f.name}' must be nullable: existing files " +
                 "have no values for it"))
-          Some(target)
+          storage = Some(target)
+        } else {
+          // mapped table: the caller's target is the LOGICAL view — the
+          // round-trip check runs in logical space, then adds/widens are
+          // grafted back onto the storage schema (tombstones and
+          // mapping metadata intact, reborn names freshly allocated)
+          val lv = ColumnMapping.logicalView(prior)
+          val evolvedL = evolve(Some(lv), target)
+          require(evolvedL == target,
+            s"ALTER TABLE can only add trailing nullable columns or widen " +
+              s"losslessly; requested schema ${target.simpleString} does not " +
+              s"round-trip evolution from ${lv.simpleString} " +
+              s"(got ${evolvedL.simpleString})")
+          val lvNames = lv.fieldNames.toSet
+          val added = target.fields.filterNot(f => lvNames.contains(f.name))
+          added.foreach(f => require(f.nullable,
+            s"added column '${f.name}' must be nullable: existing files " +
+              "have no values for it"))
+          ColumnMapping.requireNoReserved(target)
+          val widened = prior.fields.map { f =>
+            if (ColumnMapping.isDropped(f)) f
+            else target.fields.find(_.name == f.name) match {
+              case Some(tf) if tf.dataType != f.dataType =>
+                f.copy(dataType = tf.dataType)
+              case _ => f
+            }
+          }
+          storage = Some(ColumnMapping.allocate(Some(prior),
+            org.apache.spark.sql.types.StructType(widened ++ added)))
+        }
       }
-      val cols = newStatsCols.getOrElse(cur.statsCols)
-      val bcols = newBloomCols.getOrElse(cur.bloomCols)
-      val tableCols = schema.map(_.fieldNames.toSet)
+      // caller-passed metadata columns are logical; translate against
+      // the post-change schema (inherited sets stay physical as-is)
+      def xlate(cs: Seq[String]): Seq[String] = storage.fold(cs)(sc =>
+        cs.map(ColumnMapping.physName(sc, _)))
+      val cols = newStatsCols.map(xlate).getOrElse(cur.statsCols)
+      val bcols = newBloomCols.map(xlate).getOrElse(cur.bloomCols)
+      // transform-DERIVED names (day_x / bucketN_x) are legitimate stats
+      // columns too — the fan-out records them ([[transformStats]])
+      val tableCols = storage.map(sc =>
+        ColumnMapping.physicalSchema(sc).fieldNames.toSet ++
+          cur.transforms.map(_.name))
       (cols ++ bcols).foreach(c => require(tableCols.forall(_.contains(c)),
         s"metadata column '$c' is not a table column"))
       try {
         return commit(s, root, cur.version + 1, "alter", cur.files,
-          cur.stats, cols, schema, cur.blooms, bcols,
+          cur.stats, cols, storage, cur.blooms, bcols,
           cur.deletes, cur.deleteCols, cur.transforms, cur.rowCounts,
           nullCounts = cur.nullCounts)
       } catch {
@@ -855,17 +974,26 @@ object TxnTable {
           "appends inherit the transform spec")
         transforms }
     }
-    val staged = stage(s, root, df, trs)
-    val cols = if (statsCols.nonEmpty) statsCols
+    // schema first, stage second: the evolved schema carries the column
+    // mapping (incl. fresh physical names for reborn columns), and the
+    // staged parquet must be written under the PHYSICAL names
+    val evolved = evolveM(prior.flatMap(_.schema), df.schema)
+    val staged = stage(s, root, ColumnMapping.toPhysical(df, evolved), trs)
+    // caller-passed metadata columns are LOGICAL and translate; the
+    // inherited prior sets are already physical and must NOT re-translate
+    // (a reborn column's logical name may equal an old physical name)
+    val cols = if (statsCols.nonEmpty)
+      statsCols.map(ColumnMapping.physName(evolved, _))
       else prior.map(_.statsCols).getOrElse(Nil)
-    val bcols = if (bloomCols.nonEmpty) bloomCols
+    val bcols = if (bloomCols.nonEmpty)
+      bloomCols.map(ColumnMapping.physName(evolved, _))
       else prior.map(_.bloomCols).getOrElse(Nil)
     val (stagedStats, stagedBlooms) = fileMeta(s, root, staged, cols, bcols)
     commit(s, root, prior.map(_.version).getOrElse(0L) + 1, "append",
       prior.map(_.files).getOrElse(Seq.empty) ++ staged,
       prior.map(_.stats).getOrElse(Map.empty) ++
         mergeStats(stagedStats, transformStats(staged, trs)), cols,
-      Some(evolve(prior.flatMap(_.schema), df.schema)),
+      Some(evolved),
       prior.map(_.blooms).getOrElse(Map.empty) ++ stagedBlooms, bcols,
       prior.map(_.deletes).getOrElse(Seq.empty),
       prior.map(_.deleteCols).getOrElse(Nil), trs,
@@ -891,10 +1019,13 @@ object TxnTable {
     // manifests, never data
     val first = latest(s, root)
     val trs = first.map(_.transforms).getOrElse(Nil)
-    val staged = stage(s, root, df, trs)
-    val cols = if (statsCols.nonEmpty) statsCols
+    val evolved0 = evolveM(first.flatMap(_.schema), df.schema)
+    val staged = stage(s, root, ColumnMapping.toPhysical(df, evolved0), trs)
+    val cols = if (statsCols.nonEmpty)
+      statsCols.map(ColumnMapping.physName(evolved0, _))
       else first.map(_.statsCols).getOrElse(Nil)
-    val bcols = if (bloomCols.nonEmpty) bloomCols
+    val bcols = if (bloomCols.nonEmpty)
+      bloomCols.map(ColumnMapping.physName(evolved0, _))
       else first.map(_.bloomCols).getOrElse(Nil)
     val (stagedStats, stagedBlooms) = fileMeta(s, root, staged, cols, bcols)
     val stagedAll = mergeStats(stagedStats, transformStats(staged, trs))
@@ -902,11 +1033,20 @@ object TxnTable {
     while (true) {
       attempt += 1
       val prior = latest(s, root)
+      val evolved = evolveM(prior.flatMap(_.schema), df.schema)
+      // the staged parquet was written under evolved0's physical names;
+      // a concurrent rename/drop that remaps any of this frame's
+      // columns makes the staged bytes wrong for the new head — refuse
+      // loud rather than commit files the mapping no longer describes
+      require(df.columns.forall(c => ColumnMapping.physName(evolved, c) ==
+          ColumnMapping.physName(evolved0, c)),
+        "concurrent RENAME/DROP COLUMN moved this append's columns " +
+          "between stage and commit — re-run the append")
       try {
         return commit(s, root, prior.map(_.version).getOrElse(0L) + 1, "append",
           prior.map(_.files).getOrElse(Seq.empty) ++ staged,
           prior.map(_.stats).getOrElse(Map.empty) ++ stagedAll, cols,
-          Some(evolve(prior.flatMap(_.schema), df.schema)),
+          Some(evolved),
           prior.map(_.blooms).getOrElse(Map.empty) ++ stagedBlooms, bcols,
           prior.map(_.deletes).getOrElse(Seq.empty),
           prior.map(_.deleteCols).getOrElse(Nil),
@@ -947,8 +1087,10 @@ object TxnTable {
     else {
       val prior = vs.lastOption.map(snapshot(s, root, _))
       val trs = prior.map(_.transforms).getOrElse(Nil)
-      val staged = stage(s, root, df, trs)
-      val cols = if (statsCols.nonEmpty) statsCols
+      val evolved = evolveM(prior.flatMap(_.schema), df.schema)
+      val staged = stage(s, root, ColumnMapping.toPhysical(df, evolved), trs)
+      val cols = if (statsCols.nonEmpty)
+        statsCols.map(ColumnMapping.physName(evolved, _))
         else prior.map(_.statsCols).getOrElse(Nil)
       val bcols = prior.map(_.bloomCols).getOrElse(Nil)
       val (stagedStats, stagedBlooms) = fileMeta(s, root, staged, cols, bcols)
@@ -956,7 +1098,7 @@ object TxnTable {
         prior.map(_.files).getOrElse(Seq.empty) ++ staged,
         prior.map(_.stats).getOrElse(Map.empty) ++
           mergeStats(stagedStats, transformStats(staged, trs)), cols,
-        Some(evolve(prior.flatMap(_.schema), df.schema)),
+        Some(evolved),
         prior.map(_.blooms).getOrElse(Map.empty) ++ stagedBlooms, bcols,
         prior.map(_.deletes).getOrElse(Seq.empty),
         prior.map(_.deleteCols).getOrElse(Nil), trs,
@@ -979,9 +1121,12 @@ object TxnTable {
     val vs = versions(s, root)
     if (vs.exists(v => snapshot(s, root, v).op == opTag)) None
     else {
-      // replacement rebuilds file metadata under the table's columns
+      // replacement rebuilds file metadata under the table's columns;
+      // like [[overwrite]] it RESETS any column-mapping history — the
+      // new content is written and recorded under `df`'s own names
       val prior = vs.lastOption.map(snapshot(s, root, _))
       val trs = prior.map(_.transforms).getOrElse(Nil)
+      ColumnMapping.requireNoReserved(df.schema)
       val staged = stage(s, root, df, trs)
       val cols = if (statsCols.nonEmpty) statsCols
         else prior.map(_.statsCols).getOrElse(Nil)
@@ -1016,6 +1161,9 @@ object TxnTable {
       val vs = versions(s, root)
       if (vs.exists(v => snapshot(s, root, v).op == opTag)) return None
       val prior = vs.lastOption.map(snapshot(s, root, _))
+      // the executors staged these files under the query's LOGICAL
+      // names — a mapped table's physical names would differ
+      if (!replace) prior.foreach(requireUnmapped(_, "the DSv2 streaming append"))
       val trs = prior.map(_.transforms).getOrElse(Nil)
       val cols = prior.map(_.statsCols).getOrElse(Nil)
       val bcols = prior.map(_.bloomCols).getOrElse(Nil)
@@ -1052,6 +1200,12 @@ object TxnTable {
                 bloomCols: Seq[String] = Nil): Snapshot = {
     val prior = latest(s, root)
     val trs = prior.map(_.transforms).getOrElse(Nil)
+    // an overwrite REPLACES the table's content and its column-mapping
+    // history with it: every new file is written under `df`'s own names
+    // (they become the fresh physical names), and no old file survives
+    // to need the old mapping — time travel still reads prior versions
+    // under their own recorded schemas
+    ColumnMapping.requireNoReserved(df.schema)
     val staged = stage(s, root, df, trs)
     val (stagedStats, stagedBlooms) = fileMeta(s, root, staged, statsCols, bloomCols)
     commit(s, root, prior.map(_.version).getOrElse(0L) + 1, "overwrite", staged,
@@ -1072,11 +1226,14 @@ object TxnTable {
       "duplicate transform names")
     val cur = latestRequired(s, root)
     cur.schema.foreach(sc => transforms.foreach(t =>
-      require(sc.fieldNames.contains(t.src),
+      require(ColumnMapping.logicalView(sc).fieldNames.contains(t.src),
         s"transform ${t.name} needs source column '${t.src}'")))
+    // transforms address file contents: record the PHYSICAL source name
+    val trsP = cur.schema.fold(transforms)(sc =>
+      transforms.map(t => t.copy(src = ColumnMapping.physName(sc, t.src))))
     commit(s, root, cur.version + 1, "set-transforms", cur.files, cur.stats,
       cur.statsCols, cur.schema, cur.blooms, cur.bloomCols,
-      cur.deletes, cur.deleteCols, transforms, cur.rowCounts)
+      cur.deletes, cur.deleteCols, trsP, cur.rowCounts)
   }
 
   // ---------------------------------------------------------------------
@@ -1119,6 +1276,7 @@ object TxnTable {
     * the published files prune like any others. Returns the stage id. */
   def stageAppend(s: SparkSession, root: String, df: DataFrame): String = {
     val cur = latestRequired(s, root)
+    requireUnmapped(cur, "stageAppend (write-audit-publish)")
     evolve(cur.schema, df.schema) // validate early; re-checked at publish
     val staged = stage(s, root, df, cur.transforms)
     val (st, bl) = fileMeta(s, root, staged, cur.statsCols, cur.bloomCols)
@@ -1146,6 +1304,7 @@ object TxnTable {
     * schema publish would record — the frame an audit job validates. */
   def readStaged(s: SparkSession, root: String, id: String): DataFrame = {
     val head = latestRequired(s, root)
+    requireUnmapped(head, "readStaged (write-audit-publish)")
     val stg = stagedSnapshot(s, root, id)
     val base = root.stripSuffix("/")
     val target = stg.schema.fold(head.schema.get)(sc => evolve(head.schema, sc))
@@ -1166,6 +1325,7 @@ object TxnTable {
     var out: Snapshot = null
     while (out == null) {
       val head = latestRequired(s, root)
+      requireUnmapped(head, "publishStaged (write-audit-publish)")
       require(head.transforms == stg.transforms,
         s"partition spec changed since stage '$id' - abort and restage")
       val sc = stg.schema.fold(head.schema)(x => Some(evolve(head.schema, x)))
@@ -1412,6 +1572,12 @@ object TxnTable {
     var head = latestRequired(s, root)
     require(head.version > fork,
       s"main still sits at fork v$fork — use fastForward, not replay")
+    // replay composes the BRANCH commits' recorded schemas onto main's;
+    // with a column mapping on either line the name-based composition
+    // could duplicate a renamed column — refuse until replay learns to
+    // compose mappings
+    requireUnmapped(head, "replayBranch")
+    chain.foreach { case (bc, _) => requireUnmapped(bc, "replayBranch") }
     val allAdded = chain.flatMap(_._2)
     val overlap = allAdded.filter(head.files.toSet)
     require(overlap.isEmpty,
@@ -1486,7 +1652,7 @@ object TxnTable {
       }
     // compaction preserves the transform fan-out (a compacted file must
     // still hold one transform value for path-derived pruning to hold)
-    val staged = stage(s, root, arranged, cur.transforms)
+    val staged = stage(s, root, toPhys(arranged, cur), cur.transforms)
     // rewritten files get fresh stats/blooms under the table's columns
     val (stagedStats, stagedBlooms) = fileMeta(s, root, staged, cur.statsCols, cur.bloomCols)
     commit(s, root, cur.version + 1, "compact", staged,
@@ -1524,14 +1690,16 @@ object TxnTable {
     val cur = latestRequired(s, root)
     import org.apache.spark.sql.functions.col
     cur.schema.foreach(sc => dims.foreach(d =>
-      require(sc.fieldNames.contains(d), s"z-order needs column '$d'")))
+      require(ColumnMapping.logicalView(sc).fieldNames.contains(d),
+        s"z-order needs column '$d'")))
     val arranged = read(s, root)
       .withColumn("_zorder", graft.queries.ZOrder.zvalueN(dims.map(col)))
       .repartitionByRange(targetFiles, col("_zorder"))
       .sortWithinPartitions(col("_zorder"))
       .drop("_zorder")
-    val staged = stage(s, root, arranged, cur.transforms)
-    val statsCols = (cur.statsCols ++ dims).distinct
+    val staged = stage(s, root, toPhys(arranged, cur), cur.transforms)
+    // the z-dims join the recorded stats columns under their PHYSICAL names
+    val statsCols = (cur.statsCols ++ dims.map(physCol(cur, _))).distinct
     val (stagedStats, stagedBlooms) = fileMeta(s, root, staged, statsCols, cur.bloomCols)
     commit(s, root, cur.version + 1, "zorder", staged,
       mergeStats(stagedStats, transformStats(staged, cur.transforms)),
@@ -1567,8 +1735,11 @@ object TxnTable {
     * contract per bound as `statsRange`. */
   def mergeIntoBounded(s: SparkSession, root: String, changes: DataFrame,
                        keyCols: Seq[String],
-                       bounds: Seq[(String, Long, Long)]): Snapshot =
-    mergeIntoImpl(s, root, latestRequired(s, root), changes, keyCols, bounds)
+                       bounds: Seq[(String, Long, Long)]): Snapshot = {
+    val cur = latestRequired(s, root)
+    mergeIntoImpl(s, root, cur, changes, keyCols,
+      bounds.map { case (c, lo, hi) => (physCol(cur, c), lo, hi) })
+  }
 
   private def mergeIntoImpl(s: SparkSession, root: String, cur: Snapshot,
                             changes: DataFrame, keyCols: Seq[String],
@@ -1579,14 +1750,18 @@ object TxnTable {
     val (carry, touch) =
       if (bounds.isEmpty) (Seq.empty[String], cur.files)
       else cur.files.partition(provablyDisjoint(cur, _, bounds))
+    val evolved = evolveM(cur.schema, changes.schema)
     val rewritten =
       if (touch.isEmpty) changes
       else {
         import org.apache.spark.sql.functions.col
         // schema-pinned read: a change set keyed on a post-evolution
-        // column must see null (not AnalysisException) in older files
-        val existing = cur.schema.fold(s.read)(s.read.schema)
-          .parquet(touch.map(f => s"$base/$f"): _*)
+        // column must see null (not AnalysisException) in older files.
+        // The scan is physical-named; the merge runs in LOGICAL space
+        // (keys and changes are user-facing), then restages physical.
+        val existing = cur.schema.fold(
+          scanFiles(s, root, cur, touch))(sc =>
+          ColumnMapping.aliasToLogical(scanFiles(s, root, cur, touch), sc))
         // null-SAFE key equality (<=>): a null-keyed change row must
         // REPLACE a null-keyed current row, not duplicate beside it —
         // usingColumns anti-join would treat null != null
@@ -1597,14 +1772,15 @@ object TxnTable {
       }
     val staged =
       if (rewritten.isEmpty) Seq.empty[String]
-      else stage(s, root, rewritten, cur.transforms)
+      else stage(s, root, ColumnMapping.toPhysical(rewritten, evolved),
+        cur.transforms)
     val (stagedStats, stagedBlooms) =
       fileMeta(s, root, staged, cur.statsCols, cur.bloomCols)
     commit(s, root, cur.version + 1, "merge", carry ++ staged,
       cur.stats.view.filterKeys(carry.toSet).toMap ++
         mergeStats(stagedStats, transformStats(staged, cur.transforms)),
       cur.statsCols,
-      Some(evolve(cur.schema, changes.schema)),
+      Some(evolved),
       cur.blooms.view.filterKeys(carry.toSet).toMap ++ stagedBlooms,
       cur.bloomCols, transforms = cur.transforms)
   }
@@ -1652,8 +1828,10 @@ object TxnTable {
     * still carries the residual predicate's correctness: callers apply
     * their own filter on top, as with any coarse index. */
   def readPruned(s: SparkSession, root: String, col: String,
-                 lo: Long, hi: Long): DataFrame =
-    readPrunedAt(s, root, latestRequired(s, root), col, lo, hi)
+                 lo: Long, hi: Long): DataFrame = {
+    val snap = latestRequired(s, root)
+    readPrunedAt(s, root, snap, physCol(snap, col), lo, hi)
+  }
 
   private def readPrunedAt(s: SparkSession, root: String, snap: Snapshot,
                            col: String, lo: Long, hi: Long): DataFrame = {
@@ -1662,11 +1840,11 @@ object TxnTable {
     val kept = snap.files.filter(f =>
       snap.stats.get(f).flatMap(_.get(col))
         .forall { case (fLo, fHi) => fHi >= lo && fLo <= hi })
-    val base = root.stripSuffix("/")
-    val reader = snap.schema.fold(s.read)(s.read.schema)
-    if (kept.nonEmpty) reader.parquet(kept.map(f => s"$base/$f"): _*)
-    else // everything pruned: zero rows, schema from one footer
-      reader.parquet(s"$base/${snap.files.head}").limit(0)
+    val raw =
+      if (kept.nonEmpty) scanFiles(s, root, snap, kept)
+      else // everything pruned: zero rows, schema from one footer
+        scanFiles(s, root, snap, Seq(snap.files.head)).limit(0)
+    snap.schema.fold(raw)(sc => ColumnMapping.aliasToLogical(raw, sc))
   }
 
   /** [[readPruned]] on the PRIMARY (first-recorded) stats column — the
@@ -1687,8 +1865,10 @@ object TxnTable {
     * caller's residual filter keeps correctness; files without a filter
     * for `col` are always kept (skipping must never be unsound). */
   def readPointLookup(s: SparkSession, root: String, col: String,
-                      value: Long): DataFrame =
-    readPointLookupAt(s, root, latestRequired(s, root), col, value)
+                      value: Long): DataFrame = {
+    val snap = latestRequired(s, root)
+    readPointLookupAt(s, root, snap, physCol(snap, col), value)
+  }
 
   private def readPointLookupAt(s: SparkSession, root: String, snap: Snapshot,
                                 col: String, value: Long): DataFrame = {
@@ -1697,10 +1877,10 @@ object TxnTable {
     val kept = snap.files.filter(f =>
       snap.blooms.get(f).flatMap(_.get(col)).forall(b =>
         graft.functions.BloomAgg.fromBytes(b).mightContainLong(value)))
-    val base = root.stripSuffix("/")
-    val reader = snap.schema.fold(s.read)(s.read.schema)
-    if (kept.nonEmpty) reader.parquet(kept.map(f => s"$base/$f"): _*)
-    else reader.parquet(s"$base/${snap.files.head}").limit(0)
+    val raw =
+      if (kept.nonEmpty) scanFiles(s, root, snap, kept)
+      else scanFiles(s, root, snap, Seq(snap.files.head)).limit(0)
+    snap.schema.fold(raw)(sc => ColumnMapping.aliasToLogical(raw, sc))
   }
 
   /** [[readPointLookup]] on the PRIMARY (first-recorded) bloom column —
@@ -1746,9 +1926,10 @@ object TxnTable {
     * an entry for `col` — which deliberately includes the all-null file
     * (the manifest does not distinguish "all null" from "not recorded",
     * and guessing is how metadata lies). */
-  def metaMinMax(s: SparkSession, root: String, col: String,
+  def metaMinMax(s: SparkSession, root: String, col0: String,
                  version: Option[Long] = None): Option[(Long, Long)] = {
     val snap = version.fold(latestRequired(s, root))(snapshot(s, root, _))
+    val col = physCol(snap, col0)
     if (snap.deletes.nonEmpty || snap.files.isEmpty) None
     else {
       val (present, absent) = snap.files.partition(f =>
@@ -1791,9 +1972,10 @@ object TxnTable {
     *
     * Returns groups ascending by value, NULL group first. An empty
     * table certifies an empty grouping (Some(Nil)). */
-  def metaGroupCount(s: SparkSession, root: String, col: String,
+  def metaGroupCount(s: SparkSession, root: String, col0: String,
                      version: Option[Long] = None): Option[Seq[(Option[Long], Long)]] = {
     val snap = version.fold(latestRequired(s, root))(snapshot(s, root, _))
+    val col = physCol(snap, col0)
     if (snap.deletes.nonEmpty) return None
     val derived = snap.transforms.exists(_.name == col)
     val perFile: Seq[Option[Seq[(Option[Long], Long)]]] = snap.files.map { f =>
@@ -1847,10 +2029,11 @@ object TxnTable {
     val kDf = keys.select(c(keys.columns.head).cast("long").as("_probe_k"))
       .filter(c("_probe_k").isNotNull).distinct()
     val collected = kDf.limit(maxKeys + 1).collect().map(_.getLong(0))
-    val base = root.stripSuffix("/")
-    val reader = snap.schema.fold(s.read)(s.read.schema)
+    val colP = physCol(snap, col) // manifest metadata is physical-named
     def semi(data: DataFrame): DataFrame =
       data.join(broadcast(kDf), data(col) === kDf("_probe_k"), "left_semi")
+    def logical(raw: DataFrame): DataFrame =
+      snap.schema.fold(raw)(sc => ColumnMapping.aliasToLogical(raw, sc))
     if (collected.length > maxKeys)
       return semi(readSnap(s, root, snap)) // honest fallback, still exact —
       // same resolved snapshot, no second manifest parse
@@ -1863,16 +2046,17 @@ object TxnTable {
     // probe value is exactly what the fan-out hashed: the source column
     // must be LONG (the hash is type-dependent); anything else skips
     // the transform check (absent metadata never skips — sound).
-    val srcIsLong = snap.schema.exists(_.fields.exists(f =>
-      f.name == col && f.dataType == org.apache.spark.sql.types.LongType))
-    val bucketTs = snap.transforms.filter(t => t.kind == "bucket" && t.src == col)
+    val srcIsLong = snap.schema.exists(sc =>
+      ColumnMapping.logicalView(sc).fields.exists(f =>
+        f.name == col && f.dataType == org.apache.spark.sql.types.LongType))
+    val bucketTs = snap.transforms.filter(t => t.kind == "bucket" && t.src == colP)
     def bucketOf(t: Transform, k: Long): Long = {
       val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(k, 42L)
       ((h % t.param) + t.param) % t.param
     }
     val kept = snap.files.filter { f =>
-      val range = snap.stats.get(f).flatMap(_.get(col))
-      val bloom = snap.blooms.get(f).flatMap(_.get(col))
+      val range = snap.stats.get(f).flatMap(_.get(colP))
+      val bloom = snap.blooms.get(f).flatMap(_.get(colP))
         .map(graft.functions.BloomAgg.fromBytes)
       collected.exists(k =>
         range.forall { case (lo, hi) => lo <= k && k <= hi } &&
@@ -1883,8 +2067,8 @@ object TxnTable {
             })))
     }
     if (kept.isEmpty)
-      semi(reader.parquet(s"$base/${snap.files.head}").limit(0))
-    else semi(reader.parquet(kept.map(f => s"$base/$f"): _*))
+      semi(logical(scanFiles(s, root, snap, Seq(snap.files.head)).limit(0)))
+    else semi(logical(scanFiles(s, root, snap, kept)))
   }
 
   /** CHANGE DATA FEED: the row-level difference between two committed
@@ -1944,7 +2128,12 @@ object TxnTable {
     val added = s2.files.filterNot(f1).map(f => s"$base/$f")
     val removed = (f1 -- f2).toSeq.sorted.map(f => s"$base/$f")
     val carried = s2.files.filter(f1).map(f => s"$base/$f")
-    val reader = s2.schema.fold(s.read)(s.read.schema)
+    // raw file reads are PHYSICAL-named (delete-key files included);
+    // each side aliases back to v2's logical names before the union
+    val reader = s2.schema.fold(s.read)(sc =>
+      s.read.schema(ColumnMapping.physicalSchema(sc)))
+    def logical(df: DataFrame): DataFrame =
+      s2.schema.fold(df)(sc => ColumnMapping.aliasToLogical(df, sc))
     // The equality-delete key columns are only FIXED while delete files
     // are live: after a compactDeletes, a later deleteKeysMor may re-fix
     // a DIFFERENT key list, and s1's delete files contain only s1's key
@@ -1981,8 +2170,10 @@ object TxnTable {
     def side(df: DataFrame, sign: Int): DataFrame =
       df.withColumn("_sign", lit(sign.toLong))
     val sides = Seq.newBuilder[DataFrame]
-    if (added.nonEmpty) sides += side(minusKeys(reader.parquet(added: _*), d2), 1)
-    if (removed.nonEmpty) sides += side(minusKeys(reader.parquet(removed: _*), d1), -1)
+    if (added.nonEmpty)
+      sides += side(logical(minusKeys(reader.parquet(added: _*), d2)), 1)
+    if (removed.nonEmpty)
+      sides += side(logical(minusKeys(reader.parquet(removed: _*), d1)), -1)
     // carried data files matter ONLY when the delete-file set changed —
     // decided from the manifests, so the common live-delete CDC window
     // (appends on top of an unchanged delete set) stays carried-file-free
@@ -1990,7 +2181,7 @@ object TxnTable {
       lazy val carriedDf = reader.parquet(carried: _*)
       def probe(keys: Option[DataFrame], sign: Int): Unit = keys.foreach { k =>
         sides += side(
-          carriedDf.join(k, dataCond(carriedDf, k), "left_semi"), sign)
+          logical(carriedDf.join(k, dataCond(carriedDf, k), "left_semi")), sign)
       }
       // keys only enter D through files, so D2∖D1 lives in the NEW
       // delete files (minus keys v1 already had) — changed files are
@@ -2064,8 +2255,11 @@ object TxnTable {
     * range whenever a second column correlates with layout. */
   def deleteWhereBounded(s: SparkSession, root: String,
                          predicate: org.apache.spark.sql.Column,
-                         bounds: Seq[(String, Long, Long)]): Snapshot =
-    deleteWhereImpl(s, root, latestRequired(s, root), predicate, bounds)
+                         bounds: Seq[(String, Long, Long)]): Snapshot = {
+    val cur = latestRequired(s, root)
+    deleteWhereImpl(s, root, cur, predicate,
+      bounds.map { case (c, lo, hi) => (physCol(cur, c), lo, hi) })
+  }
 
   private def deleteWhereImpl(s: SparkSession, root: String, cur: Snapshot,
                               predicate: org.apache.spark.sql.Column,
@@ -2079,14 +2273,17 @@ object TxnTable {
       if (touch.isEmpty) Seq.empty[String]
       else {
         // schema-pinned read: predicates on post-evolution columns see
-        // null in older files instead of failing to resolve
-        val rest = cur.schema.fold(s.read)(s.read.schema)
-          .parquet(touch.map(f => s"$base/$f"): _*)
+        // null in older files instead of failing to resolve. The
+        // predicate is user-facing (LOGICAL names) — filter on the
+        // aliased view, restage under the physical names.
+        val touched = scanFiles(s, root, cur, touch)
+        val rest = cur.schema.fold(touched)(
+            sc => ColumnMapping.aliasToLogical(touched, sc))
           .filter(org.apache.spark.sql.functions.not(predicate))
         // a delete may empty every touched file; a 0-row stage would
         // write no parquet parts to reference
         if (rest.isEmpty) Seq.empty[String]
-        else stage(s, root, rest, cur.transforms)
+        else stage(s, root, toPhys(rest, cur), cur.transforms)
       }
     val (stagedStats, stagedBlooms) =
       fileMeta(s, root, staged, cur.statsCols, cur.bloomCols)
@@ -2121,6 +2318,7 @@ object TxnTable {
       opTag: String): Snapshot = {
     val cur = latestRequired(s, root)
     requireNoMor(cur, s"SQL $opTag (row-level rewrite)")
+    requireUnmapped(cur, s"SQL $opTag (row-level rewrite)") // executor-staged
     if (cur.version != expectedVersion)
       throw new TxnConflictException(
         s"row-level $opTag planned against v$expectedVersion but $root is " +
@@ -2190,23 +2388,33 @@ object TxnTable {
     // compactDeletes re-keys the table, so the key-list check re-runs
     // against every new head.
     var staged: Seq[String] = null
+    var stagedKeyColsP: Seq[String] = null
     var attempt = 0
     while (true) {
       attempt += 1
       val cur = latest(s, root).getOrElse(
         throw new IllegalStateException(s"no committed snapshot at $root"))
       cur.schema.foreach(sc => keyCols.foreach(c =>
-        require(sc.fieldNames.contains(c),
+        require(ColumnMapping.logicalView(sc).fieldNames.contains(c),
           s"delete column '$c' is not a table column")))
-      require(cur.deleteCols.isEmpty || cur.deleteCols == keyCols,
+      // delete-key files and the recorded key list are PHYSICAL — they
+      // address file contents, exactly like stats columns
+      val keyColsP = keyCols.map(physCol(cur, _))
+      require(cur.deleteCols.isEmpty || cur.deleteCols == keyColsP,
         s"table already carries MoR deletes on '${cur.deleteCols.mkString(",")}'" +
           "; one equality-delete key per table")
-      if (staged == null)
-        staged = stage(s, root, keys.select(keyCols.map(col): _*).distinct())
+      if (staged == null) {
+        staged = stage(s, root,
+          keys.select(keyCols.map(col): _*).distinct().toDF(keyColsP: _*))
+        stagedKeyColsP = keyColsP
+      }
+      require(keyColsP == stagedKeyColsP,
+        "concurrent RENAME/DROP COLUMN moved the delete key between stage " +
+          "and commit — re-run the delete")
       try {
         return commit(s, root, cur.version + 1, "delete-mor", cur.files,
           cur.stats, cur.statsCols, cur.schema, cur.blooms, cur.bloomCols,
-          cur.deletes ++ staged, keyCols, cur.transforms)
+          cur.deletes ++ staged, keyColsP, cur.transforms)
       } catch {
         case _: TxnConflictException if attempt < maxAttempts => // re-resolve
       }
@@ -2235,7 +2443,7 @@ object TxnTable {
       // here is a full rewrite — which is the operation's own cost, and
       // why maintenance compaction runs in a quiet window.
       val merged = readAsOf(s, root, cur.version)
-      val staged = stage(s, root, merged, cur.transforms)
+      val staged = stage(s, root, toPhys(merged, cur), cur.transforms)
       val (stagedStats, stagedBlooms) =
         fileMeta(s, root, staged, cur.statsCols, cur.bloomCols)
       try {

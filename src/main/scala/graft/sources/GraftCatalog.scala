@@ -45,8 +45,9 @@ import graft.sinks.{TxnMeta, TxnTable}
   * the txn writer, never around it: INSERT INTO/OVERWRITE →
   * append/overwrite (one atomic version per statement), DELETE FROM /
   * TRUNCATE → the bounded copy-on-write delete, CTAS → CREATE + first
-  * append (see [[GraftTxnTableV2]]). `alterTable` supports exactly the
-  * format's write-path evolution rules and refuses everything else.
+  * append (see [[GraftTxnTableV2]]). `alterTable` supports the format's
+  * write-path evolution rules plus metadata-only RENAME/DROP COLUMN
+  * (column mapping) and refuses everything else.
   *
   * Two more operational surfaces ride the same name resolution:
   * MAINTENANCE PROCEDURES under the reserved `system` namespace
@@ -193,22 +194,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   /** ALTER TABLE — the DDL face of the format's write-path evolution
     * rules ([[TxnTable.alterTable]]): `ADD COLUMNS` (trailing,
-    * nullable), `ALTER COLUMN ... TYPE` (lossless widening only), and
-    * `SET/UNSET TBLPROPERTIES ('statsCols'/'bloomCols')` (what future
-    * appends record). Everything else — drop, rename, reorder,
-    * nullability tightening, other properties — refuses loud: parquet
-    * resolves columns BY NAME, so a rename/drop would silently orphan
-    * or resurrect existing files' data. */
+    * nullable), `ALTER COLUMN ... TYPE` (lossless widening only),
+    * `RENAME COLUMN` / `DROP COLUMN` (metadata-only via the column
+    * mapping — frozen physical names, reader-stripped tombstones,
+    * [[graft.sinks.ColumnMapping]]), and `SET/UNSET TBLPROPERTIES
+    * ('statsCols'/'bloomCols')` (what future appends record).
+    * Everything else — reorder, nullability tightening, other
+    * properties — refuses loud. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val root = tableRoot(ident)
     if (!isTable(root)) throw new NoSuchTableException(ident)
     val cur = TxnTable.latest(spark, root).getOrElse(throw new NoSuchTableException(ident))
-    // evolve the RECORDED schema (the manifest's), not the read-path's
-    // nullable-normalized view — alterTable round-trips against it
-    var schema = cur.schema.getOrElse(throw new IllegalStateException(
-      s"table at $root has no recorded schema to alter — append once first"))
-    var statsCols = cur.statsCols
-    var bloomCols = cur.bloomCols
+    // work on the LOGICAL view of the recorded schema: adds/widens apply
+    // to it and go back through TxnTable.alterTable's newSchema (which
+    // grafts them onto the storage schema); renames/drops are passed as
+    // OPERATIONS so the mapping machinery (frozen physical names,
+    // tombstones — [[graft.sinks.ColumnMapping]]) records them
+    var schema = graft.sinks.ColumnMapping.logicalView(
+      cur.schema.getOrElse(throw new IllegalStateException(
+        s"table at $root has no recorded schema to alter — append once first")))
+    var statsCols: Option[Seq[String]] = None
+    var bloomCols: Option[Seq[String]] = None
+    val renames = Seq.newBuilder[(String, String)]
+    val drops = Seq.newBuilder[String]
     def csv(v: String): Seq[String] =
       v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
     changes.foreach {
@@ -231,22 +239,42 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(schema.fieldNames.contains(name), s"no such column '$name'")
         schema = StructType(schema.fields.map(f =>
           if (f.name == name) f.copy(dataType = upd.newDataType) else f))
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames.length == 1,
+          s"graft-txn ALTER TABLE renames top-level columns only, got " +
+            ren.fieldNames.mkString("."))
+        val from = ren.fieldNames.head
+        require(schema.fieldNames.contains(from), s"no such column '$from'")
+        renames += (from -> ren.newName)
+        schema = StructType(schema.fields.map(f =>
+          if (f.name == from) f.copy(name = ren.newName) else f))
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          s"graft-txn ALTER TABLE drops top-level columns only, got " +
+            del.fieldNames.mkString("."))
+        val name = del.fieldNames.head
+        if (schema.fieldNames.contains(name)) {
+          drops += name
+          schema = StructType(schema.fields.filterNot(_.name == name))
+        } else require(del.ifExists(), s"no such column '$name'")
       case set: TableChange.SetProperty if set.property == "statsCols" =>
-        statsCols = csv(set.value)
+        statsCols = Some(csv(set.value))
       case set: TableChange.SetProperty if set.property == "bloomCols" =>
-        bloomCols = csv(set.value)
+        bloomCols = Some(csv(set.value))
       case rm: TableChange.RemoveProperty if rm.property == "statsCols" =>
-        statsCols = Nil
+        statsCols = Some(Nil)
       case rm: TableChange.RemoveProperty if rm.property == "bloomCols" =>
-        bloomCols = Nil
+        bloomCols = Some(Nil)
       case other => throw new UnsupportedOperationException(
         s"graft-txn ALTER TABLE supports ADD COLUMNS (trailing, nullable), " +
-          s"ALTER COLUMN TYPE (lossless widening), and the 'statsCols'/" +
-          s"'bloomCols' properties; got $other")
+          s"ALTER COLUMN TYPE (lossless widening), RENAME COLUMN, " +
+          s"DROP COLUMN, and the 'statsCols'/'bloomCols' properties; " +
+          s"got $other")
     }
     TxnTable.alterTable(spark, root,
       newSchema = Some(schema),
-      newStatsCols = Some(statsCols), newBloomCols = Some(bloomCols))
+      newStatsCols = statsCols, newBloomCols = bloomCols,
+      renames = renames.result(), drops = drops.result())
     loadTable(ident)
   }
 

@@ -22,22 +22,57 @@ import graft.sinks.TxnTable.Snapshot
 class GraftTxnScanBuilder(spark: SparkSession, root: String, snap: Snapshot,
                           index: org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex,
                           schema: StructType,
-                          options: CaseInsensitiveStringMap)
+                          options: CaseInsensitiveStringMap,
+                          // the recorded STORAGE schema when the table
+                          // carries a column mapping (renames/drops);
+                          // `schema` is then the PHYSICAL scan schema and
+                          // this builder translates pushed names both ways
+                          mapping: Option[StructType] = None,
+                          // only catalog-resolved tables stream
+                          streamable: Boolean = true)
     extends org.apache.spark.sql.connector.read.ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
     with org.apache.spark.sql.connector.read.SupportsPushDownVariantExtractions {
 
+  import graft.sinks.ColumnMapping
+
   private val delegate = ParquetScanBuilder(spark, index, schema, schema, options)
 
+  // logical→physical for live columns (identity when unmapped)
+  private val l2p: Map[String, String] = mapping.fold(Map.empty[String, String])(sc =>
+    sc.fields.filterNot(ColumnMapping.isDropped)
+      .map(f => f.name -> ColumnMapping.physOf(f)).toMap)
+
+  private def physField(f: org.apache.spark.sql.types.StructField) =
+    f.copy(name = l2p.getOrElse(f.name, f.name))
+
+  private def physExpr(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = e.transform {
+    case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+        if l2p.contains(a.name) => a.withName(l2p(a.name))
+  }
+
   override def pruneColumns(requiredSchema: StructType): Unit =
-    delegate.pruneColumns(requiredSchema)
+    delegate.pruneColumns(
+      if (l2p.isEmpty) requiredSchema
+      else StructType(requiredSchema.fields.map(physField)))
 
   override def pushFilters(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
-    delegate.pushFilters(filters)
+    if (l2p.isEmpty) delegate.pushFilters(filters)
+    else {
+      // push the physical-named forms down (parquet row groups + the
+      // manifest file index see file-side names); report the CALLER's
+      // logical expressions back as post-scan residuals — for a file
+      // source every data filter is re-evaluated above the scan anyway
+      // (FileScanBuilder returns all data filters as residuals), and the
+      // residual must reference the relation's own attributes
+      delegate.pushFilters(filters.map(physExpr))
+      filters
+    }
 
   override def pushedFilters
       : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
@@ -45,18 +80,24 @@ class GraftTxnScanBuilder(spark: SparkSession, root: String, snap: Snapshot,
 
   override def pushAggregation(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    delegate.pushAggregation(aggregation)
+    // aggregate pushdown reads footer stats by NAME — translating the V2
+    // aggregate expression tree is not worth the surface; a mapped table
+    // just declines (the scan stays correct, the aggregate runs above)
+    l2p.isEmpty && delegate.pushAggregation(aggregation)
 
   override def supportCompletePushDown(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    delegate.supportCompletePushDown(aggregation)
+    l2p.isEmpty && delegate.supportCompletePushDown(aggregation)
 
   override def pushVariantExtractions(
       extractions: Array[org.apache.spark.sql.connector.read.VariantExtraction])
-      : Array[Boolean] = delegate.pushVariantExtractions(extractions)
+      : Array[Boolean] =
+    if (l2p.isEmpty) delegate.pushVariantExtractions(extractions)
+    else new Array[Boolean](extractions.length) // decline all when mapped
 
   override def build(): Scan =
-    new GraftStreamCapableScan(delegate.build(), spark, root, snap, options)
+    new GraftStreamCapableScan(delegate.build(), spark, root, snap, options,
+      mapping, streamable)
 }
 
 
@@ -67,10 +108,22 @@ class GraftTxnScanBuilder(spark: SparkSession, root: String, snap: Snapshot,
   * with its pushed filters and planned partitions. */
 class GraftStreamCapableScan(val delegate: Scan, spark: SparkSession,
                              root: String, snap: Snapshot,
-                             options: CaseInsensitiveStringMap)
+                             options: CaseInsensitiveStringMap,
+                             mapping: Option[StructType] = None,
+                             streamable: Boolean = true)
     extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
-  override def readSchema(): StructType = delegate.readSchema()
+  // the delegate reads the PHYSICAL (file-side) names; Spark matches the
+  // reported read schema against the relation's LOGICAL attributes by
+  // name — rows are positional, so the rename-back is metadata-only
+  private val p2l: Map[String, String] = mapping.fold(Map.empty[String, String])(sc =>
+    sc.fields.filterNot(graft.sinks.ColumnMapping.isDropped)
+      .map(f => graft.sinks.ColumnMapping.physOf(f) -> f.name).toMap)
+  override def readSchema(): StructType = {
+    val rs = delegate.readSchema()
+    if (p2l.isEmpty) rs
+    else StructType(rs.fields.map(f => f.copy(name = p2l.getOrElse(f.name, f.name))))
+  }
   override def toBatch: Batch = delegate.toBatch
   override def description(): String = delegate.description()
   /** Planner statistics: the parquet scan's size estimate, upgraded
@@ -106,8 +159,15 @@ class GraftStreamCapableScan(val delegate: Scan, spark: SparkSession,
       }
     }
   }
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    require(streamable,
+      s"graft-txn:$root was not resolved through the catalog; stream by name")
+    require(p2l.isEmpty,
+      s"streaming a table with renamed/dropped columns is not supported yet " +
+        s"(graft-txn:$root) — read it as a batch, or stream from a version " +
+        "before the rename")
     new GraftTxnMicroBatchStream(spark, root, snap, delegate.readSchema(), options)
+  }
 }
 
 /** Version offsets for the txn micro-batch stream (a v2

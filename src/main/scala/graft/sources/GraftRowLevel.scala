@@ -95,6 +95,17 @@ class GraftRowLevelOperation(spark: SparkSession, root: String,
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = {
+          // refuse HERE, not at operation build: simple DELETEs pass
+          // through the eagerly-built operation table before the
+          // optimizer converts them to the metadata-only fast path
+          // (mapped-table capable); only a real executor-staged rewrite
+          // — which would write logical names into physical files —
+          // must refuse
+          snap.schema.foreach(sc =>
+            require(!graft.sinks.ColumnMapping.hasMapping(sc),
+              s"row-level SQL rewrites on $root are not supported with " +
+                "renamed/dropped columns yet — use the TxnTable Scala API " +
+                "(deleteWhere/mergeInto)"))
           val relDir = s"data/${UUID.randomUUID().toString.take(8)}"
           val (factory, conf) = ParquetWriteShim.prepare(spark, info.schema())
           val fanout = GraftFanout.specs(spark, snap, info.schema())

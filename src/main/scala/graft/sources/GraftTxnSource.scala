@@ -56,9 +56,10 @@ import graft.sinks.TxnTable.Snapshot
   * (refuse-loud, never silent): a snapshot with LIVE merge-on-read
   * deletes refuses the SCAN (the FileIndex cannot anti-join) —
   * `compactDeletes` first, or read through [[TxnTable.read]], which
-  * merges; ALTER TABLE supports exactly the write-path evolution rules
-  * (trailing nullable adds, lossless widening — see
-  * [[GraftCatalog.alterTable]]) and refuses everything else. */
+  * merges; ALTER TABLE supports the write-path evolution rules
+  * (trailing nullable adds, lossless widening) plus metadata-only
+  * RENAME/DROP COLUMN through the column mapping — see
+  * [[GraftCatalog.alterTable]] — and refuses everything else. */
 class GraftTxnSource extends TableProvider with DataSourceRegister
     with org.apache.spark.sql.sources.StreamSourceProvider
     with org.apache.spark.sql.sources.StreamSinkProvider {
@@ -252,7 +253,7 @@ class GraftTxnTableV2(spark: SparkSession, val root: String, val snap: Snapshot,
   override def name(): String = s"graft-txn:$root@v${snap.version}"
 
   override lazy val schema: StructType = {
-    val sc = snap.schema.getOrElse {
+    val sc = snap.schema.map(graft.sinks.ColumnMapping.logicalView).getOrElse {
       // legacy schema-less manifest: infer from the files' footers once
       require(snap.files.nonEmpty,
         s"snapshot v${snap.version} has no files and no recorded schema")
@@ -263,6 +264,12 @@ class GraftTxnTableV2(spark: SparkSession, val root: String, val snap: Snapshot,
     // contract — the V1 path matches)
     StructType(sc.fields.map(_.copy(nullable = true)))
   }
+
+  /** The recorded STORAGE schema when it carries a column mapping
+    * (renames/drops — [[graft.sinks.ColumnMapping]]); None for plain
+    * tables, which take the exact pre-mapping scan path. */
+  private[sources] lazy val mapping: Option[StructType] =
+    snap.schema.filter(graft.sinks.ColumnMapping.hasMapping)
 
   /** `DESCRIBE EXTENDED` surface: the snapshot's operational identity
     * (version, op, file counts, metadata column sets, transform spec)
@@ -276,8 +283,11 @@ class GraftTxnTableV2(spark: SparkSession, val root: String, val snap: Snapshot,
     m.put("op", snap.op)
     m.put("n_files", snap.files.size.toString)
     m.put("n_delete_files", snap.deletes.size.toString)
-    m.put("statsCols", snap.statsCols.mkString(","))
-    m.put("bloomCols", snap.bloomCols.mkString(","))
+    // surface metadata columns under their user-visible (logical) names
+    def logi(cs: Seq[String]): Seq[String] = snap.schema.fold(cs)(sc =>
+      cs.map(graft.sinks.ColumnMapping.logicalName(sc, _)))
+    m.put("statsCols", logi(snap.statsCols).mkString(","))
+    m.put("bloomCols", logi(snap.bloomCols).mkString(","))
     m.put("transforms", snap.transforms.map(_.name).mkString(","))
     m
   }
@@ -304,9 +314,16 @@ class GraftTxnTableV2(spark: SparkSession, val root: String, val snap: Snapshot,
       s"snapshot v${snap.version} at $root carries ${snap.deletes.size} live " +
         "merge-on-read delete file(s); the DSv2 scan cannot apply them — run " +
         "TxnTable.compactDeletes (or read via TxnTable.read, which merges)")
-    val index = new GraftTxnFileIndex(spark, root, snap, schema)
-    if (byName) // by-name scans can also stream (readStream.table)
-      new GraftTxnScanBuilder(spark, root, snap, index, schema, options)
+    // a mapped table scans under its PHYSICAL schema (what the parquet
+    // bytes say); the builder translates pushed names both ways and the
+    // scan reports the logical read schema back to Spark — rows are
+    // positional, so the physical/logical split never touches data
+    val scanSchema = mapping.fold(schema)(sc => StructType(
+      graft.sinks.ColumnMapping.physicalSchema(sc).fields.map(_.copy(nullable = true))))
+    val index = new GraftTxnFileIndex(spark, root, snap, scanSchema)
+    if (byName || mapping.isDefined) // by-name scans can also stream
+      new GraftTxnScanBuilder(spark, root, snap, index, scanSchema, options,
+        mapping, streamable = byName)
     else
       ParquetScanBuilder(spark, index, schema, schema, options)
   }
@@ -361,6 +378,11 @@ class GraftTxnTableV2(spark: SparkSession, val root: String, val snap: Snapshot,
       s"snapshot v${snap.version} at $root carries ${snap.deletes.size} live " +
         "merge-on-read delete file(s); row-level SQL ops rewrite whole files " +
         "and would resurrect the deleted rows — run TxnTable.compactDeletes first")
+    // NOTE: no mapping refusal HERE — the analyzer builds the operation
+    // table eagerly for every DELETE, including the simple ones the
+    // optimizer later converts back to the metadata-only fast path
+    // (which supports mapped tables). The rewrite WRITE refuses instead
+    // ([[GraftRowLevelOperation.newWriteBuilder]]).
     () => new GraftRowLevelOperation(spark, root, snap, info.command(), schema)
   }
 
@@ -374,8 +396,13 @@ class GraftTxnTableV2(spark: SparkSession, val root: String, val snap: Snapshot,
             "TxnTable.deleteWhere with an explicit Column")))
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
+    // pushed filters name LOGICAL columns; the recorded stats columns
+    // are physical — compare in logical space (deleteWhereBounded
+    // translates the derived bounds back)
+    val statsLogical = snap.schema.fold(snap.statsCols)(sc =>
+      snap.statsCols.map(graft.sinks.ColumnMapping.logicalName(sc, _)))
     TxnTable.deleteWhereBounded(spark, root, pred,
-      GraftTxnTableV2.statsBounds(filters, snap.statsCols))
+      GraftTxnTableV2.statsBounds(filters, statsLogical))
   }
 }
 
@@ -601,8 +628,12 @@ object GraftTxnFileIndex {
       // sound when the fan-out hashed exactly this value's type)
       val bucketOk = c.points match {
         case Some(vs) =>
+          // `col` is the SCAN-side (physical) name here — pushed filters
+          // on a mapped table arrive pre-translated by the scan builder
           val srcIsLong = snap.schema.exists(_.fields.exists(f =>
-            f.name == col && f.dataType == LongType))
+            !graft.sinks.ColumnMapping.isDropped(f) &&
+              graft.sinks.ColumnMapping.physOf(f) == col &&
+              f.dataType == LongType))
           val bucketTs = snap.transforms.filter(t =>
             t.kind == "bucket" && t.src == col)
           !srcIsLong || bucketTs.forall { t =>

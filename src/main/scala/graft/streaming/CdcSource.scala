@@ -69,7 +69,12 @@ object CdcSource {
   def feedSchema(s: SparkSession, root: String): StructType = {
     val snap = TxnTable.latest(s, root).getOrElse(throw new IllegalStateException(
       s"no committed snapshot at $root — create the table before streaming it"))
-    val base = snap.schema.getOrElse(TxnTable.read(s, root).schema)
+    // logical view: the feed is user-facing (changesBetween aliases each
+    // batch to the versions' logical names). A rename DURING the stream
+    // changes the feed's column names and fails the pinned schema loud —
+    // restart the stream past the rename, the standard schema-change rule.
+    val base = snap.schema.map(graft.sinks.ColumnMapping.logicalView)
+      .getOrElse(TxnTable.read(s, root).schema)
     StructType(base.fields.map(_.copy(nullable = true)))
       .add("_change_type", StringType).add("_n", LongType)
       .add("_commit_version", LongType)

@@ -134,6 +134,10 @@ object TxnStreamSource {
   def pinnedSchema(s: SparkSession, root: String): StructType = {
     val snap = TxnTable.latest(s, root).getOrElse(throw new IllegalStateException(
       s"no committed snapshot at $root — create the table before streaming it"))
+    snap.schema.foreach(sc =>
+      require(!graft.sinks.ColumnMapping.hasMapping(sc),
+        s"streaming a table with renamed/dropped columns is not supported " +
+          s"yet ($root) — read it as a batch"))
     val base = snap.schema.getOrElse(TxnTable.read(s, root).schema)
     StructType(base.fields.map(_.copy(nullable = true)))
   }

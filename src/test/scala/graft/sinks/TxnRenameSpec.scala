@@ -1,0 +1,217 @@
+package graft.sinks
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** RENAME/DROP COLUMN via the column mapping ([[ColumnMapping]]): the
+  * laws that make a metadata-only rename sound on immutable, name-
+  * resolved parquet — frozen physical names, reader-stripped tombstones,
+  * fresh allocation for reborn names — plus the boundary translations
+  * (stats pruning, blooms, MoR deletes, metadata aggregates, CDF) and
+  * the refuse-loud edges (metadata-dependent drops, collisions, the
+  * executor-staged write paths). */
+class TxnRenameSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("txn_rename").toString + "/tbl"
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  // one file per append (local toDF parallelism would otherwise split
+  // tiny frames across many part files and break per-file assertions)
+  private def df(ids: Int*) = {
+    val s = spark
+    import s.implicits._
+    ids.map(_.toLong).toDF("id").withColumn("v", col("id") * 10).repartition(1)
+  }
+
+  test("rename is metadata-only: same files, new name, same values") {
+    val root = freshRoot()
+    TxnTable.append(spark, root, df(1, 2, 3), statsCols = Seq("id"))
+    val before = TxnTable.latest(spark, root).get
+    TxnTable.alterTable(spark, root, renames = Seq("id" -> "doc_id"))
+    val after = TxnTable.latest(spark, root).get
+    assert(after.files === before.files) // zero data movement
+    val got = TxnTable.read(spark, root)
+    assert(got.columns.toSeq === Seq("doc_id", "v"))
+    assert(rows(got.select("doc_id")) === Set(Seq(1L), Seq(2L), Seq(3L)))
+    // user-facing schema carries no mapping bookkeeping
+    assert(!got.schema.fields.exists(_.metadata.contains(ColumnMapping.PhysKey)))
+  }
+
+  test("time travel shows each version under its own names") {
+    val root = freshRoot()
+    TxnTable.append(spark, root, df(1))
+    TxnTable.alterTable(spark, root, renames = Seq("v" -> "value"))
+    assert(TxnTable.readAsOf(spark, root, 1).columns.toSeq === Seq("id", "v"))
+    assert(TxnTable.read(spark, root).columns.toSeq === Seq("id", "value"))
+  }
+
+  test("appends after a rename write the frozen physical name; mixed files read consistently") {
+    val root = freshRoot()
+    TxnTable.append(spark, root, df(1, 2), statsCols = Seq("id"))
+    TxnTable.alterTable(spark, root, renames = Seq("id" -> "doc_id"))
+    // the new-shape append uses the LOGICAL name
+    val s = spark; import s.implicits._
+    val more = Seq(7L).toDF("doc_id").withColumn("v", col("doc_id") * 10)
+    TxnTable.append(spark, root, more)
+    val all = TxnTable.read(spark, root)
+    assert(rows(all.select("doc_id")) === Set(Seq(1L), Seq(2L), Seq(7L)))
+    // physical frozen: every data file stores `id`, none stores `doc_id`
+    val snap = TxnTable.latest(spark, root).get
+    val base = root.stripSuffix("/")
+    snap.files.foreach { f =>
+      val cols = spark.read.parquet(s"$base/$f").columns.toSeq
+      assert(cols.contains("id") && !cols.contains("doc_id"), s"$f: $cols")
+    }
+  }
+
+  test("stats pruning and metadata aggregates keep working through the rename") {
+    val root = freshRoot()
+    // two appends with disjoint id ranges -> two prunable files
+    TxnTable.append(spark, root, df(1, 2, 3), statsCols = Seq("id"))
+    TxnTable.append(spark, root, df(100, 101))
+    TxnTable.alterTable(spark, root, renames = Seq("id" -> "doc_id"))
+    // range pruning by the NEW logical name hits the old physical stats
+    val pruned = TxnTable.readPruned(spark, root, "doc_id", 100L, 200L)
+    assert(pruned.inputFiles.length === 1)
+    assert(rows(pruned.select("doc_id")) === Set(Seq(100L), Seq(101L)))
+    // metadata-only MIN/MAX by the new name
+    assert(TxnTable.metaMinMax(spark, root, "doc_id") === Some((1L, 101L)))
+    // and appends AFTER the rename still land stats under the frozen name
+    TxnTable.append(spark, root, df(500).toDF("doc_id", "v"))
+    assert(TxnTable.metaMinMax(spark, root, "doc_id") === Some((1L, 500L)))
+    assert(TxnTable.readPruned(spark, root, "doc_id", 400L, 600L)
+      .inputFiles.length === 1)
+  }
+
+  test("drop hides the column; re-adding the name reads NULL, never old bytes") {
+    val root = freshRoot()
+    TxnTable.append(spark, root, df(1, 2))
+    TxnTable.alterTable(spark, root, drops = Seq("v"))
+    assert(TxnTable.read(spark, root).columns.toSeq === Seq("id"))
+    // re-add `v`: a FRESH physical name — the old files' v-values must
+    // NOT resurrect into it. The ALTER target is the recorded schema's
+    // logical view (the scan's schema force-nullables and would not
+    // round-trip — same contract as the unmapped alterTable)
+    val cur = ColumnMapping.logicalView(TxnTable.latest(spark, root).get.schema.get)
+    TxnTable.alterTable(spark, root,
+      newSchema = Some(cur.add("v", "long", nullable = true)))
+    val got = TxnTable.read(spark, root)
+    assert(got.columns.toSeq === Seq("id", "v"))
+    assert(rows(got) === Set(Seq(1L, null), Seq(2L, null)))
+    // and a new append CAN fill it
+    val s = spark; import s.implicits._
+    TxnTable.append(spark, root, Seq((9L, 90L)).toDF("id", "v"))
+    assert(rows(TxnTable.read(spark, root)) ===
+      Set(Seq(1L, null), Seq(2L, null), Seq(9L, 90L)))
+  }
+
+  test("CoW delete, MoR delete, and merge address the NEW name") {
+    val root = freshRoot()
+    TxnTable.append(spark, root, df(1, 2, 3, 4), statsCols = Seq("id"))
+    TxnTable.alterTable(spark, root, renames = Seq("id" -> "k"))
+    // copy-on-write predicate in logical terms
+    TxnTable.deleteWhere(spark, root, col("k") === 4L)
+    assert(rows(TxnTable.read(spark, root).select("k")) ===
+      Set(Seq(1L), Seq(2L), Seq(3L)))
+    // merge-on-read keyed by the logical name
+    val s = spark; import s.implicits._
+    TxnTable.deleteKeysMor(spark, root, "k", Seq(3L).toDF("k"))
+    assert(rows(TxnTable.read(spark, root).select("k")) === Set(Seq(1L), Seq(2L)))
+    TxnTable.compactDeletes(spark, root)
+    // upsert by the logical key
+    TxnTable.mergeInto(spark, root,
+      Seq((2L, 999L), (5L, 50L)).toDF("k", "v"), Seq("k"))
+    assert(rows(TxnTable.read(spark, root)) ===
+      Set(Seq(1L, 10L), Seq(2L, 999L), Seq(5L, 50L)))
+  }
+
+  test("compaction and z-order preserve the mapping") {
+    val root = freshRoot()
+    TxnTable.append(spark, root, df(1, 2), statsCols = Seq("id"))
+    TxnTable.append(spark, root, df(3, 4))
+    TxnTable.alterTable(spark, root, renames = Seq("id" -> "k"))
+    TxnTable.compactTxn(spark, root, targetFiles = 1, sortCols = Seq("k"))
+    val got = TxnTable.read(spark, root)
+    assert(got.columns.toSeq === Seq("k", "v"))
+    assert(rows(got.select("k")) === Set(Seq(1L), Seq(2L), Seq(3L), Seq(4L)))
+    // compacted files still store the frozen physical name
+    val snap = TxnTable.latest(spark, root).get
+    val base = root.stripSuffix("/")
+    assert(spark.read.parquet(s"$base/${snap.files.head}")
+      .columns.toSeq.contains("id"))
+    // pruning on the logical name still fires post-compaction (the
+    // append uses the logical name — an old-name append would birth a
+    // NEW column, the name-is-identity rule)
+    TxnTable.append(spark, root, df(100, 101).toDF("k", "v"))
+    assert(TxnTable.readPruned(spark, root, "k", 100L, 200L)
+      .inputFiles.length === 1)
+    // z-order by logical dims records physical stats columns
+    TxnTable.compactZOrderTxn(spark, root, 2, Seq("k", "v"))
+    assert(rows(TxnTable.read(spark, root).select("k")) ===
+      Set(Seq(1L), Seq(2L), Seq(3L), Seq(4L), Seq(100L), Seq(101L)))
+  }
+
+  test("change feed emits the logical names across a rename") {
+    val root = freshRoot()
+    TxnTable.append(spark, root, df(1))                     // v1
+    TxnTable.alterTable(spark, root, renames = Seq("v" -> "value")) // v2
+    TxnTable.append(spark, root, df(2).toDF("id", "value")) // v3
+    val feed = TxnTable.changesBetween(spark, root, 1, 3)
+    assert(feed.columns.toSet === Set("id", "value", "_change_type", "_n"))
+    assert(rows(feed.filter(col("_change_type") === "insert").select("id")) ===
+      Set(Seq(2L)))
+  }
+
+  test("refuse-loud edges: collisions, metadata-dependent drops, unmapped-only paths") {
+    val root = freshRoot()
+    TxnTable.append(spark, root, df(1), statsCols = Seq("id"))
+    // rename onto an existing name
+    intercept[IllegalArgumentException] {
+      TxnTable.alterTable(spark, root, renames = Seq("v" -> "id")) }
+    // dropping a recorded stats column refuses with direction
+    val e = intercept[IllegalArgumentException] {
+      TxnTable.alterTable(spark, root, drops = Seq("id")) }
+    assert(e.getMessage.contains("statsCols"))
+    // the executor-staged paths refuse once mapped
+    TxnTable.alterTable(spark, root, renames = Seq("v" -> "value"))
+    val wap = intercept[IllegalArgumentException] {
+      TxnTable.stageAppend(spark, root, df(9).toDF("id", "value")) }
+    assert(wap.getMessage.contains("renamed/dropped"))
+    // incoming data may not claim the tombstone namespace
+    TxnTable.alterTable(spark, root, drops = Seq("value"))
+    val s = spark; import s.implicits._
+    intercept[IllegalArgumentException] {
+      TxnTable.append(spark, root,
+        Seq(1L).toDF(ColumnMapping.TombstonePrefix + "x")) }
+  }
+
+  test("rename of the MoR delete key and of a transform source stays consistent") {
+    val root = freshRoot()
+    val s = spark; import s.implicits._
+    val data = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("user_id", "amount")
+    TxnTable.append(spark, root, data,
+      transforms = Seq(TxnTable.Transform.bucket(4, "user_id")))
+    TxnTable.deleteKeysMor(spark, root, "user_id", Seq(2L).toDF("user_id"))
+    TxnTable.alterTable(spark, root, renames = Seq("user_id" -> "uid"))
+    // the live MoR delete still applies through the rename
+    assert(rows(TxnTable.read(spark, root).select("uid")) ===
+      Set(Seq(1L), Seq(3L)))
+    // appends still fan out by the (physical) transform source
+    TxnTable.compactDeletes(spark, root)
+    TxnTable.append(spark, root, Seq((9L, 90L)).toDF("uid", "amount"))
+    assert(rows(TxnTable.read(spark, root).select("uid")) ===
+      Set(Seq(1L), Seq(3L), Seq(9L)))
+    // dropping the transform source refuses
+    val e = intercept[IllegalArgumentException] {
+      TxnTable.alterTable(spark, root, drops = Seq("uid")) }
+    assert(e.getMessage.contains("transform"))
+  }
+}

@@ -93,7 +93,7 @@ class AlterTableSpec extends AnyFunSuite {
       .select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 100L, 101L))
   }
 
-  test("refusals: drop, rename, non-widening change, unknown property") {
+  test("refusals: non-widening change, unknown property; rename/drop now map") {
     val s = spark; import s.implicits._
     val root = s"$warehouse/db/refuse_t"
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
@@ -108,12 +108,15 @@ class AlterTableSpec extends AnyFunSuite {
         e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"),
         s"unexpected message for [$sql]: ${e.getMessage}")
     }
-    refuses(s"ALTER TABLE $cat.db.refuse_t DROP COLUMN name")
-    refuses(s"ALTER TABLE $cat.db.refuse_t RENAME COLUMN name TO label")
     refuses(s"ALTER TABLE $cat.db.refuse_t ALTER COLUMN name TYPE INT")
     refuses(s"ALTER TABLE $cat.db.refuse_t SET TBLPROPERTIES ('retention' = 'x')")
     // table unchanged by the refused statements
     assert(TxnTable.latest(spark, root).get.op !== "alter")
+    // RENAME/DROP are no longer refusals: the column mapping makes them
+    // metadata-only (laws in TxnRenameSpec / RenameDsv2Spec)
+    spark.sql(s"ALTER TABLE $cat.db.refuse_t RENAME COLUMN name TO label")
+    spark.sql(s"ALTER TABLE $cat.db.refuse_t DROP COLUMN label")
+    assert(spark.sql(s"SELECT * FROM $cat.db.refuse_t").columns.toSeq === Seq("id"))
   }
 
   test("alterTable API: concurrent-append retry keeps both effects") {
