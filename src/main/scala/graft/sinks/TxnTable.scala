@@ -2318,7 +2318,9 @@ object TxnTable {
       opTag: String): Snapshot = {
     val cur = latestRequired(s, root)
     requireNoMor(cur, s"SQL $opTag (row-level rewrite)")
-    requireUnmapped(cur, s"SQL $opTag (row-level rewrite)") // executor-staged
+    // mapped tables are fine here: the row-level write physicalizes its
+    // schema (GraftRowLevelOperation.physicalize), so `staged` already
+    // carries the frozen physical names like any [[stage]] product
     if (cur.version != expectedVersion)
       throw new TxnConflictException(
         s"row-level $opTag planned against v$expectedVersion but $root is " +

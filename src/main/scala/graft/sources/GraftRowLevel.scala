@@ -95,22 +95,17 @@ class GraftRowLevelOperation(spark: SparkSession, root: String,
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = {
-          // refuse HERE, not at operation build: simple DELETEs pass
-          // through the eagerly-built operation table before the
-          // optimizer converts them to the metadata-only fast path
-          // (mapped-table capable); only a real executor-staged rewrite
-          // — which would write logical names into physical files —
-          // must refuse
-          snap.schema.foreach(sc =>
-            require(!graft.sinks.ColumnMapping.hasMapping(sc),
-              s"row-level SQL rewrites on $root are not supported with " +
-                "renamed/dropped columns yet — use the TxnTable Scala API " +
-                "(deleteWhere/mergeInto)"))
+          // on a mapped table (renamed/dropped columns) the replacement
+          // files must carry the frozen PHYSICAL names — the write
+          // schema is renamed positionally (rows are positional, so
+          // nothing else changes; [[graft.sinks.ColumnMapping]])
+          val writeSchema = GraftRowLevelOperation.physicalize(
+            info.schema(), snap)
           val relDir = s"data/${UUID.randomUUID().toString.take(8)}"
-          val (factory, conf) = ParquetWriteShim.prepare(spark, info.schema())
-          val fanout = GraftFanout.specs(spark, snap, info.schema())
+          val (factory, conf) = ParquetWriteShim.prepare(spark, writeSchema)
+          val fanout = GraftFanout.specs(spark, snap, writeSchema)
           new GraftReplaceBatchWrite(spark, root, GraftRowLevelOperation.this,
-            relDir, factory, conf, info.schema(), fanout)
+            relDir, factory, conf, writeSchema, fanout)
         }
       }
     }
@@ -174,6 +169,20 @@ private[sources] object GraftFanout {
   }
 }
 
+object GraftRowLevelOperation {
+  /** Rename a LOGICAL-named schema to the snapshot's frozen physical
+    * names, positionally (identity for unmapped tables). Fields not in
+    * the mapping — e.g. framework metadata columns — pass through. */
+  private[sources] def physicalize(schema: StructType,
+                                   snap: Snapshot): StructType =
+    snap.schema.filter(graft.sinks.ColumnMapping.hasMapping).fold(schema) { sc =>
+      val m = sc.fields.filterNot(graft.sinks.ColumnMapping.isDropped)
+        .map(f => f.name -> graft.sinks.ColumnMapping.physOf(f)).toMap
+      StructType(schema.fields.map(f =>
+        f.copy(name = m.getOrElse(f.name, f.name))))
+    }
+}
+
 /** The group scan: reads whole files, no row filtering, runtime group
   * filter on the primary stats column (see [[GraftRowLevelOperation]]).
   * Each partition-planning call builds a FRESH vectorized
@@ -185,6 +194,11 @@ class GraftRowLevelScan(spark: SparkSession, root: String, snap: Snapshot,
 
   @volatile private var files: Seq[String] = snap.files
 
+  // the parquet bytes carry the frozen PHYSICAL names; the scan reads
+  // under them and reports the logical schema (positional rows)
+  private val physSchema: StructType =
+    GraftRowLevelOperation.physicalize(tableSchema, snap)
+
   override def readSchema(): StructType = tableSchema
 
   override def toBatch: Batch = this
@@ -192,23 +206,30 @@ class GraftRowLevelScan(spark: SparkSession, root: String, snap: Snapshot,
   override def description(): String =
     s"graft-txn row-level ${op.opTag} scan of $root@v${snap.version}"
 
-  private def statsCol: Option[String] =
-    snap.statsCols.headOption.filter(c => tableSchema.fieldNames.contains(c))
+  /** (logical, physical) primary stats column: the runtime filter's
+    * attribute and predicates speak LOGICAL; the manifest's recorded
+    * metadata is PHYSICAL. */
+  private def statsCol: Option[(String, String)] =
+    snap.statsCols.headOption.flatMap { p =>
+      val logical = snap.schema.fold(p)(sc =>
+        graft.sinks.ColumnMapping.logicalName(sc, p))
+      if (tableSchema.fieldNames.contains(logical)) Some((logical, p)) else None
+    }
 
   override def filterAttributes(): Array[NamedReference] =
-    statsCol.map(c => Expressions.column(c)).toArray
+    statsCol.map { case (l, _) => Expressions.column(l) }.toArray
 
   override def filter(predicates: Array[Predicate]): Unit = {
     for {
-      col <- statsCol
-      vs  <- predicates.iterator
-                .flatMap(GraftRowLevelScan.pointValues(_, col)).nextOption()
+      (logical, phys) <- statsCol
+      vs <- predicates.iterator
+              .flatMap(GraftRowLevelScan.pointValues(_, logical)).nextOption()
     } {
       val c = GraftTxnFileIndex.Constraint(
         lo = if (vs.isEmpty) Long.MinValue else vs.min,
         hi = if (vs.isEmpty) Long.MaxValue else vs.max,
         points = Some(vs))
-      files = files.filter(rel => GraftTxnFileIndex.mayMatch(snap, rel, Map(col -> c)))
+      files = files.filter(rel => GraftTxnFileIndex.mayMatch(snap, rel, Map(phys -> c)))
       op.scannedFiles = files.toSet
     }
   }
@@ -223,8 +244,8 @@ class GraftRowLevelScan(spark: SparkSession, root: String, snap: Snapshot,
 
   private def freshScan(): Batch =
     ParquetScanBuilder(spark,
-      new GraftTxnFileIndex(spark, root, snap, tableSchema, Some(files)),
-      tableSchema, tableSchema, CaseInsensitiveStringMap.empty()).build().toBatch
+      new GraftTxnFileIndex(spark, root, snap, physSchema, Some(files)),
+      physSchema, physSchema, CaseInsensitiveStringMap.empty()).build().toBatch
 }
 
 object GraftRowLevelScan {

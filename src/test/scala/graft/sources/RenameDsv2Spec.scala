@@ -83,7 +83,7 @@ class RenameDsv2Spec extends AnyFunSuite {
     assert(df.collect().map(_.getLong(0)).sorted.toSeq === Seq(100L, 101L))
   }
 
-  test("SQL INSERT and DELETE work through the mapping; row-level UPDATE refuses") {
+  test("SQL INSERT, DELETE, and row-level UPDATE work through the mapping") {
     val root = seed("t_dml")
     spark.sql(s"ALTER TABLE $cat.db.t_dml RENAME COLUMN id TO k")
     spark.sql(s"INSERT INTO $cat.db.t_dml VALUES (7, 70)")
@@ -97,10 +97,21 @@ class RenameDsv2Spec extends AnyFunSuite {
     spark.sql(s"DELETE FROM $cat.db.t_dml WHERE k >= 100")
     assert(spark.sql(s"SELECT k FROM $cat.db.t_dml").collect()
       .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 7L))
-    // group-based row-level rewrites refuse loud on mapped tables
-    val e = intercept[Exception] {
-      spark.sql(s"UPDATE $cat.db.t_dml SET v = 0 WHERE k = 1") }
-    assert(e.getMessage.contains("renamed/dropped"))
+    // group-based row-level rewrite: the scan reads physical names, the
+    // replacement files are written under them, the carry set is pruned
+    // by the runtime group filter on the translated stats column
+    val before = TxnTable.latest(spark, root).get
+    spark.sql(s"UPDATE $cat.db.t_dml SET v = 0 WHERE k = 1")
+    val after = TxnTable.latest(spark, root).get
+    assert(spark.sql(s"SELECT k, v FROM $cat.db.t_dml ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 0L), (2L, 20L), (7L, 70L)))
+    // rewritten files carry the physical name too
+    after.files.foreach { f =>
+      assert(spark.read.parquet(s"$root/$f").columns.toSeq.contains("id")) }
+    // and at least one pre-update file was carried by reference when the
+    // group filter pruned (k=1 lives in one clustered file)
+    assert(after.files.exists(before.files.toSet), "expected a carried file")
   }
 
   test("ALTER TABLE DROP COLUMN hides it from SQL; re-ADD reads null") {
