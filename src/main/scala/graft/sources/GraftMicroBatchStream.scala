@@ -162,10 +162,11 @@ class GraftStreamCapableScan(val delegate: Scan, spark: SparkSession,
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     require(streamable,
       s"graft-txn:$root was not resolved through the catalog; stream by name")
-    require(p2l.isEmpty,
-      s"streaming a table with renamed/dropped columns is not supported yet " +
-        s"(graft-txn:$root) — read it as a batch, or stream from a version " +
-        "before the rename")
+    // mapped tables stream fine: the per-window scans plan under the
+    // (pruned) PHYSICAL schema the delegate already carries — frozen
+    // physical names make even a mid-stream rename transparent; Spark
+    // consumes the rows positionally against this wrapper's logical
+    // readSchema()
     new GraftTxnMicroBatchStream(spark, root, snap, delegate.readSchema(), options)
   }
 }

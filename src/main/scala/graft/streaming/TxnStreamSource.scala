@@ -50,6 +50,13 @@ class TxnStreamSource(s: SparkSession, tableRoot: String,
     require(m >= 1, s"maxVersionsPerBatch must be >= 1, got $m"))
 
   private val pinned: StructType = TxnStreamSource.pinnedSchema(s, tableRoot)
+  /** The stream-start STORAGE schema (column-mapping carrier). Physical
+    * names are frozen at column birth, so a window committed AFTER a
+    * mid-stream rename still reads correctly under the start-time
+    * physical schema — the subscriber keeps receiving the names it
+    * subscribed to ([[graft.sinks.ColumnMapping]]). */
+  private val pinnedStorage: Option[StructType] =
+    TxnTable.latest(s, tableRoot).flatMap(_.schema)
   /** Versions <= startV are never emitted. */
   private val startV: Long = startVersion.getOrElse(
     TxnTable.latest(s, tableRoot).map(_.version).getOrElse(0L))
@@ -86,19 +93,36 @@ class TxnStreamSource(s: SparkSession, tableRoot: String,
     if (isAppend) {
       if (added.isEmpty) None
       else {
+        import graft.sinks.ColumnMapping
         val base = tableRoot.stripSuffix("/")
-        val reader = cur.schema.fold(s.read)(s.read.schema)
+        // under a column mapping (at stream start OR introduced
+        // mid-stream) the files carry frozen PHYSICAL names: read the
+        // window under the START-TIME physical schema (schema-on-read
+        // nulls columns a window's files lack), MoR-merge in physical
+        // space, alias back to the pinned logical names last. Unmapped
+        // streams keep the exact pre-mapping path.
+        val mapped = pinnedStorage.exists(ColumnMapping.hasMapping) ||
+          cur.schema.exists(ColumnMapping.hasMapping)
+        require(!mapped || pinnedStorage.isDefined,
+          s"stream over $tableRoot pinned no schema at start but window v$v " +
+            "carries a column mapping — restart the stream to re-pin")
+        val reader =
+          if (mapped) s.read.schema(ColumnMapping.physicalSchema(pinnedStorage.get))
+          else cur.schema.fold(s.read)(s.read.schema)
         val rows = reader.parquet(added.map(f => s"$base/$f"): _*)
         // a MoR table's live delete keys mask the new files too — the
         // stream emits EFFECTIVE content, exactly what read() serves
-        if (cur.deletes.isEmpty) Some(rows)
-        else {
-          val keys = s.read.parquet(cur.deletes.map(f => s"$base/$f"): _*)
-            .select(cur.deleteCols.map(c => col(c).as(s"_del_$c")): _*).distinct()
-          Some(rows.join(keys,
-            cur.deleteCols.map(c => rows(c) <=> keys(s"_del_$c")).reduce(_ && _),
-            "left_anti"))
-        }
+        val masked =
+          if (cur.deletes.isEmpty) rows
+          else {
+            val keys = s.read.parquet(cur.deletes.map(f => s"$base/$f"): _*)
+              .select(cur.deleteCols.map(c => col(c).as(s"_del_$c")): _*).distinct()
+            rows.join(keys,
+              cur.deleteCols.map(c => rows(c) <=> keys(s"_del_$c")).reduce(_ && _),
+              "left_anti")
+          }
+        Some(if (mapped)
+          ColumnMapping.aliasToLogical(masked, pinnedStorage.get) else masked)
       }
     } else if (maintenance || skipChangeCommits) None
     else throw new IllegalStateException(
@@ -134,11 +158,10 @@ object TxnStreamSource {
   def pinnedSchema(s: SparkSession, root: String): StructType = {
     val snap = TxnTable.latest(s, root).getOrElse(throw new IllegalStateException(
       s"no committed snapshot at $root — create the table before streaming it"))
-    snap.schema.foreach(sc =>
-      require(!graft.sinks.ColumnMapping.hasMapping(sc),
-        s"streaming a table with renamed/dropped columns is not supported " +
-          s"yet ($root) — read it as a batch"))
-    val base = snap.schema.getOrElse(TxnTable.read(s, root).schema)
+    // logical view: a mapped table streams under its user-visible names
+    // (windows read under the frozen physical schema and alias back)
+    val base = snap.schema.map(graft.sinks.ColumnMapping.logicalView)
+      .getOrElse(TxnTable.read(s, root).schema)
     StructType(base.fields.map(_.copy(nullable = true)))
   }
 }

@@ -123,15 +123,48 @@ class RenameDsv2Spec extends AnyFunSuite {
     assert(got.length === 1 && got.head.isNullAt(1)) // never the old bytes
   }
 
-  test("DESCRIBE surfaces logical metadata columns; streaming refuses once mapped") {
-    val root = seed("t_desc")
+  test("DESCRIBE surfaces logical metadata columns") {
+    seed("t_desc")
     spark.sql(s"ALTER TABLE $cat.db.t_desc RENAME COLUMN id TO doc_id")
     val props = spark.sql(s"SHOW TBLPROPERTIES $cat.db.t_desc")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(props.get("statsCols").exists(_.contains("doc_id")), props.toString)
-    val e = intercept[Exception] {
-      spark.readStream.format("graft-txn").load(root)
-        .writeStream.format("noop").start() }
-    assert(e.getMessage.contains("renamed/dropped"))
+  }
+
+  test("streams flow through renames: subscribed names survive a mid-stream rename") {
+    val root = seed("t_stream")
+    val s = spark; import s.implicits._
+    spark.sql(s"ALTER TABLE $cat.db.t_stream RENAME COLUMN id TO doc_id")
+    // path-based v1 source over the already-renamed table
+    val q = spark.readStream.format("graft-txn")
+      .option("startVersion", "0").load(root)
+      .writeStream.format("memory").queryName("ren_stream")
+      .option("checkpointLocation", s"$root-ckpt").start()
+    try {
+      q.processAllAvailable()
+      val seen = spark.table("ren_stream")
+      assert(seen.columns.toSeq === Seq("doc_id", "v"))
+      assert(seen.select("doc_id").as[Long].collect().sorted.toSeq ===
+        Seq(1L, 2L, 100L, 101L))
+      // mid-stream rename + append under the NEWEST name: the frozen
+      // physical identity keeps the subscriber's pinned names flowing
+      spark.sql(s"ALTER TABLE $cat.db.t_stream RENAME COLUMN doc_id TO d2")
+      spark.sql(s"INSERT INTO $cat.db.t_stream VALUES (7, 70)")
+      q.processAllAvailable()
+      assert(spark.table("ren_stream").select("doc_id").as[Long]
+        .collect().sorted.toSeq === Seq(1L, 2L, 7L, 100L, 101L))
+    } finally q.stop()
+    // by-name DSv2 micro-batch stream over the mapped table
+    val q2 = spark.readStream.option("startVersion", "0")
+      .table(s"$cat.db.t_stream")
+      .writeStream.format("memory").queryName("ren_stream2")
+      .option("checkpointLocation", s"$root-ckpt2").start()
+    try {
+      q2.processAllAvailable()
+      val seen2 = spark.table("ren_stream2")
+      assert(seen2.columns.toSeq === Seq("d2", "v"))
+      assert(seen2.select("d2").as[Long].collect().sorted.toSeq ===
+        Seq(1L, 2L, 7L, 100L, 101L))
+    } finally q2.stop()
   }
 }
