@@ -1153,7 +1153,8 @@ object TxnTable {
   private[graft] def commitStagedBatch(s: SparkSession, root: String,
       staged: Seq[String], batchId: Long, streamId: String,
       stagedSchema: org.apache.spark.sql.types.StructType,
-      replace: Boolean, maxAttempts: Int = 5): Option[Snapshot] = {
+      replace: Boolean, maxAttempts: Int = 5,
+      stagedPhys: Option[Seq[String]] = None): Option[Snapshot] = {
     require(streamId.nonEmpty, "streaming-write commits need a stream id")
     val opTag = (if (replace) "replace-batch" else "append-batch") +
       s":$streamId:$batchId"
@@ -1161,13 +1162,27 @@ object TxnTable {
       val vs = versions(s, root)
       if (vs.exists(v => snapshot(s, root, v).op == opTag)) return None
       val prior = vs.lastOption.map(snapshot(s, root, _))
-      // the executors staged these files under the query's LOGICAL
-      // names — a mapped table's physical names would differ
-      if (!replace) prior.foreach(requireUnmapped(_, "the DSv2 streaming append"))
       val trs = prior.map(_.transforms).getOrElse(Nil)
       val cols = prior.map(_.statsCols).getOrElse(Nil)
       val bcols = prior.map(_.bloomCols).getOrElse(Nil)
       val (stagedStats, stagedBlooms) = fileMeta(s, root, staged, cols, bcols)
+      // appends: evolve under the column mapping; the executors staged
+      // the files under `stagedPhys` (the stream-start physical names —
+      // frozen, so a mid-stream RENAME is harmless), and a drop/re-add
+      // that MOVED one of this stream's columns must refuse rather than
+      // land rows in a dead physical column
+      val evolved =
+        if (replace) stagedSchema else evolveM(prior.flatMap(_.schema), stagedSchema)
+      stagedPhys.filter(_ => !replace).foreach { sp =>
+        require(stagedSchema.fieldNames.toSeq
+            .map(c => ColumnMapping.physName(evolved, c)) == sp,
+          "a concurrent DROP/re-ADD moved this stream's columns — restart " +
+            "the streaming query to re-pin the mapping")
+      }
+      // a caller that did NOT declare its staged names keeps the old
+      // protection: its files carry logical names, unsound once mapped
+      if (!replace && stagedPhys.isEmpty)
+        prior.foreach(requireUnmapped(_, "the DSv2 streaming append"))
       try {
         return Some(
           if (replace)
@@ -1180,7 +1195,7 @@ object TxnTable {
               prior.map(_.stats).getOrElse(Map.empty) ++
                 mergeStats(stagedStats, transformStats(staged, trs)),
               cols,
-              Some(evolve(prior.flatMap(_.schema), stagedSchema)),
+              Some(evolved),
               prior.map(_.blooms).getOrElse(Map.empty) ++ stagedBlooms, bcols,
               prior.map(_.deletes).getOrElse(Seq.empty),
               prior.map(_.deleteCols).getOrElse(Nil), trs,

@@ -41,11 +41,19 @@ class GraftTxnStreamingWrite(spark: SparkSession, root: String,
   private val relDir = s"data/${UUID.randomUUID().toString.take(8)}"
   private val streamId = s"q:$queryId"
 
+  /** On a mapped table, APPEND epochs stage under the frozen PHYSICAL
+    * names (positional rename, like the row-level write); Complete-mode
+    * epochs REPLACE the table and reset the mapping, so they stage the
+    * query's own (logical) names — the replacement snapshot records
+    * them as the fresh identity. */
+  private val writeSchema: StructType =
+    if (replace) schema else GraftRowLevelOperation.physicalize(schema, snap)
+
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory = {
-    val (factory, conf) = ParquetWriteShim.prepare(spark, schema)
+    val (factory, conf) = ParquetWriteShim.prepare(spark, writeSchema)
     new GraftTxnStreamingWriterFactory(root.stripSuffix("/"), relDir,
-      factory, conf, schema, GraftFanout.specs(spark, snap, schema))
+      factory, conf, writeSchema, GraftFanout.specs(spark, snap, writeSchema))
   }
 
   private def stagedOf(messages: Array[WriterCommitMessage]): Seq[String] =
@@ -59,7 +67,8 @@ class GraftTxnStreamingWrite(spark: SparkSession, root: String,
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     TxnTable.commitStagedBatch(spark, root, stagedOf(messages), epochId,
-        streamId, schema, replace) match {
+        streamId, schema, replace,
+        stagedPhys = if (replace) None else Some(writeSchema.fieldNames.toSeq)) match {
       case None => delete(stagedOf(messages)) // replayed epoch: clean the re-stage
       case Some(_) => ()
     }

@@ -123,6 +123,32 @@ class RenameDsv2Spec extends AnyFunSuite {
     assert(got.length === 1 && got.head.isNullAt(1)) // never the old bytes
   }
 
+  test("writeStream.toTable appends into a renamed table under the frozen physical names") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val root = s"$warehouse/db/t_sink"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(
+      s"""CREATE TABLE $cat.db.t_sink (id BIGINT, v BIGINT)
+         |PARTITIONED BY (bucket(4, id))
+         |TBLPROPERTIES ('statsCols' = 'id')""".stripMargin)
+    TxnTable.append(spark, root, Seq((1L, 10L)).toDF("id", "v").coalesce(1))
+    spark.sql(s"ALTER TABLE $cat.db.t_sink RENAME COLUMN id TO k")
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val q = in.toDS().toDF("k").withColumn("v", col("k") * 10)
+      .writeStream.option("checkpointLocation", s"$root-ckpt")
+      .toTable(s"$cat.db.t_sink")
+    try { in.addData(2L, 3L); q.processAllAvailable() } finally q.stop()
+    assert(spark.sql(s"SELECT k FROM $cat.db.t_sink").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+    val snap = TxnTable.latest(spark, root).get
+    // streamed files carry the PHYSICAL name, the fan-out, and stats
+    assert(snap.files.forall(_.contains("bucket4_id=")))
+    snap.files.foreach { f =>
+      assert(spark.read.parquet(s"$root/$f").columns.toSeq.contains("id")) }
+    assert(snap.files.forall(f => snap.stats.get(f).exists(_.contains("id"))))
+  }
+
   test("DESCRIBE surfaces logical metadata columns") {
     seed("t_desc")
     spark.sql(s"ALTER TABLE $cat.db.t_desc RENAME COLUMN id TO doc_id")
