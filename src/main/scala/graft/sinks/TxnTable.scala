@@ -1498,14 +1498,16 @@ object TxnTable {
   def appendToBranch(s: SparkSession, root: String, name: String,
                      df: DataFrame): Snapshot = {
     val head = branchHead(s, root, name)
-    val staged = stage(s, root, df, head.transforms)
+    val evolved = evolveM(head.schema, df.schema)
+    val staged = stage(s, root, ColumnMapping.toPhysical(df, evolved),
+      head.transforms)
     val (stagedStats, stagedBlooms) =
       fileMeta(s, root, staged, head.statsCols, head.bloomCols)
     commit(s, root, head.version + 1, "branch-append",
       head.files ++ staged,
       head.stats ++ mergeStats(stagedStats, transformStats(staged, head.transforms)),
       head.statsCols,
-      Some(evolve(head.schema, df.schema)),
+      Some(evolved),
       head.blooms ++ stagedBlooms, head.bloomCols,
       head.deletes, head.deleteCols, head.transforms, head.rowCounts,
       branch = Some(name))

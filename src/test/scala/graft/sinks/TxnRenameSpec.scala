@@ -193,6 +193,25 @@ class TxnRenameSpec extends AnyFunSuite {
         Seq(1L).toDF(ColumnMapping.TombstonePrefix + "x")) }
   }
 
+  test("branches carry the mapping: branch appends, reads, and fast-forward") {
+    val root = freshRoot()
+    TxnTable.append(spark, root, df(1, 2), statsCols = Seq("id"))
+    TxnTable.alterTable(spark, root, renames = Seq("id" -> "k"))
+    TxnTable.createBranch(spark, root, "audit")
+    TxnTable.appendToBranch(spark, root, "audit", df(9).toDF("k", "v"))
+    val br = TxnTable.readBranch(spark, root, "audit")
+    assert(br.columns.toSeq === Seq("k", "v"))
+    assert(rows(br.select("k")) === Set(Seq(1L), Seq(2L), Seq(9L)))
+    // the branch-staged file carries the frozen physical name
+    val bh = TxnTable.branchHead(spark, root, "audit")
+    val base = root.stripSuffix("/")
+    bh.files.foreach { f =>
+      assert(spark.read.parquet(s"$base/$f").columns.toSeq.contains("id")) }
+    TxnTable.fastForward(spark, root, "audit")
+    assert(rows(TxnTable.read(spark, root).select("k")) ===
+      Set(Seq(1L), Seq(2L), Seq(9L)))
+  }
+
   test("rename of the MoR delete key and of a transform source stays consistent") {
     val root = freshRoot()
     val s = spark; import s.implicits._
