@@ -79,6 +79,13 @@ object ColumnMapping {
     StructType(sc.fields.filterNot(isDropped)
       .map(f => f.copy(metadata = stripKeys(f.metadata))))
 
+  /** Live fields (tombstones stripped) WITH their mapping metadata —
+    * for schema composition across commits ([[TxnTable.publishStaged]]):
+    * unlike [[logicalView]] this keeps each field's frozen physical
+    * identity, so re-evolving it cannot re-allocate differently. */
+  def liveStorage(sc: StructType): StructType =
+    StructType(sc.fields.filterNot(isDropped))
+
   /** The FILE-SIDE schema: live fields under their physical names —
     * what the parquet scan is pinned to. Positionally identical to
     * [[logicalView]] (same fields, same order, same types), which is

@@ -1291,14 +1291,19 @@ object TxnTable {
     * the published files prune like any others. Returns the stage id. */
   def stageAppend(s: SparkSession, root: String, df: DataFrame): String = {
     val cur = latestRequired(s, root)
-    requireUnmapped(cur, "stageAppend (write-audit-publish)")
-    evolve(cur.schema, df.schema) // validate early; re-checked at publish
-    val staged = stage(s, root, df, cur.transforms)
+    val evolved = evolveM(cur.schema, df.schema) // validate early; re-checked at publish
+    // mapped tables stage under the frozen physical names and record the
+    // full storage schema (mapping carrier) in the staged manifest;
+    // unmapped tables keep the incoming shape byte-identically
+    val mapped = ColumnMapping.hasMapping(evolved)
+    val staged = stage(s, root,
+      if (mapped) ColumnMapping.toPhysical(df, evolved) else df, cur.transforms)
     val (st, bl) = fileMeta(s, root, staged, cur.statsCols, cur.bloomCols)
     val id = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     val text = serializeManifest("staged-append", staged,
       mergeStats(st, transformStats(staged, cur.transforms)), cur.statsCols,
-      Some(df.schema), bl, cur.bloomCols, Nil, Nil, cur.transforms,
+      Some(if (mapped) evolved else df.schema), bl, cur.bloomCols, Nil, Nil,
+      cur.transforms,
       System.currentTimeMillis(),
       completeCounts(s, root, staged, Map.empty))
     val f = fs(s, root)
@@ -1319,12 +1324,15 @@ object TxnTable {
     * schema publish would record — the frame an audit job validates. */
   def readStaged(s: SparkSession, root: String, id: String): DataFrame = {
     val head = latestRequired(s, root)
-    requireUnmapped(head, "readStaged (write-audit-publish)")
     val stg = stagedSnapshot(s, root, id)
-    val base = root.stripSuffix("/")
-    val target = stg.schema.fold(head.schema.get)(sc => evolve(head.schema, sc))
-    val stagedDf = stg.schema.fold(s.read)(s.read.schema)
-      .parquet(stg.files.map(f => s"$base/$f"): _*)
+    val target = ColumnMapping.logicalView(
+      stg.schema.fold(head.schema.get)(sc =>
+        evolveM(head.schema, ColumnMapping.liveStorage(sc))))
+    // staged files carry physical names when the stage-time schema was
+    // mapped — read pinned to them, alias back before aligning
+    val stagedDf = stg.schema.fold(
+      scanFiles(s, root, stg.copy(schema = None), stg.files))(sc =>
+      ColumnMapping.aliasToLogical(scanFiles(s, root, stg, stg.files), sc))
     alignTo(read(s, root), target).unionByName(alignTo(stagedDf, target))
   }
 
@@ -1340,10 +1348,24 @@ object TxnTable {
     var out: Snapshot = null
     while (out == null) {
       val head = latestRequired(s, root)
-      requireUnmapped(head, "publishStaged (write-audit-publish)")
       require(head.transforms == stg.transforms,
         s"partition spec changed since stage '$id' - abort and restage")
-      val sc = stg.schema.fold(head.schema)(x => Some(evolve(head.schema, x)))
+      // mapped tables: the staged parquet carries the STAGE-TIME physical
+      // names; publish merges schemas in logical space and refuses if a
+      // DDL between stage and publish re-mapped any staged column (a
+      // drop/re-add — renames are harmless, physical names are frozen)
+      val sc = stg.schema.fold(head.schema) { stgSc =>
+        // liveStorage keeps each staged field's frozen physical identity
+        // through the merge (logicalView would strip it and a staged
+        // reborn column would re-allocate — then falsely refuse below)
+        val target = evolveM(head.schema, ColumnMapping.liveStorage(stgSc))
+        ColumnMapping.liveStorage(stgSc).fieldNames.foreach { c =>
+          require(ColumnMapping.physName(target, c) ==
+              ColumnMapping.physName(stgSc, c),
+            s"column '$c' was re-mapped since stage '$id' - abort and restage")
+        }
+        Some(target)
+      }
       try out = commit(s, root, head.version + 1, s"publish-staged:$id",
         head.files ++ stg.files, head.stats ++ stg.stats, head.statsCols,
         sc, head.blooms ++ stg.blooms, head.bloomCols,

@@ -180,13 +180,26 @@ class TxnRenameSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] {
       TxnTable.alterTable(spark, root, drops = Seq("id")) }
     assert(e.getMessage.contains("statsCols"))
-    // the executor-staged paths refuse once mapped
+    // write-audit-publish works under the mapping: staged files carry
+    // the physical names, the preview aliases, publish folds
     TxnTable.alterTable(spark, root, renames = Seq("v" -> "value"))
-    val wap = intercept[IllegalArgumentException] {
-      TxnTable.stageAppend(spark, root, df(9).toDF("id", "value")) }
-    assert(wap.getMessage.contains("renamed/dropped"))
-    // incoming data may not claim the tombstone namespace
+    val sid = TxnTable.stageAppend(spark, root, df(9).toDF("id", "value"))
+    assert(rows(TxnTable.readStaged(spark, root, sid).select("value")) ===
+      Set(Seq(10L), Seq(90L)))
+    TxnTable.publishStaged(spark, root, sid)
+    assert(rows(TxnTable.read(spark, root).select("value")) ===
+      Set(Seq(10L), Seq(90L)))
+    // a drop/re-add BETWEEN stage and publish re-maps the column —
+    // publish refuses (physical identities no longer match)
+    val sid2 = TxnTable.stageAppend(spark, root, df(7).toDF("id", "value"))
     TxnTable.alterTable(spark, root, drops = Seq("value"))
+    TxnTable.alterTable(spark, root, newSchema = Some(ColumnMapping
+      .logicalView(TxnTable.latest(spark, root).get.schema.get)
+      .add("value", "long", nullable = true)))
+    val remap = intercept[IllegalArgumentException] {
+      TxnTable.publishStaged(spark, root, sid2) }
+    assert(remap.getMessage.contains("re-mapped"))
+    // incoming data may not claim the tombstone namespace
     val s = spark; import s.implicits._
     intercept[IllegalArgumentException] {
       TxnTable.append(spark, root,
