@@ -181,21 +181,25 @@ object TxnTable {
     * prior columns is fine (its files read those columns as null —
     * schema on read, the same contract parquet gives every warehouse
     * format). */
+  /** from -> to is lossless: every `from` value is exactly
+    * representable as a `to` value. */
+  private def widens(from: org.apache.spark.sql.types.DataType,
+                     to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType)            => true
+      case (IntegerType, LongType)                        => true
+      case (FloatType, DoubleType)                        => true
+      case _                                              => false
+    }
+  }
+
   private[sinks] def evolve(prior: Option[org.apache.spark.sql.types.StructType],
                      incoming: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.types.StructType = prior match {
     case None => incoming
     case Some(p) =>
-      import org.apache.spark.sql.types._
-      // from -> to is lossless: every `from` value is exactly
-      // representable as a `to` value
-      def widens(from: DataType, to: DataType): Boolean = (from, to) match {
-        case (ByteType, ShortType | IntegerType | LongType) => true
-        case (ShortType, IntegerType | LongType)            => true
-        case (IntegerType, LongType)                        => true
-        case (FloatType, DoubleType)                        => true
-        case _                                              => false
-      }
       val evolved = p.fields.map { pf =>
         incoming.fields.find(_.name == pf.name) match {
           case Some(f) if f.dataType == pf.dataType => pf
@@ -1586,7 +1590,10 @@ object TxnTable {
     * attempt. The branch ref stays for the audit trail; [[dropBranch]]
     * it once done. Schema evolution composes: each replayed commit
     * evolves main's schema with the branch commit's, exactly as a
-    * fresh append of those rows would. */
+    * fresh append of those rows would — and across COLUMN-MAPPED lines
+    * (main renamed/dropped since the fork) it composes by frozen
+    * PHYSICAL identity ([[composeReplaySchema]]): main's logical names
+    * win, drops of branch-written columns refuse. */
   def replayBranch(s: SparkSession, root: String, name: String,
                    maxAttempts: Int = 5): Snapshot = {
     require(maxAttempts >= 1, "need at least one attempt")
@@ -1611,12 +1618,6 @@ object TxnTable {
     var head = latestRequired(s, root)
     require(head.version > fork,
       s"main still sits at fork v$fork — use fastForward, not replay")
-    // replay composes the BRANCH commits' recorded schemas onto main's;
-    // with a column mapping on either line the name-based composition
-    // could duplicate a renamed column — refuse until replay learns to
-    // compose mappings
-    requireUnmapped(head, "replayBranch")
-    chain.foreach { case (bc, _) => requireUnmapped(bc, "replayBranch") }
     val allAdded = chain.flatMap(_._2)
     val overlap = allAdded.filter(head.files.toSet)
     require(overlap.isEmpty,
@@ -1639,7 +1640,8 @@ object TxnTable {
             mergeStats(head.stats,
               added.flatMap(f => bc.stats.get(f).map(f -> _)).toMap),
             head.statsCols,
-            bc.schema.map(sc => evolve(head.schema, sc)).orElse(head.schema),
+            bc.schema.map(sc => composeReplaySchema(head.schema, sc))
+              .orElse(head.schema),
             head.blooms ++ added.flatMap(f => bc.blooms.get(f).map(f -> _)).toMap,
             head.bloomCols,
             head.deletes, head.deleteCols, head.transforms,
@@ -1654,6 +1656,64 @@ object TxnTable {
       }
     }
     head
+  }
+
+  /** Schema composition for [[replayBranch]] when either line carries a
+    * COLUMN MAPPING ([[ColumnMapping]]): physical identities are frozen
+    * at birth, so the branch commit's schema composes onto the moved
+    * main's by PHYSICAL name, never logical — main's logical names win
+    * (it may have renamed since the fork; the branch's files store the
+    * same frozen physical names either way), branch-new columns append
+    * under their own names, and anything ambiguous refuses loud
+    * (exact-or-refuse):
+    *  - the branch writes a column main has DROPPED (tombstoned
+    *    physical): replaying would silently hide the appended data;
+    *  - a branch-new column's logical name collides with a live main
+    *    column of DIFFERENT physical identity: the branch's files
+    *    physically carry that name and existing bytes cannot be
+    *    reallocated;
+    *  - a non-widening type mismatch (same lattice as [[evolve]]).
+    * Unmapped-on-both-sides takes [[evolve]] unchanged (byte-identical
+    * to pre-mapping replay). */
+  private def composeReplaySchema(
+      prior: Option[org.apache.spark.sql.types.StructType],
+      bcSc: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    import ColumnMapping._
+    val p = prior.getOrElse(return bcSc)
+    if (!hasMapping(p) && !hasMapping(bcSc)) return evolve(prior, bcSc)
+    val liveLogical = p.fields.filterNot(isDropped).map(_.name).toSet
+    var fields = p.fields.toVector
+    val extra = Vector.newBuilder[org.apache.spark.sql.types.StructField]
+    bcSc.fields.filterNot(isDropped).foreach { bf =>
+      val bp = physOf(bf)
+      fields.indexWhere(f => physOf(f) == bp) match {
+        case i if i >= 0 =>
+          val hf = fields(i)
+          require(!isDropped(hf),
+            s"replayBranch: branch writes column '${bf.name}' (physical " +
+              s"'$bp') which main has dropped — replay refuses rather than " +
+              "silently hide the appended data")
+          if (hf.dataType != bf.dataType) {
+            if (widens(hf.dataType, bf.dataType))
+              fields = fields.updated(i, hf.copy(dataType = bf.dataType))
+            else require(widens(bf.dataType, hf.dataType),
+              s"replayBranch: column '${hf.name}' (physical '$bp') is " +
+                s"${hf.dataType.simpleString} on main vs " +
+                s"${bf.dataType.simpleString} on the branch — not a " +
+                "lossless widening either way")
+            // main already wider: keep it, branch files upcast on read
+          }
+        case _ =>
+          require(!liveLogical.contains(bf.name),
+            s"replayBranch: branch-new column '${bf.name}' collides with a " +
+              "live main column of different physical identity — replay " +
+              "refuses (rename one side first)")
+          // main's existing files have no values for it
+          extra += bf.copy(nullable = true)
+      }
+    }
+    org.apache.spark.sql.types.StructType(fields ++ extra.result())
   }
 
   /** Delete the branch ref and its manifests. Data files are shared

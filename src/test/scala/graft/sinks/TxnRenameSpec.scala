@@ -206,6 +206,65 @@ class TxnRenameSpec extends AnyFunSuite {
         Seq(1L).toDF(ColumnMapping.TombstonePrefix + "x")) }
   }
 
+  test("replayBranch composes across a renamed main by frozen physical identity") {
+    val root = freshRoot()
+    TxnTable.append(spark, root, df(1, 2), statsCols = Seq("id"))
+    TxnTable.createBranch(spark, root, "work")
+    // branch append under the PRE-rename names
+    TxnTable.appendToBranch(spark, root, "work", df(10))
+    // main diverges AND renames — the exact case that used to refuse
+    TxnTable.append(spark, root, df(5))
+    TxnTable.alterTable(spark, root, renames = Seq("id" -> "k"))
+    TxnTable.replayBranch(spark, root, "work")
+    val got = TxnTable.read(spark, root)
+    assert(got.columns.toSeq === Seq("k", "v")) // main's logical names win
+    assert(rows(got) === Set(Seq(1L, 10L), Seq(2L, 20L), Seq(5L, 50L),
+      Seq(10L, 100L)))
+    // the replayed file's frozen-physical stats answer to the new name
+    assert(rows(TxnTable.readPruned(spark, root, "k", 10L, 20L).select("k"))
+      === Set(Seq(10L)))
+    // a branch-NEW column appends under its own name; pre-replay main
+    // rows read NULL in it
+    val s = spark; import s.implicits._
+    TxnTable.createBranch(spark, root, "extra")
+    TxnTable.appendToBranch(spark, root, "extra",
+      df(20).toDF("k", "v").withColumn("w", lit(7L)))
+    TxnTable.append(spark, root, df(6).toDF("k", "v"))
+    TxnTable.replayBranch(spark, root, "extra")
+    val got2 = TxnTable.read(spark, root)
+    assert(got2.columns.toSeq === Seq("k", "v", "w"))
+    assert(rows(got2.select("k", "w")).contains(Seq(20L, 7L)))
+    assert(rows(got2.select("k", "w")).contains(Seq(6L, null)))
+  }
+
+  test("replayBranch refuse-loud edges under the mapping: drops and name collisions") {
+    // main DROPS a column the branch still writes — replaying would
+    // silently hide the appended data
+    val root = freshRoot()
+    TxnTable.append(spark, root, df(1), statsCols = Seq("id"))
+    TxnTable.createBranch(spark, root, "doomed")
+    TxnTable.appendToBranch(spark, root, "doomed", df(30))
+    TxnTable.append(spark, root, df(5))
+    TxnTable.alterTable(spark, root, drops = Seq("v"))
+    val e = intercept[IllegalArgumentException] {
+      TxnTable.replayBranch(spark, root, "doomed") }
+    assert(e.getMessage.contains("dropped"))
+    // a branch-new column's name collides with a live main column of
+    // DIFFERENT physical identity (main renamed v -> z; branch adds a
+    // fresh z): the branch's files physically carry 'z', refuse
+    val root2 = freshRoot()
+    TxnTable.append(spark, root2, df(1), statsCols = Seq("id"))
+    TxnTable.createBranch(spark, root2, "clash")
+    val s = spark; import s.implicits._
+    TxnTable.appendToBranch(spark, root2, "clash",
+      df(30).withColumn("z", lit(9L)))
+    TxnTable.append(spark, root2, df(5))
+    TxnTable.alterTable(spark, root2, renames = Seq("v" -> "z"))
+    val c = intercept[IllegalArgumentException] {
+      TxnTable.replayBranch(spark, root2, "clash") }
+    assert(c.getMessage.contains("collides"))
+  }
+
   test("branches carry the mapping: branch appends, reads, and fast-forward") {
     val root = freshRoot()
     TxnTable.append(spark, root, df(1, 2), statsCols = Seq("id"))
