@@ -672,6 +672,74 @@ object Txn {
        |GROUP BY event_type
        |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q129: DIVERGED-BRANCH REPLAY ACROSS A RENAME — the cherry-pick
+  // recovery flow under the column mapping, end-to-end from SQL: the
+  // daily aggregate bootstraps WITHOUT its last two days, a branch
+  // takes both day-loads outside the main line, and while the branch
+  // loads, main EVOLVES — `ALTER TABLE … RENAME COLUMN total_value TO
+  // revenue` commits a mapped schema past the fork. fastForward is now
+  // impossible (diverged); `CALL graft_cat.system.replay_branch`
+  // re-commits each branch day onto the moved main, composing the
+  // branch's PRE-rename schema by frozen physical identity
+  // ([[TxnTable.composeReplaySchema]]): the replayed days surface under
+  // main's new name, hash-exact. The oracle is q82's from-scratch
+  // recompute with the aggregate aliased to the post-rename name —
+  // divergence recovery and a metadata-only rename change how content
+  // TRAVELS and is ADDRESSED, never what it IS.
+  // ---------------------------------------------------------------------
+  private[queries] def ensureReplayRenamed(s: SparkSession, dir: String): String =
+    synchronized {
+      import s.implicits._
+      val wh = sqlCatWarehouse(s)
+      val name = s"daily_rep_${tag(dir)}"
+      val root = s"$wh/db/$name"
+      val st = graft.SourceStamp.table(s, dir, "events")
+      // lifecycle product: the head is either a replay commit or (for
+      // a source too small to split off tail days) the bare rename
+      if (!TxnTable.latest(s, root).exists(sn =>
+            sn.op.startsWith("replay:") || sn.op == "alter") ||
+          !graft.SourceStamp.isCurrent(s, root, st)) {
+        val loc = new org.apache.hadoop.fs.Path(root)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+        val days = Incremental.sourceDays(s, dir)
+        val (hist, tail) = days.splitAt(math.max(1, days.size - 2))
+        TxnTable.overwrite(s, root, dayAgg(s, dir, $"day".isin(hist: _*)))
+        s.sql(s"CALL graft_cat.system.create_branch('db.$name', 'load')")
+        tail.foreach(d =>
+          TxnTable.appendToBranch(s, root, "load", dayAgg(s, dir, $"day" === d)))
+        // main diverges by EVOLVING: a mapped-schema commit past the fork
+        s.sql(s"ALTER TABLE graft_cat.db.$name " +
+          "RENAME COLUMN total_value TO revenue")
+        if (tail.nonEmpty)
+          s.sql(s"CALL graft_cat.system.replay_branch('db.$name', 'load')")
+        graft.SourceStamp.write(s, root, st)
+      }
+      root
+    }
+
+  val q129Bench: Q = (s, dir) => {
+    import s.implicits._
+    val name = s"daily_rep_${tag(dir)}"
+    ensureReplayRenamed(s, dir)
+    s.sql(s"SELECT * FROM graft_cat.db.$name")
+  }
+  val q129: Q = (s, dir) => {
+    import s.implicits._
+    q129Bench(s, dir).orderBy($"day", $"event_type")
+  }
+  // replayed-across-the-rename must equal recomputed-from-scratch,
+  // surfaced under the post-rename name
+  val q129Sql: String =
+    s"""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+       |  COUNT(*) AS n,
+       |  SUM(${sqlCents("value")}) / 100.0 AS revenue
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY day, event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q82_txn_snapshot" -> q82,
     "q89_txn_delete"   -> q89,
@@ -684,7 +752,8 @@ object Txn {
     "q125_dsv2_read"   -> q125,
     "q126_sql_update"  -> q126,
     "q127_sql_maintenance" -> q127,
-    "q128_sql_rename"  -> q128)
+    "q128_sql_rename"  -> q128,
+    "q129_replay_rename" -> q129)
   val oracles: Map[String, String] = Map(
     "q82_txn_snapshot" -> q82Sql,
     "q89_txn_delete"   -> q89Sql,
@@ -697,7 +766,8 @@ object Txn {
     "q125_dsv2_read"   -> q125Sql,
     "q126_sql_update"  -> q126Sql,
     "q127_sql_maintenance" -> q127Sql,
-    "q128_sql_rename"  -> q128Sql)
+    "q128_sql_rename"  -> q128Sql,
+    "q129_replay_rename" -> q129Sql)
 
   /** Bench-time override minus the determinism-only global sort (see
     * [[Relational.benchVariants]]). Verify runs the sorted forms. */
@@ -712,5 +782,6 @@ object Txn {
     "q125_dsv2_read"   -> q125Bench,
     "q126_sql_update"  -> q126Bench,
     "q127_sql_maintenance" -> q127Bench,
-    "q128_sql_rename"  -> q128Bench)
+    "q128_sql_rename"  -> q128Bench,
+    "q129_replay_rename" -> q129Bench)
 }
