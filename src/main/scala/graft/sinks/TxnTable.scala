@@ -400,7 +400,20 @@ object TxnTable {
     // too), and the result is aliased back to the logical names last.
     // Unmapped tables: physicalSchema == schema, alias is the identity.
     val data = scanFiles(s, root, snap, snap.files)
-    val merged = if (snap.deletes.nonEmpty && snap.deleteCols.nonEmpty) {
+    val merged = maskDeletes(s, root, snap, data)
+    snap.schema.fold(merged)(sc => ColumnMapping.aliasToLogical(merged, sc))
+  }
+
+  /** Apply the snapshot's merge-on-read equality deletes to a
+    * PHYSICAL-named scan (`df` must come from [[scanFiles]] — delete
+    * files were written physical too). The anti-join is GLOBAL over
+    * whatever files the caller scanned, which is what makes it safe to
+    * apply to any SUBSET of the snapshot's files ([[compactWhere]]):
+    * masking is idempotent and per-row, never per-file-set. */
+  private def maskDeletes(s: SparkSession, root: String, snap: Snapshot,
+                          df: DataFrame): DataFrame =
+    if (snap.deletes.isEmpty || snap.deleteCols.isEmpty) df
+    else {
       import org.apache.spark.sql.functions.col
       val base = root.stripSuffix("/")
       val keys = s.read.parquet(snap.deletes.map(f => s"$base/$f"): _*)
@@ -408,11 +421,9 @@ object TxnTable {
       // null-safe per component: a null-keyed delete row must remove
       // null-keyed data; composite keys match on EVERY component
       val cond = snap.deleteCols
-        .map(c => data(c) <=> keys(s"_del_$c")).reduce(_ && _)
-      data.join(keys, cond, "left_anti")
-    } else data
-    snap.schema.fold(merged)(sc => ColumnMapping.aliasToLogical(merged, sc))
-  }
+        .map(c => df(c) <=> keys(s"_del_$c")).reduce(_ && _)
+      df.join(keys, cond, "left_anti")
+    }
 
   /** Schema-pinned raw scan of `files`: pinned to the snapshot's
     * PHYSICAL schema (what the parquet bytes actually say — for a table
@@ -1758,6 +1769,87 @@ object TxnTable {
       mergeStats(stagedStats, transformStats(staged, cur.transforms)),
       cur.statsCols, cur.schema.orElse(Some(arranged.schema)),
       stagedBlooms, cur.bloomCols, transforms = cur.transforms)
+  }
+
+  /** PARTIAL (scoped) compaction — the 100 TB form of [[compactTxn]]:
+    * rewrite ONLY the files a selection criterion picks, carry every
+    * other file by reference with its recorded metadata untouched. A
+    * full-table rewrite stops being an option once the table is large;
+    * maintenance must be proportional to the ILL-MAINTAINED REGION
+    * (Delta's `OPTIMIZE ... WHERE`, Iceberg's `rewrite_data_files`
+    * filter), not to the table.
+    *
+    * Selection is conjunctive — a file is rewritten iff it satisfies
+    * EVERY given criterion:
+    *  - `bounds` (col, lo, hi): the file's recorded [min, max] of the
+    *    stats column OVERLAPS the range. Files with no recorded range
+    *    are INCLUDED — absent metadata never exempts a file from
+    *    maintenance, the write-side mirror of the read-side "absent
+    *    metadata never skips" rule (and rewriting is how such a file
+    *    GAINS stats).
+    *  - `smallerThanBytes`: the file is under the size threshold — the
+    *    binpack small-file criterion (one `getFileStatus` per candidate;
+    *    metadata-proportional, no data reads).
+    * At least one criterion is required (a criterion-less call is a
+    * full rewrite — say so explicitly via [[compactTxn]]).
+    *
+    * Live MoR deletes are allowed, unlike the full compact's fold: the
+    * selected files are read WITH the delete mask applied (rewritten
+    * files shed their dead rows), and the delete files STAY in the
+    * manifest for the carried files. Equality deletes are a GLOBAL
+    * anti-join ([[maskDeletes]]), so re-applying them to the already-
+    * cleansed rewrite is a no-op — the visible content is unchanged,
+    * which also keeps the op's `compact` classification honest for the
+    * change feed and streaming sources (maintenance commits emit
+    * nothing).
+    *
+    * No-op (no commit, current head returned) when the selection is
+    * empty, or picks a single file with no reclustering requested. */
+  def compactWhere(s: SparkSession, root: String, targetFiles: Int,
+                   bounds: Seq[(String, Long, Long)] = Nil,
+                   smallerThanBytes: Option[Long] = None,
+                   sortCols: Seq[String] = Nil): Snapshot = {
+    require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
+    require(bounds.nonEmpty || smallerThanBytes.nonEmpty,
+      "compactWhere needs a selection criterion (bounds and/or " +
+        "smallerThanBytes); a full rewrite is compactTxn")
+    val cur = latestRequired(s, root)
+    val physBounds = bounds.map { case (c, lo, hi) => (physCol(cur, c), lo, hi) }
+    val f = fs(s, root)
+    val base = root.stripSuffix("/")
+    val selected = cur.files.filter { fn =>
+      (physBounds.isEmpty || !provablyDisjoint(cur, fn, physBounds)) &&
+        smallerThanBytes.forall(t =>
+          f.getFileStatus(new Path(s"$base/$fn")).getLen < t)
+    }
+    if (selected.isEmpty || (selected.size == 1 && sortCols.isEmpty)) return cur
+    val carrySet = cur.files.toSet -- selected
+    val carry = cur.files.filter(carrySet)
+    import org.apache.spark.sql.functions.col
+    val subset = maskDeletes(s, root, cur, scanFiles(s, root, cur, selected))
+    val logical = cur.schema.fold(subset)(
+      sc => ColumnMapping.aliasToLogical(subset, sc))
+    val arranged =
+      if (sortCols.isEmpty) logical.coalesce(targetFiles)
+      else logical.repartitionByRange(targetFiles, sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
+    // the mask may have emptied every selected file; a 0-row stage
+    // would write no parquet parts to reference
+    val staged =
+      if (arranged.isEmpty) Seq.empty[String]
+      else stage(s, root, toPhys(arranged, cur), cur.transforms)
+    val (stagedStats, stagedBlooms) =
+      fileMeta(s, root, staged, cur.statsCols, cur.bloomCols)
+    commit(s, root, cur.version + 1, "compact", carry ++ staged,
+      cur.stats.view.filterKeys(carrySet).toMap ++
+        mergeStats(stagedStats, transformStats(staged, cur.transforms)),
+      cur.statsCols, cur.schema,
+      cur.blooms.view.filterKeys(carrySet).toMap ++ stagedBlooms,
+      cur.bloomCols,
+      deletes = cur.deletes, deleteCols = cur.deleteCols,
+      transforms = cur.transforms,
+      rowCounts = cur.rowCounts.view.filterKeys(carrySet).toMap,
+      nullCounts = cur.nullCounts.view.filterKeys(carrySet).toMap)
   }
 
   /** OPTIMIZE ZORDER: transactional reclustering on TWO dimensions at

@@ -53,9 +53,9 @@ object GraftProcedures {
     all(catalog).map(p => p.name -> p).toMap
 
   private[sources] def names: Seq[String] = Seq(
-    "compact", "zorder", "compact_deletes", "vacuum", "orphan_files",
-    "restore", "create_tag", "create_branch", "fast_forward",
-    "replay_branch")
+    "compact", "compact_where", "zorder", "compact_deletes", "vacuum",
+    "orphan_files", "restore", "create_tag", "create_branch",
+    "fast_forward", "replay_branch")
 
   /** Multi-param lambdas do not infer through a curried CONSTRUCTOR's
     * second list; a factory method propagates the expected type. */
@@ -76,6 +76,35 @@ object GraftProcedures {
       versionFiles) { (s, root, args) =>
       val sortCols = args.str(2).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
       TxnTable.compactTxn(s, root, args.int(1), sortCols)
+    },
+
+    proc(catalog, "compact_where",
+      "PARTIAL compaction: rewrite only the files overlapping a stats " +
+        "range and/or under a size threshold (maintenance proportional " +
+        "to the ill-maintained region, never the table) and commit one " +
+        "new version; no-op when nothing qualifies",
+      Seq(
+        in("table", StringType, "table name, e.g. 'db.t'"),
+        in("target_files", IntegerType, "number of rewritten output files"),
+        inDefault("col", StringType, "NULL",
+          "stats column of the range criterion (requires lo and hi)"),
+        inDefault("lo", LongType, "NULL", "range lower bound (inclusive)"),
+        inDefault("hi", LongType, "NULL", "range upper bound (inclusive)"),
+        inDefault("smaller_than_bytes", LongType, "NULL",
+          "rewrite only files under this size (binpack criterion)"),
+        inDefault("sort_cols", StringType, "NULL",
+          "comma-separated clustering columns for the rewritten region")),
+      versionFiles) { (s, root, args) =>
+      val bounds = (args.str(2), args.long(3), args.long(4)) match {
+        case (Some(c), Some(lo), Some(hi)) => Seq((c, lo, hi))
+        case (None, None, None)            => Nil
+        case _ => throw new IllegalArgumentException(
+          "compact_where: col, lo, hi must be given together")
+      }
+      val sortCols = args.str(6).toSeq.flatMap(_.split(","))
+        .map(_.trim).filter(_.nonEmpty)
+      TxnTable.compactWhere(s, root, args.int(1), bounds,
+        smallerThanBytes = args.long(5), sortCols = sortCols)
     },
 
     proc(catalog, "zorder",
