@@ -21,6 +21,7 @@ import graft.sinks.TxnTable
   *
   * {{{
   *   CALL graft_cat.system.compact(table => 'db.t', target_files => 4)
+  *   CALL graft_cat.system.compact_where('db.t', 4, col => 'id', lo => 0, hi => 99)
   *   CALL graft_cat.system.zorder('db.t', 4, 'x', 'y')
   *   CALL graft_cat.system.compact_deletes('db.t')
   *   CALL graft_cat.system.vacuum('db.t', retain_versions => 5)
