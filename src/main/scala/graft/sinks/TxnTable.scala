@@ -1803,16 +1803,28 @@ object TxnTable {
     * change feed and streaming sources (maintenance commits emit
     * nothing).
     *
+    * The rewritten region reclusters with ONE of `sortCols`
+    * (range-partition + sort, [[compactTxn]]'s strategy) or
+    * `zorderDims` (>= 2 dims, [[compactZOrderTxn]]'s Morton interleave;
+    * the dims join the recorded stats columns so the region prunes on
+    * them from this commit on) — Iceberg's `rewrite_data_files`
+    * sort/zorder strategies under a filter.
+    *
     * No-op (no commit, current head returned) when the selection is
     * empty, or picks a single file with no reclustering requested. */
   def compactWhere(s: SparkSession, root: String, targetFiles: Int,
                    bounds: Seq[(String, Long, Long)] = Nil,
                    smallerThanBytes: Option[Long] = None,
-                   sortCols: Seq[String] = Nil): Snapshot = {
+                   sortCols: Seq[String] = Nil,
+                   zorderDims: Seq[String] = Nil): Snapshot = {
     require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
     require(bounds.nonEmpty || smallerThanBytes.nonEmpty,
       "compactWhere needs a selection criterion (bounds and/or " +
         "smallerThanBytes); a full rewrite is compactTxn")
+    require(sortCols.isEmpty || zorderDims.isEmpty,
+      "compactWhere takes ONE clustering strategy: sortCols or zorderDims")
+    require(zorderDims.isEmpty || zorderDims.size >= 2,
+      "z-order needs >= 2 dimensions; one dimension is sortCols")
     val cur = latestRequired(s, root)
     val physBounds = bounds.map { case (c, lo, hi) => (physCol(cur, c), lo, hi) }
     val f = fs(s, root)
@@ -1822,7 +1834,9 @@ object TxnTable {
         smallerThanBytes.forall(t =>
           f.getFileStatus(new Path(s"$base/$fn")).getLen < t)
     }
-    if (selected.isEmpty || (selected.size == 1 && sortCols.isEmpty)) return cur
+    if (selected.isEmpty ||
+        (selected.size == 1 && sortCols.isEmpty && zorderDims.isEmpty))
+      return cur
     val carrySet = cur.files.toSet -- selected
     val carry = cur.files.filter(carrySet)
     import org.apache.spark.sql.functions.col
@@ -1830,7 +1844,14 @@ object TxnTable {
     val logical = cur.schema.fold(subset)(
       sc => ColumnMapping.aliasToLogical(subset, sc))
     val arranged =
-      if (sortCols.isEmpty) logical.coalesce(targetFiles)
+      if (zorderDims.nonEmpty)
+        logical
+          .withColumn("_zorder",
+            graft.queries.ZOrder.zvalueN(zorderDims.map(col)))
+          .repartitionByRange(targetFiles, col("_zorder"))
+          .sortWithinPartitions(col("_zorder"))
+          .drop("_zorder")
+      else if (sortCols.isEmpty) logical.coalesce(targetFiles)
       else logical.repartitionByRange(targetFiles, sortCols.map(col): _*)
         .sortWithinPartitions(sortCols.map(col): _*)
     // the mask may have emptied every selected file; a 0-row stage
@@ -1838,12 +1859,17 @@ object TxnTable {
     val staged =
       if (arranged.isEmpty) Seq.empty[String]
       else stage(s, root, toPhys(arranged, cur), cur.transforms)
+    // z-dims join the recorded stats columns (physical names) so the
+    // rewritten region prunes on them from this commit on; carried
+    // files simply lack the entries (absent metadata never skips)
+    val statsCols =
+      (cur.statsCols ++ zorderDims.map(physCol(cur, _))).distinct
     val (stagedStats, stagedBlooms) =
-      fileMeta(s, root, staged, cur.statsCols, cur.bloomCols)
+      fileMeta(s, root, staged, statsCols, cur.bloomCols)
     commit(s, root, cur.version + 1, "compact", carry ++ staged,
       cur.stats.view.filterKeys(carrySet).toMap ++
         mergeStats(stagedStats, transformStats(staged, cur.transforms)),
-      cur.statsCols, cur.schema,
+      statsCols, cur.schema,
       cur.blooms.view.filterKeys(carrySet).toMap ++ stagedBlooms,
       cur.bloomCols,
       deletes = cur.deletes, deleteCols = cur.deleteCols,

@@ -94,7 +94,9 @@ object GraftProcedures {
         inDefault("smaller_than_bytes", LongType, "NULL",
           "rewrite only files under this size (binpack criterion)"),
         inDefault("sort_cols", StringType, "NULL",
-          "comma-separated clustering columns for the rewritten region")),
+          "comma-separated clustering columns for the rewritten region"),
+        inDefault("zorder_dims", StringType, "NULL",
+          "comma-separated z-order dimensions (>= 2; exclusive with sort_cols)")),
       versionFiles) { (s, root, args) =>
       val bounds = (args.str(2), args.long(3), args.long(4)) match {
         case (Some(c), Some(lo), Some(hi)) => Seq((c, lo, hi))
@@ -102,10 +104,11 @@ object GraftProcedures {
         case _ => throw new IllegalArgumentException(
           "compact_where: col, lo, hi must be given together")
       }
-      val sortCols = args.str(6).toSeq.flatMap(_.split(","))
+      def csvAt(i: Int) = args.str(i).toSeq.flatMap(_.split(","))
         .map(_.trim).filter(_.nonEmpty)
       TxnTable.compactWhere(s, root, args.int(1), bounds,
-        smallerThanBytes = args.long(5), sortCols = sortCols)
+        smallerThanBytes = args.long(5), sortCols = csvAt(6),
+        zorderDims = csvAt(7))
     },
 
     proc(catalog, "zorder",

@@ -157,6 +157,39 @@ class TxnCompactWhereSpec extends AnyFunSuite {
       Set(1L, 2L, 100L, 101L, 102L, 103L))
   }
 
+  test("z-order strategy: the rewritten region prunes on both dims") {
+    val root = freshRoot()
+    val s = spark
+    import s.implicits._
+    // 16x16 grid in one ill-clustered region + one out-of-range file
+    val grid = (for { x <- 0L until 16L; y <- 0L until 16L }
+      yield (x, y)).toDF("x", "y").orderBy(rand(7)).repartition(4)
+    TxnTable.append(spark, root, grid, statsCols = Seq("x"))
+    TxnTable.append(spark, root,
+      Seq((100L, 100L)).toDF("x", "y").repartition(1))
+    val before = TxnTable.latest(spark, root).get
+    val farFile = before.files.find(f =>
+      before.stats.get(f).exists(_.get("x").contains((100L, 100L)))).get
+    val out = TxnTable.compactWhere(spark, root, targetFiles = 4,
+      bounds = Seq(("x", 0L, 50L)), zorderDims = Seq("x", "y"))
+    assert(out.files.contains(farFile))
+    // both dims recorded on the rewritten files; y-only predicates prune
+    assert(out.statsCols.contains("x") && out.statsCols.contains("y"))
+    val rewritten = out.files.filterNot(before.files.toSet)
+    assert(rewritten.size === 4)
+    val yPruned = rewritten.count(f =>
+      out.stats(f).get("y").exists { case (lo, hi) => hi < 8L || lo > 7L })
+    assert(yPruned >= 2, s"z-order should bound y per file: " +
+      rewritten.map(f => out.stats(f).get("y")).mkString(", "))
+    // content unchanged
+    assert(TxnTable.read(spark, root).count() === 257L)
+    // exclusive strategies refuse
+    intercept[IllegalArgumentException] {
+      TxnTable.compactWhere(spark, root, 1, bounds = Seq(("x", 0L, 1L)),
+        sortCols = Seq("x"), zorderDims = Seq("x", "y"))
+    }
+  }
+
   test("SQL procedure face: CALL compact_where") {
     val s = spark
     val wh = Files.createTempDirectory("graft_cw_cat").toString
