@@ -94,4 +94,46 @@ object TxnMeta {
       .map(id => (id, "staged", Option.empty[Long]))
     (tagRows ++ branchRows ++ stagedRows).toDF("name", "kind", "version")
   }
+
+  /** One row per PARTITION — distinct hidden-partitioning transform
+    * value tuple — of one snapshot (Iceberg's `partitions` metadata
+    * table): `partition, n_files, rows, bytes`. Derived entirely from
+    * the manifest: the fan-out records every file's transform value as
+    * a point range ([[TxnTable]] transformStats), so the grouping costs
+    * zero data reads; `bytes` is one `getFileStatus` per file (the same
+    * planning-scale IO the `files` table already pays). `rows` is null
+    * when ANY member file predates per-file row counts (a partial sum
+    * would lie). Files missing a transform entry (committed before the
+    * transform existed) group under a null component, visibly — and an
+    * unpartitioned table reports one all-null-partition row: the rollup
+    * is still the table's file/row/byte footprint. */
+  def partitions(s: SparkSession, root: String,
+                 version: Option[Long] = None): DataFrame = {
+    import s.implicits._
+    val v = version.getOrElse(
+      TxnTable.versions(s, root).lastOption.getOrElse(
+        throw new IllegalStateException(s"no committed snapshot at $root")))
+    val sn = TxnTable.snapshot(s, root, v)
+    val base = root.stripSuffix("/")
+    val fsys = new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tnames = sn.transforms.map(_.name)
+    val grouped = sn.files.groupBy { f =>
+      if (tnames.isEmpty) None
+      else Some(tnames.map { t =>
+        sn.stats.get(f).flatMap(_.get(t)) match {
+          case Some((lo, hi)) if lo == hi => s"$t=$lo"
+          case _                          => s"$t=null"
+        }
+      }.mkString("/"))
+    }
+    val rows = grouped.toSeq.sortBy(_._1.getOrElse("")).map { case (part, fls) =>
+      val counts = fls.map(sn.rowCounts.get)
+      val nRows = if (counts.forall(_.isDefined)) Some(counts.flatten.sum)
+                  else Option.empty[Long]
+      val bytes = fls.map(f =>
+        fsys.getFileStatus(new Path(s"$base/$f")).getLen).sum
+      (part, fls.size, nRows, bytes)
+    }
+    rows.toDF("partition", "n_files", "rows", "bytes")
+  }
 }

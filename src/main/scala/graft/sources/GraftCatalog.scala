@@ -109,7 +109,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     root
   }
 
-  /** `db.t.history` / `db.t.files` / `db.t.refs` — the metadata tables
+  /** `db.t.history` / `db.t.files` / `db.t.refs` / `db.t.partitions` —
+    * the metadata tables
     * as a name suffix (Iceberg's convention). The suffix only resolves
     * when the PARENT path is a table, so a real table named `history`
     * always wins. */
@@ -120,10 +121,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       return None
     val parent = (warehouse +: ident.namespace).mkString("/")
     if (!isTable(parent)) return None
-    if (version.isDefined && kind != "files")
+    if (version.isDefined && kind != "files" && kind != "partitions")
       throw new UnsupportedOperationException(
-        s"VERSION AS OF applies to the `files` metadata table only; " +
-          s"`$kind` always shows the full log")
+        s"VERSION AS OF applies to the `files`/`partitions` metadata " +
+          s"tables only; `$kind` always shows the full log")
     Some(new GraftMetaTableV2(spark, parent, kind, version))
   }
 
@@ -363,7 +364,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 }
 
 /** Metadata tables by NAME — `graft_cat.db.t.history` / `.files` /
-  * `.refs`, the SQL face of [[graft.sinks.TxnMeta]] (Iceberg's
+  * `.refs` / `.partitions`, the SQL face of [[graft.sinks.TxnMeta]] (Iceberg's
   * metadata-table convention: the suffix resolves only when the parent
   * path is a table). `files` additionally honors `VERSION AS OF` —
   * "which files, what ranges" for any retained snapshot.
@@ -379,9 +380,10 @@ private[sources] class GraftMetaTableV2(spark: SparkSession, root: String,
     with org.apache.spark.sql.connector.catalog.SupportsRead {
 
   private lazy val df = kind match {
-    case "history" => TxnMeta.history(spark, root)
-    case "files"   => TxnMeta.files(spark, root, version)
-    case "refs"    => TxnMeta.refs(spark, root)
+    case "history"    => TxnMeta.history(spark, root)
+    case "files"      => TxnMeta.files(spark, root, version)
+    case "refs"       => TxnMeta.refs(spark, root)
+    case "partitions" => TxnMeta.partitions(spark, root, version)
   }
 
   override def name(): String =
@@ -402,5 +404,5 @@ private[sources] class GraftMetaTableV2(spark: SparkSession, root: String,
 }
 
 private[sources] object GraftMetaTableV2 {
-  val kinds: Set[String] = Set("history", "files", "refs")
+  val kinds: Set[String] = Set("history", "files", "refs", "partitions")
 }

@@ -106,4 +106,56 @@ class TxnMetaSpec extends AnyFunSuite {
     TxnTable.dropTag(spark, root, "baseline")
     assert(TxnMeta.refs(spark, root).count() === 0L)
   }
+
+  test("partitions: per-transform-value rollup from the manifest; version pins") {
+    val root = freshRoot()
+    val s = spark; import s.implicits._
+    TxnTable.append(spark, root, df(1, 2, 3, 4, 5, 6).coalesce(1),
+      statsCols = Seq("id"),
+      transforms = Seq(TxnTable.Transform.bucket(2, "id")))
+    val p1 = TxnMeta.partitions(spark, root).collect()
+    // one row per live bucket; files/rows/bytes all accounted
+    assert(p1.map(_.getAs[String]("partition")).forall(_.startsWith("bucket2_id=")))
+    assert(p1.map(_.getAs[Long]("rows")).sum === 6L)
+    assert(p1.map(_.getAs[Int]("n_files")).sum ===
+      TxnTable.latest(spark, root).get.files.size)
+    assert(p1.forall(_.getAs[Long]("bytes") > 0L))
+    // a second append grows the buckets; the old version still reports
+    // its own rollup under VERSION AS OF
+    TxnTable.append(spark, root, df(7, 8).coalesce(1))
+    val p2 = TxnMeta.partitions(spark, root).collect()
+    assert(p2.map(_.getAs[Long]("rows")).sum === 8L)
+    assert(TxnMeta.partitions(spark, root, Some(1L)).collect()
+      .map(_.getAs[Long]("rows")).sum === 6L)
+  }
+
+  test("partitions: an unpartitioned table reports one all-table row with null partition") {
+    val root = freshRoot()
+    TxnTable.append(spark, root, df(1, 2).coalesce(1), statsCols = Seq("id"))
+    TxnTable.append(spark, root, df(3).coalesce(1))
+    val p = TxnMeta.partitions(spark, root).collect()
+    assert(p.length === 1)
+    assert(p.head.isNullAt(p.head.fieldIndex("partition")))
+    assert(p.head.getAs[Int]("n_files") === 2)
+    assert(p.head.getAs[Long]("rows") === 3L)
+  }
+
+  test("partitions metadata table by name honors VERSION AS OF") {
+    val s = spark
+    val wh = Files.createTempDirectory("graft_part_cat").toString
+    s.conf.set("spark.sql.catalog.pt_cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.pt_cat.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS pt_cat.db")
+    val root = s"$wh/db/t"
+    TxnTable.append(spark, root, df(1, 2, 3, 4).coalesce(1),
+      statsCols = Seq("id"),
+      transforms = Seq(TxnTable.Transform.bucket(2, "id")))
+    TxnTable.append(spark, root, df(5, 6).coalesce(1))
+    val got = s.sql("SELECT * FROM pt_cat.db.t.partitions").collect()
+    assert(got.map(_.getAs[Long]("rows")).sum === 6L)
+    assert(got.forall(_.getAs[String]("partition").startsWith("bucket2_id=")))
+    assert(s.sql("SELECT * FROM pt_cat.db.t.partitions VERSION AS OF 1")
+      .collect().map(_.getAs[Long]("rows")).sum === 4L)
+  }
 }
