@@ -167,7 +167,13 @@ object ColumnMapping {
   /** RENAME COLUMN in the recorded schema: logical name changes,
     * physical name freezes to [[physOf]] the first time. Refuses
     * unknown source, target collisions (live names and the tombstone
-    * prefix). */
+    * prefix). Renaming a column BACK to its birth (physical) name makes
+    * its mapping the identity again — the bookkeeping is REMOVED, not
+    * kept vestigially: a stale [[PhysKey]] equal to the field name
+    * would flip [[hasMapping]] false while still poisoning
+    * metadata-sensitive schema equality on the unmapped fast paths
+    * (found by MappingLawsProps: rename away, rename back, ADD COLUMN
+    * refused a target identical up to the leftover metadata). */
   def rename(sc: StructType, from: String, to: String): StructType = {
     val i = sc.fields.indexWhere(f => !isDropped(f) && f.name == from)
     require(i >= 0, s"RENAME COLUMN: no column '$from'")
@@ -177,9 +183,11 @@ object ColumnMapping {
     require(!to.startsWith(TombstonePrefix),
       s"RENAME COLUMN: prefix '$TombstonePrefix' is reserved")
     val f = sc.fields(i)
-    val renamed = f.copy(name = to,
-      metadata = new MetadataBuilder().withMetadata(f.metadata)
-        .putString(PhysKey, physOf(f)).build())
+    val renamed =
+      if (to == physOf(f)) f.copy(name = to, metadata = stripKeys(f.metadata))
+      else f.copy(name = to,
+        metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .putString(PhysKey, physOf(f)).build())
     StructType(sc.fields.updated(i, renamed))
   }
 

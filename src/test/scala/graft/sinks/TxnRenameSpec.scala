@@ -206,6 +206,29 @@ class TxnRenameSpec extends AnyFunSuite {
         Seq(1L).toDF(ColumnMapping.TombstonePrefix + "x")) }
   }
 
+  test("rename back to the birth name fully unmaps the field (MappingLawsProps find)") {
+    val root = freshRoot()
+    TxnTable.append(spark, root, df(1, 2), statsCols = Seq("id"))
+    TxnTable.alterTable(spark, root, renames = Seq("id" -> "c1"))
+    TxnTable.alterTable(spark, root, renames = Seq("c1" -> "id"))
+    // the round trip leaves NO mapping bookkeeping: unmapped fast paths
+    // re-engage, and metadata-sensitive schema equality cannot trip
+    val sc = TxnTable.latest(spark, root).get.schema.get
+    assert(!ColumnMapping.hasMapping(sc))
+    assert(!sc.fields.exists(_.metadata.contains(ColumnMapping.PhysKey)))
+    // the exact shrunk failure: ADD a column named like the abandoned
+    // alias — this used to refuse with "does not round-trip evolution"
+    // on a target identical up to the leftover metadata
+    TxnTable.alterTable(spark, root, newSchema = Some(
+      ColumnMapping.logicalView(sc).add("c1", "long", nullable = true)))
+    val got = TxnTable.read(spark, root)
+    assert(got.columns.toSeq === Seq("id", "v", "c1"))
+    // c1 was only ever an alias of id — no stored bytes resurrect
+    assert(rows(got.select("c1")) === Set(Seq(null), Seq(null)))
+    // and pruning on id still works off the (never-moved) physical stats
+    assert(TxnTable.readPruned(spark, root, "id", 5L, 9L).count() === 0L)
+  }
+
   test("replayBranch composes across a renamed main by frozen physical identity") {
     val root = freshRoot()
     TxnTable.append(spark, root, df(1, 2), statsCols = Seq("id"))
