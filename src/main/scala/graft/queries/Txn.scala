@@ -740,6 +740,79 @@ object Txn {
        |GROUP BY 1, 2
        |ORDER BY day, event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q130: PARTIAL COMPACTION under live MoR deletes — the 100 TB
+  // maintenance form ([[TxnTable.compactWhere]]), end-to-end from SQL:
+  // a raw events table range-partitioned on user_id takes a
+  // merge-on-read key delete, then `CALL compact_where(col =>
+  // 'user_id', lo, hi, sort_cols)` rewrites ONLY the stats-overlapping
+  // files — the rewritten region sheds its dead rows physically, the
+  // out-of-range files carry by path identity, and the delete files
+  // STAY for the carried region (equality deletes are a global
+  // anti-join, so re-masking the cleansed rewrite is a no-op). The
+  // oracle recomputes from the RAW source with the delete as a WHERE:
+  // a scoped rewrite must change LAYOUT, never content — losing the
+  // mask on a carried file, shedding the wrong rows, or double-
+  // counting a carried-and-rewritten file all fail the hash.
+  // ---------------------------------------------------------------------
+  private[queries] val PcLo = 21L
+  private[queries] val PcHi = 24L
+
+  private[queries] def ensurePartialCompacted(s: SparkSession, dir: String): String =
+    synchronized {
+      import s.implicits._
+      val wh = sqlCatWarehouse(s)
+      val name = s"events_pcomp_${tag(dir)}"
+      val root = s"$wh/db/$name"
+      val st = graft.SourceStamp.table(s, dir, "events")
+      // lifecycle product: overwrite + MoR delete + partial compact,
+      // with the delete files still live at the head
+      if (!(TxnTable.latest(s, root).exists(sn =>
+              sn.op == "compact" && sn.deletes.nonEmpty) &&
+            TxnTable.versions(s, root).size == 3) ||
+          !graft.SourceStamp.isCurrent(s, root, st)) {
+        val loc = new org.apache.hadoop.fs.Path(root)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+        TxnTable.overwrite(s, root,
+          graft.Tables.t(s, dir, "events")
+            .repartitionByRange(8, $"user_id"),
+          statsCols = Seq("user_id"))
+        TxnTable.deleteKeysMor(s, root, "user_id",
+          s.range(PcLo, PcHi + 1).toDF("user_id"))
+        s.sql(s"CALL graft_cat.system.compact_where('db.$name', 2, " +
+          s"col => 'user_id', lo => $PcLo, hi => ${PcHi + 40}, " +
+          "sort_cols => 'user_id')")
+        graft.SourceStamp.write(s, root, st)
+      }
+      root
+    }
+
+  val q130Bench: Q = (s, dir) => {
+    import s.implicits._
+    // the head deliberately carries LIVE MoR deletes (that is the
+    // sharp edge) — read through the merging path API; the by-name
+    // DSv2 scan refuses MoR-live tables by contract
+    TxnTable.read(s, ensurePartialCompacted(s, dir))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        money(sum(cents($"value"))).as("total_value"))
+  }
+  val q130: Q = (s, dir) => {
+    import s.implicits._
+    q130Bench(s, dir).orderBy($"event_type")
+  }
+  // partially-compacted-with-live-deletes must equal recomputed-with-
+  // the-delete
+  val q130Sql: String =
+    s"""SELECT event_type, COUNT(*) AS n,
+       |  SUM(${sqlCents("value")}) / 100.0 AS total_value
+       |FROM events
+       |WHERE user_id NOT BETWEEN $PcLo AND $PcHi
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q82_txn_snapshot" -> q82,
     "q89_txn_delete"   -> q89,
@@ -753,7 +826,8 @@ object Txn {
     "q126_sql_update"  -> q126,
     "q127_sql_maintenance" -> q127,
     "q128_sql_rename"  -> q128,
-    "q129_replay_rename" -> q129)
+    "q129_replay_rename" -> q129,
+    "q130_partial_compact" -> q130)
   val oracles: Map[String, String] = Map(
     "q82_txn_snapshot" -> q82Sql,
     "q89_txn_delete"   -> q89Sql,
@@ -767,7 +841,8 @@ object Txn {
     "q126_sql_update"  -> q126Sql,
     "q127_sql_maintenance" -> q127Sql,
     "q128_sql_rename"  -> q128Sql,
-    "q129_replay_rename" -> q129Sql)
+    "q129_replay_rename" -> q129Sql,
+    "q130_partial_compact" -> q130Sql)
 
   /** Bench-time override minus the determinism-only global sort (see
     * [[Relational.benchVariants]]). Verify runs the sorted forms. */
@@ -783,5 +858,6 @@ object Txn {
     "q126_sql_update"  -> q126Bench,
     "q127_sql_maintenance" -> q127Bench,
     "q128_sql_rename"  -> q128Bench,
-    "q129_replay_rename" -> q129Bench)
+    "q129_replay_rename" -> q129Bench,
+    "q130_partial_compact" -> q130Bench)
 }
