@@ -124,7 +124,17 @@ class GraftStreamCapableScan(val delegate: Scan, spark: SparkSession,
     if (p2l.isEmpty) rs
     else StructType(rs.fields.map(f => f.copy(name = p2l.getOrElse(f.name, f.name))))
   }
-  override def toBatch: Batch = delegate.toBatch
+  override def toBatch: Batch = {
+    // a BATCH read with the change-feed flag would otherwise silently
+    // return the full table instead of changes — the silent-wrong-result
+    // class this format refuses loud everywhere. Gated HERE because
+    // resolve()/inferSchema also run for the legitimate streaming CDC
+    // path (spark.readStream), which never calls toBatch.
+    require(!options.getBoolean("readChangeFeed", false),
+      "readChangeFeed is a STREAMING option (spark.readStream); for a " +
+        "batch change window use TxnTable.changesBetween(root, v1, v2)")
+    delegate.toBatch
+  }
   override def description(): String = delegate.description()
   /** Planner statistics: the parquet scan's size estimate, upgraded
     * with the EXACT row count from the manifest's per-file counts when

@@ -324,8 +324,19 @@ class GraftTxnTableV2(spark: SparkSession, val root: String, val snap: Snapshot,
     if (byName || mapping.isDefined) // by-name scans can also stream
       new GraftTxnScanBuilder(spark, root, snap, index, scanSchema, options,
         mapping, streamable = byName)
-    else
+    else {
+      // path tables reach newScanBuilder only from BATCH reads (no
+      // MICRO_BATCH_READ capability — path streaming is the V1 source),
+      // so the change-feed flag here is a batch read that would
+      // silently return the full table instead of changes: refuse with
+      // direction. By-name scans gate the same way in
+      // [[GraftStreamCapableScan.toBatch]] (their builder also serves
+      // the legitimate streaming-CDC path).
+      require(!options.getBoolean("readChangeFeed", false),
+        "readChangeFeed is a STREAMING option (spark.readStream); for a " +
+          "batch change window use TxnTable.changesBetween(root, v1, v2)")
       ParquetScanBuilder(spark, index, schema, schema, options)
+    }
   }
 
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)

@@ -121,4 +121,17 @@ class GraftTxnSourceSpec extends AnyFunSuite {
     assert(spark.read.format("graft-txn").load(root)
       .select("id").as[Long].collect().toSeq === Seq(2L))
   }
+
+  test("readChangeFeed on a BATCH read refuses loud (streaming-only option)") {
+    val root = freshRoot()
+    val s = spark; import s.implicits._
+    TxnTable.append(spark, root, Seq(1L).toDF("id").coalesce(1))
+    // silently returning the full table instead of changes would be a
+    // wrong RESULT, not a missing feature — refuse with direction
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft-txn").option("readChangeFeed", "true")
+        .load(root).collect()
+    }
+    assert(e.getMessage.contains("changesBetween"))
+  }
 }
