@@ -51,6 +51,7 @@ object MappingLawsProps extends Properties("graft.txn.mapping.laws") {
   private case class MorDelete(sel: Int) extends Op
   private case object FoldDeletes extends Op
   private case object Compact extends Op
+  private case class PartialCompact(sel: Int) extends Op
   private case class Restore(sel: Int) extends Op
 
   private val opGen: Gen[Op] = Gen.frequency(
@@ -63,6 +64,7 @@ object MappingLawsProps extends Properties("graft.txn.mapping.laws") {
     2 -> Gen.chooseNum(0, 7).map(MorDelete),
     1 -> Gen.const(FoldDeletes),
     2 -> Gen.const(Compact),
+    2 -> Gen.chooseNum(0, 7).map(PartialCompact),
     2 -> Gen.chooseNum(0, 7).map(Restore),
   )
 
@@ -172,6 +174,16 @@ object MappingLawsProps extends Properties("graft.txn.mapping.laws") {
             TxnTable.compactTxn(spark, root, targetFiles = 1)
             record()
           }
+        case PartialCompact(sel) => if (liveIds.nonEmpty) {
+          // a scoped rewrite addressed by the CURRENT id name (the
+          // bounds criterion translates through the mapping); content
+          // must be unaffected, so the model does not change
+          val lo = liveIds(sel % liveIds.size)
+          val before = TxnTable.latest(spark, root).get.version
+          TxnTable.compactWhere(spark, root, targetFiles = 1,
+            bounds = Seq((st.idName, lo, lo + 3)))
+          if (TxnTable.latest(spark, root).get.version != before) record()
+        }
         case Restore(sel) =>
           val vs = TxnTable.versions(spark, root)
           val head = vs.max

@@ -38,6 +38,10 @@ object VacuumLawsProps extends Properties("graft.txn.vacuum.laws") {
   sealed private trait Op
   private case class Append(n: Int) extends Op
   private case object Compact extends Op
+  // partial compaction carries UNSELECTED files by reference into the
+  // new manifest — with restore, the exact multi-manifest-reference
+  // shape a per-age (instead of per-referenced-file) vacuum would break
+  private case class PartialCompact(sel: Int) extends Op
   private case object MorDelete extends Op
   private case object FoldDeletes extends Op
   private case object CowDelete extends Op
@@ -48,6 +52,7 @@ object VacuumLawsProps extends Properties("graft.txn.vacuum.laws") {
   private val opGen: Gen[Op] = Gen.frequency(
     5 -> Gen.chooseNum(1, 4).map(Append),
     2 -> Gen.const(Compact),
+    2 -> Gen.chooseNum(0, 7).map(PartialCompact),
     2 -> Gen.const(MorDelete),
     1 -> Gen.const(FoldDeletes),
     2 -> Gen.const(CowDelete),
@@ -95,6 +100,12 @@ object VacuumLawsProps extends Properties("graft.txn.vacuum.laws") {
       ops.foreach {
         case Append(n) => TxnTable.append(spark, root, fresh(n))
         case Compact   => TxnTable.compactTxn(spark, root, targetFiles = 1)
+        case PartialCompact(sel) =>
+          // a moving half-open id range: sometimes selects several
+          // files, sometimes one (no-op), sometimes none (no-op)
+          val lo = (sel.toLong * next) / 8
+          TxnTable.compactWhere(spark, root, targetFiles = 1,
+            bounds = Seq(("id", lo, lo + math.max(2, next / 2))))
         case MorDelete =>
           val live = headContents(root)
           if (live.nonEmpty)
