@@ -1121,6 +1121,24 @@ object TxnTable {
     }
   }
 
+  /** A REPLACE inherits the prior snapshot's statsCols/bloomCols — but
+    * those are PHYSICAL names under the prior column mapping, and the
+    * replacement is recorded under the new content's own (logical)
+    * names with the mapping reset. Translate each inherited name to its
+    * prior logical name and keep it only if the new schema still has
+    * that column; anything else would be a dead name that fileMeta
+    * silently never records (pruning quietly stops) and future appends
+    * inherit. */
+  private def replaceMetaCols(prior: Option[Snapshot], inherited: Seq[String],
+                              newSchema: org.apache.spark.sql.types.StructType): Seq[String] = {
+    val p2l: Map[String, String] =
+      prior.flatMap(_.schema).fold(Map.empty[String, String])(sc =>
+        sc.fields.filterNot(ColumnMapping.isDropped)
+          .map(f => ColumnMapping.physOf(f) -> f.name).toMap)
+    inherited.map(c => p2l.getOrElse(c, c)).distinct
+      .filter(newSchema.fieldNames.contains)
+  }
+
   /** Exactly-once table REPLACEMENT keyed by batch id — the commit
     * shape of an idempotent MERGE job (e.g. SCD-2, see
     * `graft.queries.Scd.scd2MergeTxn`): the new snapshot replaces the
@@ -1144,8 +1162,8 @@ object TxnTable {
       ColumnMapping.requireNoReserved(df.schema)
       val staged = stage(s, root, df, trs)
       val cols = if (statsCols.nonEmpty) statsCols
-        else prior.map(_.statsCols).getOrElse(Nil)
-      val bcols = prior.map(_.bloomCols).getOrElse(Nil)
+        else replaceMetaCols(prior, prior.map(_.statsCols).getOrElse(Nil), df.schema)
+      val bcols = replaceMetaCols(prior, prior.map(_.bloomCols).getOrElse(Nil), df.schema)
       val (stagedStats, stagedBlooms) = fileMeta(s, root, staged, cols, bcols)
       Some(commit(s, root, vs.lastOption.getOrElse(0L) + 1, opTag,
         staged, mergeStats(stagedStats, transformStats(staged, trs)), cols,
@@ -1178,8 +1196,14 @@ object TxnTable {
       if (vs.exists(v => snapshot(s, root, v).op == opTag)) return None
       val prior = vs.lastOption.map(snapshot(s, root, _))
       val trs = prior.map(_.transforms).getOrElse(Nil)
-      val cols = prior.map(_.statsCols).getOrElse(Nil)
-      val bcols = prior.map(_.bloomCols).getOrElse(Nil)
+      // the replace path resets the mapping, so inherited metadata
+      // columns must be translated off the prior physical names
+      val cols =
+        if (replace) replaceMetaCols(prior, prior.map(_.statsCols).getOrElse(Nil), stagedSchema)
+        else prior.map(_.statsCols).getOrElse(Nil)
+      val bcols =
+        if (replace) replaceMetaCols(prior, prior.map(_.bloomCols).getOrElse(Nil), stagedSchema)
+        else prior.map(_.bloomCols).getOrElse(Nil)
       val (stagedStats, stagedBlooms) = fileMeta(s, root, staged, cols, bcols)
       // appends: evolve under the column mapping; the executors staged
       // the files under `stagedPhys` (the stream-start physical names —
@@ -1341,8 +1365,20 @@ object TxnTable {
     val head = latestRequired(s, root)
     val stg = stagedSnapshot(s, root, id)
     val target = ColumnMapping.logicalView(
-      stg.schema.fold(head.schema.get)(sc =>
-        evolveM(head.schema, ColumnMapping.liveStorage(sc))))
+      stg.schema.fold(head.schema.get) { sc =>
+        val merged = evolveM(head.schema, ColumnMapping.liveStorage(sc))
+        // the same refusal publishStaged issues: a DDL between stage
+        // and audit that re-mapped a staged column (drop/re-add) would
+        // otherwise make this preview silently show staged rows under a
+        // separate dead column — the audit read must refuse exactly the
+        // stages publish would
+        ColumnMapping.liveStorage(sc).fieldNames.foreach { c =>
+          require(ColumnMapping.physName(merged, c) ==
+              ColumnMapping.physName(sc, c),
+            s"column '$c' was re-mapped since stage '$id' - abort and restage")
+        }
+        merged
+      })
     // staged files carry physical names when the stage-time schema was
     // mapped — read pinned to them, alias back before aligning
     val stagedDf = stg.schema.fold(

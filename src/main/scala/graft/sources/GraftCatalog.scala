@@ -147,7 +147,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier, version: String): Table = {
     val root = tableRoot(ident)
     if (!isTable(root)) {
-      val v = scala.util.Try(version.toLong).toOption
+      // a metadata-table suffix: a non-numeric ref (tag / branch name)
+      // resolves against the PARENT table, same rule as the table
+      // itself — `db.t.files VERSION AS OF 'audited'` shows the tagged
+      // snapshot's files, never silently the latest; a bogus ref
+      // refuses loud inside resolveRef.
+      val v = scala.util.Try(version.toLong).toOption.orElse {
+        val parent = (warehouse +: ident.namespace()).mkString("/")
+        if (ident.namespace().nonEmpty && isTable(parent) &&
+            GraftMetaTableV2.kinds.contains(ident.name.toLowerCase))
+          Some(GraftTxnSource.resolveRef(spark, parent, version).version)
+        else None
+      }
       return metaTable(ident, v).getOrElse(throw new NoSuchTableException(ident))
     }
     new GraftTxnTableV2(spark, root,

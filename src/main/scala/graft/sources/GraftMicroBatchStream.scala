@@ -215,7 +215,8 @@ case class TxnVersionOffset(version: Long) extends Offset {
 class GraftTxnMicroBatchStream(spark: SparkSession, root: String,
                                snap: Snapshot, readSchema: StructType,
                                options: CaseInsensitiveStringMap)
-    extends MicroBatchStream {
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
   private def opt(key: String): Option[String] = Option(options.get(key))
   private val startV: Long = opt("startVersion").map(_.toLong).getOrElse(snap.version)
@@ -223,10 +224,6 @@ class GraftTxnMicroBatchStream(spark: SparkSession, root: String,
   private val skipChangeCommits: Boolean = opt("skipChangeCommits").exists(_.toBoolean)
   maxPerBatch.foreach(m =>
     require(m >= 1, s"maxVersionsPerBatch must be >= 1, got $m"))
-
-  /** Pacing cursor (the v1 source's `served`): restart recovery replays
-    * the checkpointed window through planInputPartitions, re-seeding it. */
-  @volatile private var served: Long = startV
 
   /** One stateless vectorized reader factory for the whole stream: a
     * parquet reader factory reads whatever FilePartition it is handed,
@@ -241,11 +238,21 @@ class GraftTxnMicroBatchStream(spark: SparkSession, root: String,
   override def deserializeOffset(json: String): Offset =
     TxnVersionOffset(json.trim.toLong)
 
-  override def latestOffset(): Offset = {
+  /** Admission control: the engine hands us the TRUE current position
+    * (initial offset on a fresh stream, the checkpoint-restored offset
+    * after a restart), so pacing floors at the right cursor with no
+    * internal `served` state — a restart mid-backlog catches up in
+    * maxVersionsPerBatch-bounded windows instead of one giant batch
+    * floored at the restart-time startV. */
+  override def latestOffset(start: Offset, limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
     val head = TxnTable.latest(spark, root).map(_.version).getOrElse(0L)
-    val floor = math.max(served, startV)
-    TxnVersionOffset(maxPerBatch.fold(head)(m => math.min(head, floor + m)))
+    val floor = start.asInstanceOf[TxnVersionOffset].version
+    TxnVersionOffset(maxPerBatch.fold(head)(m =>
+      math.max(floor, math.min(head, floor + m))))
   }
+
+  override def latestOffset(): Offset = throw new UnsupportedOperationException(
+    "latestOffset(Offset, ReadLimit) drives this stream (SupportsAdmissionControl)")
 
   /** Added files of one admitted window (None = admitted-empty), the
     * manifest-fact classification shared with the v1 append source. */
@@ -280,7 +287,6 @@ class GraftTxnMicroBatchStream(spark: SparkSession, root: String,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val v1 = start.asInstanceOf[TxnVersionOffset].version
     val v2 = end.asInstanceOf[TxnVersionOffset].version
-    served = math.max(served, v2)
     val added = ((v1 + 1) to v2).flatMap(addedOf).flatten
     if (added.isEmpty) Array.empty
     else

@@ -389,11 +389,13 @@ class GraftTxnTableV2(spark: SparkSession, val root: String, val snap: Snapshot,
       s"snapshot v${snap.version} at $root carries ${snap.deletes.size} live " +
         "merge-on-read delete file(s); row-level SQL ops rewrite whole files " +
         "and would resurrect the deleted rows — run TxnTable.compactDeletes first")
-    // NOTE: no mapping refusal HERE — the analyzer builds the operation
+    // NOTE: no mapping guard HERE — the analyzer builds the operation
     // table eagerly for every DELETE, including the simple ones the
-    // optimizer later converts back to the metadata-only fast path
-    // (which supports mapped tables). The rewrite WRITE refuses instead
-    // ([[GraftRowLevelOperation.newWriteBuilder]]).
+    // optimizer later converts back to the metadata-only fast path.
+    // Mapped tables are handled where the rewrite WRITES: the write
+    // schema is physicalized ([[GraftRowLevelOperation.physicalize]] via
+    // newWriteBuilder), so rewritten files keep the frozen physical
+    // names.
     () => new GraftRowLevelOperation(spark, root, snap, info.command(), schema)
   }
 

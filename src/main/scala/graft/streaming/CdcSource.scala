@@ -88,20 +88,31 @@ class CdcSource(s: SparkSession, tableRoot: String,
     require(m >= 1, s"maxVersionsPerBatch must be >= 1, got $m"))
 
   private val pinned: StructType = CdcSource.feedSchema(s, tableRoot)
-  /** Versions <= startV are never emitted. */
+  /** Versions <= startV are never emitted. Re-resolves to the RESTART-
+    * time head when no explicit startVersion was given, so it must not
+    * floor the pacing cursor after restart (see [[served]]). */
   private val startV: Long = startVersion.getOrElse(
     TxnTable.latest(s, tableRoot).map(_.version).getOrElse(0L))
   /** Highest version already handed to getBatch — the pacing cursor for
-    * [[maxVersionsPerBatch]]. On restart the engine replays the last
-    * checkpointed batch through getBatch before asking for new offsets
-    * (the v1 recovery contract), which re-seeds this. */
-  private var served: Long = startV
+    * [[maxVersionsPerBatch]]. None until the first getBatch: a fresh
+    * stream anchors batch 0 at startV (empty — see getOffset), and on
+    * restart the engine replays the last checkpointed batch through
+    * getBatch before asking for new offsets (the v1 recovery contract),
+    * which re-seeds this from the CHECKPOINT, never the restart-time
+    * startV — flooring at a re-resolved startV would withhold commits
+    * made while the query was down until a future commit moved the head
+    * (forever, on a quiescent table). */
+  private var served: Option[Long] = None
 
   override def schema: StructType = pinned
 
   override def getOffset: Option[Offset] = {
+    // fresh stream: empty anchor batch at startV, so every data-bearing
+    // batch has a checkpoint-persisted start offset (see
+    // [[TxnStreamSource.getOffset]] for the recovery rationale)
+    if (served.isEmpty) return Some(LongOffset(startV))
     val head = TxnTable.latest(s, tableRoot).map(_.version).getOrElse(0L)
-    val floor = math.max(served, startV)
+    val floor = served.get
     val capped = maxVersionsPerBatch.fold(head)(m => math.min(head, floor + m))
     if (capped <= floor) None else Some(LongOffset(capped))
   }
@@ -130,7 +141,7 @@ class CdcSource(s: SparkSession, tableRoot: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val v1 = start.map(ver).getOrElse(startV)
     val v2 = ver(end)
-    served = math.max(served, v2)
+    served = Some(served.fold(v2)(math.max(_, v2)))
     val windows = ((v1 + 1) to v2).map(perVersion)
     val out = windows.reduceOption(_.unionByName(_)).getOrElse(
       s.createDataFrame(s.sparkContext.emptyRDD[Row], pinned))

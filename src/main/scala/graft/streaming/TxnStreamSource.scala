@@ -57,18 +57,32 @@ class TxnStreamSource(s: SparkSession, tableRoot: String,
     * subscribed to ([[graft.sinks.ColumnMapping]]). */
   private val pinnedStorage: Option[StructType] =
     TxnTable.latest(s, tableRoot).flatMap(_.schema)
-  /** Versions <= startV are never emitted. */
+  /** Versions <= startV are never emitted. NOTE this re-resolves to the
+    * RESTART-time head when no explicit startVersion was given — which
+    * is why it must never floor the pacing cursor after restart (the
+    * checkpoint-restored offset is the truth; see [[served]]). */
   private val startV: Long = startVersion.getOrElse(
     TxnTable.latest(s, tableRoot).map(_.version).getOrElse(0L))
   /** Highest version already handed to getBatch — the pacing cursor
-    * (see [[CdcSource.served]]); restart replay re-seeds it. */
-  private var served: Long = startV
+    * (see [[CdcSource.served]]). None until the first getBatch: a fresh
+    * stream anchors batch 0 at startV (empty batch, see getOffset), and
+    * a RESTART re-seeds it from the recovery getBatch's end offset —
+    * never from the restart-time startV, which would withhold commits
+    * made while the query was down until some future commit moved the
+    * head (forever, on a quiescent table). */
+  private var served: Option[Long] = None
 
   override def schema: StructType = pinned
 
   override def getOffset: Option[Offset] = {
+    // fresh stream: hand out an EMPTY anchor batch at startV first, so
+    // batch 0 is definitionally empty and every data-bearing batch has
+    // a checkpoint-persisted START offset — restart recovery of an
+    // uncommitted batch can then never mis-derive its lower bound from
+    // the restart-time startV (Delta's initial-offset pattern)
+    if (served.isEmpty) return Some(LongOffset(startV))
     val head = TxnTable.latest(s, tableRoot).map(_.version).getOrElse(0L)
-    val floor = math.max(served, startV)
+    val floor = served.get
     val capped = maxVersionsPerBatch.fold(head)(m => math.min(head, floor + m))
     if (capped <= floor) None else Some(LongOffset(capped))
   }
@@ -136,7 +150,7 @@ class TxnStreamSource(s: SparkSession, tableRoot: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val v1 = start.map(ver).getOrElse(startV)
     val v2 = ver(end)
-    served = math.max(served, v2)
+    served = Some(served.fold(v2)(math.max(_, v2)))
     val windows = ((v1 + 1) to v2).flatMap(perVersion)
     val out = windows.reduceOption(_.unionByName(_)).getOrElse(
       s.createDataFrame(s.sparkContext.emptyRDD[Row], pinned))

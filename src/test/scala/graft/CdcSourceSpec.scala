@@ -100,6 +100,39 @@ class CdcSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("default start + restart: commits made while down are delivered " +
+      "without waiting for a future commit (starvation regression)") {
+    val base = freshBase()
+    val root = s"$base/tbl"
+    val ckpt = s"$base/ckpt"
+    TxnTable.overwrite(spark, root, df(1))    // v1: before the stream
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    // NO startVersion: 'latest at stream start' — which must mean the
+    // FIRST start, not re-resolve to the head at every restart
+    def run() = spark.readStream.format(CdcSource.Format).option("root", root)
+      .load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r => got.add((r.getLong(0), r.getLong(4))))
+      }.start()
+    val q1 = run()
+    try {
+      q1.processAllAvailable()
+      assert(got.isEmpty)                     // tail-only: v1 not emitted
+    } finally q1.stop()
+
+    TxnTable.append(spark, root, df(2))       // v2: while the stream is DOWN
+    TxnTable.append(spark, root, df(3))       // v3: while the stream is DOWN
+    val q2 = run()
+    try {
+      // the table stays quiescent after restart — the down-time commits
+      // must flow anyway (the old floor = restart-time head withheld
+      // them forever)
+      q2.processAllAvailable()
+      assert(got.toArray.toSet === Set((2L, 2L), (3L, 3L)))
+    } finally q2.stop()
+  }
+
   test("checkpoint restart resumes exactly after the last committed version") {
     val base = freshBase()
     val root = s"$base/tbl"

@@ -229,6 +229,51 @@ class TxnRenameSpec extends AnyFunSuite {
     assert(TxnTable.readPruned(spark, root, "id", 5L, 9L).count() === 0L)
   }
 
+  test("replaceBatch after a rename translates inherited stats/bloom cols " +
+      "off the dead physical names") {
+    val root = freshRoot()
+    TxnTable.append(spark, root, df(1, 2), statsCols = Seq("id"),
+      bloomCols = Seq("id"))
+    TxnTable.alterTable(spark, root, renames = Seq("id" -> "doc_id"))
+    // the replacement arrives under the NEW logical name; inheriting the
+    // prior snapshot's statsCols verbatim would carry the OLD physical
+    // name 'id', which names no column in the replacement files
+    val s = spark; import s.implicits._
+    val repl = Seq(5L, 6L).toDF("doc_id").withColumn("v", col("doc_id") * 10)
+      .repartition(1)
+    val snap = TxnTable.replaceBatch(spark, root, repl, batchId = 1L).get
+    assert(snap.statsCols === Seq("doc_id"))
+    assert(snap.bloomCols === Seq("doc_id"))
+    // and the metadata is actually RECORDED (pruning stays alive)
+    assert(snap.files.nonEmpty)
+    assert(snap.files.forall(f => snap.stats.get(f).exists(_.contains("doc_id"))))
+    assert(snap.files.forall(f => snap.blooms.get(f).exists(_.contains("doc_id"))))
+    // a stats column whose logical name is GONE from the replacement is
+    // dropped, not carried as a dead manifest entry
+    val repl2 = Seq(7L).toDF("other").repartition(1)
+    val snap2 = TxnTable.replaceBatch(spark, root, repl2, batchId = 2L).get
+    assert(snap2.statsCols.isEmpty && snap2.bloomCols.isEmpty)
+  }
+
+  test("readStaged refuses a stage whose column was re-mapped since " +
+      "(same refusal as publishStaged)") {
+    val root = freshRoot()
+    TxnTable.append(spark, root, df(1, 2))
+    val id = TxnTable.stageAppend(spark, root, df(3, 4))
+    // drop + re-add 'v' on main: the staged files' frozen 'v' identity
+    // no longer matches the head's reborn 'v'
+    TxnTable.alterTable(spark, root, drops = Seq("v"))
+    TxnTable.alterTable(spark, root, newSchema = Some(
+      ColumnMapping.logicalView(TxnTable.latest(spark, root).get.schema.get)
+        .add("v", org.apache.spark.sql.types.LongType)))
+    val audit = intercept[IllegalArgumentException] {
+      TxnTable.readStaged(spark, root, id).collect() }
+    assert(audit.getMessage.contains("re-mapped since stage"))
+    val pub = intercept[IllegalArgumentException] {
+      TxnTable.publishStaged(spark, root, id) }
+    assert(pub.getMessage.contains("re-mapped since stage"))
+  }
+
   test("replayBranch composes across a renamed main by frozen physical identity") {
     val root = freshRoot()
     TxnTable.append(spark, root, df(1, 2), statsCols = Seq("id"))

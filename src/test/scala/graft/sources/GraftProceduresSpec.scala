@@ -235,6 +235,29 @@ class GraftProceduresSpec extends AnyFunSuite {
     assert(biggest.getString(0) === "id" && biggest.getLong(1) === 10L)
   }
 
+  test("metadata tables resolve tag/branch refs against the parent " +
+      "(never silently the latest)") {
+    val s = spark; import s.implicits._
+    val root = seed("db.meta2", Seq(1 to 5, 6 to 10))
+    spark.sql(s"CALL $cat.system.create_tag('db.meta2', 'early', 1)")
+    // the tagged snapshot's files, not the head's
+    val tagged = spark.sql(
+      s"SELECT * FROM $cat.db.meta2.files VERSION AS OF 'early'")
+    assert(tagged.count() === TxnMeta.files(spark, root, Some(1L)).count())
+    assert(tagged.count() <
+      spark.sql(s"SELECT * FROM $cat.db.meta2.files").count())
+    // a bogus ref refuses loud, exactly as it would on the table itself
+    val bad = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.db.meta2.files VERSION AS OF 'nope'")
+        .collect() }
+    assert(bad.getMessage.contains("nope"))
+    // kinds without time travel refuse the ref rather than dropping it
+    val noTravel = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.db.meta2.history VERSION AS OF 'early'")
+        .collect() }
+    assert(noTravel.getMessage.contains("full log"))
+  }
+
   test("VERSION AS OF accepts tag and branch names, SQL and reader option") {
     val s = spark; import s.implicits._
     val root = seed("db.n1", Seq(1 to 3, 4 to 6))

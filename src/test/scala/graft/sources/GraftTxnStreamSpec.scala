@@ -352,6 +352,63 @@ class GraftTxnStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("path source default start + restart: down-time commits flow on a " +
+      "quiescent table (starvation regression)") {
+    val base = freshBase()
+    val root = s"$base/tbl"
+    val ckpt = s"$base/ckpt"
+    TxnTable.overwrite(spark, root, df(1))     // v1: before the stream
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    // NO startVersion: 'latest at stream start' must mean the FIRST
+    // start; a restart floors at the checkpoint, never the restart head
+    def run() = spark.readStream.format("graft-txn").load(root)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("id", "v").collect()
+          .foreach(r => got.add((r.getLong(0), r.getLong(1))))
+      }.start()
+    val q1 = run()
+    try { q1.processAllAvailable(); assert(got.isEmpty) } finally q1.stop()
+
+    TxnTable.append(spark, root, df(2))        // v2: while DOWN
+    TxnTable.append(spark, root, df(3))        // v3: while DOWN
+    val q2 = run()
+    try {
+      q2.processAllAvailable()                 // no further commits arrive
+      assert(got.toArray.toSet === Set((2L, 20L), (3L, 30L)))
+    } finally q2.stop()
+  }
+
+  test("readStream.table restart catch-up honors maxVersionsPerBatch " +
+      "(admission control floors at the checkpoint)") {
+    val base = freshBase()
+    val root = s"$warehouse/db/mbr3"
+    val ckpt = s"$base/ckpt"
+    TxnTable.overwrite(spark, root, df(1))     // v1
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Set[Long]]()
+    def run() = spark.readStream.option("maxVersionsPerBatch", "1")
+      .option("startVersion", "1").table(s"$cat.db.mbr3")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = batch.select("id").collect().map(_.getLong(0)).toSet
+        if (ids.nonEmpty) { batches.add(ids); () }
+      }.start()
+    val q1 = run()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(batches.isEmpty)                    // tail from v1: nothing yet
+
+    TxnTable.append(spark, root, df(2))        // v2: while DOWN
+    TxnTable.append(spark, root, df(3))        // v3: while DOWN
+    TxnTable.append(spark, root, df(4))        // v4: while DOWN
+    val q2 = run()
+    try {
+      q2.processAllAvailable()
+      // the backlog catches up one commit window per micro-batch —
+      // not one giant batch floored at the restart-time head
+      assert(batches.toArray.toSeq === Seq(Set(2L), Set(3L), Set(4L)))
+    } finally q2.stop()
+  }
+
   test("by-name kappa loop: toTable sink feeds readStream.table source") {
     val base = freshBase()
     val root = s"$warehouse/db/hopname" // forces catalog registration
