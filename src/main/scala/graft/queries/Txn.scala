@@ -813,7 +813,66 @@ object Txn {
        |GROUP BY event_type
        |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q131: STRING-KEYED FILE SKIPPING — typed manifest bounds for the
+  // predicate shape curation pipelines actually run first (language /
+  // category / host, the reference's own `city` filter,
+  // weather_etl.py:145): a documents txn table range-clustered by
+  // `lang` records TRUNCATED STRING BOUNDS per file
+  // ([[graft.functions.Utf8Prefix64]] — order-preserving prefix
+  // encoding, incremented upper, Iceberg's lower/upper-bound
+  // semantics) plus an xxhash64 bloom on `source`; the SQL-by-name
+  // read pushes `WHERE lang = 'en'` into the manifest file index and
+  // plans ONLY the 'en'-span files (TxnStringStatsSpec proves the
+  // partition shrink; this certifies values at the driver's gate —
+  // before this, a string statsCol recorded NOTHING and every such
+  // probe scanned the full manifest while looking indexed).
+  // ---------------------------------------------------------------------
+  private[queries] def ensureStrDocs(s: SparkSession, dir: String): String =
+    synchronized {
+      import s.implicits._
+      val wh = sqlCatWarehouse(s)
+      val name = s"docs_str_${tag(dir)}"
+      val root = s"$wh/db/$name"
+      val st = graft.SourceStamp.table(s, dir, "documents")
+      if (TxnTable.latest(s, root).isEmpty ||
+          !graft.SourceStamp.isCurrent(s, root, st)) {
+        val loc = new org.apache.hadoop.fs.Path(root)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+        // range clustering on the STRING key gives files disjoint lang
+        // spans — the layout discipline that turns recorded bounds into
+        // an index (same as q89's user_id clustering, on a string)
+        TxnTable.overwrite(s, root,
+          graft.Tables.t(s, dir, "documents")
+            .repartitionByRange(5, $"lang"),
+          statsCols = Seq("lang"), bloomCols = Seq("source"))
+        graft.SourceStamp.write(s, root, st)
+      }
+      root
+    }
+
+  val q131Bench: Q = (s, dir) => {
+    import s.implicits._
+    val name = s"docs_str_${tag(dir)}"
+    ensureStrDocs(s, dir)
+    s.sql(s"SELECT source, COUNT(*) AS n, SUM(n_chars) AS chars " +
+      s"FROM graft_cat.db.$name WHERE lang = 'en' GROUP BY source")
+  }
+  val q131: Q = (s, dir) => {
+    import s.implicits._
+    q131Bench(s, dir).orderBy($"source")
+  }
+  val q131Sql: String =
+    """SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+      |FROM documents
+      |WHERE lang = 'en'
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q131_str_point_lookup" -> q131,
     "q82_txn_snapshot" -> q82,
     "q89_txn_delete"   -> q89,
     "q90_txn_merge"    -> q90,
@@ -829,6 +888,7 @@ object Txn {
     "q129_replay_rename" -> q129,
     "q130_partial_compact" -> q130)
   val oracles: Map[String, String] = Map(
+    "q131_str_point_lookup" -> q131Sql,
     "q82_txn_snapshot" -> q82Sql,
     "q89_txn_delete"   -> q89Sql,
     "q90_txn_merge"    -> q90Sql,
@@ -859,5 +919,6 @@ object Txn {
     "q127_sql_maintenance" -> q127Bench,
     "q128_sql_rename"  -> q128Bench,
     "q129_replay_rename" -> q129Bench,
-    "q130_partial_compact" -> q130Bench)
+    "q130_partial_compact" -> q130Bench,
+    "q131_str_point_lookup" -> q131Bench)
 }

@@ -404,16 +404,57 @@ object TxnTable {
     snap.schema.fold(merged)(sc => ColumnMapping.aliasToLogical(merged, sc))
   }
 
-  /** Apply the snapshot's merge-on-read equality deletes to a
-    * PHYSICAL-named scan (`df` must come from [[scanFiles]] — delete
-    * files were written physical too). The anti-join is GLOBAL over
-    * whatever files the caller scanned, which is what makes it safe to
-    * apply to any SUBSET of the snapshot's files ([[compactWhere]]):
-    * masking is idempotent and per-row, never per-file-set. */
+  /** The reserved delete-column list that marks a snapshot's delete
+    * files as POSITION deletes (Iceberg's other delete-file shape): each
+    * delete-file row is `(_file: root-relative data file path,
+    * _pos: row ordinal within that file)`. Position deletes ride the
+    * SAME manifest plumbing as equality deletes (carry, vacuum
+    * liveness, streaming classification, requireNoMor, metaCount
+    * refusal) — only the read-side mask and the write path differ. One
+    * MoR shape per table at a time ([[deleteKeysMor]] and
+    * [[commitDelta]] refuse to mix; [[compactDeletes]] moves between
+    * regimes). */
+  private[graft] val PosDeleteCols: Seq[String] = Seq("_file", "_pos")
+
+  private[graft] def isPosShape(snap: Snapshot): Boolean =
+    snap.deleteCols == PosDeleteCols
+
+  /** Root-relative data-file path of a scanned row, derived from the
+    * parquet metadata column: every staged path starts with `data/`
+    * (stage() invariant), transform values can never be named `data`,
+    * and the greedy prefix pins the LAST `/data/` occurrence, so a root
+    * path that itself contains "data" cannot confuse it. */
+  private[graft] def relFileCol: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, regexp_extract}
+    regexp_extract(col("_metadata.file_path"), "^.*/(data/.*)$", 1)
+  }
+
+  /** Apply the snapshot's merge-on-read deletes to a PHYSICAL-named
+    * scan (`df` must come from [[scanFiles]] — delete files were
+    * written physical too). Equality shape: GLOBAL null-safe anti-join
+    * on the key columns. Position shape: anti-join on the row's
+    * (root-relative file, row ordinal) derived from the parquet
+    * metadata columns. Both are global over whatever files the caller
+    * scanned, which is what makes masking safe on any SUBSET of the
+    * snapshot's files ([[compactWhere]]): idempotent and per-row,
+    * never per-file-set (a position entry for a file outside the
+    * subset simply matches nothing). */
   private def maskDeletes(s: SparkSession, root: String, snap: Snapshot,
                           df: DataFrame): DataFrame =
     if (snap.deletes.isEmpty || snap.deleteCols.isEmpty) df
-    else {
+    else if (isPosShape(snap)) {
+      import org.apache.spark.sql.functions.col
+      val base = root.stripSuffix("/")
+      val dels = s.read.parquet(snap.deletes.map(f => s"$base/$f"): _*)
+        .select(col("_file").as("_del_file"), col("_pos").as("_del_pos"))
+        .distinct()
+      val withId = df.withColumn("_gmask_file", relFileCol)
+        .withColumn("_gmask_pos", col("_metadata.row_index"))
+      withId.join(dels,
+        withId("_gmask_file") === dels("_del_file") &&
+          withId("_gmask_pos") === dels("_del_pos"), "left_anti")
+        .drop("_gmask_file", "_gmask_pos")
+    } else {
       import org.apache.spark.sql.functions.col
       val base = root.stripSuffix("/")
       val keys = s.read.parquet(snap.deletes.map(f => s"$base/$f"): _*)
@@ -444,6 +485,23 @@ object TxnTable {
     * transform-derived names. */
   private def physCol(snap: Snapshot, col: String): String =
     snap.schema.fold(col)(sc => ColumnMapping.physName(sc, col))
+
+  /** Is physical column `pc` string-typed in the recorded schema? String
+    * stats/blooms live in an ENCODED envelope ([[graft.functions
+    * .Utf8Prefix64]] prefix bounds, xxhash64 blooms) — the long-typed
+    * probe and metadata-aggregate entry points must refuse them rather
+    * than compare raw longs against encodings (a wrong skip / a wrong
+    * value, the silent class this format refuses loud). */
+  private def isStringCol(snap: Snapshot, pc: String): Boolean =
+    snap.schema.exists(_.fields.exists(f =>
+      !ColumnMapping.isDropped(f) && ColumnMapping.physOf(f) == pc &&
+        f.dataType == org.apache.spark.sql.types.StringType))
+
+  private def requireNotString(snap: Snapshot, pc: String,
+                               what: String, instead: String): Unit =
+    require(!isStringCol(snap, pc),
+      s"$what: '$pc' is a string column — its manifest metadata is " +
+        s"prefix-encoded; use $instead")
 
   /** Rename a LOGICAL-named frame to the physical names before
     * staging. Identity for unmapped tables. */
@@ -571,7 +629,7 @@ object TxnTable {
                        statsCols: Seq[String], bloomCols: Seq[String])
       : (Map[String, Map[String, (Long, Long)]],
          Map[String, Map[String, Array[Byte]]]) = {
-    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min, xxhash64}
     if (staged.isEmpty || (statsCols.isEmpty && bloomCols.isEmpty))
       return (Map.empty, Map.empty)
     val base = root.stripSuffix("/")
@@ -580,11 +638,32 @@ object TxnTable {
     val sCols = statsCols.filter(present.contains)
     val bCols = bloomCols.filter(present.contains)
     if (sCols.isEmpty && bCols.isEmpty) return (Map.empty, Map.empty)
+    // STRING columns record TRUNCATED BOUNDS in the same long envelope
+    // ([[graft.functions.Utf8Prefix64]] — order-preserving 8-byte UTF-8
+    // prefix; the upper bound increments when truncated, Iceberg's
+    // lower/upper-bound semantics) and hash into their blooms with
+    // Spark's own xxhash64 so probes re-derive the same value; every
+    // other representable type keeps the integral cast (soundness note:
+    // a float/double/decimal truncated toward zero still lands inside
+    // any integral probe range that its row satisfies, so recorded
+    // [min,max] of casts never mis-skips an integral probe).
+    (sCols ++ bCols).distinct.foreach(c => require(
+      metaRepresentable(df.schema(c).dataType),
+      s"stats/bloom column '$c' has type ${df.schema(c).dataType.sql}, which " +
+        "manifest range/bloom metadata cannot represent — declare a " +
+        "numeric, boolean, date/timestamp, or string column instead"))
+    def isStr(c: String): Boolean = df.schema(c).dataType == org.apache.spark.sql.types.StringType
+    def loExpr(c: String) =
+      if (isStr(c)) graft.functions.Utf8Prefix64.lowerCol(col(c)) else col(c).cast("long")
+    def hiExpr(c: String) =
+      if (isStr(c)) graft.functions.Utf8Prefix64.upperCol(col(c)) else col(c).cast("long")
+    def hashExpr(c: String) =
+      if (isStr(c)) xxhash64(col(c)) else col(c).cast("long")
     val aggs =
-      sCols.flatMap(c => Seq(min(col(c).cast("long")).as(s"lo_$c"),
-        max(col(c).cast("long")).as(s"hi_$c"))) ++
+      sCols.flatMap(c => Seq(min(loExpr(c)).as(s"lo_$c"),
+        max(hiExpr(c)).as(s"hi_$c"))) ++
       bCols.map(c => graft.functions.BloomAgg
-        .bloomAgg(col(c).cast("long"), BloomItemsPerFile, BloomFpp).as(s"bf_$c"))
+        .bloomAgg(hashExpr(c), BloomItemsPerFile, BloomFpp).as(s"bf_$c"))
     val rows = df.groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -612,6 +691,24 @@ object TxnTable {
 
   private val BloomItemsPerFile = 10000L
   private val BloomFpp = 0.03
+
+  /** Can the manifest's range/bloom metadata represent a column of type
+    * `t`? Integral/boolean/date/timestamp cast to long exactly;
+    * float/double/decimal truncate toward zero (still sound for
+    * integral probes, see [[fileMeta]]); strings carry truncated prefix
+    * bounds + hashed blooms. Everything else (binary, arrays, structs,
+    * maps, variants) refuses at commit — the alternative is the silent
+    * no-op this rule replaced. */
+  private def metaRepresentable(t: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    t match {
+      case ByteType | ShortType | IntegerType | LongType | BooleanType |
+           DateType | TimestampType | TimestampNTZType | FloatType |
+           DoubleType | StringType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+  }
 
   /** Footer-level metadata of one data file: record count, the leaf
     * columns the footer carries, and per-column null counts where every
@@ -766,6 +863,26 @@ object TxnTable {
     // field `nulls:<col>:<n>`
     require(!statsCols.contains("nulls"),
       "'nulls' is a reserved stats-column name in the manifest encoding")
+    // refuse-or-record: a declared metadata column whose type the
+    // manifest encoding cannot represent refuses HERE (commit is the
+    // choke point) instead of silently recording nothing — the silent
+    // no-op made every probe on such a column a full-manifest scan
+    // while looking indexed. Representable: integral/boolean/date/
+    // timestamp (exact long casts), float/double/decimal (truncated
+    // casts, sound for integral probes — see [[fileMeta]]), and string
+    // (truncated prefix bounds / hashed blooms). Transform-derived
+    // names (day_x / bucketN_x) are long by construction and absent
+    // from the schema; columns a schema-less legacy manifest can't type
+    // pass (absent metadata never skips).
+    schema.foreach { sc =>
+      (statsCols ++ bloomCols).distinct.foreach { c =>
+        sc.fields.find(f => ColumnMapping.physOf(f) == c).foreach(f =>
+          require(metaRepresentable(f.dataType),
+            s"stats/bloom column '$c' has type ${f.dataType.sql}, which " +
+              "manifest range/bloom metadata cannot represent — declare a " +
+              "numeric, boolean, date/timestamp, or string column instead"))
+      }
+    }
     val delLines = (if (deletes.nonEmpty)
         Seq(DelColTag + deleteCols.mkString("\t")) else Seq.empty) ++
       deletes.map(DeleteTag + _)
@@ -1862,6 +1979,12 @@ object TxnTable {
     require(zorderDims.isEmpty || zorderDims.size >= 2,
       "z-order needs >= 2 dimensions; one dimension is sortCols")
     val cur = latestRequired(s, root)
+    // long bounds against prefix-encoded string stats would silently
+    // exempt files from the maintenance scope — refuse, use the
+    // encoded range explicitly via Utf8Prefix64 if string-scoped
+    // maintenance is really wanted
+    bounds.foreach { case (c, _, _) => requireNotString(cur, physCol(cur, c),
+      "compactWhere(bounds)", "smallerThanBytes or a long-keyed bound") }
     val physBounds = bounds.map { case (c, lo, hi) => (physCol(cur, c), lo, hi) }
     val f = fs(s, root)
     val base = root.stripSuffix("/")
@@ -2083,7 +2206,26 @@ object TxnTable {
   def readPruned(s: SparkSession, root: String, col: String,
                  lo: Long, hi: Long): DataFrame = {
     val snap = latestRequired(s, root)
+    requireNotString(snap, physCol(snap, col),
+      "readPruned(lo: Long, hi: Long)", "readPruned(lo: String, hi: String)")
     readPrunedAt(s, root, snap, physCol(snap, col), lo, hi)
+  }
+
+  /** [[readPruned]] on a STRING stats column: files whose recorded
+    * truncated bounds ([[graft.functions.Utf8Prefix64]]) may contain a
+    * value in `[lo, hi]` (inclusive, Spark's binary string order). A
+    * value v in the range has `lower(v) <= lower(hi)` and
+    * `upper(v) >= ... >= lower(lo)`, so a file is provably clear when
+    * `fileLo > lower(hi)` or `fileHi < lower(lo)` — the long path with
+    * the probe ends encoded. */
+  def readPruned(s: SparkSession, root: String, col: String,
+                 lo: String, hi: String): DataFrame = {
+    import graft.functions.Utf8Prefix64
+    val snap = latestRequired(s, root)
+    val pc = physCol(snap, col)
+    require(isStringCol(snap, pc),
+      s"readPruned(lo: String, hi: String): '$col' is not a string column")
+    readPrunedAt(s, root, snap, pc, Utf8Prefix64.lower(lo), Utf8Prefix64.lower(hi))
   }
 
   private def readPrunedAt(s: SparkSession, root: String, snap: Snapshot,
@@ -2105,6 +2247,8 @@ object TxnTable {
     * snapshot. */
   def readPruned(s: SparkSession, root: String, lo: Long, hi: Long): DataFrame = {
     val snap = latestRequired(s, root)
+    snap.statsCols.headOption.foreach(requireNotString(snap, _,
+      "readPruned(lo: Long, hi: Long)", "readPruned(col, lo: String, hi: String)"))
     readPrunedAt(s, root, snap, snap.statsCols.headOption.getOrElse(""), lo, hi)
   }
 
@@ -2120,7 +2264,24 @@ object TxnTable {
   def readPointLookup(s: SparkSession, root: String, col: String,
                       value: Long): DataFrame = {
     val snap = latestRequired(s, root)
+    requireNotString(snap, physCol(snap, col),
+      "readPointLookup(value: Long)", "readPointLookup(value: String)")
     readPointLookupAt(s, root, snap, physCol(snap, col), value)
+  }
+
+  /** [[readPointLookup]] on a STRING bloom column: string blooms record
+    * `xxhash64(col)` ([[fileMeta]]), so the probe hashes the same way
+    * ([[graft.functions.Utf8Prefix64.bloomHash]]) — an equality probe
+    * on an unsorted string key ("this URL host / this language") reads
+    * only the files whose filter might contain it. */
+  def readPointLookup(s: SparkSession, root: String, col: String,
+                      value: String): DataFrame = {
+    val snap = latestRequired(s, root)
+    val pc = physCol(snap, col)
+    require(isStringCol(snap, pc),
+      s"readPointLookup(value: String): '$col' is not a string column")
+    readPointLookupAt(s, root, snap, pc,
+      graft.functions.Utf8Prefix64.bloomHash(value))
   }
 
   private def readPointLookupAt(s: SparkSession, root: String, snap: Snapshot,
@@ -2140,6 +2301,8 @@ object TxnTable {
     * column choice and file filter from the SAME resolved snapshot. */
   def readPointLookup(s: SparkSession, root: String, value: Long): DataFrame = {
     val snap = latestRequired(s, root)
+    snap.bloomCols.headOption.foreach(requireNotString(snap, _,
+      "readPointLookup(value: Long)", "readPointLookup(col, value: String)"))
     readPointLookupAt(s, root, snap, snap.bloomCols.headOption.getOrElse(""), value)
   }
 
@@ -2183,6 +2346,10 @@ object TxnTable {
                  version: Option[Long] = None): Option[(Long, Long)] = {
     val snap = version.fold(latestRequired(s, root))(snapshot(s, root, _))
     val col = physCol(snap, col0)
+    // string stats are TRUNCATED prefix encodings — folding them would
+    // return encoded longs as if they were values (and a truncated max
+    // is not the max). Exact-or-refuse: refuse.
+    requireNotString(snap, col, "metaMinMax", "a data-path MIN/MAX")
     if (snap.deletes.nonEmpty || snap.files.isEmpty) None
     else {
       val (present, absent) = snap.files.partition(f =>
@@ -2229,6 +2396,10 @@ object TxnTable {
                      version: Option[Long] = None): Option[Seq[(Option[Long], Long)]] = {
     val snap = version.fold(latestRequired(s, root))(snapshot(s, root, _))
     val col = physCol(snap, col0)
+    // string stats are prefix ENCODINGS: a point range does not certify
+    // a single value (two long strings can share an 8-byte prefix) and
+    // the group key would be an encoding, not a value — refuse.
+    requireNotString(snap, col, "metaGroupCount", "a data-path GROUP BY")
     if (snap.deletes.nonEmpty) return None
     val derived = snap.transforms.exists(_.name == col)
     val perFile: Seq[Option[Seq[(Option[Long], Long)]]] = snap.files.map { f =>
@@ -2279,6 +2450,13 @@ object TxnTable {
     requireNoMor(snap, "readSemiPruned")
     require(snap.files.nonEmpty, s"snapshot v${snap.version} has no data files")
     import org.apache.spark.sql.functions.{broadcast, col => c}
+    // STRING keys keep their type end-to-end: the manifest metadata for
+    // a string column is prefix-encoded ranges + xxhash64 blooms
+    // ([[fileMeta]]), so the probe encodes the same way; the old long
+    // cast silently nulled every string key (an empty, WRONG result)
+    val keyIsString = keys.schema.fields.head.dataType ==
+      org.apache.spark.sql.types.StringType
+    if (keyIsString) return readSemiPrunedStr(s, root, snap, col, keys, maxKeys)
     val kDf = keys.select(c(keys.columns.head).cast("long").as("_probe_k"))
       .filter(c("_probe_k").isNotNull).distinct()
     val collected = kDf.limit(maxKeys + 1).collect().map(_.getLong(0))
@@ -2315,6 +2493,52 @@ object TxnTable {
         range.forall { case (lo, hi) => lo <= k && k <= hi } &&
           bloom.forall(_.mightContainLong(k)) &&
           (!srcIsLong || bucketTs.forall(t =>
+            snap.stats.get(f).flatMap(_.get(t.name)).forall { case (lo, hi) =>
+              val v = bucketOf(t, k); lo <= v && v <= hi
+            })))
+    }
+    if (kept.isEmpty)
+      semi(logical(scanFiles(s, root, snap, Seq(snap.files.head)).limit(0)))
+    else semi(logical(scanFiles(s, root, snap, kept)))
+  }
+
+  /** [[readSemiPruned]] for STRING keys: per-key may-contain tests run
+    * against the prefix-encoded ranges (`fileLo <= lower(k) &&
+    * upper(k) <= fileHi` — [[graft.functions.Utf8Prefix64]]), the
+    * xxhash64 blooms, and — because [[Transform]]'s bucket fan-out is
+    * `xxhash64(col)` regardless of type — the bucket transform entries,
+    * hashing each key's UTF-8 bytes exactly as the fan-out did. The
+    * exactness contract is the caller's semi-join, same as the long
+    * path. */
+  private def readSemiPrunedStr(s: SparkSession, root: String, snap: Snapshot,
+                                col: String, keys: DataFrame,
+                                maxKeys: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col => c}
+    import graft.functions.Utf8Prefix64
+    val kDf = keys.select(c(keys.columns.head).as("_probe_k"))
+      .filter(c("_probe_k").isNotNull).distinct()
+    val collected = kDf.limit(maxKeys + 1).collect().map(_.getString(0))
+    val colP = physCol(snap, col)
+    def semi(data: DataFrame): DataFrame =
+      data.join(broadcast(kDf), data(col) === kDf("_probe_k"), "left_semi")
+    def logical(raw: DataFrame): DataFrame =
+      snap.schema.fold(raw)(sc => ColumnMapping.aliasToLogical(raw, sc))
+    if (collected.length > maxKeys) return semi(readSnap(s, root, snap))
+    val srcIsString = isStringCol(snap, colP)
+    val bucketTs = snap.transforms.filter(t => t.kind == "bucket" && t.src == colP)
+    def bucketOf(t: Transform, k: String): Long = {
+      val h = Utf8Prefix64.bloomHash(k) // xxhash64(col), seed 42
+      ((h % t.param) + t.param) % t.param
+    }
+    val kept = snap.files.filter { f =>
+      val range = snap.stats.get(f).flatMap(_.get(colP))
+      val bloom = snap.blooms.get(f).flatMap(_.get(colP))
+        .map(graft.functions.BloomAgg.fromBytes)
+      collected.exists(k =>
+        range.forall { case (lo, hi) =>
+          lo <= Utf8Prefix64.lower(k) && Utf8Prefix64.upper(k) <= hi } &&
+          bloom.forall(_.mightContainLong(Utf8Prefix64.bloomHash(k))) &&
+          (!srcIsString || bucketTs.forall(t =>
             snap.stats.get(f).flatMap(_.get(t.name)).forall { case (lo, hi) =>
               val v = bucketOf(t, k); lo <= v && v <= hi
             })))
@@ -2410,12 +2634,29 @@ object TxnTable {
         .select(delCols.map(c => col(c).as(s"_del_$c")): _*).distinct())
     lazy val d1 = keysOf(s1.deletes)
     lazy val d2 = keysOf(s2.deletes)
-    // null-safe per component throughout: a null-keyed delete row kills
-    // null-keyed data; composite keys match on EVERY component
+    // POSITION-shape deletes address rows by (file, ordinal), not by
+    // data columns: the join id comes from the parquet metadata columns
+    // of the scanned side, everything else (key diffing, sign algebra)
+    // is shape-independent
+    val posShape = delCols == PosDeleteCols
+    def withPosId(df: DataFrame): DataFrame = df
+      .withColumn("_gcdc_file", relFileCol)
+      .withColumn("_gcdc_pos", col("_metadata.row_index"))
+    // null-safe per component throughout (equality shape): a null-keyed
+    // delete row kills null-keyed data; composite keys match on EVERY
+    // component. Position ids are never null.
     def dataCond(df: DataFrame, k: DataFrame) =
-      delCols.map(c => df(c) <=> k(s"_del_$c")).reduce(_ && _)
+      if (posShape)
+        df("_gcdc_file") === k("_del__file") && df("_gcdc_pos") === k("_del__pos")
+      else delCols.map(c => df(c) <=> k(s"_del_$c")).reduce(_ && _)
     def minusKeys(df: DataFrame, keys: Option[DataFrame]): DataFrame =
-      keys.fold(df)(k => df.join(k, dataCond(df, k), "left_anti"))
+      keys.fold(df) { k =>
+        if (posShape) {
+          val d = withPosId(df)
+          d.join(k, dataCond(d, k), "left_anti")
+            .drop("_gcdc_file", "_gcdc_pos")
+        } else df.join(k, dataCond(df, k), "left_anti")
+      }
     def keyDiff(a: Option[DataFrame], b: Option[DataFrame]): Option[DataFrame] =
       a.map(aa => b.fold(aa)(bb => aa.join(bb,
         delCols.map(c => aa(s"_del_$c") <=> bb(s"_del_$c")).reduce(_ && _),
@@ -2510,6 +2751,10 @@ object TxnTable {
                          predicate: org.apache.spark.sql.Column,
                          bounds: Seq[(String, Long, Long)]): Snapshot = {
     val cur = latestRequired(s, root)
+    // long bounds against a string column's prefix-encoded stats would
+    // narrow the rewrite set wrongly (rows silently kept undeleted)
+    bounds.foreach { case (c, _, _) => requireNotString(cur, physCol(cur, c),
+      "deleteWhereBounded", "deleteWhere (unbounded, still exact)") }
     deleteWhereImpl(s, root, cur, predicate,
       bounds.map { case (c, lo, hi) => (physCol(cur, c), lo, hi) })
   }

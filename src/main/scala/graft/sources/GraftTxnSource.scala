@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, StartsWith}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
@@ -567,10 +567,23 @@ object GraftTxnFileIndex {
   /** A provable per-column constraint extracted from pushed filters:
     * an inclusive range and/or an exact point set. Conjunction only —
     * OR branches are not decomposed (they prune nothing here, soundly;
-    * the parquet reader still evaluates them). */
+    * the parquet reader still evaluates them).
+    *
+    * STRING predicates fold into the SAME (lo, hi) axis: a string
+    * column's manifest range is `[min lower(v), max upper(v)]` of the
+    * order-preserving prefix encoding ([[graft.functions.Utf8Prefix64]]),
+    * and every string conjunct contributes the threshold its match
+    * PROVABLY implies — `v = s` implies fileLo <= lower(s) AND
+    * fileHi >= upper(s), `v >= s` implies fileHi >= upper(s),
+    * `v <= s` implies fileLo <= lower(s), `startswith(s)` implies both
+    * with the prefix's floor/ceiling. `lo` is thus "file hi must be at
+    * least", `hi` is "file lo must be at most" — the exact roles the
+    * long path already gives them. `spoints` carries string equality
+    * values for the bloom (xxhash64) and bucket-transform probes. */
   private[sources] final case class Constraint(lo: Long = Long.MinValue,
                                                hi: Long = Long.MaxValue,
-                                               points: Option[Seq[Long]] = None)
+                                               points: Option[Seq[Long]] = None,
+                                               spoints: Option[Seq[String]] = None)
 
   private def longOf(l: Literal): Option[Long] = l.dataType match {
     case LongType    => Option(l.value).map(_.asInstanceOf[Long])
@@ -580,14 +593,28 @@ object GraftTxnFileIndex {
     case _           => None
   }
 
+  private def strOf(l: Literal): Option[org.apache.spark.unsafe.types.UTF8String] =
+    l.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        Option(l.value).map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+      case _ => None
+    }
+
   /** Fold the conjunctive filter list into per-column constraints.
     * Every pattern is both-orders (col op lit / lit op col). */
   private[sources] def constraints(filters: Seq[Expression]): Map[String, Constraint] = {
     val acc = scala.collection.mutable.Map.empty[String, Constraint]
     def add(name: String)(f: Constraint => Constraint): Unit =
       acc(name) = f(acc.getOrElse(name, Constraint()))
+    import graft.functions.Utf8Prefix64.{lower, prefixCeil, upper}
     def walk(e: Expression): Unit = e match {
       case And(l, r) => walk(l); walk(r)
+      case EqualTo(a: Attribute, l: Literal) if strOf(l).isDefined =>
+        strOf(l).foreach { v =>
+          add(a.name)(c => c.copy(lo = c.lo.max(upper(v)), hi = c.hi.min(lower(v)),
+            spoints = Some(c.spoints.getOrElse(Seq(v.toString))
+              .filter(_ == v.toString))))
+        }
       case EqualTo(a: Attribute, l: Literal) => longOf(l).foreach(v =>
         add(a.name)(c => c.copy(lo = c.lo.max(v), hi = c.hi.min(v),
           points = Some(c.points.getOrElse(Seq(v)).filter(_ == v)))))
@@ -596,23 +623,39 @@ object GraftTxnFileIndex {
         walk(EqualTo(a, l))
       case EqualNullSafe(l: Literal, a: Attribute) if l.value != null =>
         walk(EqualTo(a, l))
-      case GreaterThan(a: Attribute, l: Literal) => longOf(l).foreach(v =>
-        add(a.name)(c => c.copy(lo = c.lo.max(v)))) // conservative: >= v
-      case GreaterThanOrEqual(a: Attribute, l: Literal) => longOf(l).foreach(v =>
-        add(a.name)(c => c.copy(lo = c.lo.max(v))))
-      case LessThan(a: Attribute, l: Literal) => longOf(l).foreach(v =>
-        add(a.name)(c => c.copy(hi = c.hi.min(v)))) // conservative: <= v
-      case LessThanOrEqual(a: Attribute, l: Literal) => longOf(l).foreach(v =>
-        add(a.name)(c => c.copy(hi = c.hi.min(v))))
+      case GreaterThan(a: Attribute, l: Literal) =>
+        longOf(l).foreach(v => add(a.name)(c => c.copy(lo = c.lo.max(v)))) // conservative: >= v
+        strOf(l).foreach(v => add(a.name)(c => c.copy(lo = c.lo.max(upper(v)))))
+      case GreaterThanOrEqual(a: Attribute, l: Literal) =>
+        longOf(l).foreach(v => add(a.name)(c => c.copy(lo = c.lo.max(v))))
+        strOf(l).foreach(v => add(a.name)(c => c.copy(lo = c.lo.max(upper(v)))))
+      case LessThan(a: Attribute, l: Literal) =>
+        longOf(l).foreach(v => add(a.name)(c => c.copy(hi = c.hi.min(v)))) // conservative: <= v
+        strOf(l).foreach(v => add(a.name)(c => c.copy(hi = c.hi.min(lower(v)))))
+      case LessThanOrEqual(a: Attribute, l: Literal) =>
+        longOf(l).foreach(v => add(a.name)(c => c.copy(hi = c.hi.min(v))))
+        strOf(l).foreach(v => add(a.name)(c => c.copy(hi = c.hi.min(lower(v)))))
+      // prefix probe (LIKE 'p%'): any match extends the prefix, so its
+      // encoded upper is >= upper(p) and its encoded lower is <= the
+      // prefix's 0xFF-padded ceiling — a two-sided range constraint
+      case StartsWith(a: Attribute, l: Literal) => strOf(l).foreach(v =>
+        add(a.name)(c => c.copy(lo = c.lo.max(upper(v)),
+          hi = c.hi.min(prefixCeil(v.toString)))))
       case GreaterThan(l: Literal, a: Attribute) => walk(LessThan(a, l))
       case GreaterThanOrEqual(l: Literal, a: Attribute) => walk(LessThanOrEqual(a, l))
       case LessThan(l: Literal, a: Attribute) => walk(GreaterThan(a, l))
       case LessThanOrEqual(l: Literal, a: Attribute) => walk(GreaterThanOrEqual(a, l))
       case In(a: Attribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
         val longs = vs.map(v => longOf(v.asInstanceOf[Literal]))
+        val strs = vs.map(v => strOf(v.asInstanceOf[Literal]))
         if (longs.forall(_.isDefined))
           add(a.name)(c => c.copy(points = Some(
             c.points.fold(longs.flatten)(p => p.intersect(longs.flatten)))))
+        else if (strs.forall(_.isDefined)) {
+          val ss = strs.flatten.map(_.toString)
+          add(a.name)(c => c.copy(spoints = Some(
+            c.spoints.fold(ss)(p => p.intersect(ss)))))
+        }
       case _ => () // non-translatable: prunes nothing here, still pushed
     }
     filters.foreach(walk)
@@ -624,43 +667,58 @@ object GraftTxnFileIndex {
   private[sources] def mayMatch(snap: Snapshot, rel: String,
                                 cons: Map[String, Constraint]): Boolean =
     cons.forall { case (col, c) =>
+      import graft.functions.Utf8Prefix64.{bloomHash, lower, upper}
       val range = snap.stats.get(rel).flatMap(_.get(col))
       val rangeOk = range.forall { case (lo, hi) =>
         val pointOk = c.points.forall(_.exists(v => v >= lo && v <= hi))
-        c.hi >= lo && c.lo <= hi && pointOk
+        // a present string value s has lower(s) >= fileLo and
+        // upper(s) <= fileHi — an IN list survives iff some member may
+        val spointOk = c.spoints.forall(_.exists(v =>
+          lower(v) >= lo && upper(v) <= hi))
+        c.hi >= lo && c.lo <= hi && pointOk && spointOk
       }
-      val bloomOk = c.points match {
-        case Some(vs) => snap.blooms.get(rel).flatMap(_.get(col)).forall { b =>
+      val bloomOk = (c.points, c.spoints) match {
+        case (Some(vs), _) => snap.blooms.get(rel).flatMap(_.get(col)).forall { b =>
           val bf = graft.functions.BloomAgg.fromBytes(b)
           vs.exists(bf.mightContainLong)
         }
-        case None => true
+        // string blooms record xxhash64(col) — probe the same hash
+        case (None, Some(vs)) => snap.blooms.get(rel).flatMap(_.get(col)).forall { b =>
+          val bf = graft.functions.BloomAgg.fromBytes(b)
+          vs.exists(v => bf.mightContainLong(bloomHash(v)))
+        }
+        case _ => true
       }
-      // bucket-transform pruning for point probes on a LONG source
-      // column ([[TxnTable.readSemiPruned]]'s composition rule: only
-      // sound when the fan-out hashed exactly this value's type)
-      val bucketOk = c.points match {
-        case Some(vs) =>
-          // `col` is the SCAN-side (physical) name here — pushed filters
-          // on a mapped table arrive pre-translated by the scan builder
-          val srcIsLong = snap.schema.exists(_.fields.exists(f =>
-            !graft.sinks.ColumnMapping.isDropped(f) &&
-              graft.sinks.ColumnMapping.physOf(f) == col &&
-              f.dataType == LongType))
-          val bucketTs = snap.transforms.filter(t =>
-            t.kind == "bucket" && t.src == col)
-          !srcIsLong || bucketTs.forall { t =>
-            snap.stats.get(rel).flatMap(_.get(t.name)) match {
-              case Some((blo, bhi)) if blo == bhi =>
-                vs.exists { v =>
-                  val h = org.apache.spark.sql.catalyst.expressions.XXH64
-                    .hashLong(v, 42L)
-                  ((h % t.param) + t.param) % t.param == blo
-                }
-              case _ => true // no point entry: cannot prune, keep
-            }
+      // bucket-transform pruning for point probes — only sound when the
+      // probe hashes exactly what the fan-out hashed ([[TxnTable
+      // .readSemiPruned]]'s composition rule): xxhash64 is
+      // type-dependent, so long probes need a LONG source and string
+      // probes a STRING source
+      def srcType(dt: org.apache.spark.sql.types.DataType): Boolean =
+        // `col` is the SCAN-side (physical) name here — pushed filters
+        // on a mapped table arrive pre-translated by the scan builder
+        snap.schema.exists(_.fields.exists(f =>
+          !graft.sinks.ColumnMapping.isDropped(f) &&
+            graft.sinks.ColumnMapping.physOf(f) == col &&
+            f.dataType == dt))
+      val bucketTs = snap.transforms.filter(t =>
+        t.kind == "bucket" && t.src == col)
+      def bucketPrunes(hashes: Seq[Long]): Boolean =
+        bucketTs.forall { t =>
+          snap.stats.get(rel).flatMap(_.get(t.name)) match {
+            case Some((blo, bhi)) if blo == bhi =>
+              hashes.exists(h => ((h % t.param) + t.param) % t.param == blo)
+            case _ => true // no point entry: cannot prune, keep
           }
-        case None => true
+        }
+      val bucketOk = (c.points, c.spoints) match {
+        case (Some(vs), _) =>
+          !srcType(LongType) || bucketPrunes(vs.map(
+            org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(_, 42L)))
+        case (None, Some(vs)) =>
+          !srcType(org.apache.spark.sql.types.StringType) ||
+            bucketPrunes(vs.map(bloomHash))
+        case _ => true
       }
       rangeOk && bloomOk && bucketOk
     }

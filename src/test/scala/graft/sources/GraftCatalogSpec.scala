@@ -145,6 +145,67 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(TxnTable.latest(spark, s"$warehouse/db4/c").get.op === "append")
   }
 
+  private def plannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    val scan = (df.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.scan
+    }.head match {
+      case w: GraftStreamCapableScan => w.delegate
+      case s => s
+    }).asInstanceOf[ParquetScan]
+    scan.toBatch.planInputPartitions().toSeq.collect {
+      case fp: FilePartition => fp.files.map(_.urlEncodedPath).toSeq
+    }.flatten.distinct
+  }
+
+  test("STRING-keyed manifest pruning fires through the SQL-by-name path: " +
+      "equality, range, LIKE prefix, IN") {
+    val root = s"$warehouse/db/t4"
+    val s = spark; import s.implicits._
+    val langs = Seq("ar", "de", "el", "en", "es", "fr", "ja", "ko", "nl",
+      "pt", "sv", "zh")
+    TxnTable.overwrite(spark, root,
+      langs.flatMap(l => (1L to 30L).map(i => (l, i))).toDF("lang", "v")
+        .repartitionByRange(6, col("lang")),
+      statsCols = Seq("lang"), bloomCols = Seq("lang"))
+    val total = TxnTable.latest(spark, root).get.files.size
+    assert(total > 1)
+    def check(where: String, expectRows: Long): Unit = {
+      val df = spark.sql(s"SELECT * FROM $cat.db.t4 WHERE $where")
+      val planned = plannedFiles(df)
+      assert(planned.size < total, s"$where planned ${planned.size}/$total")
+      assert(df.count() === expectRows, where)
+    }
+    check("lang = 'ko'", 30L)
+    check("lang >= 'sv'", 60L)
+    check("lang < 'de'", 30L)
+    check("lang LIKE 'e%'", 90L)
+    check("lang IN ('ar', 'zh')", 60L)
+    // a probe outside every span plans zero files and returns zero rows
+    val none = spark.sql(s"SELECT * FROM $cat.db.t4 WHERE lang = 'qq'")
+    assert(plannedFiles(none).isEmpty && none.count() === 0L)
+  }
+
+  test("bucket transform on a STRING key: DSv2 equality probe prunes to " +
+      "the key's bucket") {
+    val root = s"$warehouse/db/t5"
+    val s = spark; import s.implicits._
+    spark.sql(s"CREATE TABLE $cat.db.t5 (host STRING, v BIGINT) " +
+      "PARTITIONED BY (bucket(8, host))")
+    val hosts = (1 to 64).map(i => s"host$i.example.com")
+    TxnTable.append(spark, root,
+      hosts.flatMap(h => (1L to 5L).map((h, _))).toDF("host", "v"))
+    val total = TxnTable.latest(spark, root).get.files.size
+    assert(total >= 8) // fan-out by bucket
+    val df = spark.sql(s"SELECT * FROM $cat.db.t5 WHERE host = 'host7.example.com'")
+    val planned = plannedFiles(df)
+    assert(planned.size <= total / 4,
+      s"bucket pruning planned ${planned.size}/$total")
+    assert(df.count() === 5L)
+  }
+
   test("manifest pruning fires through the SQL-by-name path") {
     val root = s"$warehouse/db/t3"
     val s = spark; import s.implicits._
