@@ -138,21 +138,53 @@ object GuardRails {
     * assumed small. The probe costs one extra evaluation of each
     * aggregate side per audit; sides are domain-sized by the time they
     * reach it, and only cartesian-bearing plans (q108's class) pay it. */
+  /** MEMOIZED per (canonical plan, source identity): Bench and Verify
+    * both gate every plan, so an admitted q108-class query would
+    * otherwise pay the probe's aggregate evaluation on every audit of
+    * the same plan over the same files. The key carries the side's
+    * canonicalized plan (expression-id-free) plus each leaf scan's
+    * location and file count, so a plan re-probed after its source
+    * tables changed misses the cache honestly; bounded at
+    * [[ProbeCacheMax]] entries (cleared wholesale — the working set is
+    * a handful of cartesian-bearing plans). */
+  private val ProbeCacheMax = 256
+  private val probeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  /** Number of ACTUAL probe executions (cache misses) — the spec pins
+    * that a re-audit of an unchanged plan costs zero evaluations. */
+  private[plans] val probeRuns = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def probeKey(p: SparkPlan): String = {
+    val srcs = p.collectWithSubqueries {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.mkString(",") + "#" +
+          f.relation.location.inputFiles.length
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.description()
+    }
+    p.canonicalized.toString + "\n@" + srcs.mkString("|")
+  }
+
   private def domainSmall(p: SparkPlan): Boolean = {
-    // executeTake assumes a row-producing plan with columnar↔row
-    // transitions in place, but an AQE fragment (initialPlan) has NONE
-    // of them — they are inserted per query stage at execution. A
-    // top-level ColumnarToRowExec wrap is not enough (seen at sf10: a
-    // columnar scan nested under the row-based aggregate throws
-    // ColumnarBatch-as-InternalRow), so run Spark's OWN transition
-    // insertion over the whole fragment (empty extension-rule list —
-    // the built-in columnar↔row adapters are what we need), exactly
-    // what query-stage preparation would do.
-    val rows = org.apache.spark.sql.execution
-      .ApplyColumnarRulesAndInsertTransitions(Nil, outputsColumnar = false)
-      .apply(p)
-    scala.util.Try(rows.executeTake(DomainBound + 1).length <= DomainBound)
-      .getOrElse(false)
+    if (probeCache.size > ProbeCacheMax) probeCache.clear()
+    probeCache.computeIfAbsent(probeKey(p), _ => {
+      probeRuns.incrementAndGet()
+      // executeTake assumes a row-producing plan with columnar↔row
+      // transitions in place, but an AQE fragment (initialPlan) has NONE
+      // of them — they are inserted per query stage at execution. A
+      // top-level ColumnarToRowExec wrap is not enough (seen at sf10: a
+      // columnar scan nested under the row-based aggregate throws
+      // ColumnarBatch-as-InternalRow), so run Spark's OWN transition
+      // insertion over the whole fragment (empty extension-rule list —
+      // the built-in columnar↔row adapters are what we need), exactly
+      // what query-stage preparation would do.
+      val rows = org.apache.spark.sql.execution
+        .ApplyColumnarRulesAndInsertTransitions(Nil, outputsColumnar = false)
+        .apply(p)
+      java.lang.Boolean.valueOf(
+        scala.util.Try(rows.executeTake(DomainBound + 1).length <= DomainBound)
+          .getOrElse(false))
+    }).booleanValue()
   }
 
   /** Every node in the plan INCLUDING subquery plans and plans nested

@@ -871,7 +871,73 @@ object Txn {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q132: POSITION DELETES — merge-on-read SQL UPDATE
+  // ([[graft.sources.GraftPosDeltaOperation]], Spark's SupportsDelta
+  // framework): the same repaired-events shape as q126, but the table
+  // opts into `write.rowlevel.mode = merge-on-read`, so the UPDATE
+  // commits positional tombstones + a small insert file and EVERY
+  // prior data file carries by reference — the build asserts path
+  // identity (byte-identical data files) and that the head carries
+  // live position-delete files; the read then merges the tombstones
+  // and must hash-match DuckDB recomputing the update from the raw
+  // source. At 100 TB this is the difference between a kilobyte
+  // tombstone and rewriting every terabyte file a 10-row repair
+  // touches (q126 measures the CoW regime; the table property picks
+  // per workload).
+  // ---------------------------------------------------------------------
+  private[queries] def ensureMorUpdated(s: SparkSession, dir: String): String =
+    synchronized {
+      import s.implicits._
+      val wh = sqlCatWarehouse(s)
+      val name = s"events_morup_${tag(dir)}"
+      val root = s"$wh/db/$name"
+      val st = graft.SourceStamp.table(s, dir, "events")
+      if (!TxnTable.latest(s, root).exists(sn =>
+            sn.op == "update-mor" && sn.deletes.nonEmpty) ||
+          !graft.SourceStamp.isCurrent(s, root, st)) {
+        val loc = new org.apache.hadoop.fs.Path(root)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+        TxnTable.overwrite(s, root,
+          graft.Tables.t(s, dir, "events")
+            .repartitionByRange(8, $"user_id"),
+          statsCols = Seq("user_id"))
+        TxnTable.setTableProperty(s, root, TxnTable.RowLevelModeKey,
+          "merge-on-read")
+        val before = TxnTable.latest(s, root).get
+        s.sql(s"UPDATE graft_cat.db.$name SET value = value * 2 " +
+          s"WHERE user_id BETWEEN $UpLo AND $UpHi")
+        val after = TxnTable.latest(s, root).get
+        // the whole point, asserted at build time: zero data rewrite
+        require(before.files.forall(after.files.contains) &&
+            after.deletes.nonEmpty &&
+            after.deleteCols == TxnTable.PosDeleteCols,
+          "merge-on-read UPDATE must carry every data file by path " +
+            "identity and commit position-delete tombstones")
+        graft.SourceStamp.write(s, root, st)
+      }
+      root
+    }
+
+  val q132Bench: Q = (s, dir) => {
+    import s.implicits._
+    TxnTable.read(s, ensureMorUpdated(s, dir))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        money(sum(cents($"value"))).as("total_value"))
+  }
+  val q132: Q = (s, dir) => {
+    import s.implicits._
+    q132Bench(s, dir).orderBy($"event_type")
+  }
+  // tombstone-merged must equal recomputed-with-the-update (q126's
+  // oracle — the REGIME changed, the content must not)
+  val q132Sql: String = q126Sql
+
   val queries: Map[String, Q] = Map(
+    "q132_mor_update" -> q132,
     "q131_str_point_lookup" -> q131,
     "q82_txn_snapshot" -> q82,
     "q89_txn_delete"   -> q89,
@@ -888,6 +954,7 @@ object Txn {
     "q129_replay_rename" -> q129,
     "q130_partial_compact" -> q130)
   val oracles: Map[String, String] = Map(
+    "q132_mor_update" -> q132Sql,
     "q131_str_point_lookup" -> q131Sql,
     "q82_txn_snapshot" -> q82Sql,
     "q89_txn_delete"   -> q89Sql,
@@ -920,5 +987,6 @@ object Txn {
     "q128_sql_rename"  -> q128Bench,
     "q129_replay_rename" -> q129Bench,
     "q130_partial_compact" -> q130Bench,
-    "q131_str_point_lookup" -> q131Bench)
+    "q131_str_point_lookup" -> q131Bench,
+    "q132_mor_update" -> q132Bench)
 }

@@ -1062,6 +1062,26 @@ object TxnTable {
       // the post-change schema (inherited sets stay physical as-is)
       def xlate(cs: Seq[String]): Seq[String] = storage.fold(cs)(sc =>
         cs.map(ColumnMapping.physName(sc, _)))
+      // widening a BUCKET-transform source changes the fan-out hash
+      // basis (xxhash64 of an int and of a long differ): files written
+      // under the old type carry bucket entries a new-type probe would
+      // WRONG-SKIP, and new appends would mix hash bases under one
+      // entry name — refuse (re-create the spec after a clustering
+      // rewrite instead)
+      for {
+        tgt <- storage; prior <- cur.schema
+      } {
+        val priorTypes = prior.fields
+          .map(f => ColumnMapping.physOf(f) -> f.dataType).toMap
+        tgt.fields.foreach { f =>
+          val p = ColumnMapping.physOf(f)
+          if (priorTypes.get(p).exists(_ != f.dataType))
+            require(!cur.transforms.exists(t => t.kind == "bucket" && t.src == p),
+              s"cannot widen '${f.name}': it is a bucket-transform source — " +
+                "the fan-out hash is type-dependent, so existing files' " +
+                "bucket entries would wrong-skip probes of the widened type")
+        }
+      }
       val cols = newStatsCols.map(xlate).getOrElse(cur.statsCols)
       val bcols = newBloomCols.map(xlate).getOrElse(cur.bloomCols)
       // transform-DERIVED names (day_x / bucketN_x) are legitimate stats
@@ -2117,9 +2137,64 @@ object TxnTable {
       bounds.map { case (c, lo, hi) => (physCol(cur, c), lo, hi) })
   }
 
+  /** Exactly-once keyed MERGE per micro-batch — the Update-mode
+    * streaming sink's commit shape ([[graft.streaming.TxnStreamSink]]):
+    * each batch UPSERTS its rows by `keyCols` (replace-or-insert, the
+    * [[mergeInto]] semantics) as one `merge-batch:(streamId, batchId)`
+    * commit; a replayed batch finds its own commit and no-ops. A
+    * stateful aggregation (sessionization, running top-k) can thus sink
+    * updated keys WITHOUT Complete-mode full rewrites: the rewrite is
+    * bounded to the files whose recorded key range overlaps THIS
+    * batch's keys when the merge key is a recorded stats column (long
+    * via raw bounds, string via the prefix encoding — sound only when
+    * the batch carries no null keys, checked in the same small agg);
+    * everything else carries by reference. A first batch on an empty
+    * root creates the table. */
+  def mergeBatch(s: SparkSession, root: String, df: DataFrame,
+                 batchId: Long, keyCols: Seq[String],
+                 streamId: String = ""): Option[Snapshot] = {
+    require(keyCols.nonEmpty, "mergeBatch needs at least one key column")
+    val opTag =
+      if (streamId.isEmpty) s"merge-batch:$batchId"
+      else s"merge-batch:$streamId:$batchId"
+    val vs = versions(s, root)
+    if (vs.exists(v => snapshot(s, root, v).op == opTag)) return None
+    val prior = vs.lastOption.map(snapshot(s, root, _))
+    prior match {
+      case None =>
+        // first batch: the merge degenerates to creating the table
+        val staged = stage(s, root, df)
+        val (st, bl) = fileMeta(s, root, staged, Nil, Nil)
+        Some(commit(s, root, 1L, opTag, staged, st, Nil, Some(df.schema), bl))
+      case Some(cur) =>
+        import org.apache.spark.sql.functions.{col, count, lit, max, min, when}
+        val key = keyCols.head
+        val pc = physCol(cur, key)
+        val bounds: Seq[(String, Long, Long)] =
+          if (!cur.statsCols.contains(pc)) Nil
+          else {
+            val r = df.agg(min(col(key)).as("mn"), max(col(key)).as("mx"),
+              count(when(col(key).isNull, lit(1))).as("nulls")).head
+            if (r.isNullAt(0) || r.getLong(2) > 0L) Nil // empty or null keys
+            else df.schema(key).dataType match {
+              case org.apache.spark.sql.types.LongType =>
+                Seq((key, r.getLong(0), r.getLong(1)))
+              case org.apache.spark.sql.types.StringType =>
+                Seq((key, graft.functions.Utf8Prefix64.lower(r.getString(0)),
+                  graft.functions.Utf8Prefix64.upper(r.getString(1))))
+              case _ => Nil
+            }
+          }
+        Some(mergeIntoImpl(s, root, cur, df, keyCols,
+          bounds.map { case (c, lo, hi) => (physCol(cur, c), lo, hi) },
+          opTag = opTag))
+    }
+  }
+
   private def mergeIntoImpl(s: SparkSession, root: String, cur: Snapshot,
                             changes: DataFrame, keyCols: Seq[String],
-                            bounds: Seq[(String, Long, Long)]): Snapshot = {
+                            bounds: Seq[(String, Long, Long)],
+                            opTag: String = "merge"): Snapshot = {
     require(keyCols.nonEmpty, "mergeInto needs at least one key column")
     requireNoMor(cur, "mergeInto")
     val base = root.stripSuffix("/")
@@ -2152,7 +2227,7 @@ object TxnTable {
         cur.transforms)
     val (stagedStats, stagedBlooms) =
       fileMeta(s, root, staged, cur.statsCols, cur.bloomCols)
-    commit(s, root, cur.version + 1, "merge", carry ++ staged,
+    commit(s, root, cur.version + 1, opTag, carry ++ staged,
       cur.stats.view.filterKeys(carry.toSet).toMap ++
         mergeStats(stagedStats, transformStats(staged, cur.transforms)),
       cur.statsCols,
@@ -2177,6 +2252,35 @@ object TxnTable {
     * and the column-less [[readPruned]] overload address. */
   private def primaryStats(snap: Snapshot, f: String): Option[(Long, Long)] =
     snap.statsCols.headOption.flatMap(c => snap.stats.get(f).flatMap(_.get(c)))
+
+  /** BUCKET SPECS applicable to file `rel` for point probes on
+    * (physical) column `col`: the table's CURRENT spec plus any
+    * RETIRED spec recovered from the file's own recorded entry names —
+    * the derived name `bucket<N>_<src>` SELF-DESCRIBES its transform
+    * (kind, param, source), so a file fanned out under an older spec
+    * keeps pruning under that spec after [[setTransforms]] replaced it:
+    * per-file spec identity (Iceberg's spec-id semantics) with zero
+    * manifest changes. Names that are real table columns are excluded
+    * — only [[transformStats]] writes non-column entry names, so the
+    * pattern + not-a-column test is exact. */
+  private[graft] def bucketSpecsFor(snap: Snapshot, rel: String,
+                                    col: String): Seq[(String, Int)] = {
+    val current = snap.transforms.collect {
+      case t if t.kind == "bucket" && t.src == col => (t.name, t.param)
+    }
+    // a legacy schema-less manifest cannot prove an entry name is not a
+    // real column — recover nothing there (sound: fewer skips)
+    val retired = snap.schema.map(sc =>
+      ColumnMapping.physicalSchema(sc).fieldNames.toSet).fold(
+      Seq.empty[(String, Int)]) { cols =>
+      val pat = s"^bucket(\\d+)_${java.util.regex.Pattern.quote(col)}$$".r
+      snap.stats.getOrElse(rel, Map.empty).keys.toSeq.collect {
+        case n @ pat(p) if !cols.contains(n) && !current.exists(_._1 == n) =>
+          (n, p.toInt)
+      }
+    }
+    current ++ retired
+  }
 
   /** Multi-column skip decision: a file is PROVABLY untouched when ANY
     * bounded column's recorded [min, max] is disjoint from its bound —
@@ -2480,22 +2584,26 @@ object TxnTable {
     val srcIsLong = snap.schema.exists(sc =>
       ColumnMapping.logicalView(sc).fields.exists(f =>
         f.name == col && f.dataType == org.apache.spark.sql.types.LongType))
-    val bucketTs = snap.transforms.filter(t => t.kind == "bucket" && t.src == colP)
-    def bucketOf(t: Transform, k: Long): Long = {
+    def bucketOf(param: Int, k: Long): Long = {
       val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(k, 42L)
-      ((h % t.param) + t.param) % t.param
+      ((h % param) + param) % param
     }
     val kept = snap.files.filter { f =>
       val range = snap.stats.get(f).flatMap(_.get(colP))
       val bloom = snap.blooms.get(f).flatMap(_.get(colP))
         .map(graft.functions.BloomAgg.fromBytes)
+      // per-file spec identity (current + retired fan-outs,
+      // [[bucketSpecsFor]]): mixed-spec tables prune each file under
+      // its own transform
+      val specs = bucketSpecsFor(snap, f, colP)
       collected.exists(k =>
         range.forall { case (lo, hi) => lo <= k && k <= hi } &&
           bloom.forall(_.mightContainLong(k)) &&
-          (!srcIsLong || bucketTs.forall(t =>
-            snap.stats.get(f).flatMap(_.get(t.name)).forall { case (lo, hi) =>
-              val v = bucketOf(t, k); lo <= v && v <= hi
-            })))
+          (!srcIsLong || specs.forall { case (name, param) =>
+            snap.stats.get(f).flatMap(_.get(name)).forall { case (lo, hi) =>
+              val v = bucketOf(param, k); lo <= v && v <= hi
+            }
+          }))
     }
     if (kept.isEmpty)
       semi(logical(scanFiles(s, root, snap, Seq(snap.files.head)).limit(0)))
@@ -2525,23 +2633,24 @@ object TxnTable {
       snap.schema.fold(raw)(sc => ColumnMapping.aliasToLogical(raw, sc))
     if (collected.length > maxKeys) return semi(readSnap(s, root, snap))
     val srcIsString = isStringCol(snap, colP)
-    val bucketTs = snap.transforms.filter(t => t.kind == "bucket" && t.src == colP)
-    def bucketOf(t: Transform, k: String): Long = {
+    def bucketOf(param: Int, k: String): Long = {
       val h = Utf8Prefix64.bloomHash(k) // xxhash64(col), seed 42
-      ((h % t.param) + t.param) % t.param
+      ((h % param) + param) % param
     }
     val kept = snap.files.filter { f =>
       val range = snap.stats.get(f).flatMap(_.get(colP))
       val bloom = snap.blooms.get(f).flatMap(_.get(colP))
         .map(graft.functions.BloomAgg.fromBytes)
+      val specs = bucketSpecsFor(snap, f, colP)
       collected.exists(k =>
         range.forall { case (lo, hi) =>
           lo <= Utf8Prefix64.lower(k) && Utf8Prefix64.upper(k) <= hi } &&
           bloom.forall(_.mightContainLong(Utf8Prefix64.bloomHash(k))) &&
-          (!srcIsString || bucketTs.forall(t =>
-            snap.stats.get(f).flatMap(_.get(t.name)).forall { case (lo, hi) =>
-              val v = bucketOf(t, k); lo <= v && v <= hi
-            })))
+          (!srcIsString || specs.forall { case (name, param) =>
+            snap.stats.get(f).flatMap(_.get(name)).forall { case (lo, hi) =>
+              val v = bucketOf(param, k); lo <= v && v <= hi
+            }
+          }))
     }
     if (kept.isEmpty)
       semi(logical(scanFiles(s, root, snap, Seq(snap.files.head)).limit(0)))
@@ -2672,10 +2781,13 @@ object TxnTable {
     // decided from the manifests, so the common live-delete CDC window
     // (appends on top of an unchanged delete set) stays carried-file-free
     if (carried.nonEmpty && s1.deletes.toSet != s2.deletes.toSet) {
-      lazy val carriedDf = reader.parquet(carried: _*)
+      lazy val carriedDf =
+        if (posShape) withPosId(reader.parquet(carried: _*))
+        else reader.parquet(carried: _*)
       def probe(keys: Option[DataFrame], sign: Int): Unit = keys.foreach { k =>
-        sides += side(
-          logical(carriedDf.join(k, dataCond(carriedDf, k), "left_semi")), sign)
+        sides += side(logical(
+          carriedDf.join(k, dataCond(carriedDf, k), "left_semi")
+            .drop("_gcdc_file", "_gcdc_pos")), sign)
       }
       // keys only enter D through files, so D2∖D1 lives in the NEW
       // delete files (minus keys v1 already had) — changed files are
@@ -2836,6 +2948,72 @@ object TxnTable {
       cur.bloomCols, transforms = cur.transforms)
   }
 
+  /** Commit a POSITION-DELTA result (SQL UPDATE / MERGE / DELETE
+    * arriving through the DataSourceV2 delta framework,
+    * `sources/GraftPosDelta.scala`, on a table whose
+    * `write.rowlevel.mode` property is `merge-on-read`): `posDeletes`
+    * are freshly staged position-delete parquet files (`_file` root-
+    * relative path, `_pos` row ordinal — [[PosDeleteCols]]) and
+    * `addedData` the staged inserted/updated rows. EVERY prior data
+    * file carries by reference with its metadata untouched — that is
+    * the point: a 10-row UPDATE against a 1 GB file commits a
+    * kilobyte tombstone, not a rewrite ([[compactDeletes]] folds the
+    * debt in a maintenance window; the CoW path remains the default
+    * mode and the read-merge-free regime).
+    *
+    * SERIALIZABLE like [[commitReplace]]: refuses if the head moved
+    * past the planned version (the tombstone positions were computed
+    * against that snapshot's files; a racing compaction could have
+    * rewritten them, and silently re-pointing tombstones is how
+    * deleted rows resurrect). Refuses equality-shape MoR liveness —
+    * one shape at a time, `compactDeletes` first. */
+  private[graft] def commitDelta(s: SparkSession, root: String,
+      expectedVersion: Long, addedData: Seq[String],
+      posDeletes: Seq[String], opTag: String): Option[Snapshot] = {
+    val cur = latestRequired(s, root)
+    if (addedData.isEmpty && posDeletes.isEmpty) return None // matched 0 rows
+    require(cur.deletes.isEmpty || isPosShape(cur),
+      s"SQL $opTag (merge-on-read): snapshot v${cur.version} carries " +
+        s"equality-shape delete files on '${cur.deleteCols.mkString(",")}' — " +
+        "one MoR shape per table; run TxnTable.compactDeletes first")
+    if (cur.version != expectedVersion)
+      throw new TxnConflictException(
+        s"row-level $opTag planned against v$expectedVersion but $root is " +
+          s"at v${cur.version} — the tombstone positions were computed from " +
+          "a stale snapshot; re-run the statement")
+    val (stagedStats, stagedBlooms) =
+      fileMeta(s, root, addedData, cur.statsCols, cur.bloomCols)
+    Some(commit(s, root, cur.version + 1, opTag,
+      cur.files ++ addedData,
+      cur.stats ++ mergeStats(stagedStats, transformStats(addedData, cur.transforms)),
+      cur.statsCols, cur.schema,
+      cur.blooms ++ stagedBlooms, cur.bloomCols,
+      cur.deletes ++ posDeletes, PosDeleteCols, cur.transforms,
+      cur.rowCounts, nullCounts = cur.nullCounts))
+  }
+
+  /** Live position-delete entries of `snap` restricted to `files`, as
+    * a driver-side map (file → sorted ordinals) the delta scan's
+    * readers mask with. Bounded loud: a pos-delete set past the cap is
+    * compaction debt, not scan state — `compactDeletes` first. */
+  private[graft] def posDeleteMap(s: SparkSession, root: String,
+      snap: Snapshot, files: Seq[String],
+      cap: Int = 5000000): Map[String, Array[Long]] = {
+    if (snap.deletes.isEmpty || !isPosShape(snap)) return Map.empty
+    import org.apache.spark.sql.functions.col
+    val base = root.stripSuffix("/")
+    val want = files.toSet
+    val rows = s.read.parquet(snap.deletes.map(f => s"$base/$f"): _*)
+      .select(col("_file"), col("_pos")).distinct()
+      .limit(cap + 1).collect()
+    require(rows.length <= cap,
+      s"snapshot v${snap.version} carries over $cap live position-delete " +
+        "entries for the scanned files — fold them first (compactDeletes)")
+    rows.groupBy(_.getString(0)).collect {
+      case (f, rs) if want.contains(f) => f -> rs.map(_.getLong(1)).sorted
+    }.toMap
+  }
+
   /** MERGE-ON-READ equality delete — the O(deleted keys) counterpart of
     * the copy-on-write [[deleteWhere]]: commit a small parquet of
     * deleted KEYS and leave every data file untouched; readers
@@ -2957,6 +3135,62 @@ object TxnTable {
     }
     throw new IllegalStateException("unreachable")
   }
+
+  // ---------------------------------------------------------------------
+  // Table PROPERTIES — a small operational key=value bag in a `_txn`
+  // sidecar (`props.txt`). DELIBERATELY un-versioned: properties are
+  // write-behavior configuration (which DELETE/UPDATE regime to plan),
+  // not content — time travel and restore must not flip a table's
+  // operational mode, and every recorded property applies to writes
+  // FROM NOW ON. Known keys are validated at set time; unknown keys
+  // refuse loud.
+  // ---------------------------------------------------------------------
+
+  /** `write.rowlevel.mode`: how SQL UPDATE/MERGE/subquery-DELETE plans —
+    * `copy-on-write` (default; rewrite touched files, merge-free reads)
+    * or `merge-on-read` (commit position-delete tombstones + new rows,
+    * readers merge until [[compactDeletes]] — Iceberg's
+    * `write.update.mode` knob, one knob for all three commands). */
+  val RowLevelModeKey = "write.rowlevel.mode"
+
+  private def propsPath(root: String): Path =
+    new Path(s"${root.stripSuffix("/")}/_txn/props.txt")
+
+  def tableProperties(s: SparkSession, root: String): Map[String, String] = {
+    val f = fs(s, root)
+    val p = propsPath(root)
+    if (!f.exists(p)) Map.empty
+    else readSmallFile(s, root, p).split("\n").toSeq.filter(_.contains("="))
+      .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }.toMap
+  }
+
+  def setTableProperty(s: SparkSession, root: String,
+                       key: String, value: String): Unit = {
+    key match {
+      case RowLevelModeKey => require(
+        value == "copy-on-write" || value == "merge-on-read",
+        s"$RowLevelModeKey must be copy-on-write or merge-on-read, got '$value'")
+      case other => throw new IllegalArgumentException(
+        s"unknown table property '$other' — known: $RowLevelModeKey " +
+          "(statsCols/bloomCols are ALTER TABLE SET TBLPROPERTIES surfaces " +
+          "that version through the manifest, not sidecar properties)")
+    }
+    latestRequired(s, root) // a table must exist to configure
+    val all = tableProperties(s, root) + (key -> value)
+    val f = fs(s, root)
+    val tmp = new Path(propsPath(root).getParent,
+      s".tmp-props-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = f.create(tmp, false)
+    try out.write(all.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+      .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    f.delete(propsPath(root), false)
+    if (!f.rename(tmp, propsPath(root)))
+      throw new IllegalStateException(s"could not write ${propsPath(root)}")
+  }
+
+  private[graft] def rowLevelMode(s: SparkSession, root: String): String =
+    tableProperties(s, root).getOrElse(RowLevelModeKey, "copy-on-write")
 
   /** RESTORE — roll the table back to `toVersion` as a NEW commit (the
     * warehouse-standard undo for a bad load): the restored manifest is a

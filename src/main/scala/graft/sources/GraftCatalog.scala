@@ -227,6 +227,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"table at $root has no recorded schema to alter — append once first")))
     var statsCols: Option[Seq[String]] = None
     var bloomCols: Option[Seq[String]] = None
+    var sidecarOnly = false
     val renames = Seq.newBuilder[(String, String)]
     val drops = Seq.newBuilder[String]
     def csv(v: String): Seq[String] =
@@ -273,6 +274,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         statsCols = Some(csv(set.value))
       case set: TableChange.SetProperty if set.property == "bloomCols" =>
         bloomCols = Some(csv(set.value))
+      case set: TableChange.SetProperty
+          if set.property == TxnTable.RowLevelModeKey =>
+        // operational sidecar property (un-versioned by design — see
+        // [[TxnTable.setTableProperty]]); no manifest commit
+        TxnTable.setTableProperty(spark, root, set.property, set.value)
+        sidecarOnly = true
       case rm: TableChange.RemoveProperty if rm.property == "statsCols" =>
         statsCols = Some(Nil)
       case rm: TableChange.RemoveProperty if rm.property == "bloomCols" =>
@@ -283,10 +290,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"DROP COLUMN, and the 'statsCols'/'bloomCols' properties; " +
           s"got $other")
     }
-    TxnTable.alterTable(spark, root,
-      newSchema = Some(schema),
-      newStatsCols = statsCols, newBloomCols = bloomCols,
-      renames = renames.result(), drops = drops.result())
+    val rens = renames.result(); val drps = drops.result()
+    val manifestChange = statsCols.isDefined || bloomCols.isDefined ||
+      rens.nonEmpty || drps.nonEmpty ||
+      schema != graft.sinks.ColumnMapping.logicalView(cur.schema.get)
+    if (manifestChange || !sidecarOnly)
+      TxnTable.alterTable(spark, root,
+        newSchema = Some(schema),
+        newStatsCols = statsCols, newBloomCols = bloomCols,
+        renames = rens, drops = drps)
     loadTable(ident)
   }
 

@@ -40,6 +40,14 @@ class GraftTxnScanBuilder(spark: SparkSession, root: String, snap: Snapshot,
 
   private val delegate = ParquetScanBuilder(spark, index, schema, schema, options)
 
+  // set when pruneColumns requests the `_file`/`_pos` METADATA columns
+  // ([[GraftMetaCols]]): the vectorized delegate cannot produce row
+  // ordinals, so build() routes to the position-aware scan instead
+  private var metaRequired: Option[org.apache.spark.sql.types.StructType] = None
+  // raw pushed catalyst filters, kept for the position scan's manifest
+  // file skipping (the delegate path keeps its own pushed state)
+  private var rawFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil
+
   // logical→physical for live columns (identity when unmapped)
   private val l2p: Map[String, String] = mapping.fold(Map.empty[String, String])(sc =>
     sc.fields.filterNot(ColumnMapping.isDropped)
@@ -55,13 +63,16 @@ class GraftTxnScanBuilder(spark: SparkSession, root: String, snap: Snapshot,
   }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    delegate.pruneColumns(
+    if (requiredSchema.fieldNames.exists(GraftMetaCols.names.contains))
+      metaRequired = Some(requiredSchema) // logical names; build() routes
+    else delegate.pruneColumns(
       if (l2p.isEmpty) requiredSchema
       else StructType(requiredSchema.fields.map(physField)))
 
   override def pushFilters(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
-      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    rawFilters = filters
     if (l2p.isEmpty) delegate.pushFilters(filters)
     else {
       // push the physical-named forms down (parquet row groups + the
@@ -73,6 +84,7 @@ class GraftTxnScanBuilder(spark: SparkSession, root: String, snap: Snapshot,
       delegate.pushFilters(filters.map(physExpr))
       filters
     }
+  }
 
   override def pushedFilters
       : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
@@ -95,9 +107,19 @@ class GraftTxnScanBuilder(spark: SparkSession, root: String, snap: Snapshot,
     if (l2p.isEmpty) delegate.pushVariantExtractions(extractions)
     else new Array[Boolean](extractions.length) // decline all when mapped
 
-  override def build(): Scan =
-    new GraftStreamCapableScan(delegate.build(), spark, root, snap, options,
-      mapping, streamable)
+  override def build(): Scan = metaRequired match {
+    case Some(req) =>
+      // `_file`/`_pos` referenced: the position-aware row-based scan
+      // produces exact ordinals; pushed filters still prune FILES
+      // against manifest metadata (translated to physical names here)
+      new GraftPosScan(spark, root, snap, req,
+        GraftTxnFileIndex.constraints(rawFilters.map(physExpr)),
+        maskLive = snap.deletes.nonEmpty, streamable = streamable,
+        options = options)
+    case None =>
+      new GraftStreamCapableScan(delegate.build(), spark, root, snap, options,
+        mapping, streamable)
+  }
 }
 
 
@@ -266,10 +288,13 @@ class GraftTxnMicroBatchStream(spark: SparkSession, root: String,
     val removed = prevFiles -- cur.files.toSet
     val isAppend = removed.isEmpty && prevDeletes == cur.deletes.toSet
     val maintenance = Set("compact", "compact-deletes", "zorder")(cur.op)
-    if (isAppend && cur.deletes.nonEmpty && added.nonEmpty)
-      // the file-partition scan cannot anti-join live delete keys; the
-      // v1 path source and the CDC feed both mask — refuse, never serve
-      // rows a batch reader would hide
+    if (isAppend && cur.deletes.nonEmpty && added.nonEmpty &&
+        cur.deleteCols != graft.sinks.TxnTable.PosDeleteCols)
+      // the file-partition scan cannot anti-join live EQUALITY delete
+      // keys; the v1 path source and the CDC feed both mask — refuse,
+      // never serve rows a batch reader would hide. POSITION-shape
+      // deletes only reference files that existed at their own commit,
+      // never an append window's new files — raw emission is exact.
       throw new IllegalStateException(
         s"micro-batch stream over $root: v$v appends onto live merge-on-read " +
           "deletes, which a raw file scan cannot mask — compactDeletes first, " +

@@ -126,10 +126,14 @@ class GraftTxnSource extends TableProvider with DataSourceRegister
     require(partitionColumns.isEmpty,
       "graft-txn sink partitioning is the table's recorded transform spec " +
         "(set at CREATE TABLE / first append); drop partitionBy(...)")
-    require(outputMode != org.apache.spark.sql.streaming.OutputMode.Update(),
-      "graft-txn sink supports Append (idempotent appendBatch) and Complete " +
-        "(idempotent replaceBatch); Update has no append-or-replace encoding " +
-        "— use foreachBatch with TxnTable.deleteKeysMor + append")
+    val mergeKeys = GraftTxnSource.opt(parameters, "mergeKeys").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    require(outputMode != org.apache.spark.sql.streaming.OutputMode.Update() ||
+        mergeKeys.nonEmpty,
+      "graft-txn sink in Update mode needs row identity: set " +
+        "option(\"mergeKeys\", \"k1,k2\") — each micro-batch then UPSERTS " +
+        "its keys (idempotent mergeBatch); without keys an update stream " +
+        "has no merge-or-replace encoding")
     val root = GraftTxnSource.streamRoot(parameters)
     val streamId = GraftTxnSource.opt(parameters, "streamId")
       .orElse(GraftTxnSource.opt(parameters, "checkpointLocation"))
@@ -138,7 +142,7 @@ class GraftTxnSource extends TableProvider with DataSourceRegister
           "option(\"checkpointLocation\", ...) (every recoverable stream has " +
           "one) or option(\"streamId\", ...) — anonymous streams sharing " +
           "batch-id space would swallow each other's commits"))
-    new TxnStreamSink(ctx.sparkSession, root, streamId, outputMode)
+    new TxnStreamSink(ctx.sparkSession, root, streamId, outputMode, mergeKeys)
   }
 }
 
@@ -248,9 +252,17 @@ class GraftTxnTableV2(spark: SparkSession, val root: String, val snap: Snapshot,
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
   override def name(): String = s"graft-txn:$root@v${snap.version}"
+
+  /** `_file` / `_pos` — row position identity ([[GraftMetaCols]]):
+    * what position-delta row-level ops key on, and a queryable
+    * observability surface (referencing either routes the scan through
+    * the position-aware reader). Hidden from `SELECT *`. */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    GraftMetaCols.columns
 
   override lazy val schema: StructType = {
     val sc = snap.schema.map(graft.sinks.ColumnMapping.logicalView).getOrElse {
@@ -309,7 +321,13 @@ class GraftTxnTableV2(spark: SparkSession, val root: String, val snap: Snapshot,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // scan-time, not load-time: a MoR-live table stays WRITABLE (append
-    // is delete-independent) and only the un-mergeable read refuses
+    // is delete-independent) and only the un-mergeable read refuses.
+    // POSITION-shape deletes ARE mergeable here: the position-aware
+    // scan masks tombstoned ordinals in its readers (row-based — the
+    // price of exact ordinals — until compactDeletes folds the debt).
+    if (snap.deletes.nonEmpty && TxnTable.isPosShape(snap))
+      return new GraftPosScanBuilder(spark, root, snap, schema,
+        maskLive = true)
     require(snap.deletes.isEmpty,
       s"snapshot v${snap.version} at $root carries ${snap.deletes.size} live " +
         "merge-on-read delete file(s); the DSv2 scan cannot apply them — run " +
@@ -383,12 +401,26 @@ class GraftTxnTableV2(spark: SparkSession, val root: String, val snap: Snapshot,
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
-    // fail at plan time, not mid-rewrite: replacing a file without
-    // applying its pending MoR delete keys would resurrect rows
-    require(snap.deletes.isEmpty,
-      s"snapshot v${snap.version} at $root carries ${snap.deletes.size} live " +
-        "merge-on-read delete file(s); row-level SQL ops rewrite whole files " +
-        "and would resurrect the deleted rows — run TxnTable.compactDeletes first")
+    // the table's write.rowlevel.mode property picks the regime:
+    // copy-on-write (default — rewrite touched files, merge-free
+    // reads) or merge-on-read (position-delta tombstones + new rows —
+    // [[GraftPosDeltaOperation]], Iceberg's write.update.mode knob)
+    val mor = TxnTable.rowLevelMode(spark, root) == "merge-on-read"
+    // fail at plan time, not mid-rewrite: a CoW rewrite replacing a
+    // file without applying pending MoR deletes would resurrect rows;
+    // a position delta composes with LIVE POSITION deletes (its scan
+    // masks them) but not with equality-shape keys (one shape at a
+    // time — commitDelta re-checks at commit)
+    if (mor)
+      require(snap.deletes.isEmpty || TxnTable.isPosShape(snap),
+        s"snapshot v${snap.version} at $root carries equality-shape " +
+          "merge-on-read delete file(s); one MoR shape per table — run " +
+          "TxnTable.compactDeletes first")
+    else
+      require(snap.deletes.isEmpty,
+        s"snapshot v${snap.version} at $root carries ${snap.deletes.size} live " +
+          "merge-on-read delete file(s); row-level SQL ops rewrite whole files " +
+          "and would resurrect the deleted rows — run TxnTable.compactDeletes first")
     // NOTE: no mapping guard HERE — the analyzer builds the operation
     // table eagerly for every DELETE, including the simple ones the
     // optimizer later converts back to the metadata-only fast path.
@@ -396,11 +428,17 @@ class GraftTxnTableV2(spark: SparkSession, val root: String, val snap: Snapshot,
     // schema is physicalized ([[GraftRowLevelOperation.physicalize]] via
     // newWriteBuilder), so rewritten files keep the frozen physical
     // names.
-    () => new GraftRowLevelOperation(spark, root, snap, info.command(), schema)
+    () =>
+      if (mor) new GraftPosDeltaOperation(spark, root, snap, info.command(), schema)
+      else new GraftRowLevelOperation(spark, root, snap, info.command(), schema)
   }
 
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
-    filters.forall(GraftTxnTableV2.toColumn(_).isDefined)
+    // in merge-on-read mode every DELETE routes through the row-level
+    // framework (position tombstones); the fast path here is a bounded
+    // COPY-ON-WRITE rewrite, the regime the table opted out of
+    TxnTable.rowLevelMode(spark, root) != "merge-on-read" &&
+      filters.forall(GraftTxnTableV2.toColumn(_).isDefined)
 
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     val pred = filters.map(f => GraftTxnTableV2.toColumn(f).getOrElse(
@@ -701,15 +739,18 @@ object GraftTxnFileIndex {
           !graft.sinks.ColumnMapping.isDropped(f) &&
             graft.sinks.ColumnMapping.physOf(f) == col &&
             f.dataType == dt))
-      val bucketTs = snap.transforms.filter(t =>
-        t.kind == "bucket" && t.src == col)
+      // per-FILE spec identity: the current spec plus retired specs
+      // recovered from the file's own entry names — a mixed-spec table
+      // (setTransforms under data) prunes each file under its own
+      // fan-out ([[TxnTable.bucketSpecsFor]])
       def bucketPrunes(hashes: Seq[Long]): Boolean =
-        bucketTs.forall { t =>
-          snap.stats.get(rel).flatMap(_.get(t.name)) match {
-            case Some((blo, bhi)) if blo == bhi =>
-              hashes.exists(h => ((h % t.param) + t.param) % t.param == blo)
-            case _ => true // no point entry: cannot prune, keep
-          }
+        graft.sinks.TxnTable.bucketSpecsFor(snap, rel, col).forall {
+          case (name, param) =>
+            snap.stats.get(rel).flatMap(_.get(name)) match {
+              case Some((blo, bhi)) if blo == bhi =>
+                hashes.exists(h => ((h % param) + param) % param == blo)
+              case _ => true // no point entry: cannot prune, keep
+            }
         }
       val bucketOk = (c.points, c.spoints) match {
         case (Some(vs), _) =>

@@ -15,13 +15,17 @@ import graft.sinks.TxnTable
   * the log and no-ops — the Delta-sink mechanism (txnAppId/txnVersion),
   * upgraded from at-least-once by the txn log itself.
   *
-  * Output modes map onto the format's two idempotent commit shapes:
+  * Output modes map onto the format's three idempotent commit shapes:
   * Append → [[TxnTable.appendBatch]] (one new version per micro-batch);
   * Complete → [[TxnTable.replaceBatch]] (each batch REPLACES content —
   * the materialized-aggregate shape, old versions stay time-travelable);
-  * Update refuses loud (an update stream without keys is not
-  * expressible as append-or-replace — use foreachBatch with
-  * [[TxnTable.deleteKeysMor]] + append, the CDC-upsert pattern).
+  * Update → [[TxnTable.mergeBatch]] with `option("mergeKeys", "k1,k2")`
+  * (each batch UPSERTS its changed keys — the stateful-aggregation
+  * shape: sessionization or a running top-k sinks only the keys a
+  * trigger touched, and the rewrite is bounded to the files whose
+  * recorded key range overlaps the batch, never a Complete-mode full
+  * rewrite). Update without mergeKeys refuses loud — an update stream
+  * without row identity is not expressible as merge-or-replace.
   *
   * The idempotence key must be STABLE across restarts and UNIQUE per
   * query writing the table: `streamId` option, defaulting to the
@@ -34,7 +38,7 @@ import graft.sinks.TxnTable
   * spec like every other writer; a first batch into a fresh root
   * creates the table. */
 class TxnStreamSink(s: SparkSession, root: String, streamId: String,
-                    mode: OutputMode) extends Sink {
+                    mode: OutputMode, mergeKeys: Seq[String] = Nil) extends Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // addBatch hands a streaming-tagged DataFrame; the txn writer's
@@ -43,6 +47,9 @@ class TxnStreamSink(s: SparkSession, root: String, streamId: String,
     val committed =
       if (mode == OutputMode.Complete())
         TxnTable.replaceBatch(s, root, batch, batchId, streamId = streamId)
+      else if (mode == OutputMode.Update())
+        TxnTable.mergeBatch(s, root, batch, batchId, mergeKeys,
+          streamId = streamId)
       else
         TxnTable.appendBatch(s, root, batch, batchId, streamId = streamId)
     committed match {

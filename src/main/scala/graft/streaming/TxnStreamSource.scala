@@ -125,9 +125,14 @@ class TxnStreamSource(s: SparkSession, tableRoot: String,
           else cur.schema.fold(s.read)(s.read.schema)
         val rows = reader.parquet(added.map(f => s"$base/$f"): _*)
         // a MoR table's live delete keys mask the new files too — the
-        // stream emits EFFECTIVE content, exactly what read() serves
+        // stream emits EFFECTIVE content, exactly what read() serves.
+        // POSITION-shape deletes address rows of files that existed at
+        // their own commit; an append window's NEW files are never
+        // referenced (a later position delete is a delete-set change,
+        // which refuses/skips above) — the mask is provably a no-op.
         val masked =
-          if (cur.deletes.isEmpty) rows
+          if (cur.deletes.isEmpty ||
+              cur.deleteCols == graft.sinks.TxnTable.PosDeleteCols) rows
           else {
             val keys = s.read.parquet(cur.deletes.map(f => s"$base/$f"): _*)
               .select(cur.deleteCols.map(c => col(c).as(s"_del_$c")): _*).distinct()

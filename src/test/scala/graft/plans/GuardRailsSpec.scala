@@ -75,6 +75,30 @@ class GuardRailsSpec extends AnyFunSuite {
     } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
+  test("domain x domain: the probe is memoized — re-auditing the same " +
+      "plan costs zero evaluations; a changed plan misses") {
+    val s = spark
+    import s.implicits._
+    val d = (1 to 500).map(i => (i % 11, i.toDouble)).toDF("k", "v")
+    val e = (1 to 500).map(i => (i % 5, i.toDouble)).toDF("j", "w")
+    val prior = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = d.groupBy($"k").agg(max($"v").as("mv"))
+        .crossJoin(e.groupBy($"j").agg(max($"w").as("mw")))
+      GuardRails.check(joined)
+      val after1 = GuardRails.probeRuns.get()
+      // the second audit of the SAME plan is pure cache (Bench + Verify
+      // both gate every plan — the double evaluation the cache removes)
+      GuardRails.check(joined)
+      assert(GuardRails.probeRuns.get() === after1)
+      // a DIFFERENT plan shape probes again
+      GuardRails.check(d.groupBy($"k").agg(min($"v").as("nv"))
+        .crossJoin(e.groupBy($"j").agg(max($"w").as("mw"))))
+      assert(GuardRails.probeRuns.get() > after1)
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   test("domain x domain: the runtime probe handles columnar-scanned sides (sf10 regression)") {
     val s = spark
     import s.implicits._

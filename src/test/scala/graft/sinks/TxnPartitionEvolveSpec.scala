@@ -122,6 +122,65 @@ class TxnPartitionEvolveSpec extends AnyFunSuite {
     assert(got.count() === 10)
   }
 
+  test("spec evolution under data: a re-bucketed table prunes EACH era " +
+      "under its own fan-out (per-file spec identity)") {
+    val root = freshRoot()
+    val s = spark
+    import s.implicits._
+    def df(r: Range) = r.map(_.toLong).toDF("id")
+      .withColumn("v", col("id") * 3L).repartition(2)
+    // era 1: bucket(4, id); era 2: bucket(8, id) — files of both live
+    TxnTable.append(spark, root, df(1 to 200),
+      transforms = Seq(TxnTable.Transform.bucket(4, "id")))
+    val era1 = TxnTable.latest(spark, root).get.files.toSet
+    TxnTable.setTransforms(spark, root, Seq(TxnTable.Transform.bucket(8, "id")))
+    TxnTable.append(spark, root, df(201 to 400))
+    val snap = TxnTable.latest(spark, root).get
+    val era2 = snap.files.toSet -- era1
+    assert(era1.forall(f => snap.stats.get(f).exists(_.contains("bucket4_id"))))
+    assert(era2.forall(f => snap.stats.get(f).exists(_.contains("bucket8_id"))))
+    // a point probe prunes era-1 files by bucket4 AND era-2 by bucket8:
+    // each era keeps ~1/n of its own files, no silent full-scan of the
+    // pre-evolution region
+    val probeOld = Seq(137L).toDF("id") // lives in era 1
+    val gotOld = TxnTable.readSemiPruned(spark, root, "id", probeOld)
+    assert(rows(gotOld) === Set(Seq(137L, 411L)))
+    val oldKept = gotOld.inputFiles.length
+    assert(oldKept < snap.files.size / 2,
+      s"expected per-era pruning, planned $oldKept/${snap.files.size}")
+    val probeNew = Seq(333L).toDF("id") // lives in era 2
+    val gotNew = TxnTable.readSemiPruned(spark, root, "id", probeNew)
+    assert(rows(gotNew) === Set(Seq(333L, 999L)))
+    assert(gotNew.inputFiles.length < snap.files.size / 2)
+    // both eras at once: union of each probe's candidate files, exact
+    val both = TxnTable.readSemiPruned(spark, root, "id",
+      Seq(137L, 333L).toDF("id"))
+    assert(rows(both) === Set(Seq(137L, 411L), Seq(333L, 999L)))
+  }
+
+  test("widening a bucket-transform source refuses (the fan-out hash is " +
+      "type-dependent)") {
+    val root = freshRoot()
+    val s = spark
+    import s.implicits._
+    TxnTable.append(spark, root,
+      (1 to 50).toDF("id").withColumn("v", lit(1L)).repartition(1),
+      transforms = Seq(TxnTable.Transform.bucket(4, "id")))
+    val cur = TxnTable.latest(spark, root).get.schema.get
+    val widened = org.apache.spark.sql.types.StructType(cur.fields.map(f =>
+      if (f.name == "id") f.copy(dataType = org.apache.spark.sql.types.LongType)
+      else f))
+    val e = intercept[IllegalArgumentException] {
+      TxnTable.alterTable(spark, root, newSchema = Some(widened)) }
+    assert(e.getMessage.contains("bucket-transform source"))
+    // widening a NON-source column still works
+    val widenedV = org.apache.spark.sql.types.StructType(cur.fields.map(f =>
+      if (f.name == "v") f.copy(dataType = org.apache.spark.sql.types.DoubleType)
+      else f))
+    intercept[IllegalArgumentException] { // double is not lossless from long
+      TxnTable.alterTable(spark, root, newSchema = Some(widenedV)) }
+  }
+
   test("type widening end-to-end: int files read up under the widened long schema") {
     val root = freshRoot()
     val s = spark

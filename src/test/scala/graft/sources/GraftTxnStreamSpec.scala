@@ -209,6 +209,73 @@ class GraftTxnStreamSpec extends AnyFunSuite {
     assert(TxnTable.read(spark, root).count() === 2L)
   }
 
+  test("Update-mode sink: keyed merge per micro-batch == batch recompute " +
+      "after every trigger; replay no-ops") {
+    val base = freshBase()
+    val root = s"$base/tbl"
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val in = MemoryStream[Long]
+    val fed = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // running count per key — the stateful-aggregation shape Update
+    // mode exists for; each trigger emits only the touched keys
+    val q = in.toDS().toDF("id").groupBy($"id").count()
+      .writeStream.format("graft-txn").outputMode("update")
+      .option("mergeKeys", "id")
+      .option("checkpointLocation", s"$base/ckpt").start(root)
+    def stepAndCheck(batch: Long*): Unit = {
+      fed ++= batch
+      in.addData(batch: _*)
+      q.processAllAvailable()
+      val expect = fed.groupBy(identity).view
+        .mapValues(_.size.toLong).toMap.toSet
+      val got = TxnTable.read(spark, root).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expect, s"after feeding $fed")
+    }
+    try {
+      stepAndCheck(1L, 1L, 2L)        // {1->2, 2->1}
+      stepAndCheck(2L, 3L)            // updated 2, new 3 — 1 untouched
+      stepAndCheck(1L)                // back to touching 1
+    } finally q.stop()
+    // the sink committed merge-batch ops, exactly-once keyed
+    val head = TxnTable.latest(spark, root).get
+    assert(head.op.startsWith("merge-batch:"))
+    // a replayed batch id no-ops instead of double-applying
+    assert(TxnTable.mergeBatch(spark, root,
+      Seq((1L, 99L)).toDF("id", "count"), batchId = 0L, keyCols = Seq("id"),
+      streamId = s"$base/ckpt").isEmpty)
+  }
+
+  test("Update-mode merge is BOUNDED on a key-clustered table: untouched " +
+      "files carry by path identity") {
+    val base = freshBase()
+    val root = s"$base/tbl"
+    val s = spark
+    import s.implicits._
+    // pre-created, key-clustered, stats-recorded target (the production
+    // shape: the table exists before the stream feeds it)
+    TxnTable.overwrite(spark, root,
+      (1L to 400L).toDF("id").withColumn("count", lit(1L))
+        .repartitionByRange(8, $"id"),
+      statsCols = Seq("id"))
+    val before = TxnTable.latest(spark, root).get
+    // one micro-batch touching a narrow key range
+    val committed = TxnTable.mergeBatch(spark, root,
+      Seq((10L, 5L), (12L, 7L)).toDF("id", "count"),
+      batchId = 1L, keyCols = Seq("id"), streamId = "q1").get
+    // only the files whose recorded [min,max] overlap [10,12] rewrote
+    val carried = before.files.toSet.intersect(committed.files.toSet)
+    assert(carried.nonEmpty && carried.size >= before.files.size - 2,
+      s"expected most of ${before.files.size} files carried, " +
+        s"carried ${carried.size}")
+    val got = TxnTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(10L) === 5L && got(12L) === 7L && got(11L) === 1L)
+    assert(got.size === 400)
+  }
+
   test("sink refusals: Update mode, partitionBy, missing idempotence key") {
     val base = freshBase()
     val s = spark
@@ -217,12 +284,13 @@ class GraftTxnStreamSpec extends AnyFunSuite {
     val in = MemoryStream[Long]
     val dfS = in.toDS().toDF("id")
 
+    // Update WITHOUT mergeKeys refuses (no row identity to upsert by)
     val up = intercept[Exception] {
       dfS.groupBy("id").count().writeStream.format("graft-txn")
         .outputMode("update")
         .option("checkpointLocation", s"$base/ckpt_u").start(s"$base/t_u")
     }
-    assert(up.getMessage.contains("Update"))
+    assert(up.getMessage.contains("mergeKeys"))
 
     val pb = intercept[Exception] {
       dfS.writeStream.format("graft-txn").partitionBy("id")
