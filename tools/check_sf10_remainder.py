@@ -32,7 +32,9 @@ OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_sf10"
 ONLY = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 CHUNKS = 16
 
-con = duckdb.connect()
+import os
+# disk-backed: materialized step tables page out instead of holding RAM
+con = duckdb.connect(os.environ.get("DB", "/tmp/sf10_check.duckdb"))
 con.execute("SET threads=8")
 con.execute("SET memory_limit='24GB'")
 con.execute("SET temp_directory='/tmp/duck_sf10_rem'")
@@ -170,27 +172,37 @@ if want("q67"):
           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
       SELECT doc_a AS src, doc_b AS dst FROM cand
       UNION SELECT doc_b, doc_a FROM cand""")
-    # reach closure, level by level (WITH RECURSIVE UNION semantics)
-    con.execute("""CREATE TABLE c67_reach AS
-      SELECT DISTINCT src AS id, src AS r FROM c67_edges""")
-    prev = -1
-    cur = con.execute("SELECT count(*) FROM c67_reach").fetchone()[0]
+    # The oracle's `reach` closure materializes every (id, reachable-id)
+    # pair — cluster_size^2 tuples, 66M+ at sf10 (the 100x replication
+    # makes clusters of >= 100 verbatim copies). Its ONLY consumer is
+    # `cc = MIN(r) per id`, i.e. the minimum reachable id — which
+    # min-LABEL-PROPAGATION computes identically on the symmetric edge
+    # set (labels decrease monotonically toward the min of the
+    # component; the fixed point is exactly MIN over the closure's reach
+    # set) with |V| state per round instead of the closure. Same final
+    # value, paid in |V|-sized installments.
+    con.execute("""CREATE TABLE c67_lbl AS
+      SELECT DISTINCT src AS id, src AS lbl FROM c67_edges""")
     rounds = 0
-    while cur != prev:
-        con.execute("""CREATE TABLE c67_reach_next AS
-          SELECT id, r FROM c67_reach
-          UNION
-          SELECT e.src, p.r FROM c67_edges e JOIN c67_reach p ON p.id = e.dst""")
-        con.execute("DROP TABLE c67_reach")
-        con.execute("ALTER TABLE c67_reach_next RENAME TO c67_reach")
-        prev, cur = cur, con.execute(
-            "SELECT count(*) FROM c67_reach").fetchone()[0]
+    while True:
+        con.execute("""CREATE TABLE c67_lbl_next AS
+          SELECT id, MIN(lbl) AS lbl FROM (
+            SELECT id, lbl FROM c67_lbl
+            UNION ALL
+            SELECT e.src AS id, p.lbl FROM c67_edges e
+              JOIN c67_lbl p ON p.id = e.dst)
+          GROUP BY id""")
+        changed = con.execute("""SELECT count(*) FROM c67_lbl_next n
+          JOIN c67_lbl o USING (id) WHERE n.lbl != o.lbl""").fetchone()[0]
+        con.execute("DROP TABLE c67_lbl")
+        con.execute("ALTER TABLE c67_lbl_next RENAME TO c67_lbl")
         rounds += 1
-        print(f"  q67 reach round {rounds}: {cur} tuples "
+        print(f"  q67 label round {rounds}: {changed} changed "
               f"({time.time()-t0:.0f}s)", flush=True)
+        if changed == 0:
+            break
     con.execute("""CREATE TABLE res_q67 AS
-      WITH cc AS (SELECT id AS doc_id, MIN(r) AS cluster_id
-                  FROM c67_reach GROUP BY id),
+      WITH cc AS (SELECT id AS doc_id, lbl AS cluster_id FROM c67_lbl),
       q AS (SELECT doc_id,
           CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
             / len(string_split(text,' ')) AS q
