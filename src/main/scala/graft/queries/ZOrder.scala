@@ -64,6 +64,25 @@ object ZOrder {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** A z-order DIMENSION for column `name` of `df`: integral columns
+    * interleave their raw low bits as before; a STRING column maps
+    * through the order-preserving prefix encoding
+    * ([[graft.functions.Utf8Prefix64]]) and contributes its TOP bits
+    * (the encoding's order lives high — shifting down keeps the
+    * rank-coarse value the interleave wants), so `zorder('lang',
+    * 'n_chars')`-style clustering over a string × numeric pair works.
+    * A null string yields a null z-value, exactly as a null long always
+    * did (nulls range-partition together). */
+  def zdim(df: DataFrame, name: String): Column =
+    df.schema(name).dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        shiftrightunsigned(
+          graft.functions.Utf8Prefix64.lowerCol(col(name))
+            .bitwiseXOR(lit(Long.MinValue)),
+          64 - Bits)
+      case _ => col(name)
+    }
+
   /** DuckDB mirror of [[zvalue]] — identical shift/mask arithmetic. */
   private[queries] def sqlZvalue(a: String, b: String): String =
     (0 until Bits).map { i =>

@@ -2026,7 +2026,8 @@ object TxnTable {
       if (zorderDims.nonEmpty)
         logical
           .withColumn("_zorder",
-            graft.queries.ZOrder.zvalueN(zorderDims.map(col)))
+            graft.queries.ZOrder.zvalueN(
+              zorderDims.map(graft.queries.ZOrder.zdim(logical, _))))
           .repartitionByRange(targetFiles, col("_zorder"))
           .sortWithinPartitions(col("_zorder"))
           .drop("_zorder")
@@ -2088,8 +2089,10 @@ object TxnTable {
     cur.schema.foreach(sc => dims.foreach(d =>
       require(ColumnMapping.logicalView(sc).fieldNames.contains(d),
         s"z-order needs column '$d'")))
-    val arranged = read(s, root)
-      .withColumn("_zorder", graft.queries.ZOrder.zvalueN(dims.map(col)))
+    val base0 = read(s, root)
+    val arranged = base0
+      .withColumn("_zorder", graft.queries.ZOrder.zvalueN(
+        dims.map(graft.queries.ZOrder.zdim(base0, _))))
       .repartitionByRange(targetFiles, col("_zorder"))
       .sortWithinPartitions(col("_zorder"))
       .drop("_zorder")
@@ -2430,10 +2433,28 @@ object TxnTable {
   def metaCount(s: SparkSession, root: String,
                 version: Option[Long] = None): Option[Long] = {
     val snap = version.fold(latestRequired(s, root))(snapshot(s, root, _))
-    if (snap.deletes.nonEmpty) None
+    if (snap.deletes.nonEmpty && !isPosShape(snap)) None
     else {
       val counts = snap.files.flatMap(snap.rowCounts.get)
-      if (counts.size == snap.files.size) Some(counts.sum) else None
+      if (counts.size != snap.files.size) None
+      // POSITION-shape deletes keep COUNT(*) exact: each distinct live
+      // tombstone (file, pos) masks exactly ONE existing row (positions
+      // are unique per immutable file), so the count is the per-file
+      // sum minus the live tombstones — Iceberg's metadata-count rule
+      // for position deletes. Tombstones referencing files no longer in
+      // the snapshot mask nothing and are excluded. Reads the (small)
+      // delete parquet, never a data file; equality deletes still
+      // refuse (the masked row multiset is not knowable without data).
+      else if (snap.deletes.isEmpty) Some(counts.sum)
+      else {
+        import org.apache.spark.sql.functions.col
+        val base = root.stripSuffix("/")
+        val live = snap.files.toSet
+        val masked = s.read.parquet(snap.deletes.map(f => s"$base/$f"): _*)
+          .select(col("_file"), col("_pos")).distinct()
+          .filter(col("_file").isInCollection(live)).count()
+        Some(counts.sum - masked)
+      }
     }
   }
 

@@ -301,6 +301,10 @@ class GraftTxnTableV2(spark: SparkSession, val root: String, val snap: Snapshot,
     m.put("statsCols", logi(snap.statsCols).mkString(","))
     m.put("bloomCols", logi(snap.bloomCols).mkString(","))
     m.put("transforms", snap.transforms.map(_.name).mkString(","))
+    // sidecar operational properties (write.rowlevel.mode & co) surface
+    // too — SHOW TBLPROPERTIES tells the operator which regime row-level
+    // SQL will plan
+    TxnTable.tableProperties(spark, root).foreach { case (k, v) => m.put(k, v) }
     m
   }
 

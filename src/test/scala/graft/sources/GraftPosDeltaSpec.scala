@@ -148,6 +148,24 @@ class GraftPosDeltaSpec extends AnyFunSuite {
     assert(idv(spark.sql(s"SELECT * FROM $cat.db.fold1")) === expect)
   }
 
+  test("metaCount stays EXACT under position deletes (tombstones mask " +
+      "one row each; equality shape still refuses)") {
+    val root = morTable("cnt1")
+    assert(TxnTable.metaCount(spark, root) === Some(200L))
+    spark.sql(s"DELETE FROM $cat.db.cnt1 WHERE id IN (3, 4, 5)")
+    assert(TxnTable.metaCount(spark, root) === Some(197L))
+    spark.sql(s"UPDATE $cat.db.cnt1 SET v = 0 WHERE id = 10")
+    // update = tombstone + reinsert: count unchanged
+    assert(TxnTable.metaCount(spark, root) === Some(197L))
+    assert(TxnTable.read(spark, root).count() === 197L)
+    // equality-shape deletes still refuse (row multiset unknowable)
+    val s = spark; import s.implicits._
+    val root2 = s"$warehouse/db/cnt2"
+    TxnTable.overwrite(spark, root2, (1L to 9L).toDF("id").repartition(1))
+    TxnTable.deleteKeysMor(spark, root2, "id", Seq(1L).toDF("id"))
+    assert(TxnTable.metaCount(spark, root2).isEmpty)
+  }
+
   test("CDC: changesBetween across a position-delta commit emits the " +
       "delete pre-image and the insert") {
     val root = morTable("cdc1")
@@ -181,6 +199,50 @@ class GraftPosDeltaSpec extends AnyFunSuite {
       }.start()
     try { q.processAllAvailable() } finally q.stop()
     assert(got.toArray.toSet === Set(500L))
+  }
+
+  test("position deltas compose with COLUMN MAPPING: MoR update on a " +
+      "renamed table, both surfaces read the new name") {
+    val root = morTable("map1")
+    spark.sql(s"ALTER TABLE $cat.db.map1 RENAME COLUMN v TO amount")
+    spark.sql(s"UPDATE $cat.db.map1 SET amount = 7 WHERE id = 42")
+    val after = TxnTable.latest(spark, root).get
+    assert(after.op === "update-mor" && after.deletes.nonEmpty)
+    def got(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select("id", "amount").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val viaApi = got(TxnTable.read(spark, root))
+    val viaSql = got(spark.sql(s"SELECT * FROM $cat.db.map1"))
+    assert(viaApi(42L) === 7L && viaSql(42L) === 7L)
+    assert(viaApi === viaSql && viaApi.size === 200)
+    // a second statement through the mapping still composes
+    spark.sql(s"DELETE FROM $cat.db.map1 WHERE id = 42")
+    assert(!got(TxnTable.read(spark, root)).contains(42L))
+  }
+
+  test("position deltas compose with HIDDEN PARTITIONING: inserts keep " +
+      "the bucket fan-out and its pruning") {
+    val s = spark; import s.implicits._
+    val root = s"$warehouse/db/fan1"
+    TxnTable.append(spark, root,
+      (1L to 200L).toDF("id").withColumn("v", col("id") * 10L).repartition(2),
+      statsCols = Seq("id"),
+      transforms = Seq(TxnTable.Transform.bucket(4, "id")))
+    spark.sql(s"ALTER TABLE $cat.db.fan1 " +
+      s"SET TBLPROPERTIES ('${TxnTable.RowLevelModeKey}' = 'merge-on-read')")
+    spark.sql(s"UPDATE $cat.db.fan1 SET v = 1 WHERE id IN (5, 6)")
+    val after = TxnTable.latest(spark, root).get
+    assert(after.op === "update-mor")
+    // EVERY data file — the originals AND the update's inserts — lives
+    // under a bucket4_id=… fan-out dir with its transform point entry
+    // (pruning stays alive through the MoR write)
+    assert(after.files.forall(_.contains("bucket4_id=")),
+      s"flat-staged files: ${after.files.filterNot(_.contains("bucket4_id="))}")
+    assert(after.files.forall(f =>
+      after.stats.get(f).exists(_.contains("bucket4_id"))))
+    val got = TxnTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(5L) === 1L && got(6L) === 1L && got.size === 200)
   }
 
   test("shapes never mix, races refuse serializably, and CoW tables are " +
