@@ -100,6 +100,29 @@ class CdcSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("the CDC stream carries a position-delta commit as delete+insert " +
+      "events (merge-on-read SQL UPDATE mid-stream)") {
+    val base = freshBase()
+    val root = s"$base/tbl"
+    TxnTable.overwrite(spark, root, df(1, 2, 3))               // v1
+    TxnTable.setTableProperty(spark, root, TxnTable.RowLevelModeKey,
+      "merge-on-read")
+    val cat = "graft_cdc_mor_cat"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", base)
+    val q = startStream(root, s"$base/ckpt", "cdc_mor", Some(0L))
+    try {
+      q.processAllAvailable()
+      assert(sinkRows("cdc_mor").size === 3)                   // v1 inserts
+      spark.sql(s"UPDATE $cat.tbl SET v = 99 WHERE id = 2")    // v2: MoR
+      q.processAllAvailable()
+      assert(sinkRows("cdc_mor").contains((2L, 20L, "delete", 1L, 2L)))
+      assert(sinkRows("cdc_mor").contains((2L, 99L, "insert", 1L, 2L)))
+      assert(sinkRows("cdc_mor").size === 5)
+    } finally q.stop()
+  }
+
   test("default start + restart: commits made while down are delivered " +
       "without waiting for a future commit (starvation regression)") {
     val base = freshBase()
