@@ -936,7 +936,73 @@ object Txn {
   // oracle — the REGIME changed, the content must not)
   val q132Sql: String = q126Sql
 
+  // ---------------------------------------------------------------------
+  // q133: UPDATE-MODE STREAMING SINK — a stateful streaming aggregation
+  // (running count per user) fed day-by-day through a real
+  // StructuredStreaming query in Update output mode, sinking each
+  // trigger's CHANGED KEYS as one idempotent keyed merge commit
+  // ([[TxnTable.mergeBatch]] via `option("mergeKeys", ...)`). The final
+  // table must hash-match DuckDB computing the same per-user counts
+  // from the raw source — the sink's upsert semantics, the bounded
+  // merge, and exactly-once epoch replay all sit under this gate. The
+  // Complete-mode alternative would rewrite the whole aggregate every
+  // trigger; Update writes only the keys a day touched.
+  // ---------------------------------------------------------------------
+  private[queries] def ensureUpdateSunk(s: SparkSession, dir: String): String =
+    synchronized {
+      import s.implicits._
+      val wh = sqlCatWarehouse(s)
+      val name = s"user_counts_${tag(dir)}"
+      val root = s"$wh/db/$name"
+      val st = graft.SourceStamp.table(s, dir, "events")
+      if (!TxnTable.latest(s, root).exists(_.op.startsWith("merge-batch:")) ||
+          !graft.SourceStamp.isCurrent(s, root, st)) {
+        val loc = new org.apache.hadoop.fs.Path(root)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+        val ckpt = java.nio.file.Files.createTempDirectory("q133_ckpt").toString
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val in = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String)]
+        val q = in.toDF().toDF("user_id", "day")
+          .groupBy($"user_id").agg(count(lit(1)).as("n"))
+          .writeStream.format("graft-txn").outputMode("update")
+          .option("mergeKeys", "user_id")
+          .option("checkpointLocation", ckpt)
+          .start(root)
+        try {
+          // one micro-batch per source day, in day order — deterministic
+          // batches, so the update stream's emitted keys are too
+          val byDay = graft.Tables.t(s, dir, "events")
+            .withColumn("day", date_format($"ts", "yyyy-MM-dd"))
+            .select($"user_id", $"day")
+            .collect().map(r => (r.getLong(0), r.getString(1)))
+            .groupBy(_._2).toSeq.sortBy(_._1)
+          byDay.foreach { case (_, rows) =>
+            in.addData(rows.toSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        graft.SourceStamp.write(s, root, st)
+      }
+      root
+    }
+
+  val q133Bench: Q = (s, dir) => TxnTable.read(s, ensureUpdateSunk(s, dir))
+  val q133: Q = (s, dir) => {
+    import s.implicits._
+    q133Bench(s, dir).orderBy($"user_id")
+  }
+  // the stream's running per-user counts must equal the from-scratch
+  // aggregate — upserted keys replaced, untouched keys carried
+  val q133Sql: String =
+    """SELECT user_id, COUNT(*) AS n
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q133_update_sink" -> q133,
     "q132_mor_update" -> q132,
     "q131_str_point_lookup" -> q131,
     "q82_txn_snapshot" -> q82,
@@ -954,6 +1020,7 @@ object Txn {
     "q129_replay_rename" -> q129,
     "q130_partial_compact" -> q130)
   val oracles: Map[String, String] = Map(
+    "q133_update_sink" -> q133Sql,
     "q132_mor_update" -> q132Sql,
     "q131_str_point_lookup" -> q131Sql,
     "q82_txn_snapshot" -> q82Sql,
@@ -988,5 +1055,6 @@ object Txn {
     "q129_replay_rename" -> q129Bench,
     "q130_partial_compact" -> q130Bench,
     "q131_str_point_lookup" -> q131Bench,
-    "q132_mor_update" -> q132Bench)
+    "q132_mor_update" -> q132Bench,
+    "q133_update_sink" -> q133Bench)
 }
