@@ -963,23 +963,27 @@ object Txn {
         val ckpt = java.nio.file.Files.createTempDirectory("q133_ckpt").toString
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
         val in = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(Long, String)]
-        val q = in.toDF().toDF("user_id", "day")
-          .groupBy($"user_id").agg(count(lit(1)).as("n"))
+          .MemoryStream[(Long, Long)]
+        val q = in.toDF().toDF("user_id", "cnt")
+          .groupBy($"user_id").agg(sum($"cnt").as("n"))
           .writeStream.format("graft-txn").outputMode("update")
           .option("mergeKeys", "user_id")
           .option("checkpointLocation", ckpt)
           .start(root)
         try {
           // one micro-batch per source day, in day order — deterministic
-          // batches, so the update stream's emitted keys are too
+          // batches, so the update stream's emitted keys are too. The
+          // feed is the per-(day, user) PARTIAL count, not raw events:
+          // the driver holds |users|x|days| tuples (the stream sums
+          // them), never the event log — at sf10 that is 450k tuples
+          // instead of 10M rows.
           val byDay = graft.Tables.t(s, dir, "events")
             .withColumn("day", date_format($"ts", "yyyy-MM-dd"))
-            .select($"user_id", $"day")
-            .collect().map(r => (r.getLong(0), r.getString(1)))
-            .groupBy(_._2).toSeq.sortBy(_._1)
+            .groupBy($"day", $"user_id").agg(count(lit(1)).as("cnt"))
+            .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+            .groupBy(_._1).toSeq.sortBy(_._1)
           byDay.foreach { case (_, rows) =>
-            in.addData(rows.toSeq)
+            in.addData(rows.map(_._2))
             q.processAllAvailable()
           }
         } finally q.stop()
