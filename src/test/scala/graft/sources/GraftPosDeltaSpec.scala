@@ -148,6 +148,27 @@ class GraftPosDeltaSpec extends AnyFunSuite {
     assert(idv(spark.sql(s"SELECT * FROM $cat.db.fold1")) === expect)
   }
 
+  test("partial compaction under live position tombstones: rewritten " +
+      "region sheds its dead rows, carried region keeps masking, " +
+      "metaCount stays exact") {
+    val root = morTable("pc1")
+    spark.sql(s"DELETE FROM $cat.db.pc1 WHERE id IN (20, 120)") // both halves
+    val before = TxnTable.latest(spark, root).get
+    // rewrite only the low half; files holding the 120-tombstone carry
+    TxnTable.compactWhere(spark, root, targetFiles = 1,
+      bounds = Seq(("id", 1L, 60L)))
+    val after = TxnTable.latest(spark, root).get
+    assert(after.op === "compact")
+    assert(after.deletes.toSet === before.deletes.toSet) // tombstones stay
+    val got = TxnTable.read(spark, root).collect().map(_.getLong(0)).toSet
+    assert(!got.contains(20L) && !got.contains(120L) && got.size === 198)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.db.pc1").head.getLong(0)
+      === 198L)
+    // the dangling tombstone (its file was rewritten) masks nothing;
+    // the carried one still subtracts — exact either way
+    assert(TxnTable.metaCount(spark, root) === Some(198L))
+  }
+
   test("metaCount stays EXACT under position deletes (tombstones mask " +
       "one row each; equality shape still refuses)") {
     val root = morTable("cnt1")
