@@ -1005,7 +1005,74 @@ object Txn {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q134: TABLE CONSTRAINTS — Delta-shaped CHECK invariants
+  // ([[TxnTable.addConstraint]], property `constraint.<name>`) enforced
+  // at write time: a curation contract (`n_chars >= 100`, `doc_id IS
+  // NOT NULL`) recorded on the table refuses every violating batch
+  // ATOMICALLY before anything stages. The build seeds a valid half,
+  // records the contract, asserts (a) an over-strict ADD refuses
+  // against existing content, (b) ingesting the RAW corpus (which
+  // contains under-length docs) refuses with zero version/file-set
+  // drift, then ingests the remaining valid half. The final table must
+  // hash-match DuckDB applying the contract as a WHERE over the raw
+  // source — enforcement and the predicate agree exactly.
+  // ---------------------------------------------------------------------
+  private[queries] def ensureConstrained(s: SparkSession, dir: String): String =
+    synchronized {
+      import s.implicits._
+      val wh = sqlCatWarehouse(s)
+      val name = s"docs_cons_${tag(dir)}"
+      val root = s"$wh/db/$name"
+      val st = graft.SourceStamp.table(s, dir, "documents")
+      if (TxnTable.latest(s, root).isEmpty ||
+          !TxnTable.constraints(s, root).contains("min_len") ||
+          !graft.SourceStamp.isCurrent(s, root, st)) {
+        val loc = new org.apache.hadoop.fs.Path(root)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+        val docs = graft.Tables.t(s, dir, "documents")
+          .select($"doc_id", $"lang", $"source", $"n_chars")
+        val valid = docs.filter($"n_chars" >= 100)
+        TxnTable.overwrite(s, root, valid.filter($"doc_id" % 2 === 0),
+          statsCols = Seq("doc_id"))
+        TxnTable.addConstraint(s, root, "min_len", "n_chars >= 100")
+        TxnTable.addConstraint(s, root, "doc_id_present", "doc_id IS NOT NULL")
+        // an over-strict contract the current content violates refuses
+        // at ADD time (Delta's ADD CONSTRAINT scan)
+        val strict = scala.util.Try(
+          TxnTable.addConstraint(s, root, "too_strict", "n_chars >= 10000"))
+        require(strict.isFailure && !TxnTable.constraints(s, root)
+            .contains("too_strict"),
+          "ADD CONSTRAINT must validate existing content")
+        // the raw corpus contains under-length docs: the ingest refuses
+        // ATOMICALLY — version and file set must not move
+        val before = TxnTable.latest(s, root).get
+        val refused = scala.util.Try(TxnTable.append(s, root, docs))
+        val after = TxnTable.latest(s, root).get
+        require(refused.isFailure &&
+            after.version == before.version && after.files == before.files,
+          "a violating append must refuse with zero version/file drift")
+        TxnTable.append(s, root, valid.filter($"doc_id" % 2 === 1))
+        graft.SourceStamp.write(s, root, st)
+      }
+      root
+    }
+
+  val q134Bench: Q = (s, dir) => TxnTable.read(s, ensureConstrained(s, dir))
+  val q134: Q = (s, dir) => {
+    import s.implicits._
+    q134Bench(s, dir).orderBy($"doc_id")
+  }
+  // enforcement == the contract as a WHERE over the raw source
+  val q134Sql: String =
+    """SELECT doc_id, lang, source, n_chars
+      |FROM documents
+      |WHERE n_chars >= 100 AND doc_id IS NOT NULL
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q134_constrained_ingest" -> q134,
     "q133_update_sink" -> q133,
     "q132_mor_update" -> q132,
     "q131_str_point_lookup" -> q131,
@@ -1024,6 +1091,7 @@ object Txn {
     "q129_replay_rename" -> q129,
     "q130_partial_compact" -> q130)
   val oracles: Map[String, String] = Map(
+    "q134_constrained_ingest" -> q134Sql,
     "q133_update_sink" -> q133Sql,
     "q132_mor_update" -> q132Sql,
     "q131_str_point_lookup" -> q131Sql,
@@ -1060,5 +1128,6 @@ object Txn {
     "q130_partial_compact" -> q130Bench,
     "q131_str_point_lookup" -> q131Bench,
     "q132_mor_update" -> q132Bench,
-    "q133_update_sink" -> q133Bench)
+    "q133_update_sink" -> q133Bench,
+    "q134_constrained_ingest" -> q134Bench)
 }

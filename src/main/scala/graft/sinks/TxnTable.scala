@@ -1126,6 +1126,7 @@ object TxnTable {
           "appends inherit the transform spec")
         transforms }
     }
+    enforceConstraints(s, root, df, "append")
     // schema first, stage second: the evolved schema carries the column
     // mapping (incl. fresh physical names for reborn columns), and the
     // staged parquet must be written under the PHYSICAL names
@@ -1170,6 +1171,7 @@ object TxnTable {
     // staged files, not the version we land on) — a retry re-reads
     // manifests, never data
     val first = latest(s, root)
+    enforceConstraints(s, root, df, "append")
     val trs = first.map(_.transforms).getOrElse(Nil)
     val evolved0 = evolveM(first.flatMap(_.schema), df.schema)
     val staged = stage(s, root, ColumnMapping.toPhysical(df, evolved0), trs)
@@ -1238,6 +1240,7 @@ object TxnTable {
     if (vs.exists(v => snapshot(s, root, v).op == opTag)) None
     else {
       val prior = vs.lastOption.map(snapshot(s, root, _))
+      enforceConstraints(s, root, df, s"streaming $opTag")
       val trs = prior.map(_.transforms).getOrElse(Nil)
       val evolved = evolveM(prior.flatMap(_.schema), df.schema)
       val staged = stage(s, root, ColumnMapping.toPhysical(df, evolved), trs)
@@ -1295,6 +1298,7 @@ object TxnTable {
       // like [[overwrite]] it RESETS any column-mapping history — the
       // new content is written and recorded under `df`'s own names
       val prior = vs.lastOption.map(snapshot(s, root, _))
+      enforceConstraints(s, root, df, s"streaming $opTag")
       val trs = prior.map(_.transforms).getOrElse(Nil)
       ColumnMapping.requireNoReserved(df.schema)
       val staged = stage(s, root, df, trs)
@@ -1397,6 +1401,7 @@ object TxnTable {
     // to need the old mapping — time travel still reads prior versions
     // under their own recorded schemas
     ColumnMapping.requireNoReserved(df.schema)
+    enforceConstraints(s, root, df, "overwrite")
     val staged = stage(s, root, df, trs)
     val (stagedStats, stagedBlooms) = fileMeta(s, root, staged, statsCols, bloomCols)
     commit(s, root, prior.map(_.version).getOrElse(0L) + 1, "overwrite", staged,
@@ -2200,6 +2205,9 @@ object TxnTable {
                             opTag: String = "merge"): Snapshot = {
     require(keyCols.nonEmpty, "mergeInto needs at least one key column")
     requireNoMor(cur, "mergeInto")
+    // survivors come FROM the table (already admitted); only the change
+    // set carries new values that can violate
+    enforceConstraints(s, root, changes, opTag)
     val base = root.stripSuffix("/")
     val (carry, touch) =
       if (bounds.isEmpty) (Seq.empty[String], cur.files)
@@ -3177,9 +3185,25 @@ object TxnTable {
   private def propsPath(root: String): Path =
     new Path(s"${root.stripSuffix("/")}/_txn/props.txt")
 
+  /** The torn-update intent file: `props.txt.next` only ever exists as
+    * a FULLY-WRITTEN replacement (it is renamed into place from a uuid
+    * temp), so its presence means a [[setTableProperty]] crashed between
+    * "delete old" and "rename new" — [[tableProperties]] read-repairs by
+    * finishing the swap rather than silently reverting to defaults
+    * (a lost `write.rowlevel.mode` would flip the table's row-level
+    * regime without anyone asking). */
+  private def propsNextPath(root: String): Path =
+    new Path(s"${root.stripSuffix("/")}/_txn/props.txt.next")
+
   def tableProperties(s: SparkSession, root: String): Map[String, String] = {
     val f = fs(s, root)
     val p = propsPath(root)
+    val next = propsNextPath(root)
+    if (f.exists(next)) { // finish a torn swap: next is complete by construction
+      f.delete(p, false)
+      if (!f.rename(next, p) && !f.exists(p))
+        throw new IllegalStateException(s"could not repair $p from $next")
+    }
     if (!f.exists(p)) Map.empty
     else readSmallFile(s, root, p).split("\n").toSeq.filter(_.contains("="))
       .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }.toMap
@@ -3191,27 +3215,151 @@ object TxnTable {
       case RowLevelModeKey => require(
         value == "copy-on-write" || value == "merge-on-read",
         s"$RowLevelModeKey must be copy-on-write or merge-on-read, got '$value'")
+      case k if k.startsWith(ConstraintKeyPrefix) =>
+        validateConstraint(s, root, k, value)
       case other => throw new IllegalArgumentException(
-        s"unknown table property '$other' — known: $RowLevelModeKey " +
+        s"unknown table property '$other' — known: $RowLevelModeKey, " +
+          s"$ConstraintKeyPrefix<name> " +
           "(statsCols/bloomCols are ALTER TABLE SET TBLPROPERTIES surfaces " +
           "that version through the manifest, not sidecar properties)")
     }
     latestRequired(s, root) // a table must exist to configure
-    val all = tableProperties(s, root) + (key -> value)
+    val all = tableProperties(s, root) + (key -> value) // also repairs
+    writeProps(s, root, all)
+  }
+
+  /** Crash-safe publish: uuid temp → rename to the `.next` intent file
+    * (atomic; `.next` is thus always complete) → delete current →
+    * rename `.next` into place. A crash at any point leaves either the
+    * old file, or a complete `.next` that [[tableProperties]] repairs
+    * forward — never a silent revert to defaults. */
+  private def writeProps(s: SparkSession, root: String,
+                         all: Map[String, String]): Unit = {
     val f = fs(s, root)
+    val next = propsNextPath(root)
     val tmp = new Path(propsPath(root).getParent,
       s".tmp-props-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = f.create(tmp, false)
     try out.write(all.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
       .mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    f.delete(next, false) // stale intent was consumed by tableProperties
+    if (!f.rename(tmp, next))
+      throw new IllegalStateException(s"could not stage $next")
     f.delete(propsPath(root), false)
-    if (!f.rename(tmp, propsPath(root)))
+    if (!f.rename(next, propsPath(root)))
       throw new IllegalStateException(s"could not write ${propsPath(root)}")
   }
 
   private[graft] def rowLevelMode(s: SparkSession, root: String): String =
     tableProperties(s, root).getOrElse(RowLevelModeKey, "copy-on-write")
+
+  // ---------------------------------------------------------------------
+  // Table CONSTRAINTS — Delta-shaped CHECK invariants enforced at write
+  // time (`delta.constraints.<name>` semantics): property key
+  // `constraint.<name>`, value a boolean SQL expression over LOGICAL
+  // column names (NOT NULL is spelled `col IS NOT NULL`). SQL-standard
+  // CHECK null semantics: a row passes when the expression is TRUE or
+  // UNKNOWN; only a provable FALSE violates. ADD validates the CURRENT
+  // table content first (a constraint the head already violates refuses
+  // at set time); every subsequent write of NEW rows — append / overwrite
+  // / merge / streaming batch / row-level SQL — validates its batch
+  // BEFORE committing and refuses ATOMICALLY (nothing staged survives a
+  // violation). Un-versioned like every sidecar property: constraints
+  // survive compaction, restore, and branch replay by construction, and
+  // a RESTORE to a pre-constraint version is not re-validated (the
+  // contract gates writes from now on — Delta's behavior).
+  // ---------------------------------------------------------------------
+
+  val ConstraintKeyPrefix = "constraint."
+
+  /** Recorded CHECK constraints: name → boolean SQL expression. */
+  def constraints(s: SparkSession, root: String): Map[String, String] =
+    tableProperties(s, root).collect {
+      case (k, v) if k.startsWith(ConstraintKeyPrefix) =>
+        k.drop(ConstraintKeyPrefix.length) -> v
+    }
+
+  def addConstraint(s: SparkSession, root: String,
+                    name: String, expression: String): Unit =
+    setTableProperty(s, root, s"$ConstraintKeyPrefix$name", expression)
+
+  def dropConstraint(s: SparkSession, root: String, name: String): Unit =
+    unsetTableProperty(s, root, s"$ConstraintKeyPrefix$name")
+
+  /** Remove a sidecar property (constraints; the row-level mode resets
+    * to its default). Same crash-safe publish as [[setTableProperty]]. */
+  def unsetTableProperty(s: SparkSession, root: String, key: String): Unit = {
+    require(key == RowLevelModeKey || key.startsWith(ConstraintKeyPrefix),
+      s"unknown table property '$key'")
+    latestRequired(s, root)
+    writeProps(s, root, tableProperties(s, root) - key)
+  }
+
+  /** ADD-time validation: name well-formed, expression parses and
+    * resolves boolean against the table's logical schema, and the
+    * CURRENT content satisfies it (one `LIMIT 1` violation probe —
+    * Delta's ADD CONSTRAINT scan). */
+  private def validateConstraint(s: SparkSession, root: String,
+                                 key: String, expression: String): Unit = {
+    import org.apache.spark.sql.{functions => F}
+    val name = key.drop(ConstraintKeyPrefix.length)
+    require(name.nonEmpty && name.matches("[A-Za-z][A-Za-z0-9_]*"),
+      s"constraint name '$name' must be [A-Za-z][A-Za-z0-9_]*")
+    val df = read(s, root) // merges MoR deletes: validate EFFECTIVE content
+    val bad =
+      try df.filter(!F.coalesce(F.expr(expression).cast(
+          org.apache.spark.sql.types.BooleanType), F.lit(true)))
+        .limit(1).collect()
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"constraint '$name' ($expression) does not resolve as a boolean " +
+            s"expression over the table's columns: ${e.getMessage}") }
+    require(bad.isEmpty,
+      s"cannot add constraint '$name' CHECK ($expression): existing rows " +
+        s"violate it, e.g. ${bad.head}")
+  }
+
+  /** Refuse-loud CHECK enforcement on a write batch (LOGICAL names),
+    * BEFORE any staging — a violating batch commits nothing. One
+    * `LIMIT 1` job over the batch, only when constraints exist. */
+  private[graft] def enforceConstraints(s: SparkSession, root: String,
+                                        df: DataFrame, what: String): Unit = {
+    import org.apache.spark.sql.{functions => F}
+    val cs = constraints(s, root)
+    if (cs.isEmpty) return
+    val names = cs.keys.toSeq
+    val flags = cs.toSeq.map { case (n, e) =>
+      F.coalesce(F.expr(e).cast(org.apache.spark.sql.types.BooleanType),
+        F.lit(true)).as(n) }
+    val viol =
+      try df.select(flags: _*)
+        .where(names.map(n => !F.col(n)).reduce(_ || _)).limit(1).collect()
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"$what to $root cannot evaluate CHECK constraint(s) " +
+            s"${names.mkString(", ")} against this batch (a constrained " +
+            s"column must be present): ${e.getMessage}") }
+    viol.headOption.foreach { r =>
+      val broken = names.filter(n => !r.getAs[Boolean](n))
+      throw new IllegalArgumentException(
+        s"$what to $root violates CHECK constraint(s) " +
+          broken.map(n => s"'$n' (${cs(n)})").mkString(", ") +
+          " — no rows were committed")
+    }
+  }
+
+  /** [[enforceConstraints]] over already-STAGED physical files (the
+    * row-level SQL paths, whose writes happen in executors before the
+    * commit): read the staged bytes back under logical names and refuse
+    * BEFORE the manifest commit — the caller aborts the staged files. */
+  private[graft] def enforceConstraintsStaged(s: SparkSession, root: String,
+      snap: Snapshot, rels: Seq[String], what: String): Unit = {
+    if (rels.isEmpty || constraints(s, root).isEmpty) return
+    val df0 = scanFiles(s, root, snap, rels)
+    enforceConstraints(s, root,
+      snap.schema.fold(df0)(sc => ColumnMapping.aliasToLogical(df0, sc)), what)
+  }
 
   /** RESTORE — roll the table back to `toVersion` as a NEW commit (the
     * warehouse-standard undo for a bad load): the restored manifest is a

@@ -275,10 +275,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case set: TableChange.SetProperty if set.property == "bloomCols" =>
         bloomCols = Some(csv(set.value))
       case set: TableChange.SetProperty
-          if set.property == TxnTable.RowLevelModeKey =>
-        // operational sidecar property (un-versioned by design — see
-        // [[TxnTable.setTableProperty]]); no manifest commit
+          if set.property == TxnTable.RowLevelModeKey ||
+            set.property.startsWith(TxnTable.ConstraintKeyPrefix) =>
+        // operational sidecar properties (un-versioned by design — see
+        // [[TxnTable.setTableProperty]]); no manifest commit. ADD
+        // CONSTRAINT spells as SET TBLPROPERTIES('constraint.<name>' =
+        // '<boolean expr>') and validates the current content.
         TxnTable.setTableProperty(spark, root, set.property, set.value)
+        sidecarOnly = true
+      case rm: TableChange.RemoveProperty
+          if rm.property == TxnTable.RowLevelModeKey ||
+            rm.property.startsWith(TxnTable.ConstraintKeyPrefix) =>
+        TxnTable.unsetTableProperty(spark, root, rm.property)
         sidecarOnly = true
       case rm: TableChange.RemoveProperty if rm.property == "statsCols" =>
         statsCols = Some(Nil)
@@ -287,8 +295,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case other => throw new UnsupportedOperationException(
         s"graft-txn ALTER TABLE supports ADD COLUMNS (trailing, nullable), " +
           s"ALTER COLUMN TYPE (lossless widening), RENAME COLUMN, " +
-          s"DROP COLUMN, and the 'statsCols'/'bloomCols' properties; " +
-          s"got $other")
+          s"DROP COLUMN, and the 'statsCols'/'bloomCols'/" +
+          s"'${TxnTable.RowLevelModeKey}'/" +
+          s"'${TxnTable.ConstraintKeyPrefix}<name>' properties; got $other")
     }
     val rens = renames.result(); val drps = drops.result()
     val manifestChange = statsCols.isDefined || bloomCols.isDefined ||

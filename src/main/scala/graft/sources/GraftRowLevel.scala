@@ -300,6 +300,12 @@ class GraftReplaceBatchWrite(spark: SparkSession, root: String,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val staged = messages.collect { case GraftStagedFiles(rels) => rels }
       .flatten.toSeq
+    // CHECK constraints see the rewrite BEFORE it becomes a version: an
+    // UPDATE that sets a constrained column to a violating value refuses
+    // here and the staged files are aborted — atomic, nothing committed
+    try TxnTable.enforceConstraintsStaged(spark, root, op.snap, staged,
+      s"SQL ${op.opTag}")
+    catch { case e: Throwable => abort(messages); throw e }
     TxnTable.commitReplace(spark, root, op.snap.version, op.scannedFiles,
       staged, op.opTag)
   }
