@@ -2,7 +2,7 @@ package graft.sources
 
 import java.util.UUID
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.paths.SparkPath
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
@@ -19,6 +19,7 @@ import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
 import org.apache.spark.sql.graft.{ParquetRowWriter, ParquetWriteShim}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.SerializableConfiguration
 
@@ -133,11 +134,18 @@ object GraftMetaCols {
 
 /** Scan builder for position-aware reads: required-column pruning
   * (metadata columns arrive as ordinary requested fields), catalyst
-  * filter "pushdown" that is consumed ONLY for manifest file skipping
-  * (every filter reports back as a residual — parquet sees none, see
-  * [[GraftPosScan]]'s ordinal contract). */
+  * filter "pushdown" that is consumed for manifest file skipping and —
+  * on files that carry NO live tombstones — forwarded into the
+  * vectorized parquet reader (every filter still reports back as a
+  * residual; tombstoned files take none, see [[GraftPosScan]]'s
+  * ordinal contract). `streamable`/`options` forward the owning
+  * table's resolution context so the change-feed gate and by-name
+  * streaming behave identically to the clean-table scan. */
 class GraftPosScanBuilder(spark: SparkSession, root: String, snap: Snapshot,
-                          tableSchema: StructType, maskLive: Boolean)
+                          tableSchema: StructType, maskLive: Boolean,
+                          streamable: Boolean = false,
+                          options: CaseInsensitiveStringMap =
+                            CaseInsensitiveStringMap.empty())
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
 
@@ -145,6 +153,7 @@ class GraftPosScanBuilder(spark: SparkSession, root: String, snap: Snapshot,
 
   private var required: StructType = tableSchema
   private var cons: Map[String, GraftTxnFileIndex.Constraint] = Map.empty
+  private var physFilters: Seq[Expression] = Nil
 
   private val l2p: Map[String, String] =
     snap.schema.filter(ColumnMapping.hasMapping).fold(Map.empty[String, String])(sc =>
@@ -160,28 +169,46 @@ class GraftPosScanBuilder(spark: SparkSession, root: String, snap: Snapshot,
           if l2p.contains(a.name) => a.withName(l2p(a.name))
     })
     cons = GraftTxnFileIndex.constraints(phys)
+    physFilters = phys
     filters // ALL residual: the scan applies none row-wise
   }
 
   override def pushedFilters: Array[Predicate] = Array.empty
 
   override def build(): Scan =
-    new GraftPosScan(spark, root, snap, required, cons, maskLive)
+    new GraftPosScan(spark, root, snap, required, cons, maskLive,
+      streamable, options, physFilters)
 }
 
-/** One-partition-per-file, row-based scan that joins each data row with
-  * its `(_file, _pos)` identity and (optionally) masks live
-  * position-delete tombstones in the reader. Used by the delta rewrite
-  * scan, by DSv2 batch reads of position-delete-live tables, and by any
-  * query that references the metadata columns. Slower than the
-  * vectorized path by design — the price of exact ordinals — and only
-  * ever planned where ordinals or masking are REQUIRED. */
+/** Position-aware scan over a (possibly) tombstone-live snapshot, with
+  * PER-FILE masking granularity: a kilobyte of merge-on-read debt must
+  * not change the cost class of a terabyte scan, so
+  *
+  *  - when NO metadata column is requested (the normal DSv2 read of a
+  *    pos-delete-live table), the whole scan stays COLUMNAR: clean
+  *    files take the untouched vectorized parquet path — split at
+  *    `maxSplitBytes`, packed into multi-file partitions, parquet
+  *    filter pushdown live — and only files that actually carry live
+  *    tombstones are planned one-whole-file-per-partition with their
+  *    OWN ordinal slice attached to the partition
+  *    ([[GraftMaskedPartition]] — each task ships only its file's
+  *    tombstones, never a table-wide map), masked batch-level by an
+  *    index-remapping [[org.apache.spark.sql.vectorized.ColumnVector]]
+  *    wrapper (the Iceberg vectorized-delete shape);
+  *  - when `_file`/`_pos` ARE requested (the delta rewrite scan, meta
+  *    queries), every file is read row-based one-per-partition with
+  *    nothing pushed into parquet — exact ordinals by construction.
+  *
+  * Used by the delta rewrite scan, by DSv2 batch reads of
+  * position-delete-live tables, and by any query that references the
+  * metadata columns. */
 class GraftPosScan(spark: SparkSession, root: String, snap: Snapshot,
                    required: StructType,
                    cons: Map[String, GraftTxnFileIndex.Constraint],
                    maskLive: Boolean,
                    streamable: Boolean = false,
-                   options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+                   options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
+                   physFilters: Seq[Expression] = Nil)
     extends Scan with Batch with SupportsRuntimeV2Filtering {
 
   import graft.sinks.ColumnMapping
@@ -240,61 +267,129 @@ class GraftPosScan(spark: SparkSession, root: String, snap: Snapshot,
 
   /** Streaming stays available on a position-delete-live table: the
     * micro-batch source reads COMMIT WINDOWS (added files), never the
-    * masked head, so the tombstones are irrelevant to it. */
+    * masked head, so the tombstones are irrelevant to it. Metadata
+    * columns are a BATCH-only surface — the stream's rows would come
+    * out narrower than this scan's reported schema, so a meta-bearing
+    * stream refuses here rather than emitting mismatched rows. */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(streamable,
       s"graft-txn:$root was not resolved through the catalog; stream by name")
+    require(metaCols.isEmpty,
+      s"metadata columns (${metaCols.map(_.name).mkString(", ")}) are a " +
+        "batch-only surface: a micro-batch stream reads commit windows, " +
+        "where file/ordinal identity of the masked head does not exist — " +
+        "drop _file/_pos from the streaming projection")
     new GraftTxnMicroBatchStream(spark, root, snap, physData, options)
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    // grouped listStatus — one driver call per parent dir, same batching
-    // as GraftTxnFileIndex
+  /** Live tombstones restricted to the scanned files, keyed by file —
+    * resolved ONCE at planning (partitions carry their own slices).
+    * Computed lazily so runtime group filtering has already narrowed
+    * `files` by the time Spark plans partitions. */
+  private lazy val masked: Map[String, Array[Long]] =
+    if (maskLive) TxnTable.posDeleteMap(spark, root, snap, files)
+    else Map.empty
+
+  /** Grouped listStatus — one driver call per parent dir, same batching
+    * as GraftTxnFileIndex. */
+  private def statuses(): Map[String, FileStatus] = {
     val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val byDir = files.groupBy(f => f.take(f.lastIndexOf('/').max(0)))
-    val sizes: Map[String, Long] = byDir.toSeq.flatMap { case (dir, rels) =>
+    byDir.toSeq.flatMap { case (dir, rels) =>
       val names = rels.map(r => new Path(s"$base/$r").getName -> r).toMap
       fs.listStatus(new Path(s"$base/$dir")).toSeq
         .filter(st => st.isFile && names.contains(st.getPath.getName))
-        .map(st => names(st.getPath.getName) -> st.getLen)
+        .map(st => names(st.getPath.getName) -> st)
     }.toMap
-    files.zipWithIndex.map { case (rel, i) =>
-      FilePartition(i, Array(PartitionedFile(InternalRow.empty,
-        SparkPath.fromPathString(s"$base/$rel"), 0, sizes(rel))))
-    }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val delegate = ParquetScanBuilder(spark,
-      new GraftTxnFileIndex(spark, root, snap, physData, Some(files)),
-      physData, physData, CaseInsensitiveStringMap.empty())
-      .build().toBatch.createReaderFactory()
-    val masked: Map[String, Array[Long]] =
-      if (maskLive) TxnTable.posDeleteMap(spark, root, snap, files)
-      else Map.empty
-    new GraftPosReaderFactory(delegate, metaCols.map(_.name).toSeq, masked)
+  override def planInputPartitions(): Array[InputPartition] = {
+    val sts = statuses()
+    def wholeFile(rel: String, i: Int): FilePartition =
+      FilePartition(i, Array(PartitionedFile(InternalRow.empty,
+        SparkPath.fromPathString(s"$base/$rel"), 0, sts(rel).getLen)))
+    if (metaCols.isEmpty) {
+      // columnar regime: clean files split + packed exactly like the
+      // vectorized parquet plan; tombstoned files one-per-partition with
+      // their own ordinal slice
+      val (tomb, clean) = files.partition(masked.contains)
+      val totalBytes = clean.map(r => sts(r).getLen).sum
+      val maxSplit = FilePartition.maxSplitBytes(spark, totalBytes)
+      val splits = clean.flatMap { rel =>
+        val st = sts(rel)
+        org.apache.spark.sql.execution.PartitionedFileUtil.splitFiles(
+          org.apache.spark.sql.execution.datasources.FileStatusWithMetadata(st),
+          st.getPath, isSplitable = true, maxSplit, InternalRow.empty)
+      }.sortBy(-_.length)
+      val cleanParts = FilePartition.getFilePartitions(spark, splits, maxSplit)
+      val tombParts = tomb.zipWithIndex.map { case (rel, i) =>
+        GraftMaskedPartition(wholeFile(rel, cleanParts.length + i), masked(rel))
+      }
+      (cleanParts ++ tombParts).toArray
+    } else
+      // ordinal-exact row regime: one whole file per partition; nothing
+      // pushed into parquet (row-group skipping would corrupt `_pos`)
+      files.zipWithIndex.map { case (rel, i) =>
+        val fp = wholeFile(rel, i)
+        masked.get(rel).fold[InputPartition](fp)(GraftMaskedPartition(fp, _))
+      }.toArray
   }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    if (metaCols.isEmpty) {
+      // clean files read through a delegate WITH parquet pushdown (row
+      // group / page skipping is free there); tombstoned files through
+      // one with NONE — their batch positions must equal file ordinals
+      val pushedBuilder = ParquetScanBuilder(spark,
+        new GraftTxnFileIndex(spark, root, snap, physData, Some(files)),
+        physData, physData, CaseInsensitiveStringMap.empty())
+      pushedBuilder.pushFilters(physFilters)
+      val cleanDelegate = pushedBuilder.build().toBatch.createReaderFactory()
+      val maskDelegate = ParquetScanBuilder(spark,
+        new GraftTxnFileIndex(spark, root, snap, physData, Some(files)),
+        physData, physData, CaseInsensitiveStringMap.empty())
+        .build().toBatch.createReaderFactory()
+      new GraftMaskedColumnarFactory(cleanDelegate, maskDelegate)
+    } else {
+      val delegate = ParquetScanBuilder(spark,
+        new GraftTxnFileIndex(spark, root, snap, physData, Some(files)),
+        physData, physData, CaseInsensitiveStringMap.empty())
+        .build().toBatch.createReaderFactory()
+      new GraftPosReaderFactory(delegate, metaCols.map(_.name).toSeq)
+    }
 
   override def description(): String =
     s"graft-txn position scan of $root@v${snap.version} " +
       s"(${files.size}/${snap.files.size} files, mask=$maskLive)"
 }
 
-/** Row-based reader factory: wraps the vectorized parquet factory's
-  * row interface, counts ordinals in file order (the partition is ONE
-  * whole file and nothing was pushed into parquet, so reader order IS
-  * file order), joins the requested metadata columns, and skips
-  * tombstoned ordinals. */
+/** A whole-file partition that carries ITS OWN live tombstone ordinals
+  * (sorted): the task reads exactly the slice it needs — a table-wide
+  * delete map is never serialized into task closures. */
+case class GraftMaskedPartition(inner: FilePartition, dead: Array[Long])
+    extends InputPartition {
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+/** Row-based reader factory for the ORDINAL-EXACT regime: wraps the
+  * vectorized parquet factory's row interface, counts ordinals in file
+  * order (the partition is ONE whole file and nothing was pushed into
+  * parquet, so reader order IS file order), joins the requested
+  * metadata columns, and skips the partition's OWN tombstoned ordinals
+  * ([[GraftMaskedPartition]] — the factory carries no delete state). */
 class GraftPosReaderFactory(delegate: PartitionReaderFactory,
-                            metaCols: Seq[String],
-                            masked: Map[String, Array[Long]])
+                            metaCols: Seq[String])
     extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean = false
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val fp = partition.asInstanceOf[FilePartition]
+    val (fp, dead) = partition match {
+      case GraftMaskedPartition(inner, ds) => (inner, ds)
+      case p: FilePartition => (p, Array.emptyLongArray)
+      case other => throw new IllegalStateException(s"unexpected partition $other")
+    }
     require(fp.files.length == 1 && fp.files.head.start == 0,
       s"position scan plans one whole file per partition, got $fp")
     val abs = fp.files.head.urlEncodedPath
@@ -302,8 +397,7 @@ class GraftPosReaderFactory(delegate: PartitionReaderFactory,
       .map(_.group(1)).getOrElse(
         throw new IllegalStateException(s"not a staged data path: $abs"))
     val relU = UTF8String.fromString(rel)
-    val dead: Array[Long] = masked.getOrElse(rel, Array.emptyLongArray)
-    val inner = delegate.createReader(partition)
+    val inner = delegate.createReader(fp)
     val meta = new GenericInternalRow(metaCols.length)
     val joined = new JoinedRow
     new PartitionReader[InternalRow] {
@@ -336,6 +430,139 @@ object GraftPosReaderFactory {
   private[sources] val RelRe = "^.*/(data/.*)$".r
 }
 
+/** COLUMNAR factory for the no-metadata-columns regime: clean
+  * partitions delegate straight to the vectorized parquet reader (with
+  * its pushed filters — zero masking overhead on the clean majority);
+  * [[GraftMaskedPartition]]s read through the pushdown-free delegate
+  * (batch positions must equal file ordinals) and drop their dead
+  * ordinals batch-by-batch via an index-remapping vector wrapper —
+  * the whole scan stays inside Spark's columnar execution either way
+  * (DSv2 refuses MIXED row/columnar partitions in one scan, so
+  * columnar masking is what keeps a one-tombstone table off the
+  * row-based path for its thousand clean files). */
+class GraftMaskedColumnarFactory(clean: PartitionReaderFactory,
+                                 mask: PartitionReaderFactory)
+    extends PartitionReaderFactory {
+
+  // partition-independent for the parquet factory (conf + schema), so
+  // the all-or-nothing columnar contract holds across mixed partitions
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    clean.supportColumnarReads(partition match {
+      case GraftMaskedPartition(inner, _) => inner
+      case p => p
+    })
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      // row fallback (vectorization off / unsupported schema): the
+      // delegate's row interface still reads the file in ordinal order
+      case GraftMaskedPartition(inner, dead) =>
+        val it = mask.createReader(inner)
+        new PartitionReader[InternalRow] {
+          private var pos = -1L
+          override def next(): Boolean = {
+            while (it.next()) {
+              pos += 1
+              if (java.util.Arrays.binarySearch(dead, pos) < 0) return true
+            }
+            false
+          }
+          override def get(): InternalRow = it.get()
+          override def close(): Unit = it.close()
+        }
+      case p => clean.createReader(p)
+    }
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[ColumnarBatch] = partition match {
+    case GraftMaskedPartition(inner, dead) =>
+      new GraftMaskedBatchReader(mask.createColumnarReader(inner), dead)
+    case p => clean.createColumnarReader(p)
+  }
+}
+
+/** Batch-level tombstone masking: tracks the file ordinal base across
+  * batches (the partition is ONE whole file read without parquet
+  * pushdown, so batch row order IS file order), and for each batch
+  * that intersects the dead set builds a survivor index map and wraps
+  * every column in [[GraftMaskedVector]]. Batches with no dead rows
+  * pass through untouched — on a table where one file in a thousand
+  * carries a tombstone, that is every batch of the other 999. */
+class GraftMaskedBatchReader(inner: PartitionReader[ColumnarBatch],
+                             dead: Array[Long])
+    extends PartitionReader[ColumnarBatch] {
+
+  private var base = 0L
+  private var di = 0
+  private var out: ColumnarBatch = _
+
+  override def next(): Boolean = {
+    while (inner.next()) {
+      val b = inner.get()
+      val n = b.numRows()
+      val lo = base
+      base += n
+      // dead ordinals in [lo, lo+n): di is monotone (ordinals ascend)
+      val dStart = di
+      while (di < dead.length && dead(di) < base) di += 1
+      if (di == dStart) { out = b; return true } // clean batch, zero copy
+      val map = new Array[Int](n - (di - dStart))
+      var i = 0; var k = 0; var d = dStart
+      while (i < n) {
+        if (d < di && dead(d) == lo + i) d += 1
+        else { map(k) = i; k += 1 }
+        i += 1
+      }
+      if (k > 0) {
+        val cols = Array.tabulate(b.numCols())(c =>
+          new GraftMaskedVector(b.column(c), map): ColumnVector)
+        out = new ColumnarBatch(cols, k)
+        return true
+      } // fully-deleted batch: skip to the next one
+    }
+    false
+  }
+
+  override def get(): ColumnarBatch = out
+
+  override def close(): Unit = inner.close()
+}
+
+/** An index-remapping [[ColumnVector]]: row `i` of the masked view is
+  * row `map(i)` of the wrapped vector (Iceberg's vectorized
+  * position-delete shape). `getChild` remaps children with the SAME
+  * map — correct for structs (per-row aligned) and never consulted for
+  * arrays/maps, whose accessors delegate whole (their offsets index
+  * the RAW child, which the returned ColumnarArray/Map references
+  * directly). Close is a no-op: the delegate parquet reader owns the
+  * wrapped vectors' lifecycle. */
+class GraftMaskedVector(inner: ColumnVector, map: Array[Int])
+    extends ColumnVector(inner.dataType()) {
+  override def close(): Unit = ()
+  override def hasNull: Boolean = inner.hasNull // hint; over-report is safe
+  override def numNulls(): Int = inner.numNulls()
+  override def isNullAt(i: Int): Boolean = inner.isNullAt(map(i))
+  override def getBoolean(i: Int): Boolean = inner.getBoolean(map(i))
+  override def getByte(i: Int): Byte = inner.getByte(map(i))
+  override def getShort(i: Int): Short = inner.getShort(map(i))
+  override def getInt(i: Int): Int = inner.getInt(map(i))
+  override def getLong(i: Int): Long = inner.getLong(map(i))
+  override def getFloat(i: Int): Float = inner.getFloat(map(i))
+  override def getDouble(i: Int): Double = inner.getDouble(map(i))
+  override def getArray(i: Int): org.apache.spark.sql.vectorized.ColumnarArray =
+    inner.getArray(map(i))
+  override def getMap(i: Int): org.apache.spark.sql.vectorized.ColumnarMap =
+    inner.getMap(map(i))
+  override def getDecimal(i: Int, precision: Int, scale: Int): org.apache.spark.sql.types.Decimal =
+    inner.getDecimal(map(i), precision, scale)
+  override def getUTF8String(i: Int): UTF8String = inner.getUTF8String(map(i))
+  override def getBinary(i: Int): Array[Byte] = inner.getBinary(map(i))
+  override def getInterval(i: Int): org.apache.spark.unsafe.types.CalendarInterval =
+    inner.getInterval(map(i))
+  override def getChild(ordinal: Int): ColumnVector =
+    new GraftMaskedVector(inner.getChild(ordinal), map)
+}
+
 /** Driver-side delta write: collects staged data + position-delete
   * files and commits one version through [[TxnTable.commitDelta]]. */
 class GraftPosDeltaWrite(spark: SparkSession, root: String,
@@ -356,6 +583,11 @@ class GraftPosDeltaWrite(spark: SparkSession, root: String,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val staged = messages.collect { case m: GraftDeltaStaged => m }
+    // CHECK constraints gate the INSERTED half of the delta (tombstones
+    // remove rows, which can never violate); refuse-and-abort is atomic
+    try TxnTable.enforceConstraintsStaged(spark, root, op.snap,
+      staged.flatMap(_.dataRels).toSeq, s"SQL ${op.opTag}")
+    catch { case e: Throwable => abort(messages); throw e }
     TxnTable.commitDelta(spark, root, op.snap.version,
       staged.flatMap(_.dataRels).toSeq, staged.flatMap(_.posRels).toSeq,
       op.opTag)

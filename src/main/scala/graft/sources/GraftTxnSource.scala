@@ -330,8 +330,12 @@ class GraftTxnTableV2(spark: SparkSession, val root: String, val snap: Snapshot,
     // scan masks tombstoned ordinals in its readers (row-based — the
     // price of exact ordinals — until compactDeletes folds the debt).
     if (snap.deletes.nonEmpty && TxnTable.isPosShape(snap))
+      // forward the resolution context: the change-feed gate must see
+      // the real options and by-name streaming must stay reachable —
+      // a pos-delete-live table streams like a clean one (the
+      // micro-batch source reads commit windows, not the masked head)
       return new GraftPosScanBuilder(spark, root, snap, schema,
-        maskLive = true)
+        maskLive = true, streamable = byName, options = options)
     require(snap.deletes.isEmpty,
       s"snapshot v${snap.version} at $root carries ${snap.deletes.size} live " +
         "merge-on-read delete file(s); the DSv2 scan cannot apply them — run " +
