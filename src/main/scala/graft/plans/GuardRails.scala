@@ -156,9 +156,13 @@ object GuardRails {
 
   private def probeKey(p: SparkPlan): String = {
     val srcs = p.collectWithSubqueries {
+      // the FULL file list (hashed), not its length: an overwrite that
+      // lands the same number of files must MISS the cache — file names
+      // here are uuid-staged, so content changes always change the key
       case f: org.apache.spark.sql.execution.FileSourceScanExec =>
         f.relation.location.rootPaths.mkString(",") + "#" +
-          f.relation.location.inputFiles.length
+          java.util.Arrays.hashCode(
+            f.relation.location.inputFiles.asInstanceOf[Array[AnyRef]])
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
         b.scan.description()
     }
@@ -167,24 +171,30 @@ object GuardRails {
 
   private def domainSmall(p: SparkPlan): Boolean = {
     if (probeCache.size > ProbeCacheMax) probeCache.clear()
-    probeCache.computeIfAbsent(probeKey(p), _ => {
-      probeRuns.incrementAndGet()
-      // executeTake assumes a row-producing plan with columnar↔row
-      // transitions in place, but an AQE fragment (initialPlan) has NONE
-      // of them — they are inserted per query stage at execution. A
-      // top-level ColumnarToRowExec wrap is not enough (seen at sf10: a
-      // columnar scan nested under the row-based aggregate throws
-      // ColumnarBatch-as-InternalRow), so run Spark's OWN transition
-      // insertion over the whole fragment (empty extension-rule list —
-      // the built-in columnar↔row adapters are what we need), exactly
-      // what query-stage preparation would do.
-      val rows = org.apache.spark.sql.execution
-        .ApplyColumnarRulesAndInsertTransitions(Nil, outputsColumnar = false)
-        .apply(p)
-      java.lang.Boolean.valueOf(
-        scala.util.Try(rows.executeTake(DomainBound + 1).length <= DomainBound)
-          .getOrElse(false))
-    }).booleanValue()
+    val key = probeKey(p)
+    val cached = probeCache.get(key)
+    if (cached != null) return cached.booleanValue()
+    probeRuns.incrementAndGet()
+    // executeTake assumes a row-producing plan with columnar↔row
+    // transitions in place, but an AQE fragment (initialPlan) has NONE
+    // of them — they are inserted per query stage at execution. A
+    // top-level ColumnarToRowExec wrap is not enough (seen at sf10: a
+    // columnar scan nested under the row-based aggregate throws
+    // ColumnarBatch-as-InternalRow), so run Spark's OWN transition
+    // insertion over the whole fragment (empty extension-rule list —
+    // the built-in columnar↔row adapters are what we need), exactly
+    // what query-stage preparation would do.
+    val rows = org.apache.spark.sql.execution
+      .ApplyColumnarRulesAndInsertTransitions(Nil, outputsColumnar = false)
+      .apply(p)
+    scala.util.Try(rows.executeTake(DomainBound + 1).length <= DomainBound) match {
+      case scala.util.Success(small) =>
+        // only SUCCESSFUL probes memoize — a transient failure must not
+        // permanently refuse an admissible plan
+        probeCache.putIfAbsent(key, java.lang.Boolean.valueOf(small))
+        small
+      case scala.util.Failure(_) => false
+    }
   }
 
   /** Every node in the plan INCLUDING subquery plans and plans nested
