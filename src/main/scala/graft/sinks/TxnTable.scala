@@ -2170,27 +2170,54 @@ object TxnTable {
     val prior = vs.lastOption.map(snapshot(s, root, _))
     prior match {
       case None =>
-        // first batch: the merge degenerates to creating the table
+        // first batch: the merge degenerates to creating the table — but
+        // later batches' BOUNDED-rewrite contract needs the merge keys
+        // recorded as stats columns from file one, so record every
+        // representable key now (a sink-created table would otherwise
+        // rewrite the whole table every trigger)
+        val keyStats = keyCols.filter(k =>
+          df.schema.fieldNames.contains(k) &&
+            metaRepresentable(df.schema(k).dataType))
         val staged = stage(s, root, df)
-        val (st, bl) = fileMeta(s, root, staged, Nil, Nil)
-        Some(commit(s, root, 1L, opTag, staged, st, Nil, Some(df.schema), bl))
+        val (st, bl) = fileMeta(s, root, staged, keyStats, Nil)
+        Some(commit(s, root, 1L, opTag, staged, st, keyStats,
+          Some(df.schema), bl))
       case Some(cur) =>
         import org.apache.spark.sql.functions.{col, count, lit, max, min, when}
-        val key = keyCols.head
-        val pc = physCol(cur, key)
+        // EVERY merge key that is a recorded stats column contributes a
+        // [lo, hi] carve-out (a matching row equals the change row on
+        // every key, so each key's range bounds the rewrite and a file
+        // ANY bound proves disjoint carries by reference) — an Update
+        // stream keyed (user, day) on a day-clustered table rewrites
+        // only the day's files. Encodings mirror fileMeta's exactly:
+        // string via the order-preserving prefix, everything else via
+        // the long cast. A key with ANY null in the batch contributes
+        // no bound (null-safe matches live outside recorded ranges);
+        // the other keys still bound soundly.
+        val stattable = keyCols.filter(k =>
+          cur.statsCols.contains(physCol(cur, k)) &&
+            df.schema.fieldNames.contains(k) &&
+            metaRepresentable(df.schema(k).dataType))
         val bounds: Seq[(String, Long, Long)] =
-          if (!cur.statsCols.contains(pc)) Nil
+          if (stattable.isEmpty) Nil
           else {
-            val r = df.agg(min(col(key)).as("mn"), max(col(key)).as("mx"),
-              count(when(col(key).isNull, lit(1))).as("nulls")).head
-            if (r.isNullAt(0) || r.getLong(2) > 0L) Nil // empty or null keys
-            else df.schema(key).dataType match {
-              case org.apache.spark.sql.types.LongType =>
-                Seq((key, r.getLong(0), r.getLong(1)))
-              case org.apache.spark.sql.types.StringType =>
-                Seq((key, graft.functions.Utf8Prefix64.lower(r.getString(0)),
-                  graft.functions.Utf8Prefix64.upper(r.getString(1))))
-              case _ => Nil
+            def isStr(k: String) =
+              df.schema(k).dataType == org.apache.spark.sql.types.StringType
+            def loE(k: String) =
+              if (isStr(k)) graft.functions.Utf8Prefix64.lowerCol(col(k))
+              else col(k).cast("long")
+            def hiE(k: String) =
+              if (isStr(k)) graft.functions.Utf8Prefix64.upperCol(col(k))
+              else col(k).cast("long")
+            val aggs = stattable.flatMap(k => Seq(
+              min(loE(k)).as(s"lo_$k"), max(hiE(k)).as(s"hi_$k"),
+              count(when(col(k).isNull, lit(1))).as(s"n_$k")))
+            val r = df.agg(aggs.head, aggs.tail: _*).head
+            stattable.flatMap { k =>
+              if (r.isNullAt(r.fieldIndex(s"lo_$k")) || // empty batch
+                  r.getAs[Long](s"n_$k") > 0L)          // null keys
+                None
+              else Some((k, r.getAs[Long](s"lo_$k"), r.getAs[Long](s"hi_$k")))
             }
           }
         Some(mergeIntoImpl(s, root, cur, df, keyCols,

@@ -276,6 +276,58 @@ class GraftTxnStreamSpec extends AnyFunSuite {
     assert(got.size === 400)
   }
 
+  test("multi-key Update merge bounds on EVERY recorded stats key: a " +
+      "(user, day) stream on a day-clustered table carves out by day") {
+    val base = freshBase()
+    val root = s"$base/tbl"
+    val s = spark
+    import s.implicits._
+    // clustered on the SECOND merge key (day): head-key-only bounds
+    // would carve nothing here
+    TxnTable.overwrite(spark, root,
+      (1L to 400L).map(i => (i % 20, i / 50, 1L)).toDF("user", "day", "n")
+        .repartitionByRange(8, $"day"),
+      statsCols = Seq("day"))
+    val before = TxnTable.latest(spark, root).get
+    val committed = TxnTable.mergeBatch(spark, root,
+      Seq((3L, 0L, 9L), (4L, 0L, 9L)).toDF("user", "day", "n"),
+      batchId = 1L, keyCols = Seq("user", "day"), streamId = "q2").get
+    val carried = before.files.toSet.intersect(committed.files.toSet)
+    assert(carried.nonEmpty && carried.size >= before.files.size - 2,
+      s"day bound must carve: expected most of ${before.files.size} " +
+        s"files carried, carried ${carried.size}")
+    // stream == batch recompute
+    val got = TxnTable.read(spark, root).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got((3L, 0L)) === 9L && got((4L, 0L)) === 9L)
+    assert(got((3L, 1L)) === 1L)
+  }
+
+  test("a SINK-CREATED table records its merge keys as stats columns on " +
+      "the first batch, so later batches get the bounded rewrite") {
+    val base = freshBase()
+    val root = s"$base/tbl"
+    val s = spark
+    import s.implicits._
+    // first batch creates the table (the Update-mode sink's normal flow)
+    val v1 = TxnTable.mergeBatch(spark, root,
+      (1L to 400L).toDF("id").withColumn("count", lit(1L))
+        .repartitionByRange(8, $"id"),
+      batchId = 0L, keyCols = Seq("id"), streamId = "q3").get
+    assert(v1.statsCols === Seq("id"),
+      "first batch must record the merge key as a stats column")
+    // second batch touches a narrow range: most files must carry
+    val v2 = TxnTable.mergeBatch(spark, root,
+      Seq((10L, 5L)).toDF("id", "count"),
+      batchId = 1L, keyCols = Seq("id"), streamId = "q3").get
+    val carried = v1.files.toSet.intersect(v2.files.toSet)
+    assert(carried.nonEmpty && carried.size >= v1.files.size - 2,
+      s"sink-created table must bound: ${carried.size}/${v1.files.size} carried")
+    val got = TxnTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(10L) === 5L && got(11L) === 1L && got.size === 400)
+  }
+
   test("sink refusals: Update mode, partitionBy, missing idempotence key") {
     val base = freshBase()
     val s = spark
