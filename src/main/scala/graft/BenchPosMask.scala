@@ -61,6 +61,14 @@ object BenchPosMask {
     scanAgg(tbl()) // warm the masked plan
     val masked = time(scanAgg(tbl()))
 
+    // SIDECAR mode (threshold 0): the driver resolves nothing; the one
+    // masked task reads its own sidecar at open time — must cost ~the
+    // exact mode (the sidecar is a kilobyte)
+    spark.conf.set(graft.sources.GraftSidecars.DriverResolveMaxKey, "0")
+    scanAgg(tbl())
+    val sidecarMode = time(scanAgg(tbl()))
+    spark.conf.unset(graft.sources.GraftSidecars.DriverResolveMaxKey)
+
     // the ordinal-exact ROW regime (what every file paid before
     // per-file masking): force it by CONSUMING a metadata column in the
     // aggregate (an unused projection would just prune away)
@@ -72,8 +80,10 @@ object BenchPosMask {
 
     println(s"""{"metric":"posmask","rows":$rows,"files":${snap.files.size},""" +
       s""""clean_sec":${f(clean)},"one_tombstone_sec":${f(masked)},""" +
+      s""""sidecar_mode_sec":${f(sidecarMode)},""" +
       s""""row_regime_sec":${f(rowRegime)},""" +
       s""""masked_over_clean":${f(masked / clean)},""" +
+      s""""sidecar_over_clean":${f(sidecarMode / clean)},""" +
       s""""row_over_clean":${f(rowRegime / clean)}}""")
     spark.stop()
   }

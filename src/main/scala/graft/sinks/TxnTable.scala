@@ -3050,8 +3050,12 @@ object TxnTable {
 
   /** Live position-delete entries of `snap` restricted to `files`, as
     * a driver-side map (file → sorted ordinals) the delta scan's
-    * readers mask with. Bounded loud: a pos-delete set past the cap is
-    * compaction debt, not scan state — `compactDeletes` first. */
+    * readers mask with — the SMALL-debt fast path only: the DSv2 scan
+    * calls this when sidecar footer counts fit the driver-resolution
+    * threshold, and switches to task-side sidecar resolution past it
+    * ([[graft.sources.GraftSidecarPartition]]), so there is no
+    * tombstone-scale driver ceiling anymore. The cap here is
+    * defense-in-depth for direct callers, loud on overflow. */
   private[graft] def posDeleteMap(s: SparkSession, root: String,
       snap: Snapshot, files: Seq[String],
       cap: Int = 5000000): Map[String, Array[Long]] = {

@@ -283,13 +283,90 @@ class GraftPosScan(spark: SparkSession, root: String, snap: Snapshot,
     new GraftTxnMicroBatchStream(spark, root, snap, physData, options)
   }
 
+  /** Footer metadata of every live delete sidecar (row counts + `_file`
+    * bounds) — pure parquet-footer reads, cached per JVM. Drives the
+    * resolution-mode switch below. */
+  private lazy val sidecars: Seq[GraftSidecars.Meta] =
+    if (!maskLive || snap.deletes.isEmpty || !TxnTable.isPosShape(snap)) Nil
+    else GraftSidecars.metas(spark, base, snap.deletes)
+
+  /** TWO tombstone-resolution modes, switched on the total live entry
+    * count (exact, from sidecar footers — no data pages touched):
+    *
+    *  - at or under `spark.graft.posDeletes.driverResolveMaxEntries`
+    *    (default 5M) the driver resolves the full file→ordinals map
+    *    once at planning and each masked partition carries its own
+    *    slice — zero extra reads at execution;
+    *  - past it the driver materializes NO positions (the old
+    *    refuse-loud cap is gone): each tombstoned file's partition
+    *    carries the delete sidecars whose footer `_file` bounds cover
+    *    it ([[GraftSidecarPartition]] — the delta writer stages one
+    *    sidecar per rewrite-scan partition, and that scan is
+    *    one-partition-per-file, so the candidate set is ~1 sidecar),
+    *    and the TASK resolves its own file's ordinals from them
+    *    (Iceberg's delete-manifest shape: driver plans by bounds,
+    *    readers merge their own delete files).
+    *
+    * Either way the driver ceiling is file-COUNT-scale (the object a
+    * planner holds anyway), never tombstone-scale. */
+  private lazy val driverResolveMax: Long = spark.conf
+    .get(GraftSidecars.DriverResolveMaxKey, "5000000").toLong
+
+  private lazy val useSidecars: Boolean =
+    sidecars.nonEmpty && sidecars.map(_.rows).sum > driverResolveMax
+
   /** Live tombstones restricted to the scanned files, keyed by file —
     * resolved ONCE at planning (partitions carry their own slices).
     * Computed lazily so runtime group filtering has already narrowed
-    * `files` by the time Spark plans partitions. */
+    * `files` by the time Spark plans partitions. Empty in sidecar
+    * mode — the readers resolve their own slices there. */
   private lazy val masked: Map[String, Array[Long]] =
-    if (maskLive) TxnTable.posDeleteMap(spark, root, snap, files)
+    if (maskLive && !useSidecars)
+      // footer counts already gated the mode, so the cap cannot trip;
+      // it stays as defense-in-depth at the mode threshold
+      TxnTable.posDeleteMap(spark, root, snap, files,
+        cap = math.min(driverResolveMax, Int.MaxValue - 1L).toInt)
     else Map.empty
+
+  /** The data files carrying live tombstones. Exact mode: the resolved
+    * map's keys. Sidecar mode: sidecars whose footer bounds pin ONE
+    * file contribute it directly; only bound-ambiguous sidecars (rare —
+    * post-writer-compaction shapes) pay a distinct-`_file` job, whose
+    * result is data-file-count-bounded. */
+  private lazy val tombRels: Set[String] =
+    if (!useSidecars) masked.keySet
+    else {
+      val (pinned, ambiguous) =
+        sidecars.partition(m => m.lo.isDefined && m.lo == m.hi)
+      val fromJob =
+        if (ambiguous.isEmpty) Nil
+        else spark.read
+          .parquet(ambiguous.map(m => s"$base/${m.rel}"): _*)
+          .select(org.apache.spark.sql.functions.col(GraftMetaCols.File))
+          .distinct().collect().map(_.getString(0)).toSeq
+      (pinned.map(_.lo.get) ++ fromJob).toSet
+    }
+
+  /** The partition for one tombstoned file under the active mode. */
+  private def maskedPartition(rel: String, fp: FilePartition): InputPartition =
+    if (useSidecars)
+      GraftSidecarPartition(fp, rel,
+        sidecars.filter(_.covers(rel)).map(m =>
+          FilePartition(0, Array(PartitionedFile(InternalRow.empty,
+            SparkPath.fromPathString(s"$base/${m.rel}"), 0, m.len)))).toArray)
+    else GraftMaskedPartition(fp, masked(rel))
+
+  /** Reader factory over the delete sidecars (sidecar mode only) —
+    * the masked tasks' own tombstone resolution reads ride the same
+    * vectorized parquet reader as everything else. */
+  private def sidecarFactory(): PartitionReaderFactory =
+    if (!useSidecars) null
+    else ParquetScanBuilder(spark,
+      new GraftTxnFileIndex(spark, root, snap, GraftMetaCols.posDeleteSchema,
+        Some(snap.deletes)),
+      GraftMetaCols.posDeleteSchema, GraftMetaCols.posDeleteSchema,
+      CaseInsensitiveStringMap.empty())
+      .build().toBatch.createReaderFactory()
 
   /** Grouped listStatus — one driver call per parent dir, same batching
     * as GraftTxnFileIndex. */
@@ -313,7 +390,7 @@ class GraftPosScan(spark: SparkSession, root: String, snap: Snapshot,
       // columnar regime: clean files split + packed exactly like the
       // vectorized parquet plan; tombstoned files one-per-partition with
       // their own ordinal slice
-      val (tomb, clean) = files.partition(masked.contains)
+      val (tomb, clean) = files.partition(tombRels.contains)
       val totalBytes = clean.map(r => sts(r).getLen).sum
       val maxSplit = FilePartition.maxSplitBytes(spark, totalBytes)
       val splits = clean.flatMap { rel =>
@@ -324,7 +401,7 @@ class GraftPosScan(spark: SparkSession, root: String, snap: Snapshot,
       }.sortBy(-_.length)
       val cleanParts = FilePartition.getFilePartitions(spark, splits, maxSplit)
       val tombParts = tomb.zipWithIndex.map { case (rel, i) =>
-        GraftMaskedPartition(wholeFile(rel, cleanParts.length + i), masked(rel))
+        maskedPartition(rel, wholeFile(rel, cleanParts.length + i))
       }
       (cleanParts ++ tombParts).toArray
     } else
@@ -332,7 +409,8 @@ class GraftPosScan(spark: SparkSession, root: String, snap: Snapshot,
       // pushed into parquet (row-group skipping would corrupt `_pos`)
       files.zipWithIndex.map { case (rel, i) =>
         val fp = wholeFile(rel, i)
-        masked.get(rel).fold[InputPartition](fp)(GraftMaskedPartition(fp, _))
+        if (tombRels.contains(rel)) maskedPartition(rel, fp)
+        else fp: InputPartition
       }.toArray
   }
 
@@ -350,13 +428,15 @@ class GraftPosScan(spark: SparkSession, root: String, snap: Snapshot,
         new GraftTxnFileIndex(spark, root, snap, physData, Some(files)),
         physData, physData, CaseInsensitiveStringMap.empty())
         .build().toBatch.createReaderFactory()
-      new GraftMaskedColumnarFactory(cleanDelegate, maskDelegate)
+      new GraftMaskedColumnarFactory(cleanDelegate, maskDelegate,
+        sidecarFactory())
     } else {
       val delegate = ParquetScanBuilder(spark,
         new GraftTxnFileIndex(spark, root, snap, physData, Some(files)),
         physData, physData, CaseInsensitiveStringMap.empty())
         .build().toBatch.createReaderFactory()
-      new GraftPosReaderFactory(delegate, metaCols.map(_.name).toSeq)
+      new GraftPosReaderFactory(delegate, metaCols.map(_.name).toSeq,
+        sidecarFactory())
     }
 
   override def description(): String =
@@ -372,6 +452,111 @@ case class GraftMaskedPartition(inner: FilePartition, dead: Array[Long])
   override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
 
+/** SIDECAR-mode counterpart of [[GraftMaskedPartition]]: past the
+  * driver-resolution threshold the partition carries no ordinals at
+  * all — just its file's root-relative path and the delete sidecar
+  * files whose footer `_file` bounds cover it; the TASK reads those
+  * sidecars (filtering to its own file) and builds the dead-ordinal
+  * slice at open time. Driver memory stays file-count-scale no matter
+  * how large the tombstone debt grows. */
+case class GraftSidecarPartition(inner: FilePartition, rel: String,
+                                 sidecars: Array[FilePartition])
+    extends InputPartition {
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+/** Footer metadata of position-delete sidecars: entry count + `_file`
+  * bounds, read from parquet footers only (no data pages). Sidecars
+  * are immutable once committed — cached per JVM by absolute path. */
+object GraftSidecars {
+  /** Entry-count threshold above which the DSv2 scan stops resolving
+    * tombstones on the driver and ships sidecar references instead. */
+  val DriverResolveMaxKey = "spark.graft.posDeletes.driverResolveMaxEntries"
+
+  /** `lo`/`hi` are the footer min/max of `_file` across row groups —
+    * `None` when any chunk lacks the statistic (the sidecar then
+    * conservatively covers every file). Staged rel paths are ASCII, so
+    * string order matches parquet's unsigned-byte binary order; a
+    * writer configured to truncate footer stats still records valid
+    * bounds (parquet increments a truncated max), so `covers` stays
+    * conservative, never wrong. */
+  final case class Meta(rel: String, len: Long, rows: Long,
+                        lo: Option[String], hi: Option[String]) {
+    def covers(file: String): Boolean =
+      lo.forall(_ <= file) && hi.forall(file <= _)
+  }
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Meta]()
+
+  def metas(spark: SparkSession, base: String, rels: Seq[String]): Seq[Meta] =
+    rels.map { rel =>
+      val abs = s"$base/$rel"
+      Option(cache.get(abs)).getOrElse {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(abs), spark.sparkContext.hadoopConfiguration)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val m = try {
+          import scala.jdk.CollectionConverters._
+          var lo = Option.empty[String]
+          var hi = Option.empty[String]
+          var known = true
+          r.getFooter.getBlocks.asScala.foreach { b =>
+            b.getColumns.asScala
+              .find(_.getPath.toDotString == GraftMetaCols.File) match {
+              case Some(c) if c.getStatistics != null &&
+                  c.getStatistics.hasNonNullValue =>
+                val st = c.getStatistics
+                val mn = st.genericGetMin
+                  .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+                val mx = st.genericGetMax
+                  .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+                lo = Some(lo.fold(mn)(x => if (x <= mn) x else mn))
+                hi = Some(hi.fold(mx)(x => if (x >= mx) x else mx))
+              case _ => known = false
+            }
+          }
+          Meta(rel, in.getLength, r.getRecordCount,
+            if (known) lo else None, if (known) hi else None)
+        } finally r.close()
+        cache.put(abs, m)
+        m
+      }
+    }
+}
+
+/** Task-side tombstone resolution for [[GraftSidecarPartition]]s: read
+  * the candidate sidecars through the shared parquet reader factory,
+  * keep the ordinals of THIS file, sort and dedupe. Memory is the one
+  * file's tombstones — the same slice the exact mode would have put on
+  * the partition. */
+object GraftSidecarResolve {
+  def dead(factory: PartitionReaderFactory, rel: String,
+           sidecars: Array[FilePartition]): Array[Long] = {
+    require(factory != null,
+      "sidecar partition planned without a sidecar reader factory")
+    val relU = UTF8String.fromString(rel)
+    val buf = scala.collection.mutable.ArrayBuilder.make[Long]
+    sidecars.foreach { fp =>
+      val r = factory.createReader(fp)
+      try while (r.next()) {
+        val row = r.get()
+        if (relU.equals(row.getUTF8String(0))) buf += row.getLong(1)
+      } finally r.close()
+    }
+    val a = buf.result()
+    java.util.Arrays.sort(a)
+    // writer-level duplicates are legal (the exact mode distinct()s)
+    var n = 0
+    var i = 0
+    while (i < a.length) {
+      if (n == 0 || a(n - 1) != a(i)) { a(n) = a(i); n += 1 }
+      i += 1
+    }
+    if (n == a.length) a else java.util.Arrays.copyOf(a, n)
+  }
+}
+
 /** Row-based reader factory for the ORDINAL-EXACT regime: wraps the
   * vectorized parquet factory's row interface, counts ordinals in file
   * order (the partition is ONE whole file and nothing was pushed into
@@ -379,7 +564,8 @@ case class GraftMaskedPartition(inner: FilePartition, dead: Array[Long])
   * metadata columns, and skips the partition's OWN tombstoned ordinals
   * ([[GraftMaskedPartition]] — the factory carries no delete state). */
 class GraftPosReaderFactory(delegate: PartitionReaderFactory,
-                            metaCols: Seq[String])
+                            metaCols: Seq[String],
+                            sidecar: PartitionReaderFactory = null)
     extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean = false
@@ -387,6 +573,8 @@ class GraftPosReaderFactory(delegate: PartitionReaderFactory,
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val (fp, dead) = partition match {
       case GraftMaskedPartition(inner, ds) => (inner, ds)
+      case GraftSidecarPartition(inner, rel, scs) =>
+        (inner, GraftSidecarResolve.dead(sidecar, rel, scs))
       case p: FilePartition => (p, Array.emptyLongArray)
       case other => throw new IllegalStateException(s"unexpected partition $other")
     }
@@ -441,7 +629,8 @@ object GraftPosReaderFactory {
   * columnar masking is what keeps a one-tombstone table off the
   * row-based path for its thousand clean files). */
 class GraftMaskedColumnarFactory(clean: PartitionReaderFactory,
-                                 mask: PartitionReaderFactory)
+                                 mask: PartitionReaderFactory,
+                                 sidecar: PartitionReaderFactory = null)
     extends PartitionReaderFactory {
 
   // partition-independent for the parquet factory (conf + schema), so
@@ -449,27 +638,34 @@ class GraftMaskedColumnarFactory(clean: PartitionReaderFactory,
   override def supportColumnarReads(partition: InputPartition): Boolean =
     clean.supportColumnarReads(partition match {
       case GraftMaskedPartition(inner, _) => inner
+      case GraftSidecarPartition(inner, _, _) => inner
       case p => p
     })
 
+  // row fallback (vectorization off / unsupported schema): the
+  // delegate's row interface still reads the file in ordinal order
+  private def rowMasked(inner: FilePartition, dead: Array[Long])
+      : PartitionReader[InternalRow] = {
+    val it = mask.createReader(inner)
+    new PartitionReader[InternalRow] {
+      private var pos = -1L
+      override def next(): Boolean = {
+        while (it.next()) {
+          pos += 1
+          if (java.util.Arrays.binarySearch(dead, pos) < 0) return true
+        }
+        false
+      }
+      override def get(): InternalRow = it.get()
+      override def close(): Unit = it.close()
+    }
+  }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
-      // row fallback (vectorization off / unsupported schema): the
-      // delegate's row interface still reads the file in ordinal order
-      case GraftMaskedPartition(inner, dead) =>
-        val it = mask.createReader(inner)
-        new PartitionReader[InternalRow] {
-          private var pos = -1L
-          override def next(): Boolean = {
-            while (it.next()) {
-              pos += 1
-              if (java.util.Arrays.binarySearch(dead, pos) < 0) return true
-            }
-            false
-          }
-          override def get(): InternalRow = it.get()
-          override def close(): Unit = it.close()
-        }
+      case GraftMaskedPartition(inner, dead) => rowMasked(inner, dead)
+      case GraftSidecarPartition(inner, rel, scs) =>
+        rowMasked(inner, GraftSidecarResolve.dead(sidecar, rel, scs))
       case p => clean.createReader(p)
     }
 
@@ -477,6 +673,9 @@ class GraftMaskedColumnarFactory(clean: PartitionReaderFactory,
       : PartitionReader[ColumnarBatch] = partition match {
     case GraftMaskedPartition(inner, dead) =>
       new GraftMaskedBatchReader(mask.createColumnarReader(inner), dead)
+    case GraftSidecarPartition(inner, rel, scs) =>
+      new GraftMaskedBatchReader(mask.createColumnarReader(inner),
+        GraftSidecarResolve.dead(sidecar, rel, scs))
     case p => clean.createColumnarReader(p)
   }
 }

@@ -66,7 +66,21 @@ object PosDeltaLawsProps extends Properties("graft.txn.posdelta.laws") {
 
   property("read surfaces equal the model after every op; MoR statements " +
       "never rewrite data files") =
+    Prop.forAll(caseGen)(runCase)
+
+  /** The SAME laws with driver-side tombstone resolution disabled
+    * (threshold 0): every pos-delete-live DSv2 scan — including the
+    * UPDATE/DELETE rewrite scans mid-sequence — resolves ordinals
+    * task-side from the sidecars ([[graft.sources.GraftSidecarPartition]]).
+    * The two modes must be indistinguishable on every surface. */
+  property("the laws hold identically under sidecar-mode resolution") =
     Prop.forAll(caseGen) { ops =>
+      spark.conf.set(graft.sources.GraftSidecars.DriverResolveMaxKey, "0")
+      try runCase(ops)
+      finally spark.conf.unset(graft.sources.GraftSidecars.DriverResolveMaxKey)
+    }
+
+  private def runCase(ops: List[Op]): Prop = {
       val s = spark
       import s.implicits._
       val name = s"fuzz${tableSeq.incrementAndGet()}"
@@ -134,5 +148,5 @@ object PosDeltaLawsProps extends Properties("graft.txn.posdelta.laws") {
             s"model ${model.size}")
       }
       Prop.all(checks.result(): _*)
-    }
+  }
 }
