@@ -1071,7 +1071,83 @@ object Txn {
       |WHERE n_chars >= 100 AND doc_id IS NOT NULL
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q135: SIDECAR COMPACTION — [[TxnTable.compactPosDeletes]]
+  // (Iceberg's `rewrite_position_delete_files`): a MoR UPDATE and a MoR
+  // DELETE each stage their own position-delete sidecars; the
+  // maintenance op consolidates them into ONE `(_file,_pos)`-sorted
+  // sidecar while every data file carries BY PATH (asserted at build
+  // time, with the op tag) — the middle ground between letting
+  // per-statement sidecars accumulate and compactDeletes' full rewrite.
+  // The merged read after consolidation must hash-match DuckDB
+  // recomputing both statements from the raw source — consolidation
+  // must be invisible to content.
+  // ---------------------------------------------------------------------
+  private[queries] val PfDelLo = 10L
+  private[queries] val PfDelHi = 11L
+  private[queries] def ensurePosFolded(s: SparkSession, dir: String): String =
+    synchronized {
+      import s.implicits._
+      val wh = sqlCatWarehouse(s)
+      val name = s"events_posfold_${tag(dir)}"
+      val root = s"$wh/db/$name"
+      val st = graft.SourceStamp.table(s, dir, "events")
+      if (!TxnTable.latest(s, root).exists(sn =>
+            sn.op == "compact-pos-deletes" && sn.deletes.size == 1) ||
+          !graft.SourceStamp.isCurrent(s, root, st)) {
+        val loc = new org.apache.hadoop.fs.Path(root)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.db")
+        TxnTable.overwrite(s, root,
+          graft.Tables.t(s, dir, "events")
+            .repartitionByRange(8, $"user_id"),
+          statsCols = Seq("user_id"))
+        TxnTable.setTableProperty(s, root, TxnTable.RowLevelModeKey,
+          "merge-on-read")
+        s.sql(s"UPDATE graft_cat.db.$name SET value = value * 2 " +
+          s"WHERE user_id BETWEEN $UpLo AND $UpHi")
+        s.sql(s"DELETE FROM graft_cat.db.$name " +
+          s"WHERE user_id BETWEEN $PfDelLo AND $PfDelHi")
+        val pre = TxnTable.latest(s, root).get
+        require(pre.deletes.size >= 2,
+          "two MoR statements must stage at least two sidecars")
+        val after = TxnTable.compactPosDeletes(s, root)
+        // the whole point, asserted at build time: sidecars consolidate,
+        // data files are byte-identical by path
+        require(after.deletes.size == 1 && after.files == pre.files &&
+            after.op == "compact-pos-deletes",
+          "compactPosDeletes must consolidate sidecars and carry every " +
+            "data file by path identity")
+        graft.SourceStamp.write(s, root, st)
+      }
+      root
+    }
+
+  val q135Bench: Q = (s, dir) => {
+    import s.implicits._
+    TxnTable.read(s, ensurePosFolded(s, dir))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        money(sum(cents($"value"))).as("total_value"))
+  }
+  val q135: Q = (s, dir) => {
+    import s.implicits._
+    q135Bench(s, dir).orderBy($"event_type")
+  }
+  // consolidated-tombstone-merged == both statements recomputed raw
+  val q135Sql: String =
+    s"""SELECT event_type, COUNT(*) AS n,
+       |  SUM(CASE WHEN user_id BETWEEN $UpLo AND $UpHi
+       |      THEN ${sqlCents("value * 2")}
+       |      ELSE ${sqlCents("value")} END) / 100.0 AS total_value
+       |FROM events
+       |WHERE user_id NOT BETWEEN $PfDelLo AND $PfDelHi
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q135_pos_compact" -> q135,
     "q134_constrained_ingest" -> q134,
     "q133_update_sink" -> q133,
     "q132_mor_update" -> q132,
@@ -1091,6 +1167,7 @@ object Txn {
     "q129_replay_rename" -> q129,
     "q130_partial_compact" -> q130)
   val oracles: Map[String, String] = Map(
+    "q135_pos_compact" -> q135Sql,
     "q134_constrained_ingest" -> q134Sql,
     "q133_update_sink" -> q133Sql,
     "q132_mor_update" -> q132Sql,
@@ -1129,5 +1206,6 @@ object Txn {
     "q131_str_point_lookup" -> q131Bench,
     "q132_mor_update" -> q132Bench,
     "q133_update_sink" -> q133Bench,
-    "q134_constrained_ingest" -> q134Bench)
+    "q134_constrained_ingest" -> q134Bench,
+    "q135_pos_compact" -> q135Bench)
 }

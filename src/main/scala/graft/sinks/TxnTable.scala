@@ -3196,6 +3196,95 @@ object TxnTable {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Rewrite the POSITION-DELETE SIDECARS only — never a data file
+    * (Iceberg's `rewrite_position_delete_files` action, the maintenance
+    * op between "do nothing" and [[compactDeletes]]'s full fold): merge
+    * the accumulated per-statement sidecars into `targetFiles`
+    * consolidated ones, deduped, DROPPING dangling entries (tombstones
+    * whose data file left the snapshot — a partial compaction rewrote
+    * it), clustered and sorted by `(_file, _pos)` so each sidecar's
+    * footer `_file` bounds stay tight and the scan's sidecar-mode
+    * candidate pruning keeps routing each masked task to one sidecar.
+    *
+    * Why it exists: every MoR UPDATE/DELETE stages its own kilobyte
+    * sidecars, so a busy table accumulates thousands; folding them into
+    * the data ([[compactDeletes]]) costs a full rewrite, while THIS op
+    * costs O(live tombstones) — metadata-scale — and keeps both scan
+    * modes cheap. Data files carry BY REFERENCE with stats/blooms/row
+    * counts untouched; visible content is unchanged, so the commit
+    * classifies as maintenance (`compact-pos-deletes`) and the change
+    * feed emits nothing. Retries on a lost commit race by re-resolving
+    * against the new head ([[compactDeletes]]'s loop — a consolidation
+    * staged against a stale snapshot could resurrect a racing
+    * statement's deletes). No-op on a tombstone-free table; refuses
+    * equality shape (those are key-scale already — fold or keep). */
+  def compactPosDeletes(s: SparkSession, root: String, targetFiles: Int = 1,
+                        maxAttempts: Int = 5): Snapshot = {
+    require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
+    require(maxAttempts >= 1, "need at least one attempt")
+    import org.apache.spark.sql.functions.{broadcast, col}
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val cur = latestRequired(s, root)
+      if (cur.deletes.isEmpty) return cur
+      require(isPosShape(cur),
+        s"snapshot v${cur.version} carries EQUALITY-shape delete files " +
+          s"on '${cur.deleteCols.mkString(",")}' — compactPosDeletes " +
+          "consolidates position sidecars; fold equality deletes with " +
+          "compactDeletes")
+      val base = root.stripSuffix("/")
+      // live entries only: semi-join against the snapshot's file list
+      // (driver-held anyway; broadcast — file-count-scale)
+      val liveDf = s.createDataFrame(
+        s.sparkContext.parallelize(cur.files.map(org.apache.spark.sql.Row(_)), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("_live_file",
+            org.apache.spark.sql.types.StringType, nullable = false))))
+      val consolidated = s.read
+        .parquet(cur.deletes.map(f => s"$base/$f"): _*)
+        .select(col("_file"), col("_pos")).distinct()
+        .join(broadcast(liveDf), col("_file") === col("_live_file"),
+          "left_semi")
+        .repartitionByRange(targetFiles, col("_file"), col("_pos"))
+        .sortWithinPartitions(col("_file"), col("_pos"))
+      val rel = s"data/${java.util.UUID.randomUUID().toString.take(8)}"
+      val dir = s"$base/$rel"
+      val f = fs(s, root)
+      val staged: Seq[String] =
+        if (consolidated.isEmpty) Nil // every entry was dangling
+        else {
+          consolidated.write.mode("errorifexists").parquet(dir)
+          // the del- prefix marks the sidecar shape in dir listings,
+          // as the delta writer's own staging does
+          f.listStatus(new Path(dir)).toSeq
+            .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+            .map { st =>
+              val to = new Path(dir, s"del-${st.getPath.getName}")
+              require(f.rename(st.getPath, to),
+                s"could not stage sidecar ${st.getPath}")
+              s"$rel/${to.getName}"
+            }
+        }
+      try {
+        return commit(s, root, cur.version + 1, "compact-pos-deletes",
+          cur.files, cur.stats, cur.statsCols, cur.schema,
+          cur.blooms, cur.bloomCols,
+          deletes = staged,
+          deleteCols = if (staged.isEmpty) Nil else PosDeleteCols,
+          transforms = cur.transforms,
+          rowCounts = cur.rowCounts, nullCounts = cur.nullCounts)
+      } catch {
+        case e: TxnConflictException =>
+          // un-stage this attempt's sidecars before re-resolving (their
+          // content is stale against the new head)
+          staged.foreach(r => f.delete(new Path(s"$base/$r"), false))
+          if (attempt >= maxAttempts) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   // ---------------------------------------------------------------------
   // Table PROPERTIES — a small operational key=value bag in a `_txn`
   // sidecar (`props.txt`). DELIBERATELY un-versioned: properties are

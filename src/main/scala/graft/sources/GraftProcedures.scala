@@ -54,7 +54,8 @@ object GraftProcedures {
     all(catalog).map(p => p.name -> p).toMap
 
   private[sources] def names: Seq[String] = Seq(
-    "compact", "compact_where", "zorder", "compact_deletes", "vacuum",
+    "compact", "compact_where", "zorder", "compact_deletes",
+    "rewrite_position_deletes", "vacuum",
     "orphan_files", "restore", "create_tag", "create_branch",
     "fast_forward", "replay_branch")
 
@@ -131,6 +132,19 @@ object GraftProcedures {
       Seq(in("table", StringType, "table name, e.g. 'db.t'")),
       versionFiles) { (s, root, _) =>
       TxnTable.compactDeletes(s, root)
+    },
+
+    proc(catalog, "rewrite_position_deletes",
+      "consolidate position-delete SIDECARS into target_files sorted " +
+        "ones, dropping dangling entries — data files carry by path " +
+        "(O(live tombstones), never a data rewrite; Iceberg's " +
+        "rewrite_position_delete_files)",
+      Seq(
+        in("table", StringType, "table name, e.g. 'db.t'"),
+        inDefault("target_files", IntegerType, "1",
+          "number of consolidated sidecars")),
+      versionFiles) { (s, root, args) =>
+      TxnTable.compactPosDeletes(s, root, args.int(1))
     },
 
     proc(catalog, "vacuum",

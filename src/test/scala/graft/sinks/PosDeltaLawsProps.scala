@@ -49,6 +49,7 @@ object PosDeltaLawsProps extends Properties("graft.txn.posdelta.laws") {
   private case class Delete(at: Int, width: Int) extends Op
   private case object Fold extends Op
   private case object Compact extends Op
+  private case object FoldSidecars extends Op
   private case object MidVacuum extends Op
 
   private val opGen: Gen[Op] = Gen.frequency(
@@ -59,6 +60,7 @@ object PosDeltaLawsProps extends Properties("graft.txn.posdelta.laws") {
       .map { case (a, w) => Delete(a, w) },
     2 -> Gen.const(Fold),
     1 -> Gen.const(Compact),
+    1 -> Gen.const(FoldSidecars),
     1 -> Gen.const(MidVacuum),
   )
 
@@ -133,6 +135,12 @@ object PosDeltaLawsProps extends Properties("graft.txn.posdelta.laws") {
           case Fold =>
             if (TxnTable.latest(spark, root).exists(_.deletes.nonEmpty))
               TxnTable.compactDeletes(spark, root)
+          case FoldSidecars =>
+            // sidecar-only consolidation: content must be invariant and
+            // data files must carry by path
+            val after = TxnTable.compactPosDeletes(spark, root)
+            checks += ((after.files.toSet == before.files.toSet) :|
+              "compactPosDeletes changed the data file set")
           case Compact =>
             // full compact folds live tombstones with the content
             if (model.nonEmpty) TxnTable.compactTxn(spark, root, 1)

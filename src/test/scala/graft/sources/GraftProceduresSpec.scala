@@ -89,6 +89,23 @@ class GraftProceduresSpec extends AnyFunSuite {
       (1L to 10L).filterNot(Set(3L, 7L)))
   }
 
+  test("CALL rewrite_position_deletes consolidates sidecars without " +
+      "touching a data file") {
+    val root = seed("db.rp1", Seq(1 to 10, 11 to 20))
+    TxnTable.setTableProperty(spark, root, TxnTable.RowLevelModeKey,
+      "merge-on-read")
+    spark.sql(s"DELETE FROM $cat.db.rp1 WHERE id = 3")
+    spark.sql(s"DELETE FROM $cat.db.rp1 WHERE id = 15")
+    val before = TxnTable.latest(spark, root).get
+    assert(before.deletes.size === 2)
+    spark.sql(s"CALL $cat.system.rewrite_position_deletes('db.rp1')")
+    val head = TxnTable.latest(spark, root).get
+    assert(head.op === "compact-pos-deletes" && head.deletes.size === 1)
+    assert(head.files === before.files) // path identity
+    assert(ids(spark.sql(s"SELECT * FROM $cat.db.rp1")) ===
+      (1L to 20L).filterNot(Set(3L, 15L)))
+  }
+
   test("CALL vacuum drops old versions and reports the retained window") {
     val root = seed("db.v1", Seq(1 to 5, 6 to 10, 11 to 15))
     val res = spark.sql(
