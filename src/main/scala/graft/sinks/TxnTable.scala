@@ -2979,29 +2979,76 @@ object TxnTable {
     * serializable-isolation default for row-level ops). The caller
     * (Spark's statement execution) surfaces the conflict; re-running
     * the statement re-plans against the new head. */
+  /** Can a row-level result planned against `planned` commit safely on
+    * top of `cur` under SNAPSHOT isolation? True iff every concurrent
+    * commit in between was a PURE APPEND, proven from manifest facts
+    * alone: every planned file still present (no rewrite/removal — so
+    * scanned-file replacement and tombstone positions stay valid), the
+    * delete set untouched (no concurrent row-level op that might target
+    * the same rows), and schema/transforms/metadata columns unchanged.
+    * Appended files were never seen by the statement's predicate —
+    * exactly snapshot semantics (Iceberg's snapshot isolation level for
+    * row-level operations). */
+  private def pureAppendsSince(planned: Snapshot, cur: Snapshot): Boolean =
+    planned.files.forall(cur.files.contains) &&
+      cur.deletes == planned.deletes &&
+      cur.deleteCols == planned.deleteCols &&
+      cur.schema == planned.schema &&
+      cur.transforms == planned.transforms &&
+      cur.statsCols == planned.statsCols &&
+      cur.bloomCols == planned.bloomCols
+
+  private def rowLevelIsolation(s: SparkSession, root: String): String =
+    tableProperties(s, root).getOrElse(RowLevelIsolationKey, "serializable")
+
+  private def staleConflict(root: String, opTag: String, expected: Long,
+                            cur: Long, what: String): Nothing =
+    throw new TxnConflictException(
+      s"row-level $opTag planned against v$expected but $root is at " +
+        s"v$cur — $what; re-run the statement (pure-append concurrency " +
+        s"can rebase under $RowLevelIsolationKey=snapshot)")
+
   private[graft] def commitReplace(s: SparkSession, root: String,
       expectedVersion: Long, scanned: Set[String], staged: Seq[String],
-      opTag: String): Snapshot = {
-    val cur = latestRequired(s, root)
-    requireNoMor(cur, s"SQL $opTag (row-level rewrite)")
-    // mapped tables are fine here: the row-level write physicalizes its
-    // schema (GraftRowLevelOperation.physicalize), so `staged` already
-    // carries the frozen physical names like any [[stage]] product
-    if (cur.version != expectedVersion)
-      throw new TxnConflictException(
-        s"row-level $opTag planned against v$expectedVersion but $root is " +
-          s"at v${cur.version} — the rewrite was computed from a stale " +
-          "snapshot; re-run the statement")
-    val carry = cur.files.filterNot(scanned)
+      opTag: String, maxAttempts: Int = 5): Snapshot = {
+    val rebase = rowLevelIsolation(s, root) == "snapshot"
+    // staged-file metadata is version-independent (it reads only the
+    // staged parquet; the metadata-column lists cannot have changed on
+    // any head this commit is willing to land on — pureAppendsSince
+    // pins them) — computed ONCE, so a lost slot race retries at
+    // manifest-write speed instead of re-running a Spark job while the
+    // appenders it is racing keep winning
+    val planned = snapshot(s, root, expectedVersion)
     val (stagedStats, stagedBlooms) =
-      fileMeta(s, root, staged, cur.statsCols, cur.bloomCols)
-    commit(s, root, cur.version + 1, opTag, carry ++ staged,
-      cur.stats.view.filterKeys(carry.toSet).toMap ++
-        mergeStats(stagedStats, transformStats(staged, cur.transforms)),
-      cur.statsCols,
-      cur.schema,
-      cur.blooms.view.filterKeys(carry.toSet).toMap ++ stagedBlooms,
-      cur.bloomCols, transforms = cur.transforms)
+      fileMeta(s, root, staged, planned.statsCols, planned.bloomCols)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val cur = latestRequired(s, root)
+      requireNoMor(cur, s"SQL $opTag (row-level rewrite)")
+      // mapped tables are fine here: the row-level write physicalizes its
+      // schema (GraftRowLevelOperation.physicalize), so `staged` already
+      // carries the frozen physical names like any [[stage]] product
+      if (cur.version != expectedVersion &&
+          !(rebase && pureAppendsSince(planned, cur)))
+        staleConflict(root, opTag, expectedVersion, cur.version,
+          "the rewrite was computed from a stale snapshot")
+      val carry = cur.files.filterNot(scanned)
+      try {
+        return commit(s, root, cur.version + 1, opTag, carry ++ staged,
+          cur.stats.view.filterKeys(carry.toSet).toMap ++
+            mergeStats(stagedStats, transformStats(staged, cur.transforms)),
+          cur.statsCols,
+          cur.schema,
+          cur.blooms.view.filterKeys(carry.toSet).toMap ++ stagedBlooms,
+          cur.bloomCols, transforms = cur.transforms)
+      } catch {
+        // lost the slot race mid-rebase: re-validate against the new head
+        case e: TxnConflictException =>
+          if (!rebase || attempt >= maxAttempts) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Commit a POSITION-DELTA result (SQL UPDATE / MERGE / DELETE
@@ -3017,35 +3064,54 @@ object TxnTable {
     * debt in a maintenance window; the CoW path remains the default
     * mode and the read-merge-free regime).
     *
-    * SERIALIZABLE like [[commitReplace]]: refuses if the head moved
-    * past the planned version (the tombstone positions were computed
-    * against that snapshot's files; a racing compaction could have
-    * rewritten them, and silently re-pointing tombstones is how
-    * deleted rows resurrect). Refuses equality-shape MoR liveness —
-    * one shape at a time, `compactDeletes` first. */
+    * SERIALIZABLE by default, like [[commitReplace]]: refuses if the
+    * head moved past the planned version (the tombstone positions were
+    * computed against that snapshot's files; a racing compaction could
+    * have rewritten them, and silently re-pointing tombstones is how
+    * deleted rows resurrect). Under `write.rowlevel.isolation =
+    * snapshot`, provably pure-append concurrency REBASES instead
+    * ([[pureAppendsSince]] — appends cannot move a file's ordinals).
+    * Refuses equality-shape MoR liveness — one shape at a time,
+    * `compactDeletes` first. */
   private[graft] def commitDelta(s: SparkSession, root: String,
       expectedVersion: Long, addedData: Seq[String],
-      posDeletes: Seq[String], opTag: String): Option[Snapshot] = {
-    val cur = latestRequired(s, root)
+      posDeletes: Seq[String], opTag: String,
+      maxAttempts: Int = 5): Option[Snapshot] = {
     if (addedData.isEmpty && posDeletes.isEmpty) return None // matched 0 rows
-    require(cur.deletes.isEmpty || isPosShape(cur),
-      s"SQL $opTag (merge-on-read): snapshot v${cur.version} carries " +
-        s"equality-shape delete files on '${cur.deleteCols.mkString(",")}' — " +
-        "one MoR shape per table; run TxnTable.compactDeletes first")
-    if (cur.version != expectedVersion)
-      throw new TxnConflictException(
-        s"row-level $opTag planned against v$expectedVersion but $root is " +
-          s"at v${cur.version} — the tombstone positions were computed from " +
-          "a stale snapshot; re-run the statement")
+    val rebase = rowLevelIsolation(s, root) == "snapshot"
+    // hoisted out of the retry loop like [[commitReplace]]'s: staged
+    // metadata depends only on the staged files, never on the version
+    // this commit lands on
+    val planned = snapshot(s, root, expectedVersion)
     val (stagedStats, stagedBlooms) =
-      fileMeta(s, root, addedData, cur.statsCols, cur.bloomCols)
-    Some(commit(s, root, cur.version + 1, opTag,
-      cur.files ++ addedData,
-      cur.stats ++ mergeStats(stagedStats, transformStats(addedData, cur.transforms)),
-      cur.statsCols, cur.schema,
-      cur.blooms ++ stagedBlooms, cur.bloomCols,
-      cur.deletes ++ posDeletes, PosDeleteCols, cur.transforms,
-      cur.rowCounts, nullCounts = cur.nullCounts))
+      fileMeta(s, root, addedData, planned.statsCols, planned.bloomCols)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val cur = latestRequired(s, root)
+      require(cur.deletes.isEmpty || isPosShape(cur),
+        s"SQL $opTag (merge-on-read): snapshot v${cur.version} carries " +
+          s"equality-shape delete files on '${cur.deleteCols.mkString(",")}' — " +
+          "one MoR shape per table; run TxnTable.compactDeletes first")
+      if (cur.version != expectedVersion &&
+          !(rebase && pureAppendsSince(planned, cur)))
+        staleConflict(root, opTag, expectedVersion, cur.version,
+          "the tombstone positions were computed from a stale snapshot")
+      try {
+        return Some(commit(s, root, cur.version + 1, opTag,
+          cur.files ++ addedData,
+          cur.stats ++ mergeStats(stagedStats, transformStats(addedData, cur.transforms)),
+          cur.statsCols, cur.schema,
+          cur.blooms ++ stagedBlooms, cur.bloomCols,
+          cur.deletes ++ posDeletes, PosDeleteCols, cur.transforms,
+          cur.rowCounts, nullCounts = cur.nullCounts))
+      } catch {
+        // lost the slot race mid-rebase: re-validate against the new head
+        case e: TxnConflictException =>
+          if (!rebase || attempt >= maxAttempts) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Live position-delete entries of `snap` restricted to `files`, as
@@ -3302,6 +3368,19 @@ object TxnTable {
     * `write.update.mode` knob, one knob for all three commands). */
   val RowLevelModeKey = "write.rowlevel.mode"
 
+  /** `write.rowlevel.isolation`: what a SQL UPDATE/MERGE/DELETE does
+    * when the head moved past its planned snapshot — `serializable`
+    * (default: refuse, re-run the statement) or `snapshot` (REBASE over
+    * concurrent commits that are provably PURE APPENDS by manifest
+    * facts — every planned file still present, delete set / schema /
+    * transforms / metadata columns unchanged; anything else still
+    * refuses). Iceberg's `write.update.isolation-level` knob: appended
+    * rows were never seen by the statement's predicate (snapshot
+    * semantics) and cannot invalidate scanned files or tombstone
+    * positions, so a busy ingest table can take row-level repairs
+    * without retry storms. */
+  val RowLevelIsolationKey = "write.rowlevel.isolation"
+
   private def propsPath(root: String): Path =
     new Path(s"${root.stripSuffix("/")}/_txn/props.txt")
 
@@ -3335,11 +3414,14 @@ object TxnTable {
       case RowLevelModeKey => require(
         value == "copy-on-write" || value == "merge-on-read",
         s"$RowLevelModeKey must be copy-on-write or merge-on-read, got '$value'")
+      case RowLevelIsolationKey => require(
+        value == "serializable" || value == "snapshot",
+        s"$RowLevelIsolationKey must be serializable or snapshot, got '$value'")
       case k if k.startsWith(ConstraintKeyPrefix) =>
         validateConstraint(s, root, k, value)
       case other => throw new IllegalArgumentException(
         s"unknown table property '$other' — known: $RowLevelModeKey, " +
-          s"$ConstraintKeyPrefix<name> " +
+          s"$RowLevelIsolationKey, $ConstraintKeyPrefix<name> " +
           "(statsCols/bloomCols are ALTER TABLE SET TBLPROPERTIES surfaces " +
           "that version through the manifest, not sidecar properties)")
     }
@@ -3410,7 +3492,8 @@ object TxnTable {
   /** Remove a sidecar property (constraints; the row-level mode resets
     * to its default). Same crash-safe publish as [[setTableProperty]]. */
   def unsetTableProperty(s: SparkSession, root: String, key: String): Unit = {
-    require(key == RowLevelModeKey || key.startsWith(ConstraintKeyPrefix),
+    require(key == RowLevelModeKey || key == RowLevelIsolationKey ||
+      key.startsWith(ConstraintKeyPrefix),
       s"unknown table property '$key'")
     latestRequired(s, root)
     writeProps(s, root, tableProperties(s, root) - key)

@@ -276,6 +276,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         bloomCols = Some(csv(set.value))
       case set: TableChange.SetProperty
           if set.property == TxnTable.RowLevelModeKey ||
+            set.property == TxnTable.RowLevelIsolationKey ||
             set.property.startsWith(TxnTable.ConstraintKeyPrefix) =>
         // operational sidecar properties (un-versioned by design — see
         // [[TxnTable.setTableProperty]]); no manifest commit. ADD
@@ -285,6 +286,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         sidecarOnly = true
       case rm: TableChange.RemoveProperty
           if rm.property == TxnTable.RowLevelModeKey ||
+            rm.property == TxnTable.RowLevelIsolationKey ||
             rm.property.startsWith(TxnTable.ConstraintKeyPrefix) =>
         TxnTable.unsetTableProperty(spark, root, rm.property)
         sidecarOnly = true
@@ -297,6 +299,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"ALTER COLUMN TYPE (lossless widening), RENAME COLUMN, " +
           s"DROP COLUMN, and the 'statsCols'/'bloomCols'/" +
           s"'${TxnTable.RowLevelModeKey}'/" +
+          s"'${TxnTable.RowLevelIsolationKey}'/" +
           s"'${TxnTable.ConstraintKeyPrefix}<name>' properties; got $other")
     }
     val rens = renames.result(); val drps = drops.result()

@@ -1,0 +1,170 @@
+package graft.sinks
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.sources.{GraftCatalog, GraftMetaCols}
+
+/** `write.rowlevel.isolation` — the row-level conflict matrix
+  * ([[TxnTable.commitReplace]] / [[TxnTable.commitDelta]]):
+  * SERIALIZABLE (default) refuses ANY head movement past the planned
+  * snapshot; SNAPSHOT rebases over concurrency that is provably a PURE
+  * APPEND by manifest facts (planned files all present, delete set /
+  * schema / transforms / metadata columns unchanged) — appends cannot
+  * move a file's ordinals or un-scan a scanned file, so a busy ingest
+  * table can take row-level repairs without retry storms (Iceberg's
+  * `write.update.isolation-level`). Anything that is NOT a pure append
+  * (compaction, a concurrent row-level op) still refuses. */
+class TxnIsolationSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val cat = "graft_iso_cat"
+  private lazy val warehouse: String = {
+    val w = Files.createTempDirectory("graft_iso").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    w
+  }
+
+  private def table(name: String, mor: Boolean): String = {
+    val root = s"$warehouse/db/$name"
+    TxnTable.overwrite(spark, root,
+      spark.range(1, 201).toDF("id").withColumn("v", col("id") * 10L)
+        .repartitionByRange(4, col("id")),
+      statsCols = Seq("id"))
+    if (mor) TxnTable.setTableProperty(spark, root,
+      TxnTable.RowLevelModeKey, "merge-on-read")
+    root
+  }
+
+  /** Move one spark-written parquet into the table's data dir. */
+  private def stageManual(root: String, df: org.apache.spark.sql.DataFrame,
+                          rel: String): String = {
+    val tmp = Files.createTempDirectory("iso_stage").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new Path(tmp))
+      .filter(_.getPath.getName.startsWith("part-")).head.getPath
+    fs.mkdirs(new Path(s"$root/$rel").getParent)
+    assert(fs.rename(part, new Path(s"$root/$rel")))
+    rel
+  }
+
+  private def ids(root: String): Set[Long] =
+    TxnTable.read(spark, root).select("id").collect().map(_.getLong(0)).toSet
+
+  /** The id at ordinal 0 of the planned snapshot's first file. */
+  private def firstRow(root: String, snap: TxnTable.Snapshot): (String, Long) = {
+    val f = snap.files.head
+    val id = spark.read.parquet(s"$root/$f")
+      .withColumn("_i", col("_metadata.row_index"))
+      .filter(col("_i") === 0L).head.getLong(0)
+    (f, id)
+  }
+
+  test("MoR delta: a pure concurrent append refuses under the default " +
+      "and rebases under snapshot isolation (both rows survive)") {
+    val root = table("iso1", mor = true)
+    val planned = TxnTable.latest(spark, root).get
+    val (fileA, deadId) = firstRow(root, planned)
+    TxnTable.append(spark, root, // the concurrent ingest
+      spark.range(201, 211).toDF("id").withColumn("v", col("id") * 10L))
+    val tomb = stageManual(root,
+      spark.createDataFrame(java.util.List.of(Row(fileA, 0L)),
+        GraftMetaCols.posDeleteSchema),
+      "data/manual/del-iso1.parquet")
+
+    // default = serializable: the moved head refuses
+    val err = intercept[TxnTable.TxnConflictException] {
+      TxnTable.commitDelta(spark, root, planned.version, Nil, Seq(tomb),
+        "delete-mor")
+    }
+    assert(err.getMessage.contains("stale snapshot"))
+
+    TxnTable.setTableProperty(spark, root, TxnTable.RowLevelIsolationKey,
+      "snapshot")
+    val out = TxnTable.commitDelta(spark, root, planned.version, Nil,
+      Seq(tomb), "delete-mor")
+    assert(out.isDefined && out.get.deletes.nonEmpty)
+    // the delete applied AND the concurrently appended rows survive
+    assert(ids(root) === ((1L to 210L).toSet - deadId))
+  }
+
+  test("CoW replace: rebases over a pure append under snapshot " +
+      "isolation — replaced content + appended rows both visible") {
+    val root = table("iso2", mor = false)
+    TxnTable.setTableProperty(spark, root, TxnTable.RowLevelIsolationKey,
+      "snapshot")
+    val planned = TxnTable.latest(spark, root).get
+    val fileA = planned.files.head
+    val replacement = stageManual(root,
+      spark.read.parquet(s"$root/$fileA").withColumn("v", col("v") + 1L),
+      "data/manual/iso2-rewrite.parquet")
+    TxnTable.append(spark, root, // lands between plan and commit
+      spark.range(201, 206).toDF("id").withColumn("v", col("id") * 10L))
+    val out = TxnTable.commitReplace(spark, root, planned.version,
+      Set(fileA), Seq(replacement), "update")
+    assert(out.version === planned.version + 2)
+    val got = TxnTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 205)
+    val rewritten = spark.read.parquet(s"$root/$fileA")
+      .collect().map(_.getLong(0)).toSet
+    rewritten.foreach(i => assert(got(i) === i * 10 + 1)) // replaced
+    assert(got(205L) === 2050L) // appended survived
+  }
+
+  test("snapshot isolation still refuses non-append concurrency: a " +
+      "compaction (file rewrite) and a concurrent delta both conflict") {
+    val root = table("iso3", mor = true)
+    TxnTable.setTableProperty(spark, root, TxnTable.RowLevelIsolationKey,
+      "snapshot")
+    val planned = TxnTable.latest(spark, root).get
+    val (fileA, _) = firstRow(root, planned)
+    val tomb = stageManual(root,
+      spark.createDataFrame(java.util.List.of(Row(fileA, 0L)),
+        GraftMetaCols.posDeleteSchema),
+      "data/manual/del-iso3.parquet")
+
+    // concurrent COMPACTION rewrote the files: positions are dead wrong
+    TxnTable.compactTxn(spark, root, 2)
+    intercept[TxnTable.TxnConflictException] {
+      TxnTable.commitDelta(spark, root, planned.version, Nil, Seq(tomb),
+        "delete-mor")
+    }
+
+    // concurrent DELTA (delete-set change) conflicts too
+    val planned2 = TxnTable.latest(spark, root).get
+    spark.sql(s"DELETE FROM $cat.db.iso3 WHERE id = 60")
+    val tomb2 = stageManual(root,
+      spark.createDataFrame(java.util.List.of(Row(planned2.files.head, 0L)),
+        GraftMetaCols.posDeleteSchema),
+      "data/manual/del-iso3b.parquet")
+    intercept[TxnTable.TxnConflictException] {
+      TxnTable.commitDelta(spark, root, planned2.version, Nil, Seq(tomb2),
+        "delete-mor")
+    }
+  }
+
+  test("the property validates and round-trips; unset restores the " +
+      "serializable default") {
+    val root = table("iso4", mor = false)
+    intercept[IllegalArgumentException] {
+      TxnTable.setTableProperty(spark, root, TxnTable.RowLevelIsolationKey,
+        "read-committed")
+    }
+    spark.sql(s"ALTER TABLE $cat.db.iso4 SET TBLPROPERTIES " +
+      s"('${TxnTable.RowLevelIsolationKey}' = 'snapshot')")
+    assert(TxnTable.tableProperties(spark, root)
+      .get(TxnTable.RowLevelIsolationKey).contains("snapshot"))
+    TxnTable.unsetTableProperty(spark, root, TxnTable.RowLevelIsolationKey)
+    assert(!TxnTable.tableProperties(spark, root)
+      .contains(TxnTable.RowLevelIsolationKey))
+  }
+}
