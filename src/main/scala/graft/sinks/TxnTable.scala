@@ -835,9 +835,27 @@ object TxnTable {
     val out = f.create(tmp, false)
     try out.write(text.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    // rename-no-overwrite: atomic publish on HDFS-like filesystems; the
-    // exists() guard above narrows (not closes) the race on raw local FS
-    if (f.exists(dst) || !f.rename(tmp, dst)) {
+    // ATOMIC no-overwrite publish — the commit protocol's CAS. On a
+    // POSIX local filesystem rename() silently REPLACES an existing
+    // destination, so exists()+rename is a raceable window in which two
+    // writers both "win" a version slot and one manifest is silently
+    // lost (a real lost append, caught by the isolation race spec):
+    // publish via hard LINK there — link() fails with EEXIST atomically
+    // in the kernel, a true compare-and-swap. HDFS-like filesystems
+    // keep rename (their rename refuses an existing destination).
+    val published =
+      if (f.getScheme == "file") {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(f.makeQualified(dst).toUri.getPath),
+            java.nio.file.Paths.get(f.makeQualified(tmp).toUri.getPath))
+          f.delete(tmp, false)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else !f.exists(dst) && f.rename(tmp, dst)
+    if (!published) {
       f.delete(tmp, false)
       throw new TxnConflictException(s"lost commit race for version $v at $root")
     }
@@ -2989,14 +3007,16 @@ object TxnTable {
     * Appended files were never seen by the statement's predicate —
     * exactly snapshot semantics (Iceberg's snapshot isolation level for
     * row-level operations). */
-  private def pureAppendsSince(planned: Snapshot, cur: Snapshot): Boolean =
-    planned.files.forall(cur.files.contains) &&
+  private def pureAppendsSince(planned: Snapshot, cur: Snapshot): Boolean = {
+    val curFiles = cur.files.toSet // set first: million-file lists
+    planned.files.forall(curFiles.contains) &&
       cur.deletes == planned.deletes &&
       cur.deleteCols == planned.deleteCols &&
       cur.schema == planned.schema &&
       cur.transforms == planned.transforms &&
       cur.statsCols == planned.statsCols &&
       cur.bloomCols == planned.bloomCols
+  }
 
   private def rowLevelIsolation(s: SparkSession, root: String): String =
     tableProperties(s, root).getOrElse(RowLevelIsolationKey, "serializable")

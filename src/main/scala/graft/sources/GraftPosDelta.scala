@@ -231,29 +231,31 @@ class GraftPosScan(spark: SparkSession, root: String, snap: Snapshot,
     if (cons.isEmpty) snap.files
     else snap.files.filter(GraftTxnFileIndex.mayMatch(snap, _, cons))
 
-  // -- runtime group filtering on the primary stats column (the CoW
-  // scan's contract, reused) ------------------------------------------
-  private def statsCol: Option[(String, String)] =
-    snap.statsCols.headOption.flatMap { p =>
+  // -- runtime group filtering (the CoW scan's contract, reused): ONE
+  // reportable attribute — multi-key IN-subqueries never translate to
+  // V2 runtime predicates (see [[GraftRowLevelScan.runtimeCol]]) —
+  // chosen as a recorded stats column the PUSHED condition references
+  // (long ranges + points, or string prefix bounds + bloom spoints),
+  // primary as the fallback -------------------------------------------
+  private def runtimeCol: Option[(String, String, Boolean)] = {
+    val candidates = snap.statsCols.flatMap { p =>
       val logical = snap.schema.fold(p)(sc => ColumnMapping.logicalName(sc, p))
-      if (required.fieldNames.contains(logical)) Some((logical, p)) else None
+      if (!required.fieldNames.contains(logical)) None
+      else Some((logical, p, GraftRowLevelScan.isStringCol(snap, p)))
     }
+    candidates.find { case (_, p, _) => cons.contains(p) }
+      .orElse(candidates.headOption)
+  }
 
   override def filterAttributes(): Array[NamedReference] =
-    statsCol.map { case (l, _) => Expressions.column(l) }.toArray
+    runtimeCol.map { case (l, _, _) => Expressions.column(l) }.toArray
 
   override def filter(predicates: Array[Predicate]): Unit =
-    for {
-      (logical, phys) <- statsCol
-      vs <- predicates.iterator
-              .flatMap(GraftRowLevelScan.pointValues(_, logical)).nextOption()
-    } {
-      val c = GraftTxnFileIndex.Constraint(
-        lo = if (vs.isEmpty) Long.MinValue else vs.min,
-        hi = if (vs.isEmpty) Long.MaxValue else vs.max,
-        points = Some(vs))
-      files = files.filter(rel =>
-        GraftTxnFileIndex.mayMatch(snap, rel, Map(phys -> c)))
+    runtimeCol.foreach { case (logical, phys, isStr) =>
+      GraftRowLevelScan.constraintFor(predicates, logical, isStr).foreach { c =>
+        files = files.filter(rel =>
+          GraftTxnFileIndex.mayMatch(snap, rel, Map(phys -> c)))
+      }
     }
 
   override def readSchema(): StructType = required
@@ -489,40 +491,51 @@ object GraftSidecars {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Meta]()
 
-  def metas(spark: SparkSession, base: String, rels: Seq[String]): Seq[Meta] =
-    rels.map { rel =>
-      val abs = s"$base/$rel"
-      Option(cache.get(abs)).getOrElse {
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new Path(abs), spark.sparkContext.hadoopConfiguration)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        val m = try {
-          import scala.jdk.CollectionConverters._
-          var lo = Option.empty[String]
-          var hi = Option.empty[String]
-          var known = true
-          r.getFooter.getBlocks.asScala.foreach { b =>
-            b.getColumns.asScala
-              .find(_.getPath.toDotString == GraftMetaCols.File) match {
-              case Some(c) if c.getStatistics != null &&
-                  c.getStatistics.hasNonNullValue =>
-                val st = c.getStatistics
-                val mn = st.genericGetMin
-                  .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
-                val mx = st.genericGetMax
-                  .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
-                lo = Some(lo.fold(mn)(x => if (x <= mn) x else mn))
-                hi = Some(hi.fold(mx)(x => if (x >= mx) x else mx))
-              case _ => known = false
-            }
+  /** Footer reads fan out on the common ForkJoin pool (IO-bound,
+    * one small read per UNCACHED sidecar) — planning over a
+    * thousand-sidecar backlog must not serialize a thousand round
+    * trips. Order of the result matches `rels`. */
+  def metas(spark: SparkSession, base: String, rels: Seq[String]): Seq[Meta] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    import scala.jdk.CollectionConverters._
+    rels.asJava.parallelStream().map[Meta](rel => metaOf(conf, base, rel))
+      .collect(java.util.stream.Collectors.toList[Meta]).asScala.toSeq
+  }
+
+  private def metaOf(conf: org.apache.hadoop.conf.Configuration,
+                     base: String, rel: String): Meta = {
+    val abs = s"$base/$rel"
+    Option(cache.get(abs)).getOrElse {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new Path(abs), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val m = try {
+        import scala.jdk.CollectionConverters._
+        var lo = Option.empty[String]
+        var hi = Option.empty[String]
+        var known = true
+        r.getFooter.getBlocks.asScala.foreach { b =>
+          b.getColumns.asScala
+            .find(_.getPath.toDotString == GraftMetaCols.File) match {
+            case Some(c) if c.getStatistics != null &&
+                c.getStatistics.hasNonNullValue =>
+              val st = c.getStatistics
+              val mn = st.genericGetMin
+                .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+              val mx = st.genericGetMax
+                .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+              lo = Some(lo.fold(mn)(x => if (x <= mn) x else mn))
+              hi = Some(hi.fold(mx)(x => if (x >= mx) x else mx))
+            case _ => known = false
           }
-          Meta(rel, in.getLength, r.getRecordCount,
-            if (known) lo else None, if (known) hi else None)
-        } finally r.close()
-        cache.put(abs, m)
-        m
-      }
+        }
+        Meta(rel, in.getLength, r.getRecordCount,
+          if (known) lo else None, if (known) hi else None)
+      } finally r.close()
+      cache.put(abs, m)
+      m
     }
+  }
 }
 
 /** Task-side tombstone resolution for [[GraftSidecarPartition]]s: read

@@ -84,11 +84,46 @@ class GraftRowLevelOperation(spark: SparkSession, root: String,
 
   override def command(): Command = cmd
 
+  /** The rewrite scan's builder accepts CATALYST filter pushdown purely
+    * for FILE-level manifest pruning (everything is returned as
+    * residual and nothing reaches parquet — a group-based write must
+    * see every row of every scanned file): a file the statement's
+    * condition provably cannot match contains no matching rows, so
+    * carrying it by reference is exact. This also tells the scan WHICH
+    * recorded stats column the statement keys on, so the runtime group
+    * filter's single reportable attribute (Spark builds one multi-key
+    * IN-subquery over all reported attributes, which does not translate
+    * to a V2 runtime predicate — one attribute or none) is the column
+    * that will actually prune. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder
+      with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
+      import graft.sinks.ColumnMapping
+
+      private var cons: Map[String, GraftTxnFileIndex.Constraint] = Map.empty
+
+      private val l2p: Map[String, String] =
+        snap.schema.filter(ColumnMapping.hasMapping)
+          .fold(Map.empty[String, String])(sc =>
+            sc.fields.filterNot(ColumnMapping.isDropped)
+              .map(f => f.name -> ColumnMapping.physOf(f)).toMap)
+
+      override def pushFilters(
+          filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+          : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+        val phys = filters.map(_.transform {
+          case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+              if l2p.contains(a.name) => a.withName(l2p(a.name))
+        })
+        cons = GraftTxnFileIndex.constraints(phys)
+        filters // ALL residual: the scan applies none row-wise
+      }
+
+      override def pushedFilters: Array[Predicate] = Array.empty
+
       override def build(): Scan =
         new GraftRowLevelScan(spark, root, snap, tableSchema,
-          GraftRowLevelOperation.this)
+          GraftRowLevelOperation.this, cons)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -189,10 +224,18 @@ object GraftRowLevelOperation {
   * [[ParquetScanBuilder]] scan over the current file set, so the
   * post-filter re-plan can never serve a stale cached partition list. */
 class GraftRowLevelScan(spark: SparkSession, root: String, snap: Snapshot,
-                        tableSchema: StructType, op: GraftRowLevelOperation)
+                        tableSchema: StructType, op: GraftRowLevelOperation,
+                        cons: Map[String, GraftTxnFileIndex.Constraint] = Map.empty)
     extends Scan with Batch with SupportsRuntimeV2Filtering {
 
-  @volatile private var files: Seq[String] = snap.files
+  /** Statically manifest-pruned by the pushed condition (file granular:
+    * a provably-disjoint file has no matching rows and carries), then
+    * narrowed further by the runtime group filter. */
+  @volatile private var files: Seq[String] =
+    if (cons.isEmpty) snap.files
+    else snap.files.filter(GraftTxnFileIndex.mayMatch(snap, _, cons))
+
+  op.scannedFiles = files.toSet // static pruning already narrows the commit
 
   // the parquet bytes carry the frozen PHYSICAL names; the scan reads
   // under them and reports the logical schema (positional rows)
@@ -206,33 +249,39 @@ class GraftRowLevelScan(spark: SparkSession, root: String, snap: Snapshot,
   override def description(): String =
     s"graft-txn row-level ${op.opTag} scan of $root@v${snap.version}"
 
-  /** (logical, physical) primary stats column: the runtime filter's
-    * attribute and predicates speak LOGICAL; the manifest's recorded
-    * metadata is PHYSICAL. */
-  private def statsCol: Option[(String, String)] =
-    snap.statsCols.headOption.flatMap { p =>
+  /** The ONE (logical, physical, isString) stats column the runtime
+    * group filter reports — Spark builds a single multi-key
+    * IN-subquery over ALL reported attributes, and a multi-key
+    * subquery never translates to a V2 runtime predicate (verified
+    * against `RowLevelOperationRuntimeGroupFiltering`), so reporting
+    * several attributes silently disables runtime filtering. The
+    * pushed condition (`cons`) says which recorded column the
+    * statement actually keys on — prefer that (long OR string; string
+    * values prune via prefix bounds + xxhash64 blooms); fall back to
+    * the primary. The runtime filter's attribute speaks LOGICAL, the
+    * manifest's metadata PHYSICAL. */
+  private def runtimeCol: Option[(String, String, Boolean)] = {
+    val candidates = snap.statsCols.flatMap { p =>
       val logical = snap.schema.fold(p)(sc =>
         graft.sinks.ColumnMapping.logicalName(sc, p))
-      if (tableSchema.fieldNames.contains(logical)) Some((logical, p)) else None
+      if (!tableSchema.fieldNames.contains(logical)) None
+      else Some((logical, p, GraftRowLevelScan.isStringCol(snap, p)))
     }
+    candidates.find { case (_, p, _) => cons.contains(p) }
+      .orElse(candidates.headOption)
+  }
 
   override def filterAttributes(): Array[NamedReference] =
-    statsCol.map { case (l, _) => Expressions.column(l) }.toArray
+    runtimeCol.map { case (l, _, _) => Expressions.column(l) }.toArray
 
-  override def filter(predicates: Array[Predicate]): Unit = {
-    for {
-      (logical, phys) <- statsCol
-      vs <- predicates.iterator
-              .flatMap(GraftRowLevelScan.pointValues(_, logical)).nextOption()
-    } {
-      val c = GraftTxnFileIndex.Constraint(
-        lo = if (vs.isEmpty) Long.MinValue else vs.min,
-        hi = if (vs.isEmpty) Long.MaxValue else vs.max,
-        points = Some(vs))
-      files = files.filter(rel => GraftTxnFileIndex.mayMatch(snap, rel, Map(phys -> c)))
-      op.scannedFiles = files.toSet
+  override def filter(predicates: Array[Predicate]): Unit =
+    runtimeCol.foreach { case (logical, phys, isStr) =>
+      GraftRowLevelScan.constraintFor(predicates, logical, isStr).foreach { c =>
+        files = files.filter(rel =>
+          GraftTxnFileIndex.mayMatch(snap, rel, Map(phys -> c)))
+        op.scannedFiles = files.toSet
+      }
     }
-  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     op.scannedFiles = files.toSet
@@ -250,6 +299,12 @@ class GraftRowLevelScan(spark: SparkSession, root: String, snap: Snapshot,
 
 object GraftRowLevelScan {
 
+  private def litStr(v: Any): Option[String] = v match {
+    case lv: V2Lit[_] if lv.dataType() == org.apache.spark.sql.types.StringType =>
+      Option(lv.value).map(_.toString) // UTF8String → String
+    case _ => None
+  }
+
   private def litLong(v: Any): Option[Long] = v match {
     case lv: V2Lit[_] => lv.dataType() match {
       case LongType    => Some(lv.value.asInstanceOf[Long])
@@ -265,7 +320,17 @@ object GraftRowLevelScan {
     * `DataSourceV2Strategy.translateRuntimeFilterV2` encodes the
     * group-discovery subquery's values). Anything else → None → no
     * pruning, full rewrite — sound. */
-  private[sources] def pointValues(p: Predicate, col: String): Option[Seq[Long]] = {
+  private[sources] def pointValues(p: Predicate, col: String): Option[Seq[Long]] =
+    values(p, col, litLong)
+
+  /** [[pointValues]] for STRING runtime filters: values feed prefix
+    * bounds + xxhash64 bloom probes through the Constraint's `spoints`
+    * (a NULL literal poisons the list → None → no pruning, sound). */
+  private[sources] def stringPointValues(p: Predicate, col: String): Option[Seq[String]] =
+    values(p, col, litStr)
+
+  private def values[A](p: Predicate, col: String,
+      lit: Any => Option[A]): Option[Seq[A]] = {
     def isCol(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
       e match {
         case r: NamedReference => r.fieldNames().toSeq == Seq(col)
@@ -273,13 +338,35 @@ object GraftRowLevelScan {
       }
     p.name() match {
       case "IN" if p.children().nonEmpty && isCol(p.children().head) =>
-        val vs = p.children().drop(1).map(litLong)
-        if (vs.forall(_.isDefined)) Some(vs.flatten.toSeq) else None
+        val vs = p.children().drop(1).toSeq.map(e => lit(e))
+        if (vs.forall(_.isDefined)) Some(vs.flatten) else None
       case "=" if p.children().length == 2 && isCol(p.children().head) =>
-        litLong(p.children()(1)).map(Seq(_))
+        lit(p.children()(1)).map(Seq(_))
       case _ => None
     }
   }
+
+  /** One per-column runtime constraint from the pushed group-filter
+    * predicates, or None (no pruning — sound). Long columns get a
+    * range + exact point list; string columns an `spoints` list. */
+  private[sources] def constraintFor(predicates: Array[Predicate],
+      logical: String, isStr: Boolean): Option[GraftTxnFileIndex.Constraint] =
+    if (isStr)
+      predicates.iterator.flatMap(stringPointValues(_, logical)).nextOption()
+        .map(vs => GraftTxnFileIndex.Constraint(spoints = Some(vs)))
+    else
+      predicates.iterator.flatMap(pointValues(_, logical)).nextOption()
+        .map(vs => GraftTxnFileIndex.Constraint(
+          lo = if (vs.isEmpty) Long.MinValue else vs.min,
+          hi = if (vs.isEmpty) Long.MaxValue else vs.max,
+          points = Some(vs)))
+
+  /** Is physical column `pc` a string column of `snap`'s schema? */
+  private[sources] def isStringCol(snap: Snapshot, pc: String): Boolean =
+    snap.schema.exists(_.fields.exists(f =>
+      !graft.sinks.ColumnMapping.isDropped(f) &&
+        graft.sinks.ColumnMapping.physOf(f) == pc &&
+        f.dataType == org.apache.spark.sql.types.StringType))
 }
 
 /** Driver-side write half: collects the staged file names the executors

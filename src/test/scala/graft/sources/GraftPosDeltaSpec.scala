@@ -90,6 +90,36 @@ class GraftPosDeltaSpec extends AnyFunSuite {
       === 198L)
   }
 
+  test("the MoR rewrite scan runtime-prunes on a STRING stats column: " +
+      "a lang-keyed DELETE reads (and tombstones) only matching files") {
+    val root = s"$warehouse/db/strp"
+    val s = spark; import s.implicits._
+    TxnTable.overwrite(spark, root,
+      (1L to 200L).toDF("id")
+        .withColumn("lang", when(col("id") <= 100, "de").otherwise("en"))
+        .withColumn("v", col("id") * 10L)
+        .repartitionByRange(4, col("id")),
+      statsCols = Seq("id", "lang"))
+    spark.sql(s"ALTER TABLE $cat.db.strp " +
+      s"SET TBLPROPERTIES ('${TxnTable.RowLevelModeKey}' = 'merge-on-read')")
+    spark.sql(s"DELETE FROM $cat.db.strp WHERE lang = 'en' AND id % 50 = 1")
+    val after = TxnTable.latest(spark, root).get
+    val base = root.stripSuffix("/")
+    val tomb = spark.read.parquet(after.deletes.map(f => s"$base/$f"): _*)
+    // ids 101 and 151 die — and the referenced files are only 'en' files
+    // (the string runtime filter pruned the de half out of the scan)
+    val refd = tomb.select("_file").distinct()
+      .collect().map(_.getString(0)).toSet
+    refd.foreach { f =>
+      assert(after.stats(f)("lang") ===
+        ((graft.functions.Utf8Prefix64.lower("en"),
+          graft.functions.Utf8Prefix64.upper("en"))),
+        s"tombstoned file $f must be an en-only file")
+    }
+    assert(idv(TxnTable.read(spark, root)) === (1L to 200L)
+      .filterNot(i => i > 100 && i % 50 == 1).map(i => (i, i * 10)).toSet)
+  }
+
   test("MERGE INTO in MoR mode: matched updates tombstone, not-matched " +
       "insert; recompute matches") {
     val root = morTable("mrg1")

@@ -66,6 +66,45 @@ class GraftRowLevelSpec extends AnyFunSuite {
       "WHERE id = 5").as[Long].head() === 5L)
   }
 
+  test("runtime group filtering prunes on SECONDARY and STRING stats " +
+      "columns too: the rewrite set is decided by whichever recorded " +
+      "column the statement keys on") {
+    val root = s"$warehouse/db/mc"
+    val s = spark; import s.implicits._
+    // two files disjoint in BOTH the secondary long column and the
+    // string column; the PRIMARY stats column (id) deliberately does
+    // not appear in the statements
+    TxnTable.append(spark, root,
+      (1L to 100L).toDF("id").withColumn("grp", lit(1L))
+        .withColumn("lang", lit("de")).withColumn("v", col("id")).coalesce(1),
+      statsCols = Seq("id", "grp", "lang"))
+    TxnTable.append(spark, root,
+      (101L to 200L).toDF("id").withColumn("grp", lit(2L))
+        .withColumn("lang", lit("en")).withColumn("v", col("id")).coalesce(1))
+    val pre = TxnTable.latest(spark, root).get
+    val deFile = pre.files.find(f => pre.stats(f)("grp") === ((1L, 1L))).get
+    val enFile = pre.files.find(_ != deFile).get
+
+    // secondary LONG column keys the statement: only grp=2's file rewrites
+    spark.sql(s"UPDATE $cat.db.mc SET v = v + 1000 WHERE grp = 2")
+    val p1 = TxnTable.latest(spark, root).get
+    assert(p1.files.contains(deFile) && !p1.files.contains(enFile))
+
+    // STRING column keys the statement: only lang='de''s file rewrites
+    // (prefix bounds + xxhash64 blooms decide the carve-out)
+    val deCarried = p1.files.find(_ == deFile).get
+    spark.sql(s"UPDATE $cat.db.mc SET v = v + 100000 WHERE lang = 'de'")
+    val p2 = TxnTable.latest(spark, root).get
+    assert(!p2.files.contains(deCarried),
+      "the matching string-keyed file must be rewritten")
+    assert(p1.files.filterNot(_ == deCarried).forall(p2.files.contains),
+      "every string-disjoint file must carry by path identity")
+
+    // content exact after both statements
+    assert(rows(s"SELECT id, v FROM $cat.db.mc") === (1L to 200L).map(i =>
+      (i, if (i <= 100) i + 100000 else i + 1000)))
+  }
+
   test("SQL MERGE INTO upserts through the same rewrite") {
     val root = freshTable("m")
     val s = spark; import s.implicits._
