@@ -3371,6 +3371,67 @@ object TxnTable {
     throw new IllegalStateException("unreachable")
   }
 
+  /** The EQUALITY-shape sibling of [[compactPosDeletes]]: merge the
+    * delete-KEY files consecutive [[deleteKeysMor]] calls accumulate
+    * into `targetFiles` deduped, key-sorted ones — every data file
+    * carries by path, cost O(live delete keys). Overlapping GDPR
+    * sweeps (the same user deleted by several statements) collapse to
+    * one key row; the visible key SET is preserved exactly, so every
+    * read surface and the change feed are invariant ("spent" keys that
+    * no longer match any row are kept — dropping them would need a
+    * data scan, which is [[compactDeletes]]' job). Maintenance-
+    * classified (`compact-delete-keys`): streams skip it, CDC nets
+    * empty. Refuses position shape (that is [[compactPosDeletes]]);
+    * no-op on a delete-free table. Same re-resolve-on-lost-race loop
+    * as its sibling. */
+  def compactDeleteKeys(s: SparkSession, root: String, targetFiles: Int = 1,
+                        maxAttempts: Int = 5): Snapshot = {
+    require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
+    require(maxAttempts >= 1, "need at least one attempt")
+    import org.apache.spark.sql.functions.col
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val cur = latestRequired(s, root)
+      if (cur.deletes.isEmpty) return cur
+      require(!isPosShape(cur),
+        s"snapshot v${cur.version} carries POSITION-shape delete files — " +
+          "compactDeleteKeys consolidates equality delete KEYS; use " +
+          "compactPosDeletes for position sidecars")
+      val base = root.stripSuffix("/")
+      val consolidated = s.read
+        .parquet(cur.deletes.map(f => s"$base/$f"): _*)
+        .select(cur.deleteCols.map(col): _*).distinct()
+        .repartitionByRange(targetFiles, cur.deleteCols.map(col): _*)
+        .sortWithinPartitions(cur.deleteCols.map(col): _*)
+      val rel = s"data/${java.util.UUID.randomUUID().toString.take(8)}"
+      val dir = s"$base/$rel"
+      val f = fs(s, root)
+      consolidated.write.mode("errorifexists").parquet(dir)
+      val staged = f.listStatus(new Path(dir)).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map { st =>
+          val to = new Path(dir, s"del-${st.getPath.getName}")
+          require(f.rename(st.getPath, to),
+            s"could not stage delete-key file ${st.getPath}")
+          s"$rel/${to.getName}"
+        }
+      try {
+        return commit(s, root, cur.version + 1, "compact-delete-keys",
+          cur.files, cur.stats, cur.statsCols, cur.schema,
+          cur.blooms, cur.bloomCols,
+          deletes = staged, deleteCols = cur.deleteCols,
+          transforms = cur.transforms,
+          rowCounts = cur.rowCounts, nullCounts = cur.nullCounts)
+      } catch {
+        case e: TxnConflictException =>
+          staged.foreach(r => f.delete(new Path(s"$base/$r"), false))
+          if (attempt >= maxAttempts) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   // ---------------------------------------------------------------------
   // Table PROPERTIES — a small operational key=value bag in a `_txn`
   // sidecar (`props.txt`). DELIBERATELY un-versioned: properties are

@@ -287,7 +287,7 @@ class GraftTxnMicroBatchStream(spark: SparkSession, root: String,
     val added = cur.files.filterNot(prevFiles)
     val removed = prevFiles -- cur.files.toSet
     val isAppend = removed.isEmpty && prevDeletes == cur.deletes.toSet
-    val maintenance = Set("compact", "compact-deletes", "compact-pos-deletes", "zorder")(cur.op)
+    val maintenance = Set("compact", "compact-deletes", "compact-pos-deletes", "compact-delete-keys", "zorder")(cur.op)
     if (isAppend && cur.deletes.nonEmpty && added.nonEmpty &&
         cur.deleteCols != graft.sinks.TxnTable.PosDeleteCols)
       // the file-partition scan cannot anti-join live EQUALITY delete

@@ -55,7 +55,7 @@ object GraftProcedures {
 
   private[sources] def names: Seq[String] = Seq(
     "compact", "compact_where", "zorder", "compact_deletes",
-    "rewrite_position_deletes", "vacuum",
+    "rewrite_position_deletes", "rewrite_delete_keys", "vacuum",
     "orphan_files", "restore", "create_tag", "create_branch",
     "fast_forward", "replay_branch")
 
@@ -145,6 +145,18 @@ object GraftProcedures {
           "number of consolidated sidecars")),
       versionFiles) { (s, root, args) =>
       TxnTable.compactPosDeletes(s, root, args.int(1))
+    },
+
+    proc(catalog, "rewrite_delete_keys",
+      "consolidate equality delete-KEY files into target_files deduped " +
+        "sorted ones — data files carry by path (the equality sibling " +
+        "of rewrite_position_deletes; overlapping GDPR sweeps collapse)",
+      Seq(
+        in("table", StringType, "table name, e.g. 'db.t'"),
+        inDefault("target_files", IntegerType, "1",
+          "number of consolidated key files")),
+      versionFiles) { (s, root, args) =>
+      TxnTable.compactDeleteKeys(s, root, args.int(1))
     },
 
     proc(catalog, "vacuum",

@@ -103,7 +103,7 @@ class TxnStreamSource(s: SparkSession, tableRoot: String,
     val added = cur.files.filterNot(prevFiles)
     val removed = prevFiles -- cur.files.toSet
     val isAppend = removed.isEmpty && prevDeletes == cur.deletes.toSet
-    val maintenance = Set("compact", "compact-deletes", "compact-pos-deletes", "zorder")(cur.op)
+    val maintenance = Set("compact", "compact-deletes", "compact-pos-deletes", "compact-delete-keys", "zorder")(cur.op)
     if (isAppend) {
       if (added.isEmpty) None
       else {
