@@ -78,10 +78,28 @@ object BenchPosMask {
     metaAgg()
     val rowRegime = time(metaAgg())
 
+    // WIDESPREAD debt then CONSOLIDATION: tombstones on EVERY file
+    // (1% of rows), compactPosDeletes to ONE sidecar. Row-group
+    // routing (GraftSidecars.slices) must hold the compacted
+    // sidecar-mode read at ~the pre-compaction cost — the old regime
+    // re-read the whole consolidated set from every masked task, so
+    // maintenance made scans strictly worse.
+    spark.sql(s"DELETE FROM graft_bpm.db.posmask WHERE id % 100 = 50")
+    spark.conf.set(graft.sources.GraftSidecars.DriverResolveMaxKey, "0")
+    scanAgg(tbl())
+    val spreadPre = time(scanAgg(tbl()))
+    graft.sinks.TxnTable.compactPosDeletes(spark, root, targetFiles = 1)
+    scanAgg(tbl())
+    val spreadCompacted = time(scanAgg(tbl()))
+    spark.conf.unset(graft.sources.GraftSidecars.DriverResolveMaxKey)
+
     println(s"""{"metric":"posmask","rows":$rows,"files":${snap.files.size},""" +
       s""""clean_sec":${f(clean)},"one_tombstone_sec":${f(masked)},""" +
       s""""sidecar_mode_sec":${f(sidecarMode)},""" +
       s""""row_regime_sec":${f(rowRegime)},""" +
+      s""""spread_pre_sec":${f(spreadPre)},""" +
+      s""""spread_compacted_sec":${f(spreadCompacted)},""" +
+      s""""compacted_over_pre":${f(spreadCompacted / spreadPre)},""" +
       s""""masked_over_clean":${f(masked / clean)},""" +
       s""""sidecar_over_clean":${f(sidecarMode / clean)},""" +
       s""""row_over_clean":${f(rowRegime / clean)}}""")

@@ -95,6 +95,34 @@ object TxnMeta {
     (tagRows ++ branchRows ++ stagedRows).toDF("name", "kind", "version")
   }
 
+  /** The table CONTRACT — sidecar properties (row-level mode/isolation,
+    * CHECK constraints) — current, or AS OF a retained `version`
+    * (replayed from the change log; [[TxnTable.propertiesAt]]):
+    * `key, value`. A time-travel read pairs with `properties VERSION
+    * AS OF n` to see the constraint set its rows were admitted under.
+    * Write-time enforcement always uses the CURRENT contract. */
+  def properties(s: SparkSession, root: String,
+                 version: Option[Long] = None): DataFrame = {
+    import s.implicits._
+    val m = version.fold(TxnTable.tableProperties(s, root))(
+      TxnTable.propertiesAt(s, root, _))
+    m.toSeq.sortBy(_._1).toDF("key", "value")
+  }
+
+  /** The property-change AUDIT LOG, ascending: `version, ts, op, key,
+    * value` — one row per SET/UNSET, recorded against the head version
+    * the change was made at; a SEED row (version 0) freezes the
+    * baseline of a table whose properties predate the log. Empty for a
+    * never-changed legacy table (there is nothing to attribute). */
+  def propertyHistory(s: SparkSession, root: String): DataFrame = {
+    import s.implicits._
+    TxnTable.propertyLog(s, root)
+      .map { case (v, ts, op, k, value) => (v, ts, op, k, value) }
+      .toDF("version", "ts_ms", "op", "key", "value")
+      .withColumn("ts", timestamp_millis(col("ts_ms"))).drop("ts_ms")
+      .select("version", "ts", "op", "key", "value")
+  }
+
   /** One row per PARTITION — distinct hidden-partitioning transform
     * value tuple — of one snapshot (Iceberg's `partitions` metadata
     * table): `partition, n_files, rows, bytes`. Derived entirely from

@@ -760,13 +760,31 @@ object TxnTable {
   private def footerRows(s: SparkSession, root: String, file: String): Option[Long] =
     footerMeta(s, root, file).map(_.rows)
 
+  /** Warm the footer cache for `files` on the common ForkJoin pool —
+    * the commit path completes counts/nulls for EVERY carried file, and
+    * a 10⁵-file commit must not serialize 10⁵ footer round trips on the
+    * driver (measured: the dominant commit cost before this existed —
+    * see `graft.BenchPlanning`). IO-bound, one small read per UNCACHED
+    * file; cached files cost a map probe. */
+  private def prewarmFooters(s: SparkSession, root: String,
+                             files: Seq[String]): Unit = {
+    val base = root.stripSuffix("/")
+    val missing = files.filter(f => !footerMetaCache.containsKey(s"$base/$f"))
+    if (missing.length > 1) {
+      import scala.jdk.CollectionConverters._
+      missing.asJava.parallelStream().forEach(f => { footerMeta(s, root, f); () })
+    }
+  }
+
   /** Complete `known` to a count for every file in `files` via cached
     * footer reads — the backfill that makes every NEW commit carry full
     * row counts even on tables whose older manifests predate them. */
   private def completeCounts(s: SparkSession, root: String, files: Seq[String],
-                             known: Map[String, Long]): Map[String, Long] =
+                             known: Map[String, Long]): Map[String, Long] = {
+    prewarmFooters(s, root, files.filterNot(known.contains))
     files.flatMap(f =>
       known.get(f).orElse(footerRows(s, root, f)).map(f -> _)).toMap
+  }
 
   /** Complete `known` to per-file null counts of the stats columns via
     * cached footer reads — the nulls analog of [[completeCounts]],
@@ -781,7 +799,10 @@ object TxnTable {
                             known: Map[String, Map[String, Long]])
       : Map[String, Map[String, Long]] =
     if (cols.isEmpty) known.filter(_._2.nonEmpty)
-    else files.flatMap { f =>
+    else {
+    prewarmFooters(s, root, files.filter(f =>
+      cols.exists(c => !known.getOrElse(f, Map.empty).contains(c))))
+    files.flatMap { f =>
       val have = known.getOrElse(f, Map.empty)
       val need = cols.filterNot(have.contains)
       val add: Map[String, Long] = if (need.isEmpty) Map.empty
@@ -794,6 +815,7 @@ object TxnTable {
       val merged = have ++ add
       if (merged.isEmpty) None else Some(f -> merged)
     }.toMap
+    }
 
   /** Publish a manifest as version `v` — tmp write + atomic rename into
     * the create-no-overwrite slot. Throws [[TxnConflictException]] if a
@@ -843,8 +865,11 @@ object TxnTable {
     // publish via hard LINK there — link() fails with EEXIST atomically
     // in the kernel, a true compare-and-swap. HDFS-like filesystems
     // keep rename (their rename refuses an existing destination).
+    // Scheme via getUri — the base FileSystem.getScheme() throws
+    // UnsupportedOperationException on filesystems that never
+    // overrode it, and this branch pick must work on ALL of them.
     val published =
-      if (f.getScheme == "file") {
+      if (f.getUri.getScheme == "file") {
         try {
           java.nio.file.Files.createLink(
             java.nio.file.Paths.get(f.makeQualified(dst).toUri.getPath),
@@ -2998,24 +3023,59 @@ object TxnTable {
     * (Spark's statement execution) surfaces the conflict; re-running
     * the statement re-plans against the new head. */
   /** Can a row-level result planned against `planned` commit safely on
-    * top of `cur` under SNAPSHOT isolation? True iff every concurrent
-    * commit in between was a PURE APPEND, proven from manifest facts
-    * alone: every planned file still present (no rewrite/removal — so
-    * scanned-file replacement and tombstone positions stay valid), the
-    * delete set untouched (no concurrent row-level op that might target
-    * the same rows), and schema/transforms/metadata columns unchanged.
-    * Appended files were never seen by the statement's predicate —
-    * exactly snapshot semantics (Iceberg's snapshot isolation level for
-    * row-level operations). */
-  private def pureAppendsSince(planned: Snapshot, cur: Snapshot): Boolean = {
+    * top of `cur` under SNAPSHOT isolation? Proven from manifest +
+    * sidecar-footer facts alone (Iceberg's conflicting-files /
+    * conflicting-delete-files validation for its snapshot isolation
+    * level), where `touched` is the set of data files the statement
+    * actually rewrites or tombstones:
+    *
+    *  - every TOUCHED file is still present in `cur` (committed file
+    *    paths are immutable, so presence = byte identity — the staged
+    *    replacement rows and tombstone ordinals stay valid). Planned
+    *    files the statement did NOT touch may be freely rewritten,
+    *    compacted, or removed by concurrent commits: the carry list is
+    *    taken from `cur`, so their replacements flow through untouched
+    *    — two row-level ops on DISJOINT file sets both commit;
+    *  - the delete set either did not move, or GREW by position
+    *    sidecars whose footer `_file` bounds provably exclude every
+    *    touched file (a concurrent MoR statement on other files; a
+    *    stat-less or equality-shape delete file conservatively covers
+    *    everything and refuses). Tombstones landing ON a touched file
+    *    refuse — admitting them would resurrect the concurrently
+    *    deleted rows through our rewrite;
+    *  - schema / transforms / metadata-column lists are unchanged.
+    *
+    * Appends and disjoint writers were never seen by the statement's
+    * predicate — exactly snapshot semantics. Cross-file write skew
+    * (the concurrent writer moved rows INTO our predicate's range in a
+    * file we never touched) is admitted, as snapshot isolation allows;
+    * the serializable default refuses all head movement. */
+  private def admissibleUnderSnapshot(s: SparkSession, root: String,
+      planned: Snapshot, cur: Snapshot, touched: Set[String]): Boolean = {
     val curFiles = cur.files.toSet // set first: million-file lists
-    planned.files.forall(curFiles.contains) &&
-      cur.deletes == planned.deletes &&
-      cur.deleteCols == planned.deleteCols &&
-      cur.schema == planned.schema &&
-      cur.transforms == planned.transforms &&
-      cur.statsCols == planned.statsCols &&
-      cur.bloomCols == planned.bloomCols
+    val pinned =
+      touched.forall(curFiles.contains) &&
+        cur.schema == planned.schema &&
+        cur.transforms == planned.transforms &&
+        cur.statsCols == planned.statsCols &&
+        cur.bloomCols == planned.bloomCols
+    if (!pinned) false
+    else if (cur.deletes == planned.deletes &&
+      cur.deleteCols == planned.deleteCols) true
+    else {
+      val plannedD = planned.deletes.toSet
+      // growth only (a concurrent delete-file compaction rewrote our
+      // statement's masking basis — refuse, content equality is not a
+      // manifest fact), position shape only, and every NEW sidecar
+      // bound-disjoint from the touched files
+      planned.deletes.forall(cur.deletes.contains) &&
+        isPosShape(cur) &&
+        (plannedD.isEmpty || isPosShape(planned)) &&
+        graft.sources.GraftSidecars
+          .metas(s, root.stripSuffix("/"),
+            cur.deletes.filterNot(plannedD))
+          .forall(m => !touched.exists(m.covers))
+    }
   }
 
   private def rowLevelIsolation(s: SparkSession, root: String): String =
@@ -3025,22 +3085,29 @@ object TxnTable {
                             cur: Long, what: String): Nothing =
     throw new TxnConflictException(
       s"row-level $opTag planned against v$expected but $root is at " +
-        s"v$cur — $what; re-run the statement (pure-append concurrency " +
-        s"can rebase under $RowLevelIsolationKey=snapshot)")
+        s"v$cur — $what; re-run the statement (pure-append and disjoint-file " +
+        s"concurrency can rebase under $RowLevelIsolationKey=snapshot)")
 
   private[graft] def commitReplace(s: SparkSession, root: String,
       expectedVersion: Long, scanned: Set[String], staged: Seq[String],
-      opTag: String, maxAttempts: Int = 5): Snapshot = {
+      opTag: String, maxAttempts: Int = 12): Snapshot = {
     val rebase = rowLevelIsolation(s, root) == "snapshot"
+    // the PLANNED snapshot is only needed for the snapshot-isolation
+    // rebase check; under the serializable default the head must still
+    // BE expectedVersion, so the current snapshot (version-checked
+    // below) supplies the pinned metadata columns — no historical
+    // manifest read, and a mid-statement vacuum of the planned version
+    // surfaces as the intended TxnConflictException, never as a
+    // missing-manifest error
+    lazy val planned = snapshot(s, root, expectedVersion)
     // staged-file metadata is version-independent (it reads only the
     // staged parquet; the metadata-column lists cannot have changed on
-    // any head this commit is willing to land on — pureAppendsSince
+    // any head this commit is willing to land on — the version check
     // pins them) — computed ONCE, so a lost slot race retries at
     // manifest-write speed instead of re-running a Spark job while the
     // appenders it is racing keep winning
-    val planned = snapshot(s, root, expectedVersion)
-    val (stagedStats, stagedBlooms) =
-      fileMeta(s, root, staged, planned.statsCols, planned.bloomCols)
+    var stagedMeta: Option[(Map[String, Map[String, (Long, Long)]],
+      Map[String, Map[String, Array[Byte]]])] = None
     var attempt = 0
     while (true) {
       attempt += 1
@@ -3050,9 +3117,13 @@ object TxnTable {
       // schema (GraftRowLevelOperation.physicalize), so `staged` already
       // carries the frozen physical names like any [[stage]] product
       if (cur.version != expectedVersion &&
-          !(rebase && pureAppendsSince(planned, cur)))
+          !(rebase && admissibleUnderSnapshot(s, root, planned, cur, scanned)))
         staleConflict(root, opTag, expectedVersion, cur.version,
           "the rewrite was computed from a stale snapshot")
+      val (stagedStats, stagedBlooms) = stagedMeta.getOrElse {
+        val m = fileMeta(s, root, staged, cur.statsCols, cur.bloomCols)
+        stagedMeta = Some(m); m
+      }
       val carry = cur.files.filterNot(scanned)
       try {
         return commit(s, root, cur.version + 1, opTag, carry ++ staged,
@@ -3089,22 +3160,35 @@ object TxnTable {
     * computed against that snapshot's files; a racing compaction could
     * have rewritten them, and silently re-pointing tombstones is how
     * deleted rows resurrect). Under `write.rowlevel.isolation =
-    * snapshot`, provably pure-append concurrency REBASES instead
-    * ([[pureAppendsSince]] — appends cannot move a file's ordinals).
+    * snapshot`, provably safe concurrency REBASES instead
+    * ([[admissibleUnderSnapshot]] — appends cannot move a file's
+    * ordinals, and commits touching provably disjoint files cannot
+    * invalidate this statement's tombstones).
     * Refuses equality-shape MoR liveness — one shape at a time,
     * `compactDeletes` first. */
   private[graft] def commitDelta(s: SparkSession, root: String,
       expectedVersion: Long, addedData: Seq[String],
       posDeletes: Seq[String], opTag: String,
-      maxAttempts: Int = 5): Option[Snapshot] = {
+      maxAttempts: Int = 12): Option[Snapshot] = {
     if (addedData.isEmpty && posDeletes.isEmpty) return None // matched 0 rows
     val rebase = rowLevelIsolation(s, root) == "snapshot"
-    // hoisted out of the retry loop like [[commitReplace]]'s: staged
-    // metadata depends only on the staged files, never on the version
-    // this commit lands on
-    val planned = snapshot(s, root, expectedVersion)
-    val (stagedStats, stagedBlooms) =
-      fileMeta(s, root, addedData, planned.statsCols, planned.bloomCols)
+    // planned loaded lazily and staged metadata memoized across slot-
+    // race retries, exactly as [[commitReplace]]: the serializable
+    // default never reads the historical manifest, and the rebase path
+    // computes the staged-file Spark job once
+    lazy val planned = snapshot(s, root, expectedVersion)
+    // the files this statement TOUCHES: those its staged tombstones
+    // target, by staged-sidecar footer bounds (a conservative superset
+    // — a stat-less sidecar covers everything and degrades to the
+    // old whole-snapshot pin). Footer metas are JVM-cached; computed
+    // once, only on the rebase path.
+    lazy val touched: Set[String] = {
+      val sm = graft.sources.GraftSidecars
+        .metas(s, root.stripSuffix("/"), posDeletes)
+      planned.files.filter(f => sm.exists(_.covers(f))).toSet
+    }
+    var stagedMeta: Option[(Map[String, Map[String, (Long, Long)]],
+      Map[String, Map[String, Array[Byte]]])] = None
     var attempt = 0
     while (true) {
       attempt += 1
@@ -3114,9 +3198,13 @@ object TxnTable {
           s"equality-shape delete files on '${cur.deleteCols.mkString(",")}' — " +
           "one MoR shape per table; run TxnTable.compactDeletes first")
       if (cur.version != expectedVersion &&
-          !(rebase && pureAppendsSince(planned, cur)))
+          !(rebase && admissibleUnderSnapshot(s, root, planned, cur, touched)))
         staleConflict(root, opTag, expectedVersion, cur.version,
           "the tombstone positions were computed from a stale snapshot")
+      val (stagedStats, stagedBlooms) = stagedMeta.getOrElse {
+        val m = fileMeta(s, root, addedData, cur.statsCols, cur.bloomCols)
+        stagedMeta = Some(m); m
+      }
       try {
         return Some(commit(s, root, cur.version + 1, opTag,
           cur.files ++ addedData,
@@ -3304,9 +3392,21 @@ object TxnTable {
     * staged against a stale snapshot could resurrect a racing
     * statement's deletes). No-op on a tombstone-free table; refuses
     * equality shape (those are key-scale already — fold or keep). */
-  def compactPosDeletes(s: SparkSession, root: String, targetFiles: Int = 1,
+  /** Auto-sizing budget for [[compactPosDeletes]] (`targetFiles = 0`):
+    * consolidated sidecars hold at most this many entries each. */
+  val CompactEntriesPerSidecarKey =
+    "spark.graft.posDeletes.compactEntriesPerSidecar"
+
+  /** Parquet row-group size (bytes) of [[compactPosDeletes]]' output.
+    * Small groups (default 1 MiB) keep per-group `_file` footer bounds
+    * tight — the scan's row-group routing is what keeps a masked
+    * task's sidecar read file-sized on a consolidated sidecar. */
+  val CompactBlockBytesKey = "spark.graft.posDeletes.compactBlockBytes"
+
+  def compactPosDeletes(s: SparkSession, root: String, targetFiles: Int = 0,
                         maxAttempts: Int = 5): Snapshot = {
-    require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
+    require(targetFiles >= 0,
+      s"targetFiles must be positive (or 0 = auto-size), got $targetFiles")
     require(maxAttempts >= 1, "need at least one attempt")
     import org.apache.spark.sql.functions.{broadcast, col}
     var attempt = 0
@@ -3320,6 +3420,20 @@ object TxnTable {
           "consolidates position sidecars; fold equality deletes with " +
           "compactDeletes")
       val base = root.stripSuffix("/")
+      // auto-size from the live entry count (footer metas — cached,
+      // no data pages) so per-sidecar coverage stays bounded however
+      // large the debt: maintenance must never produce a sidecar whose
+      // footer bounds force every masked task through the whole set
+      val nFiles =
+        if (targetFiles > 0) targetFiles
+        else {
+          val entries = graft.sources.GraftSidecars
+            .metas(s, base, cur.deletes).map(_.rows).sum
+          val budget = s.conf.getOption(CompactEntriesPerSidecarKey)
+            .map(_.toLong).getOrElse(4000000L)
+          require(budget > 0, s"$CompactEntriesPerSidecarKey must be positive")
+          math.max(1L, (entries + budget - 1) / budget).toInt
+        }
       // live entries only: semi-join against the snapshot's file list
       // (driver-held anyway; broadcast — file-count-scale)
       val liveDf = s.createDataFrame(
@@ -3332,27 +3446,36 @@ object TxnTable {
         .select(col("_file"), col("_pos")).distinct()
         .join(broadcast(liveDf), col("_file") === col("_live_file"),
           "left_semi")
-        .repartitionByRange(targetFiles, col("_file"), col("_pos"))
+        .repartitionByRange(nFiles, col("_file"), col("_pos"))
         .sortWithinPartitions(col("_file"), col("_pos"))
       val rel = s"data/${java.util.UUID.randomUUID().toString.take(8)}"
       val dir = s"$base/$rel"
       val f = fs(s, root)
-      val staged: Seq[String] =
-        if (consolidated.isEmpty) Nil // every entry was dangling
-        else {
-          consolidated.write.mode("errorifexists").parquet(dir)
-          // the del- prefix marks the sidecar shape in dir listings,
-          // as the delta writer's own staging does
-          f.listStatus(new Path(dir)).toSeq
-            .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-            .map { st =>
-              val to = new Path(dir, s"del-${st.getPath.getName}")
-              require(f.rename(st.getPath, to),
-                s"could not stage sidecar ${st.getPath}")
-              s"$rel/${to.getName}"
-            }
-        }
       try {
+        val staged: Seq[String] =
+          if (consolidated.isEmpty) Nil // every entry was dangling
+          else {
+            // SMALL row groups (1 MiB buffered): the scan routes each
+            // masked task to the row-group runs whose footer `_file`
+            // bounds admit its file, so tight groups — a handful of
+            // data files each — are what keep a consolidated sidecar's
+            // per-task read file-sized, not debt-sized
+            val blockBytes = s.conf.getOption(CompactBlockBytesKey)
+              .map(_.toLong).getOrElse(1L << 20)
+            consolidated.write.mode("errorifexists")
+              .option("parquet.block.size", blockBytes.toString)
+              .parquet(dir)
+            // the del- prefix marks the sidecar shape in dir listings,
+            // as the delta writer's own staging does
+            f.listStatus(new Path(dir)).toSeq
+              .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+              .map { st =>
+                val to = new Path(dir, s"del-${st.getPath.getName}")
+                require(f.rename(st.getPath, to),
+                  s"could not stage sidecar ${st.getPath}")
+                s"$rel/${to.getName}"
+              }
+          }
         return commit(s, root, cur.version + 1, "compact-pos-deletes",
           cur.files, cur.stats, cur.statsCols, cur.schema,
           cur.blooms, cur.bloomCols,
@@ -3361,11 +3484,16 @@ object TxnTable {
           transforms = cur.transforms,
           rowCounts = cur.rowCounts, nullCounts = cur.nullCounts)
       } catch {
+        // un-stage this attempt's WHOLE output dir (parquet files,
+        // _SUCCESS marker, the dir itself) — on a lost race its
+        // content is stale against the new head; on any other failure
+        // it would leak until orphan_files
         case e: TxnConflictException =>
-          // un-stage this attempt's sidecars before re-resolving (their
-          // content is stale against the new head)
-          staged.foreach(r => f.delete(new Path(s"$base/$r"), false))
+          f.delete(new Path(dir), true)
           if (attempt >= maxAttempts) throw e
+        case scala.util.control.NonFatal(e) =>
+          f.delete(new Path(dir), true)
+          throw e
       }
     }
     throw new IllegalStateException("unreachable")
@@ -3407,16 +3535,16 @@ object TxnTable {
       val rel = s"data/${java.util.UUID.randomUUID().toString.take(8)}"
       val dir = s"$base/$rel"
       val f = fs(s, root)
-      consolidated.write.mode("errorifexists").parquet(dir)
-      val staged = f.listStatus(new Path(dir)).toSeq
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-        .map { st =>
-          val to = new Path(dir, s"del-${st.getPath.getName}")
-          require(f.rename(st.getPath, to),
-            s"could not stage delete-key file ${st.getPath}")
-          s"$rel/${to.getName}"
-        }
       try {
+        consolidated.write.mode("errorifexists").parquet(dir)
+        val staged = f.listStatus(new Path(dir)).toSeq
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .map { st =>
+            val to = new Path(dir, s"del-${st.getPath.getName}")
+            require(f.rename(st.getPath, to),
+              s"could not stage delete-key file ${st.getPath}")
+            s"$rel/${to.getName}"
+          }
         return commit(s, root, cur.version + 1, "compact-delete-keys",
           cur.files, cur.stats, cur.statsCols, cur.schema,
           cur.blooms, cur.bloomCols,
@@ -3424,9 +3552,14 @@ object TxnTable {
           transforms = cur.transforms,
           rowCounts = cur.rowCounts, nullCounts = cur.nullCounts)
       } catch {
+        // whole staging dir, not just the listed parquet — leave no
+        // _SUCCESS marker or empty dir behind (same as its sibling)
         case e: TxnConflictException =>
-          staged.foreach(r => f.delete(new Path(s"$base/$r"), false))
+          f.delete(new Path(dir), true)
           if (attempt >= maxAttempts) throw e
+        case scala.util.control.NonFatal(e) =>
+          f.delete(new Path(dir), true)
+          throw e
       }
     }
     throw new IllegalStateException("unreachable")
@@ -3452,9 +3585,11 @@ object TxnTable {
   /** `write.rowlevel.isolation`: what a SQL UPDATE/MERGE/DELETE does
     * when the head moved past its planned snapshot — `serializable`
     * (default: refuse, re-run the statement) or `snapshot` (REBASE over
-    * concurrent commits that are provably PURE APPENDS by manifest
-    * facts — every planned file still present, delete set / schema /
-    * transforms / metadata columns unchanged; anything else still
+    * concurrent commits that are provably SAFE by manifest + footer
+    * facts — pure appends, and row-level/compaction commits whose
+    * touched files and new tombstones are disjoint from everything
+    * this statement rewrites or masks
+    * ([[admissibleUnderSnapshot]]); anything else still
     * refuses). Iceberg's `write.update.isolation-level` knob: appended
     * rows were never seen by the statement's predicate (snapshot
     * semantics) and cannot invalidate scanned files or tombstone
@@ -3506,9 +3641,11 @@ object TxnTable {
           "(statsCols/bloomCols are ALTER TABLE SET TBLPROPERTIES surfaces " +
           "that version through the manifest, not sidecar properties)")
     }
-    latestRequired(s, root) // a table must exist to configure
-    val all = tableProperties(s, root) + (key -> value) // also repairs
-    writeProps(s, root, all)
+    val head = latestRequired(s, root) // a table must exist to configure
+    val before = tableProperties(s, root) // also repairs
+    writeProps(s, root, before + (key -> value))
+    logPropChanges(s, root, head.version, before,
+      Seq(("SET", key, value)))
   }
 
   /** Crash-safe publish: uuid temp → rename to the `.next` intent file
@@ -3536,6 +3673,106 @@ object TxnTable {
 
   private[graft] def rowLevelMode(s: SparkSession, root: String): String =
     tableProperties(s, root).getOrElse(RowLevelModeKey, "copy-on-write")
+
+  // ---------------------------------------------------------------------
+  // Versioned property HISTORY — the table-contract log. Write-time
+  // semantics are UNCHANGED (writes consult `props.txt`, the current
+  // contract; time travel and restore never flip a table's operational
+  // mode), but every change is RECORDED against the head version it
+  // was made at, in an append-only dir of immutable one-change files
+  // (`_txn/props/change-*.txt` — one file per change, no filesystem
+  // append() dependency, crash-safe via tmp+rename). That gives time
+  // travel a contract AS OF version N ([[propertiesAt]] /
+  // [[constraintsAt]]) and an audit meta table
+  // ([[TxnMeta.propertyHistory]]) without touching the hot
+  // [[tableProperties]] read path. A table whose properties predate
+  // the log gets a SEED baseline (recorded at version 0: the earliest
+  // per-version attribution is unknown, so the baseline is treated as
+  // having always held — exactly the legacy fallback's answer).
+  // ---------------------------------------------------------------------
+
+  private def propsLogDir(root: String): Path =
+    new Path(s"${root.stripSuffix("/")}/_txn/props")
+
+  private def enc(v: String): String =
+    java.net.URLEncoder.encode(v, StandardCharsets.UTF_8)
+  private def dec(v: String): String =
+    java.net.URLDecoder.decode(v, StandardCharsets.UTF_8)
+
+  /** One parsed change record: (headVersion, tsMs, op, key, value).
+    * op ∈ SEED | SET | UNSET (value empty for UNSET). */
+  private[sinks] def propertyLog(s: SparkSession, root: String)
+      : Seq[(Long, Long, String, String, String)] = {
+    val f = fs(s, root)
+    val dir = propsLogDir(root)
+    if (!f.exists(dir)) return Nil
+    f.listStatus(dir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("change-"))
+      .sortBy(_.getPath.getName)
+      .flatMap { st =>
+        readSmallFile(s, root, st.getPath).split("\n").toSeq
+          .filter(_.nonEmpty).map { l =>
+            val p = l.split("\t", -1)
+            require(p.length == 5, s"corrupt property-log line in ${st.getPath}")
+            (p(0).toLong, p(1).toLong, p(2), dec(p(3)), dec(p(4)))
+          }
+      }
+      .sortBy(e => (e._1, e._2))
+  }
+
+  /** Record property changes against head version `head` (plus a SEED
+    * baseline the first time a pre-log table is changed). Written
+    * AFTER the `props.txt` swap succeeds: a crash in between loses
+    * only the audit row, never the contract itself. */
+  private def logPropChanges(s: SparkSession, root: String, head: Long,
+      before: Map[String, String],
+      changes: Seq[(String, String, String)]): Unit = {
+    val f = fs(s, root)
+    val dir = propsLogDir(root)
+    f.mkdirs(dir)
+    val now = System.currentTimeMillis()
+    val seed =
+      if (before.nonEmpty && propertyLog(s, root).isEmpty)
+        before.toSeq.sortBy(_._1).map { case (k, v) =>
+          s"0\t$now\tSEED\t${enc(k)}\t${enc(v)}"
+        }
+      else Nil
+    val lines = seed ++ changes.map { case (op, k, v) =>
+      s"$head\t$now\t$op\t${enc(k)}\t${enc(v)}"
+    }
+    val name = s"change-${"%020d".format(head)}-$now-" +
+      s"${java.util.UUID.randomUUID().toString.take(8)}.txt"
+    val tmp = new Path(dir, s".tmp-$name")
+    val out = f.create(tmp, false)
+    try out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (!f.rename(tmp, new Path(dir, name)))
+      throw new IllegalStateException(s"could not record property change $name")
+  }
+
+  /** The table contract AS OF `version`: replay the change log up to
+    * and including that version. A legacy table with NO log answers
+    * with its current properties for every version (the log cannot
+    * reconstruct what it never saw — same answer the SEED baseline
+    * freezes in once the table is first changed post-upgrade). */
+  def propertiesAt(s: SparkSession, root: String,
+                   version: Long): Map[String, String] = {
+    val log = propertyLog(s, root)
+    if (log.isEmpty) tableProperties(s, root)
+    else log.filter(_._1 <= version).foldLeft(Map.empty[String, String]) {
+      case (m, (_, _, op, k, v)) =>
+        if (op == "UNSET") m - k else m + (k -> v)
+    }
+  }
+
+  /** CHECK constraints in force as of `version` — what a time-travel
+    * read's rows were admitted under. */
+  def constraintsAt(s: SparkSession, root: String,
+                    version: Long): Map[String, String] =
+    propertiesAt(s, root, version).collect {
+      case (k, v) if k.startsWith(ConstraintKeyPrefix) =>
+        k.drop(ConstraintKeyPrefix.length) -> v
+    }
 
   // ---------------------------------------------------------------------
   // Table CONSTRAINTS — Delta-shaped CHECK invariants enforced at write
@@ -3576,8 +3813,11 @@ object TxnTable {
     require(key == RowLevelModeKey || key == RowLevelIsolationKey ||
       key.startsWith(ConstraintKeyPrefix),
       s"unknown table property '$key'")
-    latestRequired(s, root)
-    writeProps(s, root, tableProperties(s, root) - key)
+    val head = latestRequired(s, root)
+    val before = tableProperties(s, root)
+    writeProps(s, root, before - key)
+    logPropChanges(s, root, head.version, before,
+      Seq(("UNSET", key, "")))
   }
 
   /** ADD-time validation: name well-formed, expression parses and

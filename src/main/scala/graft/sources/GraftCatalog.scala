@@ -121,10 +121,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       return None
     val parent = (warehouse +: ident.namespace).mkString("/")
     if (!isTable(parent)) return None
-    if (version.isDefined && kind != "files" && kind != "partitions")
+    if (version.isDefined && kind != "files" && kind != "partitions" &&
+        kind != "properties")
       throw new UnsupportedOperationException(
-        s"VERSION AS OF applies to the `files`/`partitions` metadata " +
-          s"tables only; `$kind` always shows the full log")
+        s"VERSION AS OF applies to the `files`/`partitions`/`properties` " +
+          s"metadata tables only; `$kind` always shows the full log")
     Some(new GraftMetaTableV2(spark, parent, kind, version))
   }
 
@@ -419,6 +420,8 @@ private[sources] class GraftMetaTableV2(spark: SparkSession, root: String,
     case "files"      => TxnMeta.files(spark, root, version)
     case "refs"       => TxnMeta.refs(spark, root)
     case "partitions" => TxnMeta.partitions(spark, root, version)
+    case "properties" => TxnMeta.properties(spark, root, version)
+    case "property_history" => TxnMeta.propertyHistory(spark, root)
   }
 
   override def name(): String =
@@ -439,5 +442,7 @@ private[sources] class GraftMetaTableV2(spark: SparkSession, root: String,
 }
 
 private[sources] object GraftMetaTableV2 {
-  val kinds: Set[String] = Set("history", "files", "refs", "partitions")
+  val kinds: Set[String] =
+    Set("history", "files", "refs", "partitions",
+      "properties", "property_history")
 }

@@ -349,13 +349,21 @@ class GraftPosScan(spark: SparkSession, root: String, snap: Snapshot,
       (pinned.map(_.lo.get) ++ fromJob).toSet
     }
 
-  /** The partition for one tombstoned file under the active mode. */
+  /** The partition for one tombstoned file under the active mode.
+    * Sidecar mode routes by ROW GROUP, not whole sidecars: a
+    * consolidated `(_file,_pos)`-sorted sidecar covers every
+    * tombstoned file at the footer level, but each task's range is
+    * trimmed to the contiguous row-group runs whose `_file` bounds
+    * admit ITS file ([[GraftSidecars.slices]]) — so maintenance
+    * compaction never inflates what a masked task reads. */
   private def maskedPartition(rel: String, fp: FilePartition): InputPartition =
     if (useSidecars)
       GraftSidecarPartition(fp, rel,
-        sidecars.filter(_.covers(rel)).map(m =>
-          FilePartition(0, Array(PartitionedFile(InternalRow.empty,
-            SparkPath.fromPathString(s"$base/${m.rel}"), 0, m.len)))).toArray)
+        sidecars.filter(_.covers(rel)).flatMap(m =>
+          GraftSidecars.slices(m, rel).map { case (off, len) =>
+            FilePartition(0, Array(PartitionedFile(InternalRow.empty,
+              SparkPath.fromPathString(s"$base/${m.rel}"), off, len)))
+          }).toArray)
     else GraftMaskedPartition(fp, masked(rel))
 
   /** Reader factory over the delete sidecars (sidecar mode only) —
@@ -475,21 +483,69 @@ object GraftSidecars {
     * tombstones on the driver and ships sidecar references instead. */
   val DriverResolveMaxKey = "spark.graft.posDeletes.driverResolveMaxEntries"
 
-  /** `lo`/`hi` are the footer min/max of `_file` across row groups —
-    * `None` when any chunk lacks the statistic (the sidecar then
-    * conservatively covers every file). Staged rel paths are ASCII, so
-    * string order matches parquet's unsigned-byte binary order; a
-    * writer configured to truncate footer stats still records valid
-    * bounds (parquet increments a truncated max), so `covers` stays
-    * conservative, never wrong. */
-  final case class Meta(rel: String, len: Long, rows: Long,
-                        lo: Option[String], hi: Option[String]) {
+  /** One row group's byte range and `_file` bounds — `None` bounds
+    * when the chunk lacks the statistic (the group then conservatively
+    * covers every file). */
+  final case class Group(off: Long, len: Long,
+                         lo: Option[String], hi: Option[String]) {
     def covers(file: String): Boolean =
       lo.forall(_ <= file) && hi.forall(file <= _)
   }
 
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, Meta]()
+  /** `lo`/`hi` are the footer min/max of `_file` across row groups —
+    * `None` when any chunk lacks the statistic (the sidecar then
+    * conservatively covers every file). `groups` carries the same
+    * bounds PER ROW GROUP with byte offsets, so a masked task over a
+    * consolidated `(_file,_pos)`-sorted sidecar reads only its own
+    * file's groups ([[slices]]) instead of the whole tombstone set.
+    * Staged rel paths are ASCII, so string order matches parquet's
+    * unsigned-byte binary order; a writer configured to truncate
+    * footer stats still records valid bounds (parquet increments a
+    * truncated max), so `covers` stays conservative, never wrong. */
+  final case class Meta(rel: String, len: Long, rows: Long,
+                        lo: Option[String], hi: Option[String],
+                        groups: Array[Group]) {
+    def covers(file: String): Boolean =
+      lo.forall(_ <= file) && hi.forall(file <= _)
+  }
+
+  /** Byte ranges `(offset, length)` of the contiguous runs of `m`'s
+    * row groups whose `_file` bounds cover `file` — what a masked task
+    * actually reads of the sidecar. Parquet routes a split to row
+    * groups by MIDPOINT (a group is read iff `off + len/2 ∈
+    * [start, start+length)`), so a run's range `[off(first),
+    * off(last)+len(last))` admits exactly its own groups: the group
+    * before the run has its midpoint strictly before `off(first)`,
+    * the group after starts at or past the run's end. Whole file when
+    * footer blocks are unavailable; EMPTY when the footer proves no
+    * group can hold `file` — then the task reads nothing at all. */
+  def slices(m: Meta, file: String): Seq[(Long, Long)] =
+    if (m.groups.isEmpty) Seq((0L, m.len))
+    else {
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var i = 0
+      while (i < m.groups.length) {
+        if (m.groups(i).covers(file)) {
+          var j = i
+          while (j + 1 < m.groups.length && m.groups(j + 1).covers(file))
+            j += 1
+          val end = m.groups(j).off + m.groups(j).len
+          runs += ((m.groups(i).off, end - m.groups(i).off))
+          i = j + 1
+        } else i += 1
+      }
+      runs.toSeq
+    }
+
+  /** Footer metas, access-order-bounded: sidecars leave the live set
+    * on every compaction/vacuum, so an unbounded per-path map would
+    * grow for the life of the driver JVM. */
+  private val MaxCached = 8192
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Meta](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Meta]): Boolean = size() > MaxCached
+    })
 
   /** Footer reads fan out on the common ForkJoin pool (IO-bound,
     * one small read per UNCACHED sidecar) — planning over a
@@ -511,26 +567,27 @@ object GraftSidecars {
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       val m = try {
         import scala.jdk.CollectionConverters._
-        var lo = Option.empty[String]
-        var hi = Option.empty[String]
-        var known = true
-        r.getFooter.getBlocks.asScala.foreach { b =>
-          b.getColumns.asScala
+        val groups = r.getFooter.getBlocks.asScala.map { b =>
+          val (lo, hi) = b.getColumns.asScala
             .find(_.getPath.toDotString == GraftMetaCols.File) match {
             case Some(c) if c.getStatistics != null &&
                 c.getStatistics.hasNonNullValue =>
               val st = c.getStatistics
-              val mn = st.genericGetMin
-                .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
-              val mx = st.genericGetMax
-                .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
-              lo = Some(lo.fold(mn)(x => if (x <= mn) x else mn))
-              hi = Some(hi.fold(mx)(x => if (x >= mx) x else mx))
-            case _ => known = false
+              (Some(st.genericGetMin
+                .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8),
+                Some(st.genericGetMax
+                  .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8))
+            case _ => (None, None)
           }
-        }
+          Group(b.getStartingPos, b.getCompressedSize, lo, hi)
+        }.toArray
+        // file-level bounds: None as soon as ANY group's are unknown
+        // (the file then conservatively covers everything)
+        val known = groups.forall(g => g.lo.isDefined && g.hi.isDefined)
         Meta(rel, in.getLength, r.getRecordCount,
-          if (known) lo else None, if (known) hi else None)
+          if (known) groups.flatMap(_.lo).minOption else None,
+          if (known) groups.flatMap(_.hi).maxOption else None,
+          groups)
       } finally r.close()
       cache.put(abs, m)
       m

@@ -56,8 +56,8 @@ object GraftProcedures {
   private[sources] def names: Seq[String] = Seq(
     "compact", "compact_where", "zorder", "compact_deletes",
     "rewrite_position_deletes", "rewrite_delete_keys", "vacuum",
-    "orphan_files", "restore", "create_tag", "create_branch",
-    "fast_forward", "replay_branch")
+    "orphan_files", "maintain_report", "restore", "create_tag",
+    "create_branch", "fast_forward", "replay_branch")
 
   /** Multi-param lambdas do not infer through a curried CONSTRUCTOR's
     * second list; a factory method propagates the expected type. */
@@ -141,8 +141,9 @@ object GraftProcedures {
         "rewrite_position_delete_files)",
       Seq(
         in("table", StringType, "table name, e.g. 'db.t'"),
-        inDefault("target_files", IntegerType, "1",
-          "number of consolidated sidecars")),
+        inDefault("target_files", IntegerType, "0",
+          "number of consolidated sidecars (0 = auto-size by the " +
+            "entries-per-sidecar budget)")),
       versionFiles) { (s, root, args) =>
       TxnTable.compactPosDeletes(s, root, args.int(1))
     },
@@ -215,6 +216,27 @@ object GraftProcedures {
         }.toArray
     },
 
+    proc(catalog, "maintain_report",
+      "ADVISE on table maintenance from already-recorded statistics " +
+        "(manifest file sizes/row counts, sidecar footer metas, version " +
+        "backlog) — one row per check with an observation and the " +
+        "recommended procedure; read-only, zero data-page reads",
+      Seq(
+        in("table", StringType, "table name, e.g. 'db.t'"),
+        inDefault("small_file_bytes", LongType, "33554432",
+          "files under this size count as compaction candidates")),
+      new StructType()
+        .add("check", StringType).add("status", StringType)
+        .add("observation", StringType).add("recommendation", StringType)) {
+      (s, root, args) =>
+      maintainReport(s, root, args.long(1).getOrElse(33554432L))
+        .map { case (check, status, obs, rec) =>
+          InternalRow(UTF8String.fromString(check),
+            UTF8String.fromString(status), UTF8String.fromString(obs),
+            UTF8String.fromString(rec))
+        }.toArray
+    },
+
     proc(catalog, "restore",
       "commit a new version whose content is an old version's (time " +
         "travel made current; history stays intact)",
@@ -272,6 +294,98 @@ object GraftProcedures {
       versionFiles) { (s, root, args) =>
       TxnTable.replayBranch(s, root, args.str(1).get)
     })
+
+  /** The advisor's checks — pure functions of planning-scale state the
+    * driver holds anyway (manifest lists/row counts, one `listStatus`
+    * batch per data dir for sizes, sidecar FOOTER metas — JVM-cached,
+    * no data pages). Thresholds are deliberately coarse: the report
+    * recommends, the operator decides. Returns
+    * `(check, status, observation, recommendation)` rows;
+    * status ∈ ok | action. */
+  private def maintainReport(s: SparkSession, root: String,
+      smallBytes: Long): Seq[(String, String, String, String)] = {
+    val snap = TxnTable.latest(s, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    val base = root.stripSuffix("/")
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(conf)
+    // grouped listStatus, one driver call per parent dir (the same
+    // batching the scan's planner uses)
+    val sizes: Seq[Long] = snap.files
+      .groupBy(f => f.take(f.lastIndexOf('/').max(0))).toSeq
+      .flatMap { case (dir, rels) =>
+        val names = rels.map(r =>
+          new org.apache.hadoop.fs.Path(s"$base/$r").getName).toSet
+        fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/$dir")).toSeq
+          .filter(st => st.isFile && names.contains(st.getPath.getName))
+          .map(_.getLen)
+      }
+    val rows = snap.files.flatMap(snap.rowCounts.get).sum
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, String, String)]
+
+    val small = sizes.count(_ < smallBytes)
+    out += (if (small > math.max(8, snap.files.size / 4))
+      ("small_files", "action",
+        s"$small of ${snap.files.size} data files under $smallBytes B",
+        s"CALL system.compact('<table>', ${math.max(1,
+          (sizes.sum / math.max(smallBytes * 4, 1L)).toInt)}) or " +
+          s"compact_where(smaller_than_bytes => $smallBytes)")
+    else ("small_files", "ok",
+      s"$small of ${snap.files.size} data files under $smallBytes B", ""))
+
+    val posShape = snap.deletes.nonEmpty &&
+      snap.deleteCols == TxnTable.PosDeleteCols
+    if (posShape) {
+      val metas = GraftSidecars.metas(s, base, snap.deletes)
+      val entries = metas.map(_.rows).sum
+      val resolveMax = s.conf
+        .get(GraftSidecars.DriverResolveMaxKey, "5000000").toLong
+      if (snap.deletes.size > 8)
+        out += (("pos_delete_sidecars", "action",
+          s"${snap.deletes.size} sidecar files, $entries live entries",
+          "CALL system.rewrite_position_deletes('<table>') — " +
+            "per-statement sidecars are accumulating"))
+      else
+        out += (("pos_delete_sidecars", "ok",
+          s"${snap.deletes.size} sidecar files, $entries live entries", ""))
+      if (rows > 0 && entries * 20 > rows)
+        out += (("pos_delete_ratio", "action",
+          s"$entries tombstones over $rows rows (> 5%)",
+          "CALL system.compact_deletes('<table>') — fold the debt " +
+            "into a clean copy-on-write snapshot"))
+      else
+        out += (("pos_delete_ratio", "ok",
+          s"$entries tombstones over $rows rows", ""))
+      if (entries > resolveMax)
+        out += (("pos_delete_mode", "action",
+          s"$entries entries exceed $DriverResolveNote $resolveMax — " +
+            "scans run in sidecar mode (correct, task-side resolution)",
+          "compact_deletes in the next maintenance window restores " +
+            "driver-exact masking"))
+    } else if (snap.deletes.nonEmpty) {
+      val keyFiles = snap.deletes.size
+      out += (if (keyFiles > 4)
+        ("delete_key_files", "action",
+          s"$keyFiles equality delete-key files on " +
+            s"'${snap.deleteCols.mkString(",")}'",
+          "CALL system.rewrite_delete_keys('<table>') to collapse " +
+            "overlapping sweeps; compact_deletes folds them entirely")
+      else ("delete_key_files", "ok",
+        s"$keyFiles equality delete-key files", ""))
+    } else out += (("delete_debt", "ok", "no live delete files", ""))
+
+    val nv = TxnTable.versions(s, root).size
+    out += (if (nv > 64)
+      ("version_backlog", "action", s"$nv retained versions",
+        "CALL system.vacuum('<table>', retain_versions => 48) — " +
+          "tag anything history-critical first")
+    else ("version_backlog", "ok", s"$nv retained versions", ""))
+    out.toSeq
+  }
+
+  private val DriverResolveNote =
+    GraftSidecars.DriverResolveMaxKey
 
   // ---- plumbing --------------------------------------------------------
 

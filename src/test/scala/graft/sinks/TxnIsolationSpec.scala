@@ -139,16 +139,103 @@ class TxnIsolationSpec extends AnyFunSuite {
         "delete-mor")
     }
 
-    // concurrent DELTA (delete-set change) conflicts too
+    // concurrent DELTA tombstoning the SAME file conflicts too —
+    // admitting it would resurrect the concurrently deleted row
+    // through this statement's rewrite
     val planned2 = TxnTable.latest(spark, root).get
+    val fileWith60 = planned2.files.find(f =>
+      spark.read.parquet(s"$root/$f").filter(col("id") === 60L)
+        .limit(1).count() > 0).get
     spark.sql(s"DELETE FROM $cat.db.iso3 WHERE id = 60")
     val tomb2 = stageManual(root,
-      spark.createDataFrame(java.util.List.of(Row(planned2.files.head, 0L)),
+      spark.createDataFrame(java.util.List.of(Row(fileWith60, 0L)),
         GraftMetaCols.posDeleteSchema),
       "data/manual/del-iso3b.parquet")
     intercept[TxnTable.TxnConflictException] {
       TxnTable.commitDelta(spark, root, planned2.version, Nil, Seq(tomb2),
         "delete-mor")
+    }
+  }
+
+  test("snapshot isolation admits DISJOINT-FILE concurrency: two MoR " +
+      "deltas on different files both commit; same-file still refuses") {
+    val root = table("iso5", mor = true)
+    TxnTable.setTableProperty(spark, root, TxnTable.RowLevelIsolationKey,
+      "snapshot")
+    val planned = TxnTable.latest(spark, root).get
+    val (fileA, deadA) = firstRow(root, planned)
+    // a CONCURRENT SQL delete lands on a DIFFERENT file (id 180 lives
+    // in the last range file; fileA holds the lowest ids)
+    spark.sql(s"DELETE FROM $cat.db.iso5 WHERE id = 180")
+    assert(TxnTable.latest(spark, root).get.version === planned.version + 1)
+    // our statement tombstones fileA only — footer bounds prove the
+    // two writers touched disjoint files, so the rebase admits it
+    val tomb = stageManual(root,
+      spark.createDataFrame(java.util.List.of(Row(fileA, 0L)),
+        GraftMetaCols.posDeleteSchema),
+      "data/manual/del-iso5.parquet")
+    val out = TxnTable.commitDelta(spark, root, planned.version, Nil,
+      Seq(tomb), "delete-mor")
+    assert(out.isDefined)
+    assert(ids(root) === ((1L to 200L).toSet - deadA - 180L))
+
+    // but a SECOND delta targeting the file the concurrent delete
+    // already tombstoned refuses from the same planned version
+    val fileWith180 = planned.files.find(f =>
+      spark.read.parquet(s"$root/$f").filter(col("id") === 180L)
+        .limit(1).count() > 0).get
+    val tomb2 = stageManual(root,
+      spark.createDataFrame(java.util.List.of(Row(fileWith180, 1L)),
+        GraftMetaCols.posDeleteSchema),
+      "data/manual/del-iso5b.parquet")
+    intercept[TxnTable.TxnConflictException] {
+      TxnTable.commitDelta(spark, root, planned.version, Nil, Seq(tomb2),
+        "delete-mor")
+    }
+  }
+
+  test("snapshot isolation admits a DISJOINT CoW rewrite: a concurrent " +
+      "UPDATE replaced a file this statement never scanned; same-file " +
+      "overlap still refuses") {
+    val root = table("iso6", mor = false)
+    TxnTable.setTableProperty(spark, root, TxnTable.RowLevelIsolationKey,
+      "snapshot")
+    val planned = TxnTable.latest(spark, root).get
+    assert(planned.files.size === 4)
+    val fileA = planned.files.find(f =>
+      spark.read.parquet(s"$root/$f").filter(col("id") === 10L)
+        .limit(1).count() > 0).get
+    val replacement = stageManual(root,
+      spark.read.parquet(s"$root/$fileA").withColumn("v", col("v") + 1L),
+      "data/manual/iso6-rewrite.parquet")
+    // the concurrent CoW UPDATE rewrites the file holding id 180 —
+    // that file LEAVES the snapshot (what pure-append rebase refused)
+    spark.sql(s"UPDATE $cat.db.iso6 SET v = v + 7 WHERE id = 180")
+    val cur = TxnTable.latest(spark, root).get
+    assert(cur.version === planned.version + 1 &&
+      !planned.files.forall(cur.files.contains))
+    // disjoint: our scan touched only fileA, still present — rebase
+    val out = TxnTable.commitReplace(spark, root, planned.version,
+      Set(fileA), Seq(replacement), "update")
+    assert(out.version === planned.version + 2)
+    val got = TxnTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 200)
+    assert(got(180L) === 1807L) // the concurrent writer's update held
+    spark.read.parquet(s"$root/$fileA").collect().map(_.getLong(0))
+      .foreach(i => assert(got(i) === i * 10 + 1)) // ours applied
+    // OVERLAP refuses: a rewrite of the file the concurrent UPDATE
+    // replaced was computed from bytes that left the snapshot
+    val fileB = planned.files.find(f =>
+      spark.read.parquet(s"$root/$f").filter(col("id") === 180L)
+        .limit(1).count() > 0).get
+    assert(!TxnTable.latest(spark, root).get.files.contains(fileB))
+    val stale = stageManual(root,
+      spark.read.parquet(s"$root/$fileB").withColumn("v", col("v") + 1L),
+      "data/manual/iso6-stale.parquet")
+    intercept[TxnTable.TxnConflictException] {
+      TxnTable.commitReplace(spark, root, planned.version,
+        Set(fileB), Seq(stale), "update")
     }
   }
 

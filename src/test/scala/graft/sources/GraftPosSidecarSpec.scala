@@ -181,4 +181,75 @@ class GraftPosSidecarSpec extends AnyFunSuite {
     assert(got(9L) === 90L && !got.contains(10L))
     assert(TxnTable.latest(spark, root).get.deletes.size >= 2)
   }
+
+  test("GraftSidecars.slices: adjacent covering groups merge into one " +
+      "run, gaps split, a proven miss is empty, no footer = whole file") {
+    import GraftSidecars.{Group, Meta, slices}
+    def g(off: Long, len: Long, lo: String, hi: String) =
+      Group(off, len, Some(lo), Some(hi))
+    val m = Meta("data/x.parquet", 1000L, 400L, Some("a"), Some("f"), Array(
+      g(4, 100, "a", "b"), g(104, 100, "b", "c"),
+      g(204, 100, "d", "d"), g(304, 100, "e", "f")))
+    assert(slices(m, "b") === Seq((4L, 200L))) // groups 0+1 merge
+    assert(slices(m, "d") === Seq((204L, 100L)))
+    assert(slices(m, "z") === Seq.empty) // footer proves absence
+    // non-adjacent covering groups stay separate runs
+    val split = m.copy(groups = Array(
+      g(4, 100, "a", "b"), g(104, 100, "c", "c"), g(204, 100, "a", "f")))
+    assert(slices(split, "b") === Seq((4L, 100L), (204L, 100L)))
+    // a stat-less group conservatively covers everything
+    val unknown = m.copy(groups = Array(
+      g(4, 100, "a", "b"), Group(104, 100, None, None)))
+    assert(slices(unknown, "z") === Seq((104L, 100L)))
+    // no footer blocks at all: fall back to the whole file
+    assert(slices(m.copy(groups = Array.empty), "q") === Seq((0L, 1000L)))
+  }
+
+  test("a compacted consolidated sidecar routes each masked task to its " +
+      "own row-group runs — maintenance never inflates the task read") {
+    val root = s"$warehouse/db/sc5"
+    TxnTable.overwrite(spark, root,
+      spark.range(1, 20001).toDF("id")
+        .withColumn("v", col("id") * 10L)
+        .repartitionByRange(8, col("id")),
+      statsCols = Seq("id"))
+    spark.sql(s"ALTER TABLE $cat.db.sc5 " +
+      s"SET TBLPROPERTIES ('${TxnTable.RowLevelModeKey}' = 'merge-on-read')")
+    spark.sql(s"DELETE FROM $cat.db.sc5 WHERE id % 3 = 0")
+    val expect = (1L to 20000L).filterNot(_ % 3 == 0).toSet
+    assert(TxnTable.latest(spark, root).get.deletes.size > 1)
+
+    // consolidate to ONE sidecar with tiny row groups (the prod default
+    // is 1 MiB; 4 KiB here makes ~6.7k entries span many groups so
+    // pruning is observable at spec scale)
+    spark.conf.set(TxnTable.CompactBlockBytesKey, "4096")
+    val after =
+      try TxnTable.compactPosDeletes(spark, root, targetFiles = 1)
+      finally spark.conf.unset(TxnTable.CompactBlockBytesKey)
+    assert(after.deletes.size === 1)
+    val meta = GraftSidecars.metas(spark, root, after.deletes).head
+    assert(meta.rows === 6666L) // ids 1..20000 with id % 3 == 0
+    assert(meta.groups.length >= 8,
+      s"need multiple row groups to observe pruning, got ${meta.groups.length}")
+
+    sidecarMode {
+      val df = spark.sql(s"SELECT id FROM $cat.db.sc5")
+      val side = posScan(df).planInputPartitions().toSeq
+        .collect { case p: GraftSidecarPartition => p }
+      assert(side.size === 8) // every data file is tombstoned
+      side.foreach { p =>
+        val read = p.sidecars.map(_.files.map(_.length).sum).sum
+        assert(read > 0 && read * 2 < meta.len,
+          s"task over ${p.rel} reads $read B of the ${meta.len} B sidecar" +
+            " — row-group routing is not pruning")
+      }
+      // ranges really are row-group-aligned reads, not the whole file:
+      // the per-task average must be a small fraction of the sidecar
+      val avg = side.map(p => p.sidecars.map(_.files.map(_.length).sum).sum)
+        .sum.toDouble / side.size
+      assert(avg * 3 < meta.len,
+        s"avg task sidecar read $avg B vs sidecar ${meta.len} B")
+      assert(df.collect().map(_.getLong(0)).toSet === expect)
+    }
+  }
 }

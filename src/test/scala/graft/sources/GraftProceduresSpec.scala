@@ -324,6 +324,52 @@ class GraftProceduresSpec extends AnyFunSuite {
     // MoR-live would refuse the scan entirely (covered elsewhere)
   }
 
+  test("CALL maintain_report advises from recorded state only: ok on a " +
+      "healthy table, action rows for small files / sidecar backlog / " +
+      "version debt — and never mutates anything") {
+    val s = spark; import s.implicits._
+    val root = s"$warehouse/db/mr1"
+    // many tiny files + MoR debt spread over N statements
+    (1 to 12).foreach(k => TxnTable.append(spark, root,
+      Seq(k.toLong * 10, k.toLong * 10 + 1).toDF("id")
+        .withColumn("v", col("id")).coalesce(1), statsCols = Seq("id")))
+    TxnTable.setTableProperty(spark, root, TxnTable.RowLevelModeKey,
+      "merge-on-read")
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    (1 to 9).foreach(k =>
+      spark.sql(s"DELETE FROM $cat.db.mr1 WHERE id = ${k * 10}"))
+    val headBefore = TxnTable.latest(spark, root).get
+
+    val report = spark.sql(
+      s"CALL $cat.system.maintain_report('db.mr1')").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3)))
+    val byCheck = report.map(t => t._1 -> t).toMap
+    // 12 appends of 2 rows each: every file is tiny
+    assert(byCheck("small_files")._2 === "action")
+    assert(byCheck("small_files")._4.contains("compact"))
+    // 9 MoR statements = 9 sidecars > the backlog threshold
+    assert(byCheck("pos_delete_sidecars")._2 === "action")
+    assert(byCheck("pos_delete_sidecars")._4
+      .contains("rewrite_position_deletes"))
+    // 9 tombstones over 24 rows is way past 5%
+    assert(byCheck("pos_delete_ratio")._2 === "action")
+    assert(byCheck("pos_delete_ratio")._4.contains("compact_deletes"))
+    assert(byCheck("version_backlog")._2 === "ok")
+    // ADVISE only: the head did not move, nothing was rewritten
+    assert(TxnTable.latest(spark, root).get.version === headBefore.version)
+
+    // follow the advice; the report goes quiet
+    spark.sql(s"CALL $cat.system.compact_deletes('db.mr1')")
+    spark.sql(s"CALL $cat.system.compact('db.mr1', 1)")
+    val after = spark.sql(
+      s"CALL $cat.system.maintain_report('db.mr1')").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(after("small_files") === "ok")
+    assert(after("delete_debt") === "ok")
+    assert(ids(spark.sql(s"SELECT * FROM $cat.db.mr1")).size === 15)
+  }
+
   test("a real table named `history` wins over the metadata suffix") {
     val s = spark; import s.implicits._
     val root = s"$warehouse/db/history"
