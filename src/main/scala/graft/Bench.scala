@@ -36,6 +36,46 @@ object Bench {
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  // --- transient diagnosis (SPARK_GRAFT_DIAG=path) -------------------
+  // The sf10 full sweeps twice showed an ADJACENT query cluster inflate
+  // 3-8x with zero plan drift (r12 q41-q45, r13 q78-q83+q104) — a
+  // sustained JVM condition, not per-query noise. When the env var is
+  // set, every timed run appends one JSONL line of ABSOLUTE post-run
+  // JVM counters (deltas are computed offline): JIT compilation time,
+  // GC time/count, heap + metaspace + segmented-code-cache pool usage,
+  // and Spark's Janino codegen totals. Flat jit_ms while walls inflate
+  // = code cache full / compiler disabled; rising gc_ms = heap
+  // pressure; rising janino_n = plan-cache eviction recompiles.
+  private val diag: Option[java.io.PrintWriter] =
+    sys.env.get("SPARK_GRAFT_DIAG").map { p =>
+      new java.io.PrintWriter(new java.io.BufferedWriter(
+        new java.io.FileWriter(p, false)), true)
+    }
+  private def diagLine(q: String, run: Int, sec: Double): Unit =
+    diag.foreach { w =>
+      import java.lang.management.ManagementFactory
+      import scala.jdk.CollectionConverters._
+      val jit = Option(ManagementFactory.getCompilationMXBean)
+        .map(_.getTotalCompilationTime).getOrElse(-1L)
+      val gcs = ManagementFactory.getGarbageCollectorMXBeans.asScala
+      val gcMs = gcs.map(_.getCollectionTime).sum
+      val gcN = gcs.map(_.getCollectionCount).sum
+      def mb(sub: String): Long =
+        ManagementFactory.getMemoryPoolMXBeans.asScala
+          .filter(_.getName.toLowerCase.contains(sub))
+          .map(_.getUsage.getUsed).sum >> 20
+      val heap = Runtime.getRuntime
+      val cg = org.apache.spark.metrics.source.CodegenMetrics
+      w.println(
+        s"""{"q":${jstr(q)},"run":$run,"sec":${r3(sec)},"jit_ms":$jit,""" +
+        s""""gc_ms":$gcMs,"gc_n":$gcN,""" +
+        s""""heap_mb":${(heap.totalMemory - heap.freeMemory) >> 20},""" +
+        s""""meta_mb":${mb("metaspace")},"code_mb":${mb("codeheap")},""" +
+        s""""code_nonprof_mb":${mb("non-profiled")},""" +
+        s""""janino_n":${cg.METRIC_COMPILATION_TIME.getCount},""" +
+        s""""janino_classes":${cg.METRIC_GENERATED_CLASS_BYTECODE_SIZE.getCount}}""")
+    }
+
   /** Host-calibration constant: a fixed single-thread CPU loop plus a
     * fixed 32-task shuffle job, timed in the SAME session right before
     * the warmup. Emitted as `"cal"` so round-over-round totals can be
@@ -89,6 +129,22 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // The sf10 full-sweep "transient cluster" (SCALE.md r12/r13; named
+      // by the r14 instrumented sweep, diag_transient.py): NOT the JIT
+      // code cache (peaked 145 of 240 MB) — accumulated STORAGE-memory
+      // occupancy. ContextCleaner frees broadcast/cache blocks only on
+      // driver GC, and spark.cleaner.periodicGC.interval defaults to
+      // 30 MIN — longer than a whole sweep — so blocks from dozens of
+      // prior queries pin the unified pool (81 MemoryStore eviction
+      // warnings; q104's cached-RDD rounds OOM'd in the diagnosis run).
+      // A 60 s periodic GC keeps occupancy bounded to the live query.
+      .config("spark.cleaner.periodicGC.interval", "60s")
+      // Secondary mechanism: Spark's Janino cache holds 100 generated
+      // classes — a 135-query sweep evicts every query between passes,
+      // so each run1 pays recompiles (diag: janino_n deltas on run1,
+      // zero on run2 — the ~2x run1-only bumps on sub-second queries).
+      // Sized to hold the whole suite's stages.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Dev loop: SPARK_GRAFT_ONLY=q25,q30 times just the named queries
@@ -128,13 +184,18 @@ object Bench {
     }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = ordered.map { case (name, fn) =>
-      val times = (1 to timedRuns).map { _ =>
+      val times = (1 to timedRuns).map { ri =>
         if (gated.contains(name)) {
           errors.getOrElseUpdate(name, gated(name).take(200))
           -1.0
         } else {
           val t0 = System.nanoTime()
-          try { materialize(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+          try {
+            materialize(fn(spark, sfDir))
+            val sec = (System.nanoTime() - t0) / 1e9
+            diagLine(name, ri, sec)
+            sec
+          }
           catch { case NonFatal(e) =>
             errors.getOrElseUpdate(name,
               Option(e.getMessage).getOrElse(e.getClass.getName).take(200))

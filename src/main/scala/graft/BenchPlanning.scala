@@ -75,13 +75,21 @@ object BenchPlanning {
     val manifestBytes = fs.listStatus(new Path(s"$root/_txn"))
       .filter(_.getPath.getName.startsWith("v"))
       .map(_.getLen).max
+    val segBytes = fs.listStatus(new Path(s"$root/_txn"))
+      .filter(_.getPath.getName.startsWith("m_"))
+      .map(_.getLen).sum
 
     // ---- cold manifest parse (fresh JVM state is not available in-
-    // process; this is parse + stats-map build, not page cache) ----
+    // process, but dropSegCaches forces the segment fan-out; this is
+    // parse + stats-map build, not page cache) ----
+    TxnTable.dropSegCaches()
     val heap0 = usedMb()
     val (snap, loadSec) = sec(TxnTable.latest(spark, root).get)
     val heap1 = usedMb()
     require(snap.files.size == nFiles, s"expected $nFiles, got ${snap.files.size}")
+    // warm load: what every per-operation latestRequired() pays once
+    // the per-JVM segment cache holds the head's segments
+    val (_, loadWarmSec) = sec(TxnTable.latest(spark, root).get)
 
     // ---- full-scan planning: grouped listStatus + split packing ----
     val (n0, planSec) = sec(TxnTable.read(spark, root).count())
@@ -151,7 +159,10 @@ object BenchPlanning {
     def f(d: Double): String = "%.3f".formatLocal(java.util.Locale.US, d)
     println(s"""{"metric":"planning","files":$nFiles,""" +
       s""""rows":$n1,"commit_sec":${f(commitSec)},""" +
-      s""""manifest_bytes":$manifestBytes,"load_sec":${f(loadSec)},""" +
+      s""""manifest_bytes":$manifestBytes,"seg_bytes":$segBytes,""" +
+      s""""load_sec":${f(loadSec)},""" +
+      s""""load_warm_sec":${f(loadWarmSec)},""" +
+      s""""segments":${TxnTable.latest(spark, root).get.segs.size},""" +
       s""""load_heap_mb":${heap1 - heap0},""" +
       s""""plan_count_sec":${f(planSec)},"append_sec":${f(appendSec)},""" +
       s""""replace_sec":${f(replaceSec)},"sidecars":${rels.size},""" +

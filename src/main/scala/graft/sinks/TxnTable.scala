@@ -88,7 +88,8 @@ object TxnTable {
                             deleteCols: Seq[String] = Nil,
                             transforms: Seq[Transform] = Nil,
                             rowCounts: Map[String, Long] = Map.empty,
-                            nullCounts: Map[String, Map[String, Long]] = Map.empty) {
+                            nullCounts: Map[String, Map[String, Long]] = Map.empty,
+                            segs: Seq[String] = Nil) {
     /** Primary (first-recorded) columns — the single-column views most
       * call sites and older specs address. */
     def statsCol: Option[String] = statsCols.headOption
@@ -263,9 +264,95 @@ object TxnTable {
     }).sorted
   }
 
+  // ---- segmented manifests -------------------------------------------
+  /** Above this many file entries a commit writes a SEGMENTED manifest:
+    * immutable `_txn/m_<id>.txt` segment files each holding a bounded
+    * run of entry lines, referenced IN ORDER from the version file as
+    * `@seg\t<name>\t<count>` items mixed freely with inline entry
+    * lines. A commit then reuses by REFERENCE every parent segment
+    * whose files survive contiguously with identical metadata — an
+    * append writes O(delta) bytes (its own entries + a small ref list),
+    * not O(table files), and a manifest load resolves refs through a
+    * per-JVM cache of parsed segments, so repeated planning loads cost
+    * O(new entries). Iceberg's manifest-list / manifest-file shape,
+    * re-expressed in the text-native encoding; tables at or under the
+    * threshold keep the single-file inline manifest byte-identically.
+    * Reuse is VERIFIED per entry against the metadata this commit was
+    * asked to record (never assumed from lineage), so the reuse hint
+    * ([[lastSegs]]) can be stale or wrong without ever corrupting a
+    * manifest — it only costs reuse. */
+  val SegmentEntriesKey = "spark.graft.manifest.segmentEntries"
+  private def segmentEntries(s: SparkSession): Int =
+    s.conf.get(SegmentEntriesKey, "10000").toInt
+  /** Past this many refs a commit re-chunks into fresh right-sized
+    * segments — LSM-style amortization: ~1/64 of commits pay the O(N)
+    * rewrite that keeps every later read's ref fan-out bounded. */
+  private val MaxSegRefs = 64
+  private val SegTag = "@seg\t"
+  private val SegNameRe = "^m_[0-9a-f]{16}\\.txt$".r
+  private def segPath(root: String, name: String): Path =
+    new Path(s"${root.stripSuffix("/")}/_txn/$name")
+
+  /** One parsed per-file manifest entry: (path, range stats, blooms,
+    * row count, per-column null counts). */
+  private type Entry = (String, Map[String, (Long, Long)],
+    Map[String, Array[Byte]], Option[Long], Map[String, Long])
+
+  /** Parsed-segment cache. Segments are immutable (uuid-named, written
+    * create-no-overwrite, never rewritten), so cached parses never go
+    * stale; bounded by TOTAL cached entries (not segment count), LRU. */
+  private object SegCache {
+    private val Budget = 2000000L
+    private val map =
+      new java.util.LinkedHashMap[String, IndexedSeq[Entry]](64, 0.75f, true)
+    def get(k: String): Option[IndexedSeq[Entry]] =
+      synchronized(Option(map.get(k)))
+    def put(k: String, v: IndexedSeq[Entry]): Unit = synchronized {
+      if (!map.containsKey(k)) {
+        map.put(k, v)
+        var total = 0L
+        map.values.forEach(e => total += e.size)
+        val it = map.entrySet().iterator()
+        while (total > Budget && it.hasNext) {
+          val e = it.next()
+          if (e.getKey != k) { total -= e.getValue.size; it.remove() }
+        }
+      }
+    }
+    def clear(): Unit = synchronized(map.clear())
+  }
+
+  /** Measurement/test hook: drop the parsed-segment cache and reuse
+    * hints so the next manifest load pays the COLD path (segment fan-
+    * out) and the next commit re-verifies reuse from disk. */
+  private[graft] def dropSegCaches(): Unit = {
+    SegCache.clear()
+    lastSegs.clear()
+  }
+
+  /** Reuse hint: the most recently parsed or committed manifest's
+    * segment refs, per table root. A hint only — every reuse is
+    * verified entry-by-entry at commit time. */
+  private val lastSegs =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+  private def rootKey(root: String): String = root.stripSuffix("/")
+
+  private def segEntries(s: SparkSession, root: String,
+                         name: String): IndexedSeq[Entry] = {
+    require(SegNameRe.matches(name), s"corrupt manifest: bad segment ref '$name'")
+    val key = segPath(root, name).toString
+    SegCache.get(key).getOrElse {
+      val es = readSmallFile(s, root, segPath(root, name))
+        .split("\n").toIndexedSeq.filter(_.nonEmpty).map(parseEntry)
+      SegCache.put(key, es)
+      es
+    }
+  }
+
   /** Read one manifest. */
   def snapshot(s: SparkSession, root: String, version: Long): Snapshot =
-    parseManifest(version, readSmallFile(s, root, manifestPath(root, version)),
+    parseManifest(s, root, version,
+      readSmallFile(s, root, manifestPath(root, version)),
       s"v$version")
 
   private def readSmallFile(s: SparkSession, root: String, p: Path): String = {
@@ -277,7 +364,42 @@ object TxnTable {
     } finally in.close()
   }
 
-  private def parseManifest(version: Long, text: String, what: String): Snapshot = {
+  /** Parse one per-file entry line: `relpath` + optional tab-separated
+    * metadata fields — `<col>:<min>:<max>` range stats, `rows:<n>`,
+    * `nulls:<col>:<n>`, and/or `bloom:<col>:<base64>`, any number of
+    * each (readers of older, field-less manifests interoperate: unknown
+    * absence = no pruning). */
+  private def parseEntry(l: String): Entry = {
+    val fields = l.split("\t")
+    val stat = Map.newBuilder[String, (Long, Long)]
+    val bloom = Map.newBuilder[String, Array[Byte]]
+    val nulls = Map.newBuilder[String, Long]
+    var rows: Option[Long] = None
+    fields.drop(1).foreach {
+      case b if b.startsWith("bloom:") =>
+        val Array(_, c, b64) = b.split(":", 3)
+        bloom += c -> java.util.Base64.getDecoder.decode(b64)
+      // `rows:<n>` (exactly one colon) — a stats entry for a column
+      // literally NAMED "rows" serializes with two colons, so the
+      // encodings cannot collide
+      case rc if rc.startsWith("rows:") && rc.count(_ == ':') == 1 =>
+        rows = Some(rc.stripPrefix("rows:").toLong)
+      // `nulls:<col>:<n>` — per-file null count of a stats column
+      // ([[metaGroupCount]] needs it to attribute point-range files
+      // exactly). "nulls" is a RESERVED stats-column name (rejected
+      // at serialize time) so the encodings cannot collide.
+      case nl if nl.startsWith("nulls:") && nl.count(_ == ':') == 2 =>
+        val Array(_, c, n) = nl.split(":", 3)
+        nulls += c -> n.toLong
+      case st =>
+        val Array(c, lo, hi) = st.split(":")
+        stat += c -> (lo.toLong, hi.toLong)
+    }
+    (fields.head, stat.result(), bloom.result(), rows, nulls.result())
+  }
+
+  private def parseManifest(s: SparkSession, root: String, version: Long,
+                            text: String, what: String): Snapshot = {
     val lines = text.split("\n").toSeq.filter(_.nonEmpty)
     require(lines.nonEmpty && lines.head.startsWith(Header),
       s"corrupt manifest $what: bad header")
@@ -296,38 +418,33 @@ object TxnTable {
       .map(_.stripPrefix(DeleteTag))
     def colsTag(tag: String): Option[Seq[String]] = lines.find(_.startsWith(tag))
       .map(_.stripPrefix(tag).split("\t").toSeq.filter(_.nonEmpty))
-    // file lines: `relpath` + optional tab-separated per-file metadata
-    // fields — `<col>:<min>:<max>` range stats and/or
-    // `bloom:<col>:<base64>` membership filters, any number of each
-    // (readers of older, field-less manifests interoperate: unknown
-    // absence = no pruning)
-    val entries = lines.tail.filterNot(_.startsWith("#")).map { l =>
-      val fields = l.split("\t")
-      val stat = Map.newBuilder[String, (Long, Long)]
-      val bloom = Map.newBuilder[String, Array[Byte]]
-      val nulls = Map.newBuilder[String, Long]
-      var rows: Option[Long] = None
-      fields.drop(1).foreach {
-        case b if b.startsWith("bloom:") =>
-          val Array(_, c, b64) = b.split(":", 3)
-          bloom += c -> java.util.Base64.getDecoder.decode(b64)
-        // `rows:<n>` (exactly one colon) — a stats entry for a column
-        // literally NAMED "rows" serializes with two colons, so the
-        // encodings cannot collide
-        case rc if rc.startsWith("rows:") && rc.count(_ == ':') == 1 =>
-          rows = Some(rc.stripPrefix("rows:").toLong)
-        // `nulls:<col>:<n>` — per-file null count of a stats column
-        // ([[metaGroupCount]] needs it to attribute point-range files
-        // exactly). "nulls" is a RESERVED stats-column name (rejected
-        // at serialize time) so the encodings cannot collide.
-        case nl if nl.startsWith("nulls:") && nl.count(_ == ':') == 2 =>
-          val Array(_, c, n) = nl.split(":", 3)
-          nulls += c -> n.toLong
-        case st =>
-          val Array(c, lo, hi) = st.split(":")
-          stat += c -> (lo.toLong, hi.toLong)
+    // item lines, in file order: inline per-file entries mixed with
+    // `@seg\t<name>\t<count>` segment refs ([[segmentedManifest]])
+    val items = lines.tail.filterNot(_.startsWith("#"))
+    val refs = items.filter(_.startsWith(SegTag)).map { l =>
+      val Array(_, name, n) = l.split("\t", 3)
+      (name, n.toInt)
+    }
+    // cold segments fan out on the common pool — a 64-ref load must
+    // not serialize 64 round trips ([[GraftSidecars.metas]]' shape)
+    locally {
+      val missing = refs.map(_._1)
+        .filter(n => SegCache.get(segPath(root, n).toString).isEmpty)
+      if (missing.size > 1) {
+        import scala.jdk.CollectionConverters._
+        missing.asJava.parallelStream()
+          .forEach(n => { segEntries(s, root, n); () })
       }
-      (fields.head, stat.result(), bloom.result(), rows, nulls.result())
+    }
+    val entries = items.flatMap { l =>
+      if (l.startsWith(SegTag)) {
+        val Array(_, name, n) = l.split("\t", 3)
+        val es = segEntries(s, root, name)
+        require(es.size == n.toInt,
+          s"corrupt manifest $what: segment $name holds ${es.size} " +
+            s"entries, ref expects $n")
+        es
+      } else Seq(parseEntry(l))
     }
     // legacy manifests (no cols tags) derive the column sets from the
     // per-file fields — single-column by construction there
@@ -339,6 +456,9 @@ object TxnTable {
       val Array(kind, param, src) = t.split(":", 3)
       Transform(kind, src, param.toInt)
     }
+    // refresh the commit-side reuse hint — staged (WAP) manifests are
+    // partial file lists and must not pollute it
+    if (!what.startsWith("staged")) lastSegs.put(rootKey(root), refs.map(_._1))
     Snapshot(version, lines.head.stripPrefix(Header).trim, entries.map(_._1),
       entries.collect { case (f, st, _, _, _) if st.nonEmpty => f -> st }.toMap,
       statsCols,
@@ -347,7 +467,8 @@ object TxnTable {
       bloomCols,
       tsMs, deletes, deleteCols, transforms,
       entries.collect { case (f, _, _, Some(n), _) => f -> n }.toMap,
-      entries.collect { case (f, _, _, _, nu) if nu.nonEmpty => f -> nu }.toMap)
+      entries.collect { case (f, _, _, _, nu) if nu.nonEmpty => f -> nu }.toMap,
+      segs = refs.map(_._1))
   }
 
   def latest(s: SparkSession, root: String): Option[Snapshot] =
@@ -852,8 +973,19 @@ object TxnTable {
     // point-range file's rows exactly (min/max exclude nulls, so a
     // point range alone cannot certify "single-valued file")
     val nulls = completeNulls(s, root, files, statsCols, nullCounts)
-    val text = serializeManifest(op, files, stats, statsCols, schema,
-      blooms, bloomCols, deletes, deleteCols, transforms, now, counts, nulls)
+    // at or under the segment threshold AND with no segmented parent in
+    // sight, the single-file inline manifest is written byte-identically
+    // to every prior round; past it, segment with parent-ref reuse
+    val segTarget = segmentEntries(s)
+    val (text, segNames) =
+      if (files.size <= segTarget &&
+          Option(lastSegs.get(rootKey(root))).forall(_.isEmpty))
+        (serializeManifest(op, files, stats, statsCols, schema,
+          blooms, bloomCols, deletes, deleteCols, transforms, now, counts,
+          nulls), Nil)
+      else segmentedManifest(s, root, op, files, stats, statsCols, schema,
+        blooms, bloomCols, deletes, deleteCols, transforms, now, counts,
+        nulls, segTarget)
     val out = f.create(tmp, false)
     try out.write(text.getBytes(StandardCharsets.UTF_8))
     finally out.close()
@@ -884,8 +1016,9 @@ object TxnTable {
       f.delete(tmp, false)
       throw new TxnConflictException(s"lost commit race for version $v at $root")
     }
+    lastSegs.put(rootKey(root), segNames)
     Snapshot(v, op, files, stats, statsCols, schema, blooms, bloomCols, Some(now),
-      deletes, deleteCols, transforms, counts, nulls)
+      deletes, deleteCols, transforms, counts, nulls, segs = segNames)
   }
 
   private def serializeManifest(op: String, files: Seq[String],
@@ -938,37 +1071,184 @@ object TxnTable {
         .map(t => s"${t.kind}:${t.param}:${t.src}").mkString("\t"))
        else Seq.empty)
     val lines = Seq(TsTag + now) ++ schema.map(sc => SchemaTag + sc.json).toSeq ++
-      colLines ++ delLines ++ files.map { file =>
-      // EVERY recorded per-file entry is persisted, not just the current
-      // column lists' — an append that overrides statsCols/bloomCols must
-      // not silently discard prior files' recorded metadata for the
-      // previously-recorded columns (absent entries are sound — the files
-      // are then always kept — but a silent pruning regression). The
-      // column lists say what NEW writes record; the per-file fields say
-      // what IS recorded. Current columns first (reader-friendly), then
-      // any carried extras in sorted order for byte-stable manifests.
-      val fileStats = stats.getOrElse(file, Map.empty)
-      val fileBlooms = blooms.getOrElse(file, Map.empty)
-      val fileNulls = nullCounts.getOrElse(file, Map.empty)
-      (fileStats.keys ++ fileBlooms.keys ++ fileNulls.keys).foreach(c => require(
-        !c.contains("\t") && !c.contains(":") && !c.contains("\n") && c != "nulls",
-        s"metadata column name '$c' collides with the manifest encoding"))
-      def ordered(recorded: Seq[String], present: Iterable[String]): Seq[String] =
-        recorded.filter(present.toSet) ++
-          present.toSeq.filterNot(recorded.toSet).sorted
-      val statF = ordered(statsCols, fileStats.keys).map { c =>
-        val (lo, hi) = fileStats(c); s"$c:$lo:$hi" }
-      val bloomF = ordered(bloomCols, fileBlooms.keys).map(c =>
-        s"bloom:$c:${java.util.Base64.getEncoder.encodeToString(fileBlooms(c))}")
-      // per-file row count first (reader-friendly: fixed position when
-      // present); absent for legacy files — metadata aggregates then
-      // answer None rather than guess ([[metaCount]])
-      val rowsF = rowCounts.get(file).map(n => s"rows:$n").toSeq
-      val nullsF = ordered(statsCols, fileNulls.keys).map(c =>
-        s"nulls:$c:${fileNulls(c)}")
-      (file +: (rowsF ++ statF ++ nullsF ++ bloomF)).mkString("\t")
-    }
+      colLines ++ delLines ++ files.map(file => entryLine(file, stats, blooms,
+        rowCounts, nullCounts, statsCols, bloomCols))
     s"$Header $op\n" + lines.mkString("\n") + "\n"
+  }
+
+  /** Serialize ONE per-file entry line ([[parseEntry]]'s inverse).
+    * EVERY recorded per-file field is persisted, not just the current
+    * column lists' — an append that overrides statsCols/bloomCols must
+    * not silently discard prior files' recorded metadata for the
+    * previously-recorded columns (absent entries are sound — the files
+    * are then always kept — but a silent pruning regression). The
+    * column lists say what NEW writes record; the per-file fields say
+    * what IS recorded. Current columns first (reader-friendly), then
+    * any carried extras in sorted order for byte-stable manifests. */
+  private def entryLine(file: String,
+      stats: Map[String, Map[String, (Long, Long)]],
+      blooms: Map[String, Map[String, Array[Byte]]],
+      rowCounts: Map[String, Long],
+      nullCounts: Map[String, Map[String, Long]],
+      statsCols: Seq[String], bloomCols: Seq[String]): String = {
+    val fileStats = stats.getOrElse(file, Map.empty)
+    val fileBlooms = blooms.getOrElse(file, Map.empty)
+    val fileNulls = nullCounts.getOrElse(file, Map.empty)
+    (fileStats.keys ++ fileBlooms.keys ++ fileNulls.keys).foreach(c => require(
+      !c.contains("\t") && !c.contains(":") && !c.contains("\n") && c != "nulls",
+      s"metadata column name '$c' collides with the manifest encoding"))
+    def ordered(recorded: Seq[String], present: Iterable[String]): Seq[String] =
+      recorded.filter(present.toSet) ++
+        present.toSeq.filterNot(recorded.toSet).sorted
+    val statF = ordered(statsCols, fileStats.keys).map { c =>
+      val (lo, hi) = fileStats(c); s"$c:$lo:$hi" }
+    val bloomF = ordered(bloomCols, fileBlooms.keys).map(c =>
+      s"bloom:$c:${java.util.Base64.getEncoder.encodeToString(fileBlooms(c))}")
+    // per-file row count first (reader-friendly: fixed position when
+    // present); absent for legacy files — metadata aggregates then
+    // answer None rather than guess ([[metaCount]])
+    val rowsF = rowCounts.get(file).map(n => s"rows:$n").toSeq
+    val nullsF = ordered(statsCols, fileNulls.keys).map(c =>
+      s"nulls:$c:${fileNulls(c)}")
+    (file +: (rowsF ++ statF ++ nullsF ++ bloomF)).mkString("\t")
+  }
+
+  /** Does segment entry `e` record EXACTLY the metadata this commit
+    * was asked to persist for its file? The correctness anchor of
+    * segment reuse: a ref is emitted only when the parsed segment
+    * round-trips to the intended entries. */
+  private def entryMatches(e: Entry,
+      stats: Map[String, Map[String, (Long, Long)]],
+      blooms: Map[String, Map[String, Array[Byte]]],
+      rowCounts: Map[String, Long],
+      nullCounts: Map[String, Map[String, Long]]): Boolean = {
+    val (f, st, bl, rw, nu) = e
+    st == stats.getOrElse(f, Map.empty) &&
+      rw == rowCounts.get(f) &&
+      nu == nullCounts.getOrElse(f, Map.empty) && {
+        val b2 = blooms.getOrElse(f, Map.empty)
+        bl.keySet == b2.keySet &&
+          bl.forall { case (c, v) => java.util.Arrays.equals(v, b2(c)) }
+      }
+  }
+
+  /** Build the SEGMENTED manifest text for `files`: reuse every parent
+    * segment whose file list survives as a contiguous run of the new
+    * file order with entry-identical metadata; the uncovered remainder
+    * is written as fresh right-sized segments (large runs) or inline
+    * lines (small runs). Returns (version-file text, refs in order).
+    * Side effect: writes the new segment files (immutable,
+    * create-no-overwrite) — orphaned by a lost commit race, they are
+    * collected by [[vacuum]]'s grace-guarded segment sweep. */
+  private def segmentedManifest(s: SparkSession, root: String, op: String,
+      files: Seq[String],
+      stats: Map[String, Map[String, (Long, Long)]], statsCols: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType],
+      blooms: Map[String, Map[String, Array[Byte]]], bloomCols: Seq[String],
+      deletes: Seq[String], deleteCols: Seq[String],
+      transforms: Seq[Transform], now: Long,
+      rowCounts: Map[String, Long],
+      nullCounts: Map[String, Map[String, Long]],
+      segTarget: Int): (String, Seq[String]) = {
+    require(deletes.isEmpty || deleteCols.nonEmpty,
+      "merge-on-read delete files need recorded delete column(s)")
+    (statsCols ++ bloomCols ++ deleteCols).foreach(c => require(
+      !c.contains("\t") && !c.contains(":") && !c.contains("\n"),
+      s"metadata column name '$c' collides with the manifest encoding"))
+    require(!statsCols.contains("nulls"),
+      "'nulls' is a reserved stats-column name in the manifest encoding")
+    schema.foreach { sc =>
+      (statsCols ++ bloomCols).distinct.foreach { c =>
+        sc.fields.find(f => ColumnMapping.physOf(f) == c).foreach(f =>
+          require(metaRepresentable(f.dataType),
+            s"stats/bloom column '$c' has type ${f.dataType.sql}, which " +
+              "manifest range/bloom metadata cannot represent — declare a " +
+              "numeric, boolean, date/timestamp, or string column instead"))
+      }
+    }
+    val idx: Map[String, Int] = files.iterator.zipWithIndex.toMap
+    // a duplicate path would make run-mapping ambiguous; the commit
+    // validation refuses it upstream, so just disable reuse then
+    val hint =
+      if (idx.size == files.size)
+        Option(lastSegs.get(rootKey(root))).getOrElse(Nil)
+      else Nil
+    final case class Run(start: Int, len: Int, name: String)
+    val candidate = hint.flatMap { name =>
+      val es =
+        try segEntries(s, root, name)
+        catch { case scala.util.control.NonFatal(_) => IndexedSeq.empty }
+      if (es.isEmpty) None
+      else {
+        val pos = es.map(e => idx.getOrElse(e._1, -1))
+        val start = pos.head
+        val contiguous = start >= 0 &&
+          pos.iterator.zipWithIndex.forall { case (p, k) => p == start + k }
+        if (contiguous &&
+            es.forall(entryMatches(_, stats, blooms, rowCounts, nullCounts)))
+          Some(Run(start, es.size, name))
+        else None
+      }
+    }
+    // a stale hint could in principle carry overlapping runs — keep a
+    // non-overlapping prefix in file order
+    val sorted = candidate.sortBy(_.start)
+    val runs0 = sorted.foldLeft(Seq.empty[Run]) { (acc, r) =>
+      if (acc.nonEmpty && r.start < acc.last.start + acc.last.len) acc
+      else acc :+ r
+    }
+    // ref-count bound: past MaxSegRefs the manifest re-chunks from
+    // scratch — the amortized rewrite that keeps read fan-out bounded
+    val runs = if (runs0.size >= MaxSegRefs) Nil else runs0
+    val f = fs(s, root)
+    val newSegs = Seq.newBuilder[String]
+    val items = Seq.newBuilder[String]
+    def writeSegment(range: Range): Unit = {
+      val name = "m_" + java.util.UUID.randomUUID().toString
+        .replace("-", "").take(16) + ".txt"
+      val lines = range.map(i => entryLine(files(i), stats, blooms,
+        rowCounts, nullCounts, statsCols, bloomCols))
+      val out = f.create(segPath(root, name), false)
+      try out.write((lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      SegCache.put(segPath(root, name).toString,
+        range.map(i => (files(i), stats.getOrElse(files(i), Map.empty),
+          blooms.getOrElse(files(i), Map.empty), rowCounts.get(files(i)),
+          nullCounts.getOrElse(files(i), Map.empty))).toIndexedSeq)
+      newSegs += name
+      items += s"$SegTag$name\t${range.size}"
+    }
+    def emitGap(from: Int, until: Int): Unit = if (until > from) {
+      val len = until - from
+      if (len <= segTarget / 2)
+        (from until until).foreach(i => items += entryLine(files(i), stats,
+          blooms, rowCounts, nullCounts, statsCols, bloomCols))
+      else (from until until by segTarget).foreach(a =>
+        writeSegment(a until math.min(a + segTarget, until)))
+    }
+    var pos = 0
+    runs.foreach { r =>
+      emitGap(pos, r.start)
+      newSegs += r.name
+      items += s"$SegTag${r.name}\t${r.len}"
+      pos = r.start + r.len
+    }
+    emitGap(pos, files.size)
+    val delLines = (if (deletes.nonEmpty)
+        Seq(DelColTag + deleteCols.mkString("\t")) else Seq.empty) ++
+      deletes.map(DeleteTag + _)
+    val colLines =
+      (if (statsCols.nonEmpty) Seq(StatsColsTag + statsCols.mkString("\t"))
+       else Seq.empty) ++
+      (if (bloomCols.nonEmpty) Seq(BloomColsTag + bloomCols.mkString("\t"))
+       else Seq.empty) ++
+      (if (transforms.nonEmpty) Seq(TransformsTag + transforms
+        .map(t => s"${t.kind}:${t.param}:${t.src}").mkString("\t"))
+       else Seq.empty)
+    val head = Seq(TsTag + now) ++ schema.map(sc => SchemaTag + sc.json).toSeq ++
+      colLines ++ delLines
+    (s"$Header $op\n" + (head ++ items.result()).mkString("\n") + "\n",
+      newSegs.result())
   }
 
   private def nextVersion(s: SparkSession, root: String): Long =
@@ -1506,7 +1786,8 @@ object TxnTable {
   }
 
   private def stagedSnapshot(s: SparkSession, root: String, id: String): Snapshot =
-    parseManifest(0L, readSmallFile(s, root, stagedPath(root, id)), s"staged-$id")
+    parseManifest(s, root, 0L, readSmallFile(s, root, stagedPath(root, id)),
+      s"staged-$id")
 
   /** Stage an append WITHOUT committing it: data files + a manifest
     * envelope land outside the version line, invisible to every reader.
@@ -1742,7 +2023,7 @@ object TxnTable {
   def branchHead(s: SparkSession, root: String, name: String): Snapshot = {
     val fork = branchFork(s, root, name)
     branchVersions(s, root, name).lastOption match {
-      case Some(v) => parseManifest(v,
+      case Some(v) => parseManifest(s, root, v,
         readSmallFile(s, root, branchManifestPath(root, name, v)),
         s"branch $name v$v")
       case None => snapshot(s, root, fork)
@@ -1835,7 +2116,7 @@ object TxnTable {
     // branch commit deltas, oldest first, verified pure-append
     val chain = vs.foldLeft((snapshot(s, root, fork), Seq.empty[(Snapshot, Seq[String])])) {
       case ((prev, acc), v) =>
-        val cur = parseManifest(v,
+        val cur = parseManifest(s, root, v,
           readSmallFile(s, root, branchManifestPath(root, name, v)),
           s"branch $name v$v")
         val prevSet = prev.files.toSet
@@ -3923,20 +4204,20 @@ object TxnTable {
     * stage marker, not a version — deleting them would turn a later
     * publish into a manifest of dead paths), and branch commits' files
     * (shared-pool paths only the branch manifests know about). */
+  /** (data+delete files, manifest segments) referenced by any retained
+    * version, staged (WAP) commit, or branch manifest. */
   private def referencedFiles(s: SparkSession, root: String,
-                              keep: Seq[Long]): Set[String] = {
+                              keep: Seq[Long]): (Set[String], Set[String]) = {
     val branchRefs = branches(s, root)
-    keep.flatMap { v =>
-      val sn = snapshot(s, root, v)
-      sn.files ++ sn.deletes
-    }.toSet ++
-      stagedIds(s, root).flatMap(id => stagedSnapshot(s, root, id).files) ++
-      branchRefs.keys.flatMap(b => branchVersions(s, root, b).flatMap { v =>
-        val sn = parseManifest(v,
+    val snaps = keep.map(v => snapshot(s, root, v)) ++
+      branchRefs.keys.flatMap(b => branchVersions(s, root, b).map { v =>
+        parseManifest(s, root, v,
           readSmallFile(s, root, branchManifestPath(root, b, v)),
           s"branch $b v$v")
-        sn.files ++ sn.deletes
       })
+    (snaps.flatMap(sn => sn.files ++ sn.deletes).toSet ++
+       stagedIds(s, root).flatMap(id => stagedSnapshot(s, root, id).files),
+      snaps.flatMap(_.segs).toSet)
   }
 
   /** REPORT-ONLY orphan scan (Iceberg's `remove_orphan_files` dry-run
@@ -3953,7 +4234,7 @@ object TxnTable {
   def orphanFiles(s: SparkSession, root: String,
                   graceMs: Long = DefaultVacuumGraceMs): Seq[(String, Long, Long)] = {
     val f = fs(s, root)
-    val live = referencedFiles(s, root, versions(s, root))
+    val (live, _) = referencedFiles(s, root, versions(s, root))
     val horizon = System.currentTimeMillis() - graceMs
     val base = root.stripSuffix("/")
     val dataDir = new Path(s"$base/data")
@@ -3987,8 +4268,21 @@ object TxnTable {
     val pinned = tags(s, root).values.toSet ++ branchRefs.values
     val keep = dropByAge.filter(pinned) ++ keepByAge
     val drop = dropByAge.filterNot(pinned)
-    val live = referencedFiles(s, root, keep)
+    val (live, liveSegs) = referencedFiles(s, root, keep)
     drop.foreach(v => f.delete(manifestPath(root, v), false))
+    // manifest SEGMENTS referenced by no retained manifest (any branch,
+    // any staged commit) are garbage — the same grace guard as data
+    // files protects a concurrent committer's segments written just
+    // before its version-file CAS
+    locally {
+      val horizon0 = System.currentTimeMillis() - graceMs
+      val txnDir = new Path(s"${root.stripSuffix("/")}/_txn")
+      f.listStatus(txnDir).toSeq
+        .filter(st => st.isFile && SegNameRe.matches(st.getPath.getName) &&
+          !liveSegs.contains(st.getPath.getName) &&
+          st.getModificationTime <= horizon0)
+        .foreach(st => f.delete(st.getPath, false))
+    }
     val base = root.stripSuffix("/")
     val dataDir = new Path(s"$base/data")
     // A file referenced by NO retained manifest is garbage — unless it

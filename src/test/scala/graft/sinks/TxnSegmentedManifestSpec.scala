@@ -1,0 +1,220 @@
+package graft.sinks
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** SEGMENTED manifests ([[TxnTable.segmentedManifest]]): past
+  * `spark.graft.manifest.segmentEntries` file entries, a commit writes
+  * immutable `_txn/m_<id>.txt` segment files and a small version file
+  * referencing them in order — an append then costs O(delta) manifest
+  * bytes, not O(table files), which is what survives a million-file
+  * table (Iceberg's manifest-list shape; see
+  * `core/src/main/java/org/apache/iceberg/ManifestLists.java` for the
+  * public model). Contract under test: byte-level reuse really happens
+  * (appends re-reference the parent's segment names; the version file
+  * stays small), reads are value-identical to the inline encoding on
+  * every surface (snapshot parse round-trip, stats, counts, nulls,
+  * blooms), a row-level rewrite breaks ONLY the touched segment, the
+  * ref-count bound re-chunks, vacuum collects orphaned segments but
+  * never referenced ones, and small tables keep the single-file inline
+  * manifest byte-identically (zero new files). */
+class TxnSegmentedManifestSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_segman").toString + "/t"
+
+  private def hfs(root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def segFiles(root: String): Seq[String] = {
+    val dir = new Path(s"$root/_txn")
+    val f = hfs(root)
+    if (!f.exists(dir)) Nil
+    else f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("m_") && n.endsWith(".txt")).sorted
+  }
+
+  private def manifestLen(root: String, v: Long): Long =
+    hfs(root).getFileStatus(
+      new Path(s"$root/_txn/" + f"v$v%010d.txt")).getLen
+
+  /** Run `body` with the segment threshold forced low so spec-scale
+    * tables segment. */
+  private def segmented[A](threshold: Int)(body: => A): A = {
+    spark.conf.set(TxnTable.SegmentEntriesKey, threshold.toString)
+    try body
+    finally spark.conf.unset(TxnTable.SegmentEntriesKey)
+  }
+
+  private def nFiles(n: Int, from: Long = 0L) =
+    spark.range(from, from + n * 10L).toDF("id")
+      .withColumn("v", col("id") * 3L)
+      .repartitionByRange(n, col("id"))
+
+  test("past the threshold a commit segments; an append reuses every " +
+      "parent segment by name and writes O(delta) manifest bytes") {
+    segmented(20) {
+      val root = freshRoot()
+      TxnTable.overwrite(spark, root, nFiles(50), statsCols = Seq("id"))
+      val v1 = TxnTable.latest(spark, root).get
+      assert(v1.files.size === 50)
+      assert(v1.segs.nonEmpty, "50 files over threshold 20 must segment")
+      assert(segFiles(root).toSet === v1.segs.toSet)
+      val v1Len = manifestLen(root, v1.version)
+
+      // a 1-file append: every parent segment rides along BY NAME, the
+      // new entry lands inline (delta below segTarget/2), and the
+      // version file is a ref list — far smaller than the inline
+      // manifest it replaces
+      TxnTable.append(spark, root, nFiles(1, from = 10000L))
+      val v2 = TxnTable.latest(spark, root).get
+      assert(v2.files.size === 51)
+      assert(v2.segs === v1.segs, "append must reuse the parent's segments")
+      // the entry payload lives in the segments; BOTH version files are
+      // small ref lists — O(delta + refs), not O(files)
+      val segBytes = v1.segs.map(n =>
+        hfs(root).getFileStatus(new Path(s"$root/_txn/$n")).getLen).sum
+      val v2Len = manifestLen(root, v2.version)
+      assert(v2Len * 5 < segBytes,
+        s"version file $v2Len B should be a small fraction of the " +
+          s"$segBytes B of segment payload")
+      assert(v1Len * 5 < segBytes, s"segmenting commit's version file " +
+        s"$v1Len B should be a ref list, not the payload")
+
+      // round-trip: a fresh parse equals the committed snapshot on
+      // every recorded surface
+      val re = TxnTable.snapshot(spark, root, v2.version)
+      assert(re.files === v2.files)
+      assert(re.stats === v2.stats)
+      assert(re.rowCounts === v2.rowCounts)
+      assert(re.nullCounts === v2.nullCounts)
+      assert(re.segs === v2.segs)
+      assert(TxnTable.read(spark, root).count() === 510L)
+      assert(TxnTable.metaCount(spark, root) === Some(510L))
+    }
+  }
+
+  test("a row-level rewrite breaks only the touched segment; the rest " +
+      "carry by reference") {
+    segmented(20) {
+      val root = freshRoot()
+      TxnTable.overwrite(spark, root, nFiles(50), statsCols = Seq("id"))
+      val v1 = TxnTable.latest(spark, root).get
+      assert(v1.segs.size >= 2)
+      // delete rows confined to ONE file (ids 0..9 live in the first
+      // id-range file) — with the stats range supplied, the CoW rewrite
+      // replaces that file only and carries the other 49
+      TxnTable.deleteWhere(spark, root, col("id") < 5,
+        statsRange = Some((0L, 4L)))
+      val v2 = TxnTable.latest(spark, root).get
+      val reused = v2.segs.toSet.intersect(v1.segs.toSet)
+      assert(reused.nonEmpty,
+        "untouched segments must survive a one-file rewrite by name")
+      assert(v1.segs.toSet.diff(v2.segs.toSet).size <= 1,
+        "at most the touched segment may be dropped")
+      assert(TxnTable.read(spark, root).count() === 495L)
+      assert(TxnTable.read(spark, root).agg(min("id")).head.getLong(0) === 5L)
+    }
+  }
+
+  test("blooms and carried metadata survive the segment round-trip " +
+      "bit-exactly") {
+    segmented(10) {
+      val root = freshRoot()
+      TxnTable.overwrite(spark, root, nFiles(25), statsCols = Seq("id"),
+        bloomCols = Seq("v"))
+      val committed = TxnTable.latest(spark, root).get
+      assert(committed.segs.nonEmpty)
+      val re = TxnTable.snapshot(spark, root, committed.version)
+      assert(re.blooms.keySet === committed.blooms.keySet)
+      re.blooms.foreach { case (file, m) =>
+        m.foreach { case (c, bytes) =>
+          assert(java.util.Arrays.equals(bytes, committed.blooms(file)(c)),
+            s"bloom bytes drifted for $file/$c")
+        }
+      }
+      // the bloom actually prunes through the segmented manifest
+      assert(TxnTable.read(spark, root).where(col("v") === 30L)
+        .count() === 1L)
+    }
+  }
+
+  test("the ref-count bound re-chunks: many tiny appends never " +
+      "accumulate unbounded segment refs") {
+    segmented(2) {
+      val root = freshRoot()
+      TxnTable.overwrite(spark, root, nFiles(4), statsCols = Seq("id"))
+      (0 until 70).foreach(i =>
+        TxnTable.append(spark, root, nFiles(1, from = 20000L + i * 100)))
+      val head = TxnTable.latest(spark, root).get
+      assert(head.files.size === 74)
+      assert(head.segs.size < 70,
+        s"70 appends left ${head.segs.size} refs — the re-chunk bound " +
+          "never fired")
+      assert(TxnTable.read(spark, root).count() === 740L)
+    }
+  }
+
+  test("vacuum collects segments referenced by no retained manifest, " +
+      "never live ones; time travel works until then") {
+    segmented(10) {
+      val root = freshRoot()
+      TxnTable.overwrite(spark, root, nFiles(30), statsCols = Seq("id"))
+      val v1 = TxnTable.latest(spark, root).get
+      // a compaction rewrites everything: v1's segments become
+      // historical-only
+      TxnTable.compactTxn(spark, root, targetFiles = 25,
+        sortCols = Seq("id"))
+      val v2 = TxnTable.latest(spark, root).get
+      assert(v2.segs.nonEmpty && v2.segs.toSet.intersect(v1.segs.toSet).isEmpty)
+      // both generations readable pre-vacuum (segments immutable)
+      assert(TxnTable.readAsOf(spark, root, v1.version).count() === 300L)
+      assert(TxnTable.read(spark, root).count() === 300L)
+
+      // plus one hand-planted orphan (a lost commit race's debris)
+      val orphan = "m_deadbeefdeadbeef.txt"
+      val f = hfs(root)
+      val o = f.create(new Path(s"$root/_txn/$orphan"), false)
+      try o.write("data/nope.parquet\trows:1\n".getBytes("UTF-8"))
+      finally o.close()
+
+      TxnTable.vacuum(spark, root, retainVersions = 1, graceMs = 0L)
+      val left = segFiles(root).toSet
+      assert(left === v2.segs.toSet,
+        s"vacuum must keep exactly the head's segments, left $left")
+      assert(TxnTable.read(spark, root).count() === 300L)
+    }
+  }
+
+  test("at or under the threshold nothing changes: inline manifest, " +
+      "zero segment files") {
+    val root = freshRoot()
+    TxnTable.overwrite(spark, root, nFiles(6), statsCols = Seq("id"))
+    TxnTable.append(spark, root, nFiles(2, from = 5000L))
+    val head = TxnTable.latest(spark, root).get
+    assert(head.segs.isEmpty)
+    assert(segFiles(root).isEmpty)
+    assert(TxnTable.read(spark, root).count() === 80L)
+  }
+
+  test("a table that shrinks back under the threshold heals to an " +
+      "inline manifest") {
+    segmented(20) {
+      val root = freshRoot()
+      TxnTable.overwrite(spark, root, nFiles(50), statsCols = Seq("id"))
+      assert(TxnTable.latest(spark, root).get.segs.nonEmpty)
+      TxnTable.compactTxn(spark, root, targetFiles = 3, sortCols = Seq("id"))
+      val head = TxnTable.latest(spark, root).get
+      assert(head.files.size === 3)
+      assert(head.segs.isEmpty,
+        "3 files under threshold 20 must fall back to inline entries")
+      assert(TxnTable.read(spark, root).count() === 500L)
+    }
+  }
+}

@@ -18,7 +18,9 @@ done
 # the same tables throws FILE_NOT_EXIST in the tests. Separate roots
 # make the two JVM populations collision-free; artifacts still reuse
 # across run.sh invocations.
-exec java $OPENS -Xmx${SPARK_DRIVER_MEM:-8g} \
+# GRAFT_JAVA_OPTS: extra JVM flags (diagnostics like -Xlog:codecache,
+# experiments like -XX:ReservedCodeCacheSize=...) without editing here.
+exec java $OPENS $GRAFT_JAVA_OPTS -Xmx${SPARK_DRIVER_MEM:-8g} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Dspark.sql.warehouse.dir="${SPARK_GRAFT_WAREHOUSE:-/tmp/graft_run_warehouse}" \
   -cp "$CP" "$@"
