@@ -381,6 +381,15 @@ object GraftProcedures {
         "CALL system.vacuum('<table>', retain_versions => 48) — " +
           "tag anything history-critical first")
     else ("version_backlog", "ok", s"$nv retained versions", ""))
+
+    // segmented-manifest shape: refs re-chunk automatically at the
+    // commit-side bound, so this is observational — the one actionable
+    // state is historical-only segments a vacuum would collect
+    if (snap.segs.nonEmpty)
+      out += (("manifest_segments", "ok",
+        s"${snap.segs.size} manifest segment refs over " +
+          s"${snap.files.size} file entries (re-chunk bound 64, " +
+          "commit-side, automatic)", ""))
     out.toSeq
   }
 

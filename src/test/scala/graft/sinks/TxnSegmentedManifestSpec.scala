@@ -2,11 +2,14 @@ package graft.sinks
 
 import java.nio.file.Files
 
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestSession
+import graft.sources.GraftCatalog
 
 /** SEGMENTED manifests ([[TxnTable.segmentedManifest]]): past
   * `spark.graft.manifest.segmentEntries` file entries, a commit writes
@@ -201,6 +204,82 @@ class TxnSegmentedManifestSpec extends AnyFunSuite {
     assert(head.segs.isEmpty)
     assert(segFiles(root).isEmpty)
     assert(TxnTable.read(spark, root).count() === 80L)
+  }
+
+  test("segmented manifests under REAL concurrency: appender threads " +
+      "race disjoint CoW updaters; nothing lost, every statement lands") {
+    segmented(8) {
+      val cat = "graft_segr_cat"
+      val w = Files.createTempDirectory("graft_segr").toString
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      val root = s"$w/db/segrace"
+      TxnTable.overwrite(spark, root,
+        spark.range(1, 321).toDF("id").withColumn("v", col("id") * 10L)
+          .repartitionByRange(16, col("id")),
+        statsCols = Seq("id"))
+      TxnTable.setTableProperty(spark, root, TxnTable.RowLevelIsolationKey,
+        "snapshot")
+      assert(TxnTable.latest(spark, root).get.segs.nonEmpty)
+
+      val snap = TxnTable.latest(spark, root).get
+      // four disjoint quarters of the id space — each updater's
+      // BETWEEN stats-prunes to its own files, racing the appenders
+      val quarters = Seq((1L, 80L), (81L, 160L), (161L, 240L), (241L, 320L))
+      val nAppenders = 2
+      val perThread = 3
+      val start = new CountDownLatch(1)
+      val pool = Executors.newFixedThreadPool(nAppenders + quarters.size)
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      (0 until nAppenders).foreach { t =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            start.await()
+            try (0 until perThread).foreach { k =>
+              val lo = 10000L + t * 1000 + k * 100
+              TxnTable.appendWithRetry(spark, root,
+                spark.range(lo, lo + 5).toDF("id")
+                  .withColumn("v", col("id") * 10L),
+                maxAttempts = 30)
+            } catch { case e: Throwable => failures.add(e) }
+          }
+        })
+      }
+      quarters.foreach { case (lo, hi) =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            start.await()
+            try (0 until perThread).foreach { _ =>
+              spark.sql(s"UPDATE $cat.db.segrace SET v = v + 1 " +
+                s"WHERE id BETWEEN $lo AND $hi")
+            } catch { case e: Throwable => failures.add(e) }
+          }
+        })
+      }
+      start.countDown()
+      pool.shutdown()
+      assert(pool.awaitTermination(240, TimeUnit.SECONDS))
+      assert(failures.isEmpty, s"racing writer failed: ${failures.peek()}")
+
+      val got = TxnTable.read(spark, root).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (1L to 320L).foreach(i => assert(got(i) === i * 10 + perThread,
+        s"id $i: got ${got(i)}"))
+      val appended = for {
+        t <- 0 until nAppenders; k <- 0 until perThread
+        i <- (10000L + t * 1000 + k * 100) until (10000L + t * 1000 + k * 100 + 5)
+      } yield i
+      appended.foreach(i => assert(got(i) === i * 10, s"appended id $i"))
+      assert(got.size === 320 + appended.size)
+      // the head's manifest round-trips: a cold parse agrees with the
+      // in-memory view after 18 racing commits' worth of segment churn
+      val head = TxnTable.latest(spark, root).get
+      TxnTable.dropSegCaches()
+      val cold = TxnTable.snapshot(spark, root, head.version)
+      assert(cold.files === head.files && cold.stats === head.stats)
+      assert(TxnTable.read(spark, root).count() === got.size.toLong)
+    }
   }
 
   test("a table that shrinks back under the threshold heals to an " +
