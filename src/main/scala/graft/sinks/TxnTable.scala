@@ -3331,31 +3331,49 @@ object TxnTable {
     * (the concurrent writer moved rows INTO our predicate's range in a
     * file we never touched) is admitted, as snapshot isolation allows;
     * the serializable default refuses all head movement. */
+  /** None = admissible; Some(reason) = the clause that refused — the
+    * reason rides the TxnConflictException so a refused rebase is
+    * diagnosable from the error alone (which matters for rare
+    * under-load refusals a retry then hides). */
   private def admissibleUnderSnapshot(s: SparkSession, root: String,
-      planned: Snapshot, cur: Snapshot, touched: Set[String]): Boolean = {
+      planned: Snapshot, cur: Snapshot,
+      touched: Set[String]): Option[String] = {
     val curFiles = cur.files.toSet // set first: million-file lists
-    val pinned =
-      touched.forall(curFiles.contains) &&
-        cur.schema == planned.schema &&
-        cur.transforms == planned.transforms &&
-        cur.statsCols == planned.statsCols &&
-        cur.bloomCols == planned.bloomCols
-    if (!pinned) false
-    else if (cur.deletes == planned.deletes &&
-      cur.deleteCols == planned.deleteCols) true
+    val gone = touched.filterNot(curFiles.contains)
+    if (gone.nonEmpty)
+      return Some(s"${gone.size} touched file(s) rewritten/removed by " +
+        s"the concurrent commit (e.g. ${gone.head}; touched ${touched.size} " +
+        s"of ${planned.files.size} planned — a conservative superset means " +
+        "the staged sidecar lacked usable _file footer bounds)")
+    if (cur.schema != planned.schema) return Some("schema changed")
+    if (cur.transforms != planned.transforms) return Some("transforms changed")
+    if (cur.statsCols != planned.statsCols) return Some("statsCols changed")
+    if (cur.bloomCols != planned.bloomCols) return Some("bloomCols changed")
+    if (cur.deletes == planned.deletes &&
+      cur.deleteCols == planned.deleteCols) None
     else {
       val plannedD = planned.deletes.toSet
       // growth only (a concurrent delete-file compaction rewrote our
       // statement's masking basis — refuse, content equality is not a
       // manifest fact), position shape only, and every NEW sidecar
       // bound-disjoint from the touched files
-      planned.deletes.forall(cur.deletes.contains) &&
-        isPosShape(cur) &&
-        (plannedD.isEmpty || isPosShape(planned)) &&
-        graft.sources.GraftSidecars
-          .metas(s, root.stripSuffix("/"),
-            cur.deletes.filterNot(plannedD))
-          .forall(m => !touched.exists(m.covers))
+      if (!planned.deletes.forall(cur.deletes.contains))
+        Some("the delete set shrank/rewrote (concurrent delete compaction)")
+      else if (!isPosShape(cur))
+        Some("the concurrent delete files are equality-shape")
+      else if (!(plannedD.isEmpty || isPosShape(planned)))
+        Some("the planned delete files are equality-shape")
+      else {
+        val overlapping = graft.sources.GraftSidecars
+          .metas(s, root.stripSuffix("/"), cur.deletes.filterNot(plannedD))
+          .filter(m => touched.exists(m.covers))
+        if (overlapping.isEmpty) None
+        else Some(s"concurrent sidecar(s) cover touched file(s): " +
+          overlapping.take(2).map(m => s"${m.rel} [${m.lo.getOrElse("?")}" +
+            s"..${m.hi.getOrElse("?")}]").mkString(", ") +
+          (if (overlapping.head.lo.isEmpty)
+            " — unknown bounds cover everything" else ""))
+      }
     }
   }
 
@@ -3363,11 +3381,13 @@ object TxnTable {
     tableProperties(s, root).getOrElse(RowLevelIsolationKey, "serializable")
 
   private def staleConflict(root: String, opTag: String, expected: Long,
-                            cur: Long, what: String): Nothing =
+                            cur: Long, what: String,
+                            refusal: Option[String] = None): Nothing =
     throw new TxnConflictException(
       s"row-level $opTag planned against v$expected but $root is at " +
         s"v$cur — $what; re-run the statement (pure-append and disjoint-file " +
-        s"concurrency can rebase under $RowLevelIsolationKey=snapshot)")
+        s"concurrency can rebase under $RowLevelIsolationKey=snapshot)" +
+        refusal.fold("")(r => s"; rebase refused because $r"))
 
   private[graft] def commitReplace(s: SparkSession, root: String,
       expectedVersion: Long, scanned: Set[String], staged: Seq[String],
@@ -3397,10 +3417,14 @@ object TxnTable {
       // mapped tables are fine here: the row-level write physicalizes its
       // schema (GraftRowLevelOperation.physicalize), so `staged` already
       // carries the frozen physical names like any [[stage]] product
-      if (cur.version != expectedVersion &&
-          !(rebase && admissibleUnderSnapshot(s, root, planned, cur, scanned)))
-        staleConflict(root, opTag, expectedVersion, cur.version,
-          "the rewrite was computed from a stale snapshot")
+      if (cur.version != expectedVersion) {
+        val refusal =
+          if (rebase) admissibleUnderSnapshot(s, root, planned, cur, scanned)
+          else Some("isolation is serializable")
+        if (refusal.isDefined)
+          staleConflict(root, opTag, expectedVersion, cur.version,
+            "the rewrite was computed from a stale snapshot", refusal)
+      }
       val (stagedStats, stagedBlooms) = stagedMeta.getOrElse {
         val m = fileMeta(s, root, staged, cur.statsCols, cur.bloomCols)
         stagedMeta = Some(m); m
@@ -3478,10 +3502,15 @@ object TxnTable {
         s"SQL $opTag (merge-on-read): snapshot v${cur.version} carries " +
           s"equality-shape delete files on '${cur.deleteCols.mkString(",")}' — " +
           "one MoR shape per table; run TxnTable.compactDeletes first")
-      if (cur.version != expectedVersion &&
-          !(rebase && admissibleUnderSnapshot(s, root, planned, cur, touched)))
-        staleConflict(root, opTag, expectedVersion, cur.version,
-          "the tombstone positions were computed from a stale snapshot")
+      if (cur.version != expectedVersion) {
+        val refusal =
+          if (rebase) admissibleUnderSnapshot(s, root, planned, cur, touched)
+          else Some("isolation is serializable")
+        if (refusal.isDefined)
+          staleConflict(root, opTag, expectedVersion, cur.version,
+            "the tombstone positions were computed from a stale snapshot",
+            refusal)
+      }
       val (stagedStats, stagedBlooms) = stagedMeta.getOrElse {
         val m = fileMeta(s, root, addedData, cur.statsCols, cur.bloomCols)
         stagedMeta = Some(m); m
