@@ -107,6 +107,27 @@ object Bench {
 
   private def r3(v: Double): Double = math.rint(v * 1000) / 1000
 
+  /** Prior per-query records for outlier auto-confirmation
+    * (SPARK_GRAFT_PRIOR=path to an earlier BENCH_*.json). Parsed with a
+    * scoped regex — the artifact is this main's own output format, and
+    * a parse failure must never fail a bench, so no-JSON-library is the
+    * right dependency budget here. */
+  private def priorRecords(): Map[String, Double] =
+    sys.env.get("SPARK_GRAFT_PRIOR").flatMap { p =>
+      try {
+        val text = new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+          "UTF-8")
+        val qs = text.indexOf("\"queries\":{")
+        if (qs < 0) None
+        else {
+          val body = text.substring(qs + 11, text.indexOf('}', qs))
+          Some("\"([^\"]+)\":(-?[0-9.eE+]+)".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+        }
+      } catch { case NonFatal(_) => None }
+    }.getOrElse(Map.empty)
+
   /** JSON string escape covering every control char — an exception
     * message with \b or NUL must not break the one-line protocol. */
   private def jstr(s: String): String = "\"" + s.flatMap {
@@ -205,13 +226,41 @@ object Bench {
       }
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
+    // OUTLIER AUTO-CONFIRMATION: any query whose sweep min reads >2x its
+    // prior plan-stable record (SPARK_GRAFT_PRIOR=earlier BENCH json)
+    // re-runs ONCE after the sweep in a quiesced JVM — caches dropped,
+    // GC forced (lets ContextCleaner release storage blocks), min-of-2
+    // — so a sweep-order contention artifact self-certifies inside the
+    // artifact instead of demanding a manual isolated rerun. BOTH
+    // numbers ship: `queries` keeps the sweep read, `confirm` carries
+    // the isolated one.
+    val prior = priorRecords()
+    val byName = ordered.toMap
+    val confirm = scala.collection.mutable.LinkedHashMap[String, Double]()
+    results.foreach { case (name, v) =>
+      prior.get(name).foreach { p =>
+        if (v > 0 && p > 0 && v > 2.0 * p && byName.contains(name)) {
+          spark.catalog.clearCache()
+          System.gc(); Thread.sleep(200); System.gc()
+          val t = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            try { materialize(byName(name)(spark, sfDir));
+                  (System.nanoTime() - t0) / 1e9 }
+            catch { case NonFatal(_) => -1.0 }
+          }
+          if (!t.contains(-1.0)) confirm(name) = r3(t.min)
+        }
+      }
+    }
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
+    val confJson = confirm.map { case (k, v) => jstr(k) + ":" + v }
+      .mkString("{", ",", "}")
     val cal = s""""cal":${r3(calCpu + calShuffle)},"cal_cpu":${r3(calCpu)},"cal_shuffle":${r3(calShuffle)}"""
-    val full = s"""{"queries":$qs,"errors":$errJson,$cal,"sf":"$sfDir","metric":"total","unit":"sec","value":$total}"""
+    val full = s"""{"queries":$qs,"errors":$errJson,"confirm":$confJson,$cal,"sf":"$sfDir","metric":"total","unit":"sec","value":$total}"""
     // Full record (per-query dict) to stdout AND to a file: the driver
     // keeps only the last ~2000 chars of output, which a 119-query line
     // cannot fit (r8 AND r9 artifacts both had "parsed": null for
@@ -226,7 +275,7 @@ object Bench {
     // Headline line LAST and COMPACT (~200 chars): fits the driver's
     // tail window whole even with the sbt epilogue after it, so the
     // driver's parser finally gets a complete JSON line.
-    println(s"""{"metric":"total","unit":"sec","value":${r3(total)},$cal,"nq":${results.size},"nerr":${errors.size},"sf":"$sfDir","queries_file":"BENCH_FULL.json"}""")
+    println(s"""{"metric":"total","unit":"sec","value":${r3(total)},$cal,"nq":${results.size},"nerr":${errors.size},"nconfirm":${confirm.size},"sf":"$sfDir","queries_file":"BENCH_FULL.json"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

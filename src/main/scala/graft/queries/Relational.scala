@@ -710,7 +710,7 @@ object Relational {
   // is IDENTICAL to one built on raw rows, the exact count is the group
   // size, and no Expand rewrite doubles the scan (one shuffle + a tiny
   // low-card exchange, the same shape q04 uses for its distinct count).
-  val q39: Q = (s, dir) => {
+  val q39Bench: Q = (s, dir) => {
     import s.implicits._
     // user_id-bucketed layout: Hash(user_id) satisfies the (event_type,
     // user_id) clustering, so the pre-distinct aggregate is exchange-free.
@@ -722,6 +722,26 @@ object Relational {
         count(lit(1)).as("exact_users"))
       .orderBy($"event_type")
   }
+  // BRACKET-ORACLE form (Verify): the sketch estimate itself is not
+  // cross-engine comparable, but ITS ERROR BOUND is a checkable fact —
+  // emit the exact count plus `hll_ok` = |approx−exact|/exact ≤ 3·rsd,
+  // and the oracle emits the same exact count with literal TRUE. A
+  // hash match then PROVES the estimate landed inside the algorithm's
+  // documented envelope (rsd 0.02 → 3σ = 6%), instead of the weaker
+  // rows-only check this entry carried before.
+  val q39: Q = (s, dir) => {
+    import s.implicits._
+    q39Bench(s, dir)
+      .select($"event_type", $"exact_users",
+        (abs($"approx_users".cast("double") - $"exact_users") <=
+          lit(0.06) * $"exact_users").as("hll_ok"))
+      .orderBy($"event_type")
+  }
+  val q39Sql: String =
+    """SELECT event_type,
+      |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |       TRUE AS hll_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------------
   // q42: ranking-window family beyond row_number (§2.7 generality):
@@ -938,12 +958,13 @@ object Relational {
   // exact percentile buffers every value of a group in memory, while the
   // sketch is constant-memory per group and MERGEABLE, so partial
   // aggregation works map-side like any sum. accuracy=10000 bounds rank
-  // error at n/10000. No DuckDB oracle — quantile sketches are not
-  // cross-engine comparable (same trade as q39's HLL); the driver
-  // records a rows-only check and ApproxPercentileSpec pins the semantic
-  // guarantee against q43's exact percentiles.
+  // error at n/10000. The sketch VALUE is not cross-engine comparable
+  // (same trade as q39's HLL), but its RANK-ERROR BOUND is a checkable
+  // fact — the Verify form proves it per group (bracket oracle below);
+  // ApproxPercentileSpec pins the same guarantee against q43's exact
+  // percentiles.
   // ---------------------------------------------------------------------
-  val q49: Q = (s, dir) => {
+  val q49Bench: Q = (s, dir) => {
     import s.implicits._
     t(s, dir, "events")
       .groupBy($"event_type")
@@ -954,6 +975,41 @@ object Relational {
               element_at($"ap", 2).as("approx_p90"), $"n")
       .orderBy($"event_type")
   }
+  // BRACKET-ORACLE form (Verify): approx_percentile returns an ACTUAL
+  // element of the group, so its exact rank interval is countable —
+  // [#(value < v) + 1, #(value ≤ v)] — and the documented guarantee is
+  // that this interval comes within n/accuracy of the target rank p·n.
+  // One broadcast join back to events (the per-type approx row is tiny)
+  // counts both sides; the oracle emits the exact group size and
+  // literal TRUEs, so a hash match proves the rank bound held.
+  val q49: Q = (s, dir) => {
+    import s.implicits._
+    val ev = t(s, dir, "events").select($"event_type", $"value")
+    val ap = q49Bench(s, dir)
+    def ok(lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column,
+           p: Double): org.apache.spark.sql.Column = {
+      // tolerance: n/accuracy, +1 for the rank-definition fencepost
+      val d = ($"n" / lit(10000.0)) + lit(1.0)
+      val target = lit(p) * $"n"
+      (hi >= target - d) && (lo - lit(1.0) <= target + d)
+    }
+    ev.join(broadcast(ap), "event_type")
+      .groupBy($"event_type")
+      .agg(
+        first($"n").as("n"),
+        sum(when($"value" < $"approx_med", 1L).otherwise(0L)).as("m_lt"),
+        sum(when($"value" <= $"approx_med", 1L).otherwise(0L)).as("m_le"),
+        sum(when($"value" < $"approx_p90", 1L).otherwise(0L)).as("p_lt"),
+        sum(when($"value" <= $"approx_p90", 1L).otherwise(0L)).as("p_le"))
+      .select($"event_type", $"n",
+        ok($"m_lt" + lit(1L), $"m_le", 0.5).as("med_ok"),
+        ok($"p_lt" + lit(1L), $"p_le", 0.9).as("p90_ok"))
+      .orderBy($"event_type")
+  }
+  val q49Sql: String =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |       TRUE AS med_ok, TRUE AS p90_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------------
   // q66: FULL OUTER snapshot reconciliation — the join shape every
@@ -1020,13 +1076,14 @@ object Relational {
   // NEVER rescanning raw events. q39 shows approx_count_distinct as a
   // one-shot aggregate; this is the reaggregatable form: the daily
   // sketch table supports any later rollup (weekly, monthly, all-time)
-  // at sketch-union cost. No DuckDB oracle — DataSketches HLL state is
-  // engine-specific (same trade as q39/q49); the driver records a
-  // rows-only check and SketchRollupSpec pins (a) two-level union ==
-  // direct one-level sketching (mergeability is LOSSLESS) and (b)
-  // estimates within HLL error of exact distincts.
+  // at sketch-union cost. DataSketches HLL state is engine-specific
+  // (same trade as q39/q49), but the UNIONED estimate's error bound is
+  // checkable — the Verify form proves it per type (bracket oracle
+  // below); SketchRollupSpec pins (a) two-level union == direct
+  // one-level sketching (mergeability is LOSSLESS) and (b) estimates
+  // within HLL error of exact distincts.
   // ---------------------------------------------------------------------
-  val q68: Q = (s, dir) => {
+  val q68Bench: Q = (s, dir) => {
     import s.implicits._
     val daily = t(s, dir, "events")
       .groupBy($"event_type", to_date($"ts").as("day"))
@@ -1036,6 +1093,31 @@ object Relational {
         sum($"n").as("n_events"), count(lit(1)).as("n_days"))
       .orderBy($"event_type")
   }
+  // BRACKET-ORACLE form (Verify): the rolled-up estimate must land
+  // within 5% of the exact per-type distinct (lgK=12 → rsd ≈ 1.6%, so
+  // 3σ ≈ 5%) — exact distinct comes from one extra pre-distinct
+  // aggregate joined back (tiny: one row per type). The oracle emits
+  // the exact counts with literal TRUE; a hash match proves both the
+  // rollup arithmetic (n_events, n_days) and the sketch-union error
+  // envelope.
+  val q68: Q = (s, dir) => {
+    import s.implicits._
+    val exact = t(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("exact_users"))
+    q68Bench(s, dir).join(exact, "event_type")
+      .select($"event_type", $"n_events", $"n_days", $"exact_users",
+        (abs($"approx_users".cast("double") - $"exact_users") <=
+          lit(0.05) * $"exact_users").as("hll_ok"))
+      .orderBy($"event_type")
+  }
+  val q68Sql: String =
+    """SELECT event_type,
+      |       CAST(COUNT(*) AS BIGINT) AS n_events,
+      |       CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+      |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |       TRUE AS hll_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------------
   // q69: analytic-window completeness — lead/lag neighbors and the
@@ -1734,10 +1816,15 @@ object Relational {
     "q27_map_encode"         -> q27Sql,
     "q28_sql_entry"          -> q28Sql,
     "q37_abs_deviation"      -> q37Sql,
-    // q39_approx_distinct and q49_approx_percentile deliberately have NO
-    // oracle: HLL / quantile sketches are not cross-engine comparable
-    // (driver records rows-only checks; accuracy pinned by
-    // ApproxDistinctSpec / ApproxPercentileSpec).
+    // q39/q49/q68 carry BRACKET oracles: the sketch values are not
+    // cross-engine comparable, so the Spark side emits exact values +
+    // a bound-check boolean and the oracle emits the exacts + TRUE — a
+    // hash match proves the estimate landed inside its documented
+    // error envelope (accuracy also pinned by ApproxDistinctSpec /
+    // ApproxPercentileSpec / SketchRollupSpec).
+    "q39_approx_distinct"    -> q39Sql,
+    "q49_approx_percentile"  -> q49Sql,
+    "q68_sketch_rollup"      -> q68Sql,
     "q38_cube"               -> q38Sql,
     "q42_rank_ntile"         -> q42Sql,
     "q43_percentiles"        -> q43Sql,
@@ -1746,8 +1833,6 @@ object Relational {
     "q47_asof_join"          -> q47Sql,
     "q48_range_join"         -> q48Sql,
     "q66_snapshot_diff"      -> q66Sql,
-    // q68_sketch_rollup deliberately has NO oracle (DataSketches HLL,
-    // like q39/q49): rows-only + SketchRollupSpec.
     "q69_analytic_windows"   -> q69Sql,
     "q70_grouping_sets"      -> q70Sql,
     "q72_gapfill"            -> q72Sql,
@@ -1767,6 +1852,12 @@ object Relational {
     * would be a cluster-wide sort at scale). Verify always runs the full
     * (sorted) form from [[queries]]. */
   val benchVariants: Map[String, Q] = Map(
+    // the sketch queries bench their raw sketch shapes — the bracket
+    // oracle's exact-count join-back exists for Verify only and would
+    // bench the EXACT path, not the sketch the entry is about
+    "q39_approx_distinct"  -> q39Bench,
+    "q49_approx_percentile" -> q49Bench,
+    "q68_sketch_rollup"    -> q68Bench,
     "q17_running_window"   -> q17Bench,
     "q19_argmax_per_group" -> q19Bench,
     "q45_range_frame"      -> q45Bench,

@@ -89,7 +89,8 @@ object TxnTable {
                             transforms: Seq[Transform] = Nil,
                             rowCounts: Map[String, Long] = Map.empty,
                             nullCounts: Map[String, Map[String, Long]] = Map.empty,
-                            segs: Seq[String] = Nil) {
+                            segs: Seq[String] = Nil,
+                            delProv: Map[String, Seq[String]] = Map.empty) {
     /** Primary (first-recorded) columns — the single-column views most
       * call sites and older specs address. */
     def statsCol: Option[String] = statsCols.headOption
@@ -165,6 +166,14 @@ object TxnTable {
   // separated field ([[Transform]]); carried by every commit like the
   // column sets
   private val TransformsTag = "#transforms\t"
+  // CONSOLIDATION PROVENANCE: `#delprov\t<rel>\t<from...>` — the
+  // delete files a [[compactPosDeletes]] output sidecar folded,
+  // verbatim and complete. Makes "the delete set was preserved" a
+  // MANIFEST FACT, so a row-level statement can rebase over concurrent
+  // delete-file maintenance ([[admissibleUnderSnapshot]]) instead of
+  // refusing on content it cannot re-derive. Unknown-#-line to old
+  // readers; carried only while the sidecar is in the delete set.
+  private val DelProvTag = "#delprov\t"
 
   /** SCHEMA EVOLUTION: the table schema after committing `incoming`
     * rows — prior columns keep their position, genuinely new columns
@@ -300,26 +309,39 @@ object TxnTable {
 
   /** Parsed-segment cache. Segments are immutable (uuid-named, written
     * create-no-overwrite, never rewritten), so cached parses never go
-    * stale; bounded by TOTAL cached entries (not segment count), LRU. */
+    * stale; bounded by approximate RETAINED BYTES (path chars, stat/
+    * null map slots, decoded bloom arrays — a bloom-heavy table's
+    * entries weigh hundreds of bytes each, so an entry-count budget
+    * would silently pin GBs of driver heap), LRU. */
   private object SegCache {
-    private val Budget = 2000000L
+    private val Budget = 128L << 20 // ~bytes of retained entries
+    private def weigh(es: IndexedSeq[Entry]): Long = {
+      var t = 0L
+      es.foreach { e =>
+        t += 64L + 2L * e._1.length + 64L * e._2.size + 48L * e._5.size
+        e._3.valuesIterator.foreach(b => t += 48L + b.length)
+      }
+      t
+    }
+    private var total = 0L
     private val map =
-      new java.util.LinkedHashMap[String, IndexedSeq[Entry]](64, 0.75f, true)
+      new java.util.LinkedHashMap[String, (IndexedSeq[Entry], Long)](
+        64, 0.75f, true)
     def get(k: String): Option[IndexedSeq[Entry]] =
-      synchronized(Option(map.get(k)))
+      synchronized(Option(map.get(k)).map(_._1))
     def put(k: String, v: IndexedSeq[Entry]): Unit = synchronized {
       if (!map.containsKey(k)) {
-        map.put(k, v)
-        var total = 0L
-        map.values.forEach(e => total += e.size)
+        val w = weigh(v)
+        map.put(k, (v, w))
+        total += w
         val it = map.entrySet().iterator()
         while (total > Budget && it.hasNext) {
           val e = it.next()
-          if (e.getKey != k) { total -= e.getValue.size; it.remove() }
+          if (e.getKey != k) { total -= e.getValue._2; it.remove() }
         }
       }
     }
-    def clear(): Unit = synchronized(map.clear())
+    def clear(): Unit = synchronized { map.clear(); total = 0L }
   }
 
   /** Measurement/test hook: drop the parsed-segment cache and reuse
@@ -349,11 +371,16 @@ object TxnTable {
     }
   }
 
-  /** Read one manifest. */
+  /** Read one manifest. `refreshHint` only from [[latest]]: a time-
+    * travel / branch / vacuum parse must not swap the commit-side
+    * segment-reuse hint away from the head's refs. */
   def snapshot(s: SparkSession, root: String, version: Long): Snapshot =
+    snapshot(s, root, version, refreshHint = false)
+  private def snapshot(s: SparkSession, root: String, version: Long,
+                       refreshHint: Boolean): Snapshot =
     parseManifest(s, root, version,
       readSmallFile(s, root, manifestPath(root, version)),
-      s"v$version")
+      s"v$version", refreshHint)
 
   private def readSmallFile(s: SparkSession, root: String, p: Path): String = {
     val in = fs(s, root).open(p)
@@ -399,7 +426,8 @@ object TxnTable {
   }
 
   private def parseManifest(s: SparkSession, root: String, version: Long,
-                            text: String, what: String): Snapshot = {
+                            text: String, what: String,
+                            refreshHint: Boolean = false): Snapshot = {
     val lines = text.split("\n").toSeq.filter(_.nonEmpty)
     require(lines.nonEmpty && lines.head.startsWith(Header),
       s"corrupt manifest $what: bad header")
@@ -425,15 +453,30 @@ object TxnTable {
       val Array(_, name, n) = l.split("\t", 3)
       (name, n.toInt)
     }
-    // cold segments fan out on the common pool — a 64-ref load must
-    // not serialize 64 round trips ([[GraftSidecars.metas]]' shape)
+    // cold segments fan out on a SMALL DEDICATED pool — a 64-ref load
+    // must not serialize 64 round trips, but blocking Hadoop reads on
+    // ForkJoin.commonPool would starve unrelated parallel work on
+    // small-CPU hosts and wrap segment require/IO failures in
+    // ForkJoin exceptions (changing the error shape for corrupt refs);
+    // failures rethrow as-is from the first failed segment
     locally {
       val missing = refs.map(_._1)
         .filter(n => SegCache.get(segPath(root, n).toString).isEmpty)
       if (missing.size > 1) {
-        import scala.jdk.CollectionConverters._
-        missing.asJava.parallelStream()
-          .forEach(n => { segEntries(s, root, n); () })
+        val pool = java.util.concurrent.Executors
+          .newFixedThreadPool(math.min(8, missing.size))
+        try {
+          val futs = missing.map(n => pool.submit(
+            new java.util.concurrent.Callable[Unit] {
+              def call(): Unit = { segEntries(s, root, n); () }
+            }))
+          futs.foreach(fu =>
+            try fu.get()
+            catch {
+              case e: java.util.concurrent.ExecutionException =>
+                throw e.getCause
+            })
+        } finally pool.shutdownNow()
       }
     }
     val entries = items.flatMap { l =>
@@ -456,9 +499,23 @@ object TxnTable {
       val Array(kind, param, src) = t.split(":", 3)
       Transform(kind, src, param.toInt)
     }
-    // refresh the commit-side reuse hint — staged (WAP) manifests are
-    // partial file lists and must not pollute it
-    if (!what.startsWith("staged")) lastSegs.put(rootKey(root), refs.map(_._1))
+    val delSet = deletes.toSet
+    val delProv = lines.filter(_.startsWith(DelProvTag)).flatMap { l =>
+      val fields = l.stripPrefix(DelProvTag).split("\t").toSeq
+      // tolerate (and drop) prov for a sidecar no longer in the set
+      if (fields.size >= 2 && delSet.contains(fields.head))
+        Some(fields.head -> fields.tail)
+      else None
+    }.toMap
+    // refresh the commit-side reuse hint from HEAD parses only —
+    // staged (WAP) manifests are partial file lists, and time-travel /
+    // branch / vacuum walks parse historical versions whose refs would
+    // swap the hint away from the head between a committer's latest()
+    // and its manifest build (reuse lost at best; combined with a
+    // vacuumed re-chunk orphan, a dangling ref at worst — the commit
+    // side also stats every reused segment for exactly that reason)
+    if (refreshHint && !what.startsWith("staged"))
+      lastSegs.put(rootKey(root), refs.map(_._1))
     Snapshot(version, lines.head.stripPrefix(Header).trim, entries.map(_._1),
       entries.collect { case (f, st, _, _, _) if st.nonEmpty => f -> st }.toMap,
       statsCols,
@@ -468,11 +525,12 @@ object TxnTable {
       tsMs, deletes, deleteCols, transforms,
       entries.collect { case (f, _, _, Some(n), _) => f -> n }.toMap,
       entries.collect { case (f, _, _, _, nu) if nu.nonEmpty => f -> nu }.toMap,
-      segs = refs.map(_._1))
+      segs = refs.map(_._1),
+      delProv = delProv)
   }
 
   def latest(s: SparkSession, root: String): Option[Snapshot] =
-    versions(s, root).lastOption.map(snapshot(s, root, _))
+    versions(s, root).lastOption.map(snapshot(s, root, _, refreshHint = true))
 
   /** [[latest]] or a clear error — the single head resolution every
     * read/write path starts from. Each public entry point resolves the
@@ -953,7 +1011,8 @@ object TxnTable {
                             transforms: Seq[Transform] = Nil,
                             rowCounts: Map[String, Long] = Map.empty,
                             branch: Option[String] = None,
-                            nullCounts: Map[String, Map[String, Long]] = Map.empty): Snapshot = {
+                            nullCounts: Map[String, Map[String, Long]] = Map.empty,
+                            delProv: Map[String, Seq[String]] = Map.empty): Snapshot = {
     val f = fs(s, root)
     val dst = branch.fold(manifestPath(root, v))(branchManifestPath(root, _, v))
     f.mkdirs(dst.getParent)
@@ -973,19 +1032,20 @@ object TxnTable {
     // point-range file's rows exactly (min/max exclude nulls, so a
     // point range alone cannot certify "single-valued file")
     val nulls = completeNulls(s, root, files, statsCols, nullCounts)
-    // at or under the segment threshold AND with no segmented parent in
-    // sight, the single-file inline manifest is written byte-identically
-    // to every prior round; past it, segment with parent-ref reuse
+    // at or under the segment threshold the single-file inline manifest
+    // is written byte-identically to every prior round — INCLUDING a
+    // table that SHRANK back under it (a segmented parent never forces
+    // refs on an under-threshold child); past it, segment with
+    // parent-ref reuse
     val segTarget = segmentEntries(s)
     val (text, segNames) =
-      if (files.size <= segTarget &&
-          Option(lastSegs.get(rootKey(root))).forall(_.isEmpty))
+      if (files.size <= segTarget)
         (serializeManifest(op, files, stats, statsCols, schema,
           blooms, bloomCols, deletes, deleteCols, transforms, now, counts,
-          nulls), Nil)
+          nulls, delProv), Nil)
       else segmentedManifest(s, root, op, files, stats, statsCols, schema,
         blooms, bloomCols, deletes, deleteCols, transforms, now, counts,
-        nulls, segTarget)
+        nulls, segTarget, delProv)
     val out = f.create(tmp, false)
     try out.write(text.getBytes(StandardCharsets.UTF_8))
     finally out.close()
@@ -1018,7 +1078,8 @@ object TxnTable {
     }
     lastSegs.put(rootKey(root), segNames)
     Snapshot(v, op, files, stats, statsCols, schema, blooms, bloomCols, Some(now),
-      deletes, deleteCols, transforms, counts, nulls, segs = segNames)
+      deletes, deleteCols, transforms, counts, nulls, segs = segNames,
+      delProv = delProv.view.filterKeys(deletes.toSet).toMap)
   }
 
   private def serializeManifest(op: String, files: Seq[String],
@@ -1028,7 +1089,8 @@ object TxnTable {
       deletes: Seq[String], deleteCols: Seq[String],
       transforms: Seq[Transform], now: Long,
       rowCounts: Map[String, Long] = Map.empty,
-      nullCounts: Map[String, Map[String, Long]] = Map.empty): String = {
+      nullCounts: Map[String, Map[String, Long]] = Map.empty,
+      delProv: Map[String, Seq[String]] = Map.empty): String = {
     require(deletes.isEmpty || deleteCols.nonEmpty,
       "merge-on-read delete files need recorded delete column(s)")
     (statsCols ++ bloomCols ++ deleteCols).foreach(c => require(
@@ -1061,7 +1123,9 @@ object TxnTable {
     }
     val delLines = (if (deletes.nonEmpty)
         Seq(DelColTag + deleteCols.mkString("\t")) else Seq.empty) ++
-      deletes.map(DeleteTag + _)
+      deletes.map(DeleteTag + _) ++
+      deletes.flatMap(d => delProv.get(d).filter(_.nonEmpty)
+        .map(from => DelProvTag + d + "\t" + from.mkString("\t")))
     val colLines =
       (if (statsCols.nonEmpty) Seq(StatsColsTag + statsCols.mkString("\t"))
        else Seq.empty) ++
@@ -1149,7 +1213,8 @@ object TxnTable {
       transforms: Seq[Transform], now: Long,
       rowCounts: Map[String, Long],
       nullCounts: Map[String, Map[String, Long]],
-      segTarget: Int): (String, Seq[String]) = {
+      segTarget: Int,
+      delProv: Map[String, Seq[String]] = Map.empty): (String, Seq[String]) = {
     require(deletes.isEmpty || deleteCols.nonEmpty,
       "merge-on-read delete files need recorded delete column(s)")
     (statsCols ++ bloomCols ++ deleteCols).foreach(c => require(
@@ -1174,11 +1239,18 @@ object TxnTable {
         Option(lastSegs.get(rootKey(root))).getOrElse(Nil)
       else Nil
     final case class Run(start: Int, len: Int, name: String)
+    val fsys = fs(s, root)
     val candidate = hint.flatMap { name =>
       val es =
         try segEntries(s, root, name)
         catch { case scala.util.control.NonFatal(_) => IndexedSeq.empty }
-      if (es.isEmpty) None
+      // the hint segment was written by a PARENT commit, and SegCache
+      // verification alone cannot prove the file still exists — a
+      // re-chunk orphan can stay cached (entries matching!) after
+      // vacuum reclaimed it, and publishing a ref to it would make the
+      // table unreadable from fresh JVMs. One stat per hint segment
+      // (≤ MaxSegRefs) buys the existence fact from disk.
+      if (es.isEmpty || !fsys.exists(segPath(root, name))) None
       else {
         val pos = es.map(e => idx.getOrElse(e._1, -1))
         val start = pos.head
@@ -1200,7 +1272,14 @@ object TxnTable {
     // ref-count bound: past MaxSegRefs the manifest re-chunks from
     // scratch — the amortized rewrite that keeps read fan-out bounded
     val runs = if (runs0.size >= MaxSegRefs) Nil else runs0
-    val f = fs(s, root)
+    // fresh-segment size: at least segTarget, but scaled so a re-chunk
+    // of an N-file table lands at ≤ MaxSegRefs/2 refs — a table past
+    // MaxSegRefs*segTarget files must NOT re-chunk into >= MaxSegRefs
+    // segments, or reuse stays disabled and every later append pays
+    // the full O(N) rewrite (the amortization this feature exists for)
+    val chunk = math.max(segTarget.toLong,
+      2L * files.size / MaxSegRefs + 1).toInt
+    val f = fsys
     val newSegs = Seq.newBuilder[String]
     val items = Seq.newBuilder[String]
     def writeSegment(range: Range): Unit = {
@@ -1223,8 +1302,8 @@ object TxnTable {
       if (len <= segTarget / 2)
         (from until until).foreach(i => items += entryLine(files(i), stats,
           blooms, rowCounts, nullCounts, statsCols, bloomCols))
-      else (from until until by segTarget).foreach(a =>
-        writeSegment(a until math.min(a + segTarget, until)))
+      else (from until until by chunk).foreach(a =>
+        writeSegment(a until math.min(a + chunk, until)))
     }
     var pos = 0
     runs.foreach { r =>
@@ -1236,7 +1315,9 @@ object TxnTable {
     emitGap(pos, files.size)
     val delLines = (if (deletes.nonEmpty)
         Seq(DelColTag + deleteCols.mkString("\t")) else Seq.empty) ++
-      deletes.map(DeleteTag + _)
+      deletes.map(DeleteTag + _) ++
+      deletes.flatMap(d => delProv.get(d).filter(_.nonEmpty)
+        .map(from => DelProvTag + d + "\t" + from.mkString("\t")))
     val colLines =
       (if (statsCols.nonEmpty) Seq(StatsColsTag + statsCols.mkString("\t"))
        else Seq.empty) ++
@@ -2384,7 +2465,8 @@ object TxnTable {
       deletes = cur.deletes, deleteCols = cur.deleteCols,
       transforms = cur.transforms,
       rowCounts = cur.rowCounts.view.filterKeys(carrySet).toMap,
-      nullCounts = cur.nullCounts.view.filterKeys(carrySet).toMap)
+      nullCounts = cur.nullCounts.view.filterKeys(carrySet).toMap,
+      delProv = cur.delProv)
   }
 
   /** OPTIMIZE ZORDER: transactional reclustering on TWO dimensions at
@@ -3343,8 +3425,9 @@ object TxnTable {
     if (gone.nonEmpty)
       return Some(s"${gone.size} touched file(s) rewritten/removed by " +
         s"the concurrent commit (e.g. ${gone.head}; touched ${touched.size} " +
-        s"of ${planned.files.size} planned — a conservative superset means " +
-        "the staged sidecar lacked usable _file footer bounds)")
+        s"of ${planned.files.size} planned — touched == planned means the " +
+        "conservative covers-everything superset: sidecar content past the " +
+        "exact-read cap)")
     if (cur.schema != planned.schema) return Some("schema changed")
     if (cur.transforms != planned.transforms) return Some("transforms changed")
     if (cur.statsCols != planned.statsCols) return Some("statsCols changed")
@@ -3353,19 +3436,35 @@ object TxnTable {
       cur.deleteCols == planned.deleteCols) None
     else {
       val plannedD = planned.deletes.toSet
-      // growth only (a concurrent delete-file compaction rewrote our
-      // statement's masking basis — refuse, content equality is not a
-      // manifest fact), position shape only, and every NEW sidecar
-      // bound-disjoint from the touched files
-      if (!planned.deletes.forall(cur.deletes.contains))
-        Some("the delete set shrank/rewrote (concurrent delete compaction)")
+      // CONSOLIDATED sidecars whose recorded provenance is a subset of
+      // the planned delete set folded only content the statement's
+      // plan already masked with — a pure representation change
+      // ([[compactPosDeletes]]' delProv). Anything they folded BEYOND
+      // the planned set is a concurrent statement's tombstones hiding
+      // inside a consolidation; such a sidecar is treated as NEW and
+      // must pass the disjointness check below like any other.
+      val consFromPlanned = cur.delProv.view
+        .filterKeys(cur.deletes.contains)
+        .filter { case (_, from) => from.forall(plannedD.contains) }
+        .toMap
+      val foldedIntact = consFromPlanned.valuesIterator.flatten.toSet
+      // every planned delete file must either survive verbatim or be
+      // provably folded into a surviving consolidated sidecar —
+      // otherwise the statement's masking basis was rewritten by
+      // content we cannot re-derive: refuse
+      val missing = planned.deletes.filterNot(cur.deletes.contains)
+      if (!missing.forall(foldedIntact.contains))
+        Some("the delete set shrank/rewrote (concurrent delete compaction " +
+          "without folded-intact provenance)")
       else if (!isPosShape(cur))
         Some("the concurrent delete files are equality-shape")
       else if (!(plannedD.isEmpty || isPosShape(planned)))
         Some("the planned delete files are equality-shape")
       else {
+        val newOnes = cur.deletes
+          .filterNot(plannedD).filterNot(consFromPlanned.keySet)
         val overlapping = graft.sources.GraftSidecars
-          .metas(s, root.stripSuffix("/"), cur.deletes.filterNot(plannedD))
+          .metas(s, root.stripSuffix("/"), newOnes)
           .filter(m => touched.exists(m.covers))
         if (overlapping.isEmpty) None
         else Some(s"concurrent sidecar(s) cover touched file(s): " +
@@ -3482,15 +3581,29 @@ object TxnTable {
     // default never reads the historical manifest, and the rebase path
     // computes the staged-file Spark job once
     lazy val planned = snapshot(s, root, expectedVersion)
-    // the files this statement TOUCHES: those its staged tombstones
-    // target, by staged-sidecar footer bounds (a conservative superset
-    // — a stat-less sidecar covers everything and degrades to the
-    // old whole-snapshot pin). Footer metas are JVM-cached; computed
-    // once, only on the rebase path.
+    // the files this statement TOUCHES: the EXACT distinct `_file`
+    // values of its own staged sidecars — self-sufficient admission.
+    // Footer `_file` bounds are the wrong basis here: an UNSORTED
+    // sidecar (multi-partition statement, or a scan whose file pruning
+    // a session conf defeated) records bounds that lexicographically
+    // cover files it holds no tombstone for, and a sidecar lacking the
+    // stats covers everything — either way a genuinely disjoint rebase
+    // gets refused for files the statement never touched. The staged
+    // sidecars are this statement's fresh kilobyte-scale output, so
+    // the exact set costs one small scan, paid once (lazy), only on
+    // the rebase path, only when the head actually moved. Capped loud:
+    // past the cap the conservative footer-bounds superset returns.
     lazy val touched: Set[String] = {
-      val sm = graft.sources.GraftSidecars
-        .metas(s, root.stripSuffix("/"), posDeletes)
-      planned.files.filter(f => sm.exists(_.covers(f))).toSet
+      val base = root.stripSuffix("/")
+      val cap = 100000
+      val rows = s.read.parquet(posDeletes.map(r => s"$base/$r"): _*)
+        .select(org.apache.spark.sql.functions.col("_file"))
+        .distinct().limit(cap + 1).collect()
+      if (rows.length <= cap) rows.map(_.getString(0)).toSet
+      else { // conservative superset from footer bounds (old behavior)
+        val sm = graft.sources.GraftSidecars.metas(s, base, posDeletes)
+        planned.files.filter(f => sm.exists(_.covers(f))).toSet
+      }
     }
     var stagedMeta: Option[(Map[String, Map[String, (Long, Long)]],
       Map[String, Map[String, Array[Byte]]])] = None
@@ -3522,7 +3635,8 @@ object TxnTable {
           cur.statsCols, cur.schema,
           cur.blooms ++ stagedBlooms, cur.bloomCols,
           cur.deletes ++ posDeletes, PosDeleteCols, cur.transforms,
-          cur.rowCounts, nullCounts = cur.nullCounts))
+          cur.rowCounts, nullCounts = cur.nullCounts,
+          delProv = cur.delProv))
       } catch {
         // lost the slot race mid-rebase: re-validate against the new head
         case e: TxnConflictException =>
@@ -3636,7 +3750,8 @@ object TxnTable {
       try {
         return commit(s, root, cur.version + 1, "delete-mor", cur.files,
           cur.stats, cur.statsCols, cur.schema, cur.blooms, cur.bloomCols,
-          cur.deletes ++ staged, keyColsP, cur.transforms)
+          cur.deletes ++ staged, keyColsP, cur.transforms,
+          delProv = cur.delProv)
       } catch {
         case _: TxnConflictException if attempt < maxAttempts => // re-resolve
       }
@@ -3792,7 +3907,14 @@ object TxnTable {
           deletes = staged,
           deleteCols = if (staged.isEmpty) Nil else PosDeleteCols,
           transforms = cur.transforms,
-          rowCounts = cur.rowCounts, nullCounts = cur.nullCounts)
+          rowCounts = cur.rowCounts, nullCounts = cur.nullCounts,
+          // provenance: each consolidated sidecar records the delete
+          // files it folded — "the delete set was preserved" becomes a
+          // manifest fact, so a row-level statement planned against
+          // the pre-consolidation snapshot can REBASE over this
+          // maintenance commit instead of refusing on content
+          // equality it cannot re-derive ([[admissibleUnderSnapshot]])
+          delProv = staged.map(_ -> cur.deletes).toMap)
       } catch {
         // un-stage this attempt's WHOLE output dir (parquet files,
         // _SUCCESS marker, the dir itself) — on a lost race its

@@ -17,4 +17,13 @@ object SparkTestSession {
     s.sparkContext.setLogLevel("ERROR")
     s
   }
+
+  /** A suite-private session: same SparkContext and warehouse, OWN
+    * SQLConf / catalog registry / temp views. Any suite that mutates a
+    * session conf — even inside try/finally — must run on one of
+    * these: sbt executes suites IN PARALLEL inside the single forked
+    * JVM, so a conf window on the shared session bleeds into whatever
+    * other suite is mid-flight (the round-14 flake: a concurrent
+    * suite's window defeated a SQL DELETE's file pruning). */
+  def isolated(): SparkSession = spark.newSession()
 }

@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestSession
 
-/** q39 has no DuckDB oracle (HLL sketches differ across engines by
+/** q39's sketch shape (its Verify form carries a BRACKET oracle; HLL sketches differ across engines by
   * design); its correctness contract is semantic: the approximate
   * cardinality must sit within a small relative error of the exact count
   * per group. HLL++ at rsd=0.02 is far tighter than the 10% asserted
@@ -13,7 +13,7 @@ class ApproxDistinctSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
   test("q39 approx_count_distinct within 10% of exact per group") {
-    val rows = Relational.q39(spark, "/root/testdata/sf0.01")
+    val rows = Relational.q39Bench(spark, "/root/testdata/sf0.01")
       .select("event_type", "approx_users", "exact_users").collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>

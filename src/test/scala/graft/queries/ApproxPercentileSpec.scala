@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestSession
 
-/** q49 has no DuckDB oracle (quantile sketches differ across engines by
+/** q49's sketch shape (its Verify form carries a BRACKET oracle; quantile sketches differ across engines by
   * design); its correctness contract is semantic: each approximate
   * percentile must land inside a bracket of EXACT percentiles around its
   * target rank. approx_percentile at accuracy=10000 bounds rank error at
@@ -17,7 +17,7 @@ class ApproxPercentileSpec extends AnyFunSuite {
     val s = spark
     import org.apache.spark.sql.functions._
     import s.implicits._
-    val approx = Relational.q49(spark, "/root/testdata/sf0.01")
+    val approx = Relational.q49Bench(spark, "/root/testdata/sf0.01")
     val bounds = graft.Tables.t(spark, "/root/testdata/sf0.01", "events")
       .groupBy($"event_type")
       .agg(

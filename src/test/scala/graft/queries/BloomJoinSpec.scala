@@ -13,7 +13,7 @@ import graft.SparkTestSession
   * entering the shuffle (DPP prunes whole partitions; the bloom filter
   * prunes inside them). */
 class BloomJoinSpec extends AnyFunSuite {
-  private lazy val spark = SparkTestSession.spark
+  private lazy val spark = SparkTestSession.isolated() // mutates session confs
 
   private def withConf[T](pairs: (String, String)*)(body: => T): T = {
     val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }

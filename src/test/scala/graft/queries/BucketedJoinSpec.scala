@@ -10,7 +10,7 @@ import graft.SparkTestSession
   * auto-broadcast are disabled inside the test so tiny test SFs can't
   * mask the layout with a broadcast plan. */
 class BucketedJoinSpec extends AnyFunSuite {
-  private lazy val spark = SparkTestSession.spark
+  private lazy val spark = SparkTestSession.isolated() // mutates session confs
   private val sfDir = "/root/testdata/sf0.001"
 
   private def withConf[T](pairs: (String, String)*)(body: => T): T = {

@@ -15,7 +15,7 @@ import graft.SparkTestSession
   * runtime sizes; CBO handles what's knowable before execution — both
   * are part of the "let Catalyst optimize" contract.) */
 class CboReorderSpec extends AnyFunSuite {
-  private lazy val spark = SparkTestSession.spark
+  private lazy val spark = SparkTestSession.isolated() // mutates session confs
 
   private def withConf[T](pairs: (String, String)*)(body: => T): T = {
     val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }

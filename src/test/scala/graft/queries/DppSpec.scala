@@ -15,7 +15,7 @@ import graft.SparkTestSession
   * selected days are not known until runtime. (Static pruning is
   * separately plan-asserted for q46's IVF index scan.) */
 class DppSpec extends AnyFunSuite {
-  private lazy val spark = SparkTestSession.spark
+  private lazy val spark = SparkTestSession.isolated() // mutates session confs
 
   private def withConf[T](pairs: (String, String)*)(body: => T): T = {
     val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }

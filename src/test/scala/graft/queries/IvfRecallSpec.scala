@@ -12,7 +12,7 @@ import graft.SparkTestSession
   * several probes and pins a floor — the quality metric an ANN index is
   * actually judged by, same role LshRecallSpec plays for q31. */
 class IvfRecallSpec extends AnyFunSuite {
-  private lazy val spark = SparkTestSession.spark
+  private lazy val spark = SparkTestSession.isolated() // mutates session confs
   private val srcSf = "/root/testdata/sf0.001"
 
   private def cos(a: Array[Long], b: Array[Long]): Double = {

@@ -15,7 +15,7 @@ import graft.plans.Mv
   * shipped q93/q94 is the driver's DuckDB oracle; these tests pin the
   * PLAN substitutions and the matcher's boundaries. */
 class MvRewriteSpec extends AnyFunSuite {
-  private lazy val spark = SparkTestSession.spark
+  private lazy val spark = SparkTestSession.isolated() // mutates session confs
   private val sfDir = "/root/testdata/sf0.001"
 
   private def scans(df: DataFrame): Seq[String] =

@@ -11,7 +11,7 @@ import graft.SparkTestSession
   * immutability, and idempotence of a repeated batch — the properties a
   * MERGE implementation must hold that a single oracle row can't pin. */
 class ScdSpec extends AnyFunSuite {
-  private lazy val spark = SparkTestSession.spark
+  private lazy val spark = SparkTestSession.isolated() // mutates session confs
 
   private def dim0 = {
     val s = spark

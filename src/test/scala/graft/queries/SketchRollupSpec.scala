@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestSession
 
-/** q68's semantic guarantees (no DuckDB oracle — DataSketches HLL state
+/** q68's semantic guarantees (its Verify form carries a BRACKET oracle — DataSketches HLL state
   * is engine-specific): union-of-daily-sketches must be LOSSLESS vs
   * sketching the raw data once, and estimates must sit within HLL error
   * of the exact distinct counts. */
@@ -53,7 +53,7 @@ class SketchRollupSpec extends AnyFunSuite {
   test("estimates are within HLL error of exact distinct counts") {
     val s = spark
     import s.implicits._
-    val est = Relational.q68(s, sfDir)
+    val est = Relational.q68Bench(s, sfDir)
       .select($"event_type", $"approx_users").as[(String, Long)].collect().toMap
     val exact = graft.Tables.t(s, sfDir, "events")
       .groupBy($"event_type")

@@ -21,7 +21,7 @@ import graft.SparkTestSession
   * would vanish under lz4 and mask the skew.
   */
 class SkewJoinSpec extends AnyFunSuite {
-  private lazy val spark = SparkTestSession.spark
+  private lazy val spark = SparkTestSession.isolated() // mutates session confs
 
   private def withConf[T](pairs: (String, String)*)(body: => T): T = {
     val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }

@@ -30,7 +30,7 @@ object PosDeltaLawsProps extends Properties("graft.txn.posdelta.laws") {
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
     p.withMinSuccessfulTests(5)
 
-  private lazy val spark = SparkTestSession.spark
+  private lazy val spark = SparkTestSession.isolated() // mutates session confs
 
   private val cat = "graft_pdl_cat"
   private lazy val warehouse: String = {

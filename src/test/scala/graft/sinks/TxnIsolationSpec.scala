@@ -194,6 +194,43 @@ class TxnIsolationSpec extends AnyFunSuite {
     }
   }
 
+  test("admission is self-sufficient: LOOSE sidecar footer bounds (an " +
+      "unsorted or pruning-defeated statement) never refuse a genuinely " +
+      "disjoint rebase — touched comes from staged content, not bounds") {
+    val root = table("iso7", mor = true)
+    TxnTable.setTableProperty(spark, root, TxnTable.RowLevelIsolationKey,
+      "snapshot")
+    val planned = TxnTable.latest(spark, root).get
+    val sorted = planned.files.sorted
+    val (fLo, fHi) = (sorted.head, sorted.last)
+    // ONE sidecar tombstoning the lexicographic EXTREMES: its footer
+    // `_file` bounds [fLo..fHi] cover every file in between — exactly
+    // what an unpruned or multi-partition statement writes. The
+    // bounds-based touched set would include the middle files and
+    // refuse the rebase below; content-based touched is {fLo, fHi}.
+    val tomb = stageManual(root,
+      spark.createDataFrame(java.util.List.of(Row(fLo, 0L), Row(fHi, 0L)),
+        GraftMetaCols.posDeleteSchema),
+      "data/manual/del-iso7.parquet")
+    val deadIds = Seq(fLo, fHi).map(f =>
+      spark.read.parquet(s"$root/$f")
+        .withColumn("_i", col("_metadata.row_index"))
+        .filter(col("_i") === 0L).head.getLong(0))
+    // the CONCURRENT statement lands on a name-MIDDLE file — inside
+    // our sidecar's loose [fLo..fHi] bounds, outside its actual content
+    val mid = sorted(1)
+    val midId = spark.read.parquet(s"$root/$mid")
+      .withColumn("_i", col("_metadata.row_index"))
+      .filter(col("_i") === 1L).head.getLong(0) // ordinal 1: never ours
+    spark.sql(s"DELETE FROM $cat.db.iso7 WHERE id = $midId")
+    assert(TxnTable.latest(spark, root).get.version === planned.version + 1)
+    val out = TxnTable.commitDelta(spark, root, planned.version, Nil,
+      Seq(tomb), "delete-mor")
+    assert(out.isDefined,
+      "a disjoint rebase was refused on loose footer bounds")
+    assert(ids(root) === ((1L to 200L).toSet - midId -- deadIds))
+  }
+
   test("snapshot isolation admits a DISJOINT CoW rewrite: a concurrent " +
       "UPDATE replaced a file this statement never scanned; same-file " +
       "overlap still refuses") {
@@ -237,6 +274,56 @@ class TxnIsolationSpec extends AnyFunSuite {
       TxnTable.commitReplace(spark, root, planned.version,
         Set(fileB), Seq(stale), "update")
     }
+  }
+
+  test("consolidation provenance: a row-level statement REBASES over a " +
+      "concurrent compactPosDeletes — 'delete set preserved' is a " +
+      "manifest fact, not a content guess") {
+    val root = table("iso8", mor = true)
+    TxnTable.setTableProperty(spark, root, TxnTable.RowLevelIsolationKey,
+      "snapshot")
+    spark.sql(s"DELETE FROM $cat.db.iso8 WHERE id = 5") // sidecar S1
+    val planned = TxnTable.latest(spark, root).get
+    assert(planned.deletes.size === 1)
+    val s1 = planned.deletes.head
+    val (fileA, deadId) = firstRow(root, planned)
+    val tomb = stageManual(root,
+      spark.createDataFrame(java.util.List.of(Row(fileA, 0L)),
+        GraftMetaCols.posDeleteSchema),
+      "data/manual/del-iso8.parquet")
+    // CONCURRENT maintenance consolidates S1 → C, recording prov [S1]
+    val consolidated = TxnTable.compactPosDeletes(spark, root)
+    assert(consolidated.version === planned.version + 1)
+    assert(consolidated.deletes.nonEmpty &&
+      consolidated.deletes.toSet.intersect(planned.deletes.toSet).isEmpty)
+    assert(consolidated.delProv.values.flatten.toSet === Set(s1),
+      "compact-pos-deletes must record what each output sidecar folded")
+    // the provenance survives a cold manifest round-trip
+    val cold = TxnTable.snapshot(spark, root, consolidated.version)
+    assert(cold.delProv === consolidated.delProv)
+    // the statement planned BEFORE the consolidation commits on top of
+    // it — one call, no retry loop, no refusal: the folded-intact fact
+    // admits the rebase even though planned.deletes all left the head
+    val out = TxnTable.commitDelta(spark, root, planned.version, Nil,
+      Seq(tomb), "delete-mor")
+    assert(out.isDefined)
+    assert(ids(root) === ((1L to 200L).toSet - 5L - deadId))
+
+    // NEGATIVE: a consolidation that folded a CONCURRENT statement's
+    // sidecar (prov ⊄ planned set) is not a pure re-encoding — when it
+    // covers a touched file the rebase still refuses
+    val planned2 = TxnTable.latest(spark, root).get
+    spark.sql(s"DELETE FROM $cat.db.iso8 WHERE id = 6") // S2: also fileA
+    TxnTable.compactPosDeletes(spark, root) // folds {C, ours, S2}
+    val tomb2 = stageManual(root,
+      spark.createDataFrame(java.util.List.of(Row(fileA, 1L)),
+        GraftMetaCols.posDeleteSchema),
+      "data/manual/del-iso8b.parquet")
+    val err = intercept[TxnTable.TxnConflictException] {
+      TxnTable.commitDelta(spark, root, planned2.version, Nil, Seq(tomb2),
+        "delete-mor")
+    }
+    assert(err.getMessage.contains("rebase refused"))
   }
 
   test("the property validates and round-trips; unset restores the " +

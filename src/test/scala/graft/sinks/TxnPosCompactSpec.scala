@@ -17,7 +17,7 @@ import graft.sources.{GraftCatalog, GraftSidecars}
   * resolution modes; the commit classifies as maintenance (streams
   * skip it, the change feed nets empty). */
 class TxnPosCompactSpec extends AnyFunSuite {
-  private lazy val spark = SparkTestSession.spark
+  private lazy val spark = SparkTestSession.isolated() // mutates session confs
 
   private val cat = "graft_tpc_cat"
   private lazy val warehouse: String = {

@@ -27,7 +27,7 @@ import graft.sources.GraftCatalog
   * never referenced ones, and small tables keep the single-file inline
   * manifest byte-identically (zero new files). */
 class TxnSegmentedManifestSpec extends AnyFunSuite {
-  private lazy val spark = SparkTestSession.spark
+  private lazy val spark = SparkTestSession.isolated() // mutates session confs
 
   private def freshRoot(): String =
     Files.createTempDirectory("graft_segman").toString + "/t"
@@ -294,6 +294,73 @@ class TxnSegmentedManifestSpec extends AnyFunSuite {
       assert(head.segs.isEmpty,
         "3 files under threshold 20 must fall back to inline entries")
       assert(TxnTable.read(spark, root).count() === 500L)
+    }
+  }
+
+  test("shrinking into (segTarget/2, segTarget] also heals inline — the " +
+      "under-threshold contract holds on every shrink size") {
+    segmented(20) {
+      val root = freshRoot()
+      TxnTable.overwrite(spark, root, nFiles(50), statsCols = Seq("id"))
+      assert(TxnTable.latest(spark, root).get.segs.nonEmpty)
+      // 15 files: over segTarget/2 (the gap-inlining cutoff) but at or
+      // under segTarget — the commit-site decision, not the gap length,
+      // must pick the encoding, or an under-threshold table keeps a
+      // refs-based manifest
+      TxnTable.compactTxn(spark, root, targetFiles = 15, sortCols = Seq("id"))
+      val head = TxnTable.latest(spark, root).get
+      assert(head.files.size === 15)
+      assert(head.segs.isEmpty,
+        s"15 files under threshold 20 must write inline, got refs ${head.segs}")
+      assert(TxnTable.read(spark, root).count() === 500L)
+    }
+  }
+
+  test("a stale reuse hint pointing at a DELETED segment file never " +
+      "publishes a dangling ref — existence is re-proven from disk") {
+    segmented(10) {
+      val root = freshRoot()
+      TxnTable.overwrite(spark, root, nFiles(30), statsCols = Seq("id"))
+      val v1 = TxnTable.latest(spark, root).get
+      assert(v1.segs.nonEmpty)
+      // simulate the advisory's race: the segment's parse is still
+      // cached (entries match!) but the file left the disk — a
+      // vacuumed re-chunk orphan swapped in by a concurrent parse.
+      // Deleting a LIVE segment also breaks v1 for cold readers; this
+      // spec only ever reads the post-append head cold.
+      val victim = v1.segs.head
+      assert(hfs(root).delete(new Path(s"$root/_txn/$victim"), false))
+      TxnTable.append(spark, root, nFiles(1, from = 90000L))
+      val head = TxnTable.latest(spark, root).get
+      assert(!head.segs.contains(victim),
+        "the commit reused a segment that no longer exists on disk")
+      // the proof that matters: a FRESH JVM (cold caches) can read the
+      // new head — no ref resolves to a missing file
+      TxnTable.dropSegCaches()
+      val cold = TxnTable.snapshot(spark, root, head.version)
+      assert(cold.files.size === 31)
+      assert(TxnTable.read(spark, root).count() === 310L)
+    }
+  }
+
+  test("re-chunk sizes segments so reuse survives past " +
+      "MaxSegRefs*segTarget files — no every-commit O(N) rewrite") {
+    segmented(2) {
+      val root = freshRoot()
+      // 160 files at segTarget=2 is past the MaxSegRefs(64)*segTarget
+      // thrash point: a re-chunk into N/segTarget=80 segments would hit
+      // the ref bound immediately and disable reuse on every later
+      // commit. Right-sized re-chunking must land well under the bound.
+      TxnTable.overwrite(spark, root, nFiles(160), statsCols = Seq("id"))
+      val v1 = TxnTable.latest(spark, root).get
+      assert(v1.segs.nonEmpty)
+      assert(v1.segs.size <= 32,
+        s"re-chunk landed ${v1.segs.size} refs — must stay ≤ MaxSegRefs/2")
+      TxnTable.append(spark, root, nFiles(1, from = 90000L))
+      val v2 = TxnTable.latest(spark, root).get
+      assert(v2.segs.toSet.intersect(v1.segs.toSet) === v1.segs.toSet,
+        "the append must reuse every parent segment — reuse was disabled")
+      assert(TxnTable.read(spark, root).count() === 1610L)
     }
   }
 }

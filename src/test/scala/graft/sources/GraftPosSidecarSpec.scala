@@ -23,7 +23,7 @@ import graft.sinks.TxnTable
   * still masks exactly. The old tombstone-scale refuse-loud driver cap
   * is gone — this is what replaces it. */
 class GraftPosSidecarSpec extends AnyFunSuite {
-  private lazy val spark = SparkTestSession.spark
+  private lazy val spark = SparkTestSession.isolated() // mutates session confs
 
   private val cat = "graft_psc_cat"
   private lazy val warehouse: String = {

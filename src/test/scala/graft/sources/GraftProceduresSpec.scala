@@ -370,6 +370,73 @@ class GraftProceduresSpec extends AnyFunSuite {
     assert(ids(spark.sql(s"SELECT * FROM $cat.db.mr1")).size === 15)
   }
 
+  test("the advisor CLOSES THE LOOP: executing the report's own " +
+      "recommendation strings verbatim turns every action row ok and " +
+      "measurably speeds up the scan") {
+    val s = spark; import s.implicits._
+    val root = s"$warehouse/db/mr2"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    // degrade: 100 tiny files in one commit + 9 per-statement sidecars
+    TxnTable.append(spark, root,
+      spark.range(1, 401).toDF("id").withColumn("v", col("id") * 2L)
+        .repartition(100), statsCols = Seq("id"))
+    TxnTable.setTableProperty(spark, root, TxnTable.RowLevelModeKey,
+      "merge-on-read")
+    (1 to 9).foreach(k =>
+      spark.sql(s"DELETE FROM $cat.db.mr2 WHERE id = ${k * 40}"))
+    assert(TxnTable.latest(spark, root).get.files.size === 100)
+    assert(TxnTable.latest(spark, root).get.deletes.size === 9)
+
+    def scanSec(): Double = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.sql(s"SELECT SUM(v) FROM $cat.db.mr2").collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    val before = scanSec()
+    val beforeFiles = TxnTable.latest(spark, root).get.files.size
+
+    // follow the report LITERALLY: extract each action row's leading
+    // `CALL system.<proc>(...)` clause, bind the table name, execute.
+    // The advisor's promise is that its strings ARE the fix — so the
+    // spec runs the strings, not a hand-written equivalent.
+    val report = spark.sql(
+      s"CALL $cat.system.maintain_report('db.mr2')").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(3)))
+    assert(report.exists(r => r._1 == "small_files" && r._2 == "action"))
+    assert(report.exists(r =>
+      r._1 == "pos_delete_sidecars" && r._2 == "action"))
+    def callOf(rec: String): String = {
+      val head = rec.split(" — ").head.split(" or ").head.trim
+      assert(head.startsWith("CALL system."), s"unparseable advice: $rec")
+      head.replace("system.", s"$cat.system.").replace("<table>", "db.mr2")
+    }
+    // deletes first (a fold also unblocks compaction), then layout
+    val order = Seq("pos_delete_ratio", "pos_delete_sidecars",
+      "small_files", "version_backlog", "delete_key_files")
+    report.filter(_._2 == "action")
+      .sortBy(r => order.indexOf(r._1))
+      .foreach(r => spark.sql(callOf(r._3)))
+
+    val after = spark.sql(
+      s"CALL $cat.system.maintain_report('db.mr2')").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    assert(after.forall(_._2 == "ok"),
+      s"advice executed but the report still flags: ${after.mkString(", ")}")
+    // and the scan is measurably better: structurally (fewer files, no
+    // merge debt) and on the clock (100 tiny splits + 9-sidecar MoR
+    // merge vs a handful of right-sized files)
+    val afterFiles = TxnTable.latest(spark, root).get.files.size
+    assert(afterFiles < beforeFiles / 4,
+      s"compaction advice left $afterFiles files (was $beforeFiles)")
+    assert(TxnTable.latest(spark, root).get.deletes.isEmpty)
+    val got = scanSec()
+    assert(got < before,
+      f"scan did not improve: $got%.3fs after vs $before%.3fs before")
+    // content intact: 400 rows minus the 9 deleted
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.db.mr2")
+      .head.getLong(0) === 391L)
+  }
+
   test("a real table named `history` wins over the metadata suffix") {
     val s = spark; import s.implicits._
     val root = s"$warehouse/db/history"
