@@ -349,6 +349,7 @@ object TxnTable {
     * out) and the next commit re-verifies reuse from disk. */
   private[graft] def dropSegCaches(): Unit = {
     SegCache.clear()
+    SnapCache.clear()
     lastSegs.clear()
   }
 
@@ -371,16 +372,66 @@ object TxnTable {
     }
   }
 
+  /** Parsed-SNAPSHOT cache. Version files are immutable once published
+    * (create-no-overwrite CAS) — but a table DROPPED and RECREATED at
+    * the same root reuses version paths, and a vacuumed version must
+    * keep FAILING like an uncached read, so every hit is validated by
+    * ONE stat against the recorded (length, mtime) of the file the
+    * parse read (µs locally, one HEAD on an object store — against the
+    * multi-second map assembly a million-entry parse costs, which every
+    * operation's `latest()` would otherwise re-pay). Bounded by total
+    * cached file entries, LRU. */
+  private object SnapCache {
+    private val Budget = 4000000L
+    private val map =
+      new java.util.LinkedHashMap[String, (Snapshot, Long, Long)](
+        16, 0.75f, true)
+    def get(k: String): Option[(Snapshot, Long, Long)] =
+      synchronized(Option(map.get(k)))
+    def put(k: String, v: Snapshot, len: Long, mtime: Long): Unit =
+      synchronized {
+        map.put(k, (v, len, mtime))
+        var total = 0L
+        map.values.forEach(e => total += e._1.files.size.toLong.max(1L))
+        val it = map.entrySet().iterator()
+        while (total > Budget && it.hasNext) {
+          val e = it.next()
+          if (e.getKey != k) {
+            total -= e.getValue._1.files.size.toLong.max(1L); it.remove()
+          }
+        }
+      }
+    def clear(): Unit = synchronized(map.clear())
+  }
+
   /** Read one manifest. `refreshHint` only from [[latest]]: a time-
     * travel / branch / vacuum parse must not swap the commit-side
     * segment-reuse hint away from the head's refs. */
   def snapshot(s: SparkSession, root: String, version: Long): Snapshot =
     snapshot(s, root, version, refreshHint = false)
   private def snapshot(s: SparkSession, root: String, version: Long,
-                       refreshHint: Boolean): Snapshot =
-    parseManifest(s, root, version,
-      readSmallFile(s, root, manifestPath(root, version)),
-      s"v$version", refreshHint)
+                       refreshHint: Boolean): Snapshot = {
+    val p = manifestPath(root, version)
+    val key = p.toString
+    val st =
+      try Some(fs(s, root).getFileStatus(p))
+      catch { case _: java.io.FileNotFoundException => None }
+    SnapCache.get(key) match {
+      case Some((snap, len, mtime)) if st.exists(x =>
+          x.getLen == len && x.getModificationTime == mtime) =>
+        if (refreshHint) lastSegs.put(rootKey(root), snap.segs)
+        snap
+      case _ =>
+        // missing or changed-on-disk (drop/recreate): re-read — a
+        // vacuumed version surfaces the same missing-manifest error an
+        // uncached read always threw
+        val snap = parseManifest(s, root, version,
+          readSmallFile(s, root, p), s"v$version", refreshHint)
+        st.foreach(x => SnapCache.put(key, snap, x.getLen,
+          x.getModificationTime))
+        snap
+    }
+  }
 
   private def readSmallFile(s: SparkSession, root: String, p: Path): String = {
     val in = fs(s, root).open(p)

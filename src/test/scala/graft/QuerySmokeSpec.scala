@@ -27,12 +27,11 @@ class QuerySmokeSpec extends AnyFunSuite {
 
   // Queries with a DELIBERATE rows-only check (no oracle SQL): sketches
   // aren't cross-engine comparable. Anything else missing an oracle is a
-  // bug. Accuracy is pinned semantically instead: q39 by
-  // ApproxDistinctSpec, q49 by ApproxPercentileSpec, q68 by
-  // SketchRollupSpec (lossless union + error bound).
+  // bug. q39/q49/q68 carry BRACKET oracles since round 15 (exact
+  // values + a bound-check boolean the oracle asserts TRUE), so only
+  // two deliberate rows-only entries remain.
   private val rowsOnly =
-    Set("q39_approx_distinct", "q49_approx_percentile", "q68_sketch_rollup",
-      "q113_comp_ratio",      // deflate is JVM-exact but not SQL-expressible
+    Set("q113_comp_ratio",    // deflate is JVM-exact but not SQL-expressible
       "q120_quality_filter")  // a trained LR model is not ANSI SQL (MlQualitySpec)
 
   test("every query has either an oracle or a deliberate rows-only entry") {

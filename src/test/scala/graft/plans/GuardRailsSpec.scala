@@ -9,7 +9,7 @@ import graft.SparkTestSession
   * query library (modulo the pinned, individually-justified allowlist)
   * and rejects the classic cluster-melters. */
 class GuardRailsSpec extends AnyFunSuite {
-  private lazy val spark = SparkTestSession.spark
+  private lazy val spark = SparkTestSession.isolated() // mutates session confs
   private val sfDir = "/root/testdata/sf0.001"
 
   // the justified allowlist lives in GuardRails itself, shared with the

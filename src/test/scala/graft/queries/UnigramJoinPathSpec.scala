@@ -9,7 +9,7 @@ import graft.SparkTestSession
   * produce identical results. The shuffle path is forced the way a
   * too-big runtime table would: autoBroadcastJoinThreshold = -1. */
 class UnigramJoinPathSpec extends AnyFunSuite {
-  private lazy val spark = SparkTestSession.spark
+  private lazy val spark = SparkTestSession.isolated() // mutates session confs
   private val sfDir = "/root/testdata/sf0.001"
 
   test("q62 is row-identical on the broadcast and the forced-shuffle path") {

@@ -163,9 +163,20 @@ class TxnIsolationSpec extends AnyFunSuite {
     TxnTable.setTableProperty(spark, root, TxnTable.RowLevelIsolationKey,
       "snapshot")
     val planned = TxnTable.latest(spark, root).get
-    val (fileA, deadA) = firstRow(root, planned)
+    // fileA must be a file the concurrent DELETE does NOT touch — pick
+    // it by CONTENT (the file holding id 1), never by manifest position:
+    // staging order varies under load, so files.head is sometimes the
+    // id-180 file, and then the two writers genuinely overlap and the
+    // refusal below would be CORRECT (the r14b "flake" was exactly this
+    // test-premise nondeterminism, not a product bug)
+    val fileA = planned.files.find(f =>
+      spark.read.parquet(s"$root/$f").filter(col("id") === 1L)
+        .limit(1).count() > 0).get
+    val deadA = spark.read.parquet(s"$root/$fileA")
+      .withColumn("_i", col("_metadata.row_index"))
+      .filter(col("_i") === 0L).head.getLong(0)
     // a CONCURRENT SQL delete lands on a DIFFERENT file (id 180 lives
-    // in the last range file; fileA holds the lowest ids)
+    // in the top range file; fileA holds id 1)
     spark.sql(s"DELETE FROM $cat.db.iso5 WHERE id = 180")
     assert(TxnTable.latest(spark, root).get.version === planned.version + 1)
     // our statement tombstones fileA only — footer bounds prove the
