@@ -2,14 +2,18 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Plan-audit main: prints the formatted physical plan of one query (or
-  * all). Usage: tools/run.sh graft.Explain [queryName] [sfDir]
-  * Used to check scale posture: broadcast sides, PushedFilters, ReadSchema,
-  * WholeStageCodegen spans.
+  * all). Usage: tools/run.sh graft.Explain [queryName] [sfDir] [--bench]
+  * `--bench` explains the BENCH-variant plan (the one Bench times —
+  * semantic plan without determinism-only output sorts) instead of the
+  * verified plan. Used to check scale posture: broadcast sides,
+  * PushedFilters, ReadSchema, WholeStageCodegen spans.
   */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val name = args.headOption.getOrElse("all")
-    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val bench = args.contains("--bench")
+    val rest = args.filterNot(_ == "--bench")
+    val name = rest.headOption.getOrElse("all")
+    val sfDir = if (rest.length > 1) rest(1) else "/root/testdata/sf0.01"
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
@@ -17,9 +21,11 @@ object Explain {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val base: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      if (bench) PlanSig.benchPlans else SparkEntry.queries.toSeq.sortBy(_._1)
     val qs =
-      if (name == "all") SparkEntry.queries.toSeq.sortBy(_._1)
-      else SparkEntry.queries.filter(_._1 == name).toSeq
+      if (name == "all") base
+      else base.filter(_._1 == name)
     if (qs.isEmpty) {
       System.err.println(s"unknown query '$name'; available:\n  " +
         SparkEntry.queries.keys.toSeq.sorted.mkString("\n  "))

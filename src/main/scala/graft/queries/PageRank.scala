@@ -78,11 +78,20 @@ object PageRank {
     // the build join/distinct (measured: recomputing-with-ReusedExchange
     // was 1.6× slower — AQE's per-stage replanning defeats cross-round
     // exchange reuse). The one driver action (|V| for the base term)
-    // doubles as the checkpoint materializer. At sf0.1 this plan runs
-    // the 5 rounds in ~2.9 s where DuckDB needs ~3.4 s for the
-    // identical unrolled SQL — iterating 1M edges is simply the bill.
+    // doubles as the checkpoint materializer.
+    //
+    // The checkpoint is REPARTITIONED BY src AND SORTED first: the
+    // captured LogicalRDD then reports hash(src) partitioning + src
+    // ordering, so every round's rank⋈edges SortMergeJoin needs NO
+    // exchange and NO sort on the edge side — the |E|-row shuffle+sort
+    // that used to run once per round (plans/r15/q104_pagerank_*.txt:
+    // the per-round `Exchange → Sort → Scan ExistingRDD` arm collapses
+    // to a bare scan) now runs once at build. Guide §2.4 "remove
+    // shuffles outright": the bucketed-edge layout, applied to the
+    // in-session checkpoint instead of a persisted table.
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("od"))
-    val ed = cp(edges.join(deg, "src"))
+    val ed = cp(edges.join(deg, "src")
+      .repartition($"src").sortWithinPartitions($"src"))
     val n = ed.select($"src").distinct().count() // |V|, base-term control input
     require(n > 0, "pageRank on an empty graph")
     val base = 15L * Scale / (100L * n)
